@@ -1,0 +1,66 @@
+"""Table loading over the driver-generated parquet star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under
+``{sf_dir}/{name}.parquet``.
+
+Equivalent of the reference's source layer: where the reference discovers
+remote files then decodes them into string-typed record tables
+(src/datasus/datasus.service.ts:98-137,307-388), this engine reads columnar
+parquet with Catalyst pushdown. At 100 TB the same call reads a partitioned
+directory tree; nothing here assumes single files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.session import apply_session_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one star-schema table; ``events`` gets its ns→µs ts conversion."""
+    if name == "events":
+        return load_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet, converting TIMESTAMP(NANOS) to TimestampType.
+
+    Spark has no nanosecond timestamp: with
+    ``spark.sql.legacy.parquet.nanosAsLong`` the raw int64 nanos surface as
+    LongType, which we floor-divide to microseconds — the same truncation
+    DuckDB applies, so oracle comparisons agree exactly.
+    """
+    apply_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        # Integer division — double division loses precision at ~1.7e18 ns.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; all of them when ``names`` is empty."""
+    wanted = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in wanted}

@@ -1,0 +1,165 @@
+"""Similarity search over embedding columns (north star: ANN at 100 TB).
+
+- ``cosine``            exact cosine between two array<float> columns, computed
+                        JVM-side in double precision (zip_with + aggregate —
+                        whole-stage-codegen'd, no Python).
+- ``brute_force_topk``  exact top-k: broadcast the (small) query set against
+                        the corpus — one pass, no shuffle of the corpus.
+- ``lsh_topk``          scale path: random-hyperplane LSH bucketing; queries
+                        only compare against same-bucket corpus vectors. The
+                        hyperplanes are derived deterministically (no RNG) so
+                        results are reproducible and resumable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (sequential fold → deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: every query against every corpus vector.
+
+    The query side is broadcast, so the corpus is scanned exactly once with
+    no shuffle; ranking is per-query (small partitions). Ordering ties break
+    on neighbor id after rounding, making the cut deterministic across
+    engines. Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: sin-scrambled values
+    keyed by (plane, dim-index). No RNG → reproducible across runs/engines."""
+    return [math.sin(plane * 7919 + d * 104729 + 0.5) for d in range(dim)]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id over the hyperplanes (random-projection LSH)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(w) for w in p]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    With p planes the corpus splits into 2^p buckets → ~corpus/2^p exact
+    comparisons per query instead of the full corpus. At 100 TB, bucket the
+    corpus once (write-partitioned by bucket) and route queries by bucket —
+    an equality-key join, no pairwise blowup. Returns
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    planes = [hyperplane(dim, p) for p in range(n_planes)]
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.98,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: cosine ≥ threshold within a block.
+
+    Blocked pairwise join — exact, oracle-able; for unblocked 100 TB corpora
+    use lsh_topk buckets as the block instead. Returns (vec_a, vec_b, cos_sim).
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    if block_col:
+        cols.append(F.col(block_col).alias("blk"))
+    t = df.select(*cols)
+    x, y = t.alias("x"), t.alias("y")
+    cond = F.col("x.id") < F.col("y.id")
+    if block_col:
+        cond = cond & (F.col("x.blk") == F.col("y.blk"))
+    sim = F.round(cosine(F.col("x.vec"), F.col("y.vec")), round_digits)
+    return (
+        x.join(y, cond)
+        .select(
+            F.col("x.id").alias("vec_a"),
+            F.col("y.id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis operators over a document corpus (north star: text analysis).
+
+All JVM-side (split/regexp/higher-order array functions) — no Python UDFs in
+the hot path, so whole-stage codegen applies and the same plan runs on 100 TB
+of documents with nothing but scan+project (embarrassingly parallel, no
+shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer shared by every text operator (and mirrored in the
+# DuckDB oracles as regexp_split_to_array(text, '\s+')).
+TOKEN_RE = r"\s+"
+
+# BPE-ish lexer: letter runs, digit runs, single non-alnum marks.
+BPE_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "es": ("el", "los", "una"),
+    "fr": ("le", "les", "et"),
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(col, TOKEN_RE)
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count BPE-ish lexer tokens (letters/digits/punct marks) — a cheap,
+    deterministic proxy for subword token counting at corpus scale."""
+    return F.regexp_count(F.lower(col), F.lit(BPE_RE))
+
+
+def marker_hits(col: Column, markers: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the marker set (array_filter, JVM-side)."""
+    lit_markers = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit_markers, t)))
+
+
+def stopword_count(col: Column) -> Column:
+    return marker_hits(col, STOPWORDS)
+
+
+def punct_count(col: Column) -> Column:
+    return F.length(F.regexp_replace(col, r"[^.!?,;]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: length saturation, low
+    punctuation density, healthy stopword ratio."""
+    n_tok = token_count(text).cast("double")
+    n_chars = F.length(text).cast("double")
+    len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / n_chars
+    stop_ratio = stopword_count(text).cast("double") / n_tok
+    return F.round(
+        F.lit(0.4) * len_term + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.3) * stop_ratio,
+        4,
+    )
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax over marker-word hit counts with a fixed tie order (en > de >
+    es > fr) — a deterministic n-gram-style language-ID heuristic."""
+    s = {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en")
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the case-normalized text. At 100 TB this
+    is the exact-dedup key — hash once, group on the 128-bit digest."""
+    return F.md5(F.lower(text))

@@ -1,0 +1,288 @@
+"""Reference-parity queries: the DATASUS ETL semantics re-expressed as
+declarative Spark plans (SURVEY.md §2.1/§2.4, FIXTURES.md §5).
+
+The reference discovers files by crossing a 6-dimension filter with a rolling
+month dimension (src/datasus/datasus.service.ts:73-158), decodes them into
+wide all-string record tables keyed by competência
+(ESTRUTURA_DADOS_PROCESSADOS.md:80-109), loads them idempotently
+(competencias_existentes skip, src/datasus/datasus.service.ts:33), and
+aggregates run manifests (src/scripts/run-etl.ts:26-54). Here each of those
+behaviors is a DataFrame plan; the DATASUS-shaped table is derived
+deterministically from `lineitem` so the DuckDB oracle can regenerate it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_table
+from etl_lala_spark.plans import register
+
+# Fixed anchor so the rolling window is deterministic (the reference anchors
+# at now() — src/datasus/datasus.service.ts:75 — then hardcodes 2 months at
+# :96, a quirk we do not replicate).
+ANCHOR = "2025-01-01"
+N_MONTHS = 12
+
+
+@register(
+    "datasus_competence_dim",
+    oracle=f"""
+SELECT strftime(m, '%m') AS mes,
+       CAST(year(m) AS BIGINT) AS ano,
+       strftime(m, '%Y%m') AS competencia
+FROM (
+  SELECT unnest(generate_series(
+           DATE '{ANCHOR}' - INTERVAL 11 MONTH,
+           DATE '{ANCHOR}', INTERVAL 1 MONTH))::DATE AS m
+)
+ORDER BY competencia DESC
+""",
+)
+def datasus_competence_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 time-dimension generator: 12 rolling monthly competências
+    (src/datasus/datasus.service.ts:73-97), newest first (O2)."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.add_months(F.lit(ANCHOR).cast("date"), -(N_MONTHS - 1)),
+                    F.lit(ANCHOR).cast("date"),
+                    F.expr("interval 1 month"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.date_format("m", "MM").alias("mes"),
+            F.year("m").cast("long").alias("ano"),
+            F.date_format("m", "yyyyMM").alias("competencia"),
+        )
+        .orderBy(F.col("competencia").desc())
+    )
+
+
+@register(
+    "datasus_catalog_manifest",
+    oracle=f"""
+WITH tipos(tipo, fonte) AS (VALUES ('PA','SIASUS'), ('PS','SIASUS'), ('RD','SIHSUS')),
+ufs(uf) AS (VALUES ('AL'), ('PE'), ('PB')),
+meses AS (
+  SELECT unnest(generate_series(
+           DATE '{ANCHOR}' - INTERVAL 11 MONTH,
+           DATE '{ANCHOR}', INTERVAL 1 MONTH))::DATE AS m
+),
+catalogo AS (
+  SELECT t.tipo, t.fonte, u.uf,
+         strftime(m.m, '%Y%m') AS competencia,
+         concat(t.tipo, u.uf, strftime(m.m, '%y%m')) AS arquivo,
+         concat('/dissemin/publicos/', t.fonte, '/',
+                concat(t.tipo, u.uf, strftime(m.m, '%y%m')), '.dbc') AS endereco,
+         concat('resp: https://datasus.gov.br/download/',
+                concat(t.tipo, u.uf, strftime(m.m, '%y%m')), '.zip ok') AS resposta
+  FROM tipos t CROSS JOIN ufs u CROSS JOIN meses m
+)
+SELECT arquivo, fonte, uf, competencia,
+       trim(endereco) AS endereco,
+       regexp_extract(resposta, 'https?://[^"\\s\\]]+\\.zip', 0) AS link,
+       regexp_replace(arquivo, '\\.[^/.]+$', '') AS nome_sem_ext,
+       regexp_extract(endereco, '[^/]+$', 0) AS basename
+FROM catalogo
+WHERE fonte = 'SIASUS' AND uf IN ('PE', 'AL') AND arquivo IS NOT NULL AND trim(arquivo) <> ''
+ORDER BY arquivo
+""",
+)
+def datasus_catalog_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3+S4 catalog discovery as a manifest DataFrame: dimension cross
+    join (tipo × uf × competência, src/datasus/datasus.service.ts:104-111),
+    pushed-down fonte/uf predicates, per-month fan-out+union (:139-158) —
+    expressed as one cross join so Catalyst prunes/pushes instead of the
+    reference's sequential Promise loop — and link extraction via regex
+    (:204-205) with P1 trim/not-empty projection (:162-168)."""
+    from etl_lala_spark.sources.manifest import build_catalog_manifest
+
+    return build_catalog_manifest(spark, anchor=ANCHOR, n_months=N_MONTHS)
+
+
+# ---------------------------------------------------------------------------
+# DATASUS-shaped record table derived from lineitem (FIXTURES.md §5): wide,
+# all-string, competência-keyed — the reference's record data model.
+# ---------------------------------------------------------------------------
+
+DATASUS_PA_SQL = """
+  SELECT
+    strftime(l_shipdate, '%Y%m')                                        AS "AP_MVM",
+    concat(l_returnflag, l_linestatus)                                  AS "AP_CONDIC",
+    CAST(l_suppkey AS VARCHAR)                                          AS "AP_GESTAO",
+    CAST(l_partkey AS VARCHAR)                                          AS "AP_CODUNI",
+    CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)) AS VARCHAR)   AS "AP_VL_TOTAL",
+    concat('PA', 'PE', strftime(l_shipdate, '%y%m'))                    AS arquivo_origem,
+    'SIASUS'                                                            AS fonte
+  FROM lineitem
+"""
+
+
+def datasus_pa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the all-string DATASUS-shaped table from lineitem.
+
+    Numeric-as-string goes through DECIMAL(14,2) so the string rendering is
+    identical in Spark and DuckDB (double→string shortest-repr is riskier).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.date_format("l_shipdate", "yyyyMM").alias("AP_MVM"),
+        F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
+        F.col("l_suppkey").cast("string").alias("AP_GESTAO"),
+        F.col("l_partkey").cast("string").alias("AP_CODUNI"),
+        F.round("l_extendedprice", 2).cast("decimal(14,2)").cast("string").alias("AP_VL_TOTAL"),
+        F.concat(F.lit("PA"), F.lit("PE"), F.date_format("l_shipdate", "yyMM")).alias(
+            "arquivo_origem"
+        ),
+        F.lit("SIASUS").alias("fonte"),
+    )
+
+
+@register(
+    "datasus_pa_summary",
+    oracle=f"""
+WITH datasus_pa AS ({DATASUS_PA_SQL})
+SELECT "AP_MVM" AS competencia,
+       count(*) AS total_registros,
+       count(DISTINCT arquivo_origem) AS total_arquivos,
+       round(sum(CAST("AP_VL_TOTAL" AS DOUBLE)), 2) AS total_valor,
+       round(avg(CAST("AP_VL_TOTAL" AS DOUBLE)), 4) AS media_valor,
+       max("AP_CODUNI") AS max_coduni
+FROM datasus_pa
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def datasus_pa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-competência manifest aggregates over the all-string table
+    (A5/A7 `_indice.json` stats, ESTRUTURA_DADOS_PROCESSADOS.md:38-72),
+    exercising string→double typed-projection casts (SURVEY.md §1.2)."""
+    pa = datasus_pa(spark, sf_dir)
+    vl = F.col("AP_VL_TOTAL").cast("double")
+    return (
+        pa.groupBy(F.col("AP_MVM").alias("competencia"))
+        .agg(
+            F.count("*").alias("total_registros"),
+            F.countDistinct("arquivo_origem").alias("total_arquivos"),
+            F.round(F.sum(vl), 2).alias("total_valor"),
+            F.round(F.avg(vl), 4).alias("media_valor"),
+            F.max("AP_CODUNI").alias("max_coduni"),
+        )
+        .orderBy("competencia")
+    )
+
+
+@register(
+    "datasus_incremental_insert",
+    oracle=f"""
+WITH datasus_pa AS ({DATASUS_PA_SQL}),
+existentes AS (
+  SELECT DISTINCT "AP_MVM" FROM datasus_pa WHERE "AP_MVM" < '199801'
+)
+SELECT p."AP_MVM" AS competencia, count(*) AS n_inseridos
+FROM datasus_pa p
+WHERE NOT EXISTS (SELECT 1 FROM existentes e WHERE e."AP_MVM" = p."AP_MVM")
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def datasus_incremental_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent competência load: rows inserted = batch minus months already
+    present (T5 `competencias_existentes`, src/datasus/datasus.service.ts:33)
+    — a left-anti join, the scalable version of the reference's skip-list."""
+    pa = datasus_pa(spark, sf_dir)
+    existing = pa.filter(F.col("AP_MVM") < "199801").select("AP_MVM").distinct()
+    return (
+        pa.join(existing, "AP_MVM", "left_anti")
+        .groupBy(F.col("AP_MVM").alias("competencia"))
+        .agg(F.count("*").alias("n_inseridos"))
+        .orderBy("competencia")
+    )
+
+
+PER_FILE_STATS_SQL = f"""
+WITH datasus_pa AS ({DATASUS_PA_SQL}),
+per_file AS (
+  SELECT arquivo_origem,
+         concat('sia_', lower(substr(arquivo_origem, 1, 2))) AS tabela_nome,
+         count(*) AS registros_inseridos
+  FROM datasus_pa GROUP BY 1, 2
+)
+"""
+
+
+@register(
+    "datasus_run_summary",
+    oracle=PER_FILE_STATS_SQL
+    + """
+SELECT CAST(sum(registros_inseridos) AS BIGINT) AS total_registros,
+       count(*) AS total_arquivos,
+       count(DISTINCT tabela_nome) AS tabelas_processadas,
+       round(avg(registros_inseridos), 2) AS media_registros,
+       CAST(max(registros_inseridos) AS BIGINT) AS max_registros
+FROM per_file
+""",
+)
+def datasus_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-level summary A1-A3+A5: global sum / file count / distinct tables /
+    mean / max over per-file stats (src/scripts/run-etl.ts:26-46,
+    ESTRUTURA_DADOS_PROCESSADOS.md:38-72) — one distributed agg instead of
+    the reference's driver-side accumulator loop."""
+    pa = datasus_pa(spark, sf_dir)
+    per_file = (
+        pa.groupBy(
+            "arquivo_origem",
+            F.concat(F.lit("sia_"), F.lower(F.substring("arquivo_origem", 1, 2))).alias(
+                "tabela_nome"
+            ),
+        )
+        .agg(F.count("*").alias("registros_inseridos"))
+    )
+    return per_file.agg(
+        F.sum("registros_inseridos").alias("total_registros"),
+        F.count("*").alias("total_arquivos"),
+        F.countDistinct("tabela_nome").alias("tabelas_processadas"),
+        F.round(F.avg("registros_inseridos"), 2).alias("media_registros"),
+        F.max("registros_inseridos").alias("max_registros"),
+    )
+
+
+@register(
+    "datasus_run_by_table",
+    oracle=PER_FILE_STATS_SQL
+    + """
+SELECT tabela_nome,
+       CAST(sum(registros_inseridos) AS BIGINT) AS total_registros,
+       count(*) AS arquivos
+FROM per_file
+GROUP BY tabela_nome
+ORDER BY tabela_nome
+""",
+)
+def datasus_run_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-table run summary A4 (src/scripts/run-etl.ts:50-54) — the
+    reference computes this with an O(n²) filter-in-loop; here it is a single
+    hash aggregation."""
+    pa = datasus_pa(spark, sf_dir)
+    per_file = (
+        pa.groupBy(
+            "arquivo_origem",
+            F.concat(F.lit("sia_"), F.lower(F.substring("arquivo_origem", 1, 2))).alias(
+                "tabela_nome"
+            ),
+        )
+        .agg(F.count("*").alias("registros_inseridos"))
+    )
+    return (
+        per_file.groupBy("tabela_nome")
+        .agg(
+            F.sum("registros_inseridos").alias("total_registros"),
+            F.count("*").alias("arquivos"),
+        )
+        .orderBy("tabela_nome")
+    )

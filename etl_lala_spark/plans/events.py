@@ -1,0 +1,193 @@
+"""Event-time queries over the `events` table (SURVEY.md §2.9).
+
+The reference's streaming is transport-level NDJSON with a tagged union
+(metadata|registro, NDJSON_IMPLEMENTADO.md:140-158) and chunked constant-
+memory processing; event-time windows/watermarks are absent and defined here
+(SURVEY.md §2.12). These are the *batch* (replayable) forms with DuckDB
+oracles — the live Structured Streaming forms of the same plans live in
+``etl_lala_spark.streaming`` and are covered by pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_events
+from etl_lala_spark.plans import register
+
+
+@register(
+    "events_tumbling_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS w_start,
+       time_bucket(INTERVAL 5 MINUTE, ts) + INTERVAL 5 MINUTE AS w_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY w_start, event_type
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time window aggregation (T3 chunk semantics
+    generalized to event time)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle="""
+SELECT time_bucket(INTERVAL 5 MINUTE, ts) - k * INTERVAL 5 MINUTE AS w_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events CROSS JOIN (VALUES (0), (1)) AS offsets(k)
+GROUP BY 1
+ORDER BY w_start
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 10-minute width, 5-minute slide (each event lands in
+    two epoch-aligned windows — the oracle replays that expansion)."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "value_sum")
+        .orderBy("w_start")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS value_sum
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity gap) via lag + running
+    sum — the batch replay of `F.session_window` (streaming form in
+    etl_lala_spark.streaming)."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800
+    flagged = ev.withColumn("new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1)))
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY 1
+ORDER BY k_mod
+""",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction over the props column (reference JSON.parse
+    per-line handling, NDJSON_IMPLEMENTADO.md:104; §2.8 JSON scalars)."""
+    ev = load_events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy((k % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .orderBy("k_mod")
+    )
+
+
+@register(
+    "events_dedup_exact",
+    oracle="""
+SELECT event_type, count(*) AS n_events
+FROM (
+  SELECT DISTINCT event_id, event_type FROM (
+    SELECT event_id, event_type FROM events
+    UNION ALL
+    SELECT event_id, event_type FROM events
+  )
+)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on the event key after a simulated at-least-once replay
+    (the batch analog of streaming dropDuplicates over event_id; reference
+    T6 at-least-once retry semantics)."""
+    ev = load_events(spark, sf_dir).select("event_id", "event_type")
+    replayed = ev.unionByName(ev)
+    return (
+        replayed.dropDuplicates(["event_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_tagged_union",
+    oracle="""
+SELECT CASE WHEN event_type IN ('signup', 'login') THEN 'metadados' ELSE 'registro' END AS tipo,
+       count(*) AS n,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY tipo
+""",
+)
+def events_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged-union dispatch on a type column (reference P7/T2 NDJSON
+    metadata-vs-record routing, NDJSON_IMPLEMENTADO.md:102-118)."""
+    ev = load_events(spark, sf_dir)
+    tipo = F.when(F.col("event_type").isin("signup", "login"), F.lit("metadados")).otherwise(
+        F.lit("registro")
+    )
+    return (
+        ev.groupBy(tipo.alias("tipo"))
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+        .orderBy("tipo")
+    )

@@ -1,0 +1,194 @@
+"""Deduplication queries over `documents` / `embeddings` (north star).
+
+Duplicates are planted deterministically (id-offset copies of every Nth doc)
+so dedup behavior is testable on the fixture corpus: the oracle replays the
+same planting in SQL. MinHash-LSH and SimHash are approximate-candidate
+algorithms and not meaningfully SQL-expressible → registered without oracle
+(driver records the weaker rows-only check; pytest asserts recall of the
+planted duplicates instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_table
+from etl_lala_spark.operators import dedup as dd
+from etl_lala_spark.operators import similarity as sim
+from etl_lala_spark.plans import register
+
+CORPUS_SQL = """
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text, lang, source FROM documents WHERE doc_id % 10 = 0
+"""
+
+NEARDUP_CORPUS_SQL = """
+  SELECT doc_id, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, concat(text, ' xq zz qq') AS text, lang, source
+  FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies of every 10th doc under offset ids."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    dups = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return d.unionByName(dups)
+
+
+def _neardup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-copies (3 appended junk tokens) of every 20th doc."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    near = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xq zz qq")))
+    )
+    return d.unionByName(near)
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT md5(text) AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keeper_id,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY md5(text)
+ORDER BY content_hash
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on md5(text), keep min doc_id — one shuffle
+    on the digest regardless of corpus size."""
+    return dd.exact_dedup(_dup_corpus(spark, sf_dir)).orderBy("content_hash")
+
+
+@register(
+    "dedup_exact_summary",
+    oracle=f"""
+WITH corpus AS ({CORPUS_SQL})
+SELECT source,
+       count(*) AS n_before,
+       count(DISTINCT md5(text)) AS n_after
+FROM corpus
+GROUP BY source
+ORDER BY source
+""",
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after dedup counts per source (pipeline reporting — mirrors the
+    reference's run-summary shape, src/scripts/run-etl.ts:26-54)."""
+    return (
+        _dup_corpus(spark, sf_dir)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_before"),
+            F.countDistinct(F.md5("text")).alias("n_after"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH corpus AS ({NEARDUP_CORPUS_SQL}),
+tok AS (
+  SELECT doc_id, lang, source, regexp_split_to_array(text, '\\s+') AS t, text FROM corpus
+),
+sh AS (
+  SELECT doc_id, lang, source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+              ELSE [text] END AS shingles
+  FROM tok
+),
+ex AS (
+  SELECT doc_id, lang, source, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(CAST(count(*) AS DOUBLE)
+             / CAST(a.n + b.n - count(*) AS DOUBLE), 4) AS jaccard
+FROM ex a
+JOIN ex b ON a.shingle = b.shingle AND a.lang = b.lang AND a.source = b.source
+         AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id, a.n, b.n
+HAVING round(CAST(count(*) AS DOUBLE) / CAST(a.n + b.n - count(*) AS DOUBLE), 4) >= 0.5
+ORDER BY doc_a, doc_b
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via the shingle inverted-index
+    join, blocked on (lang, source) to bound fan-out — the exact-verification
+    backbone that MinHash-LSH approximates at scale."""
+    return dd.ngram_jaccard_pairs(
+        _neardup_corpus(spark, sf_dir),
+        threshold=0.5,
+        block_cols=("lang", "source"),
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("dedup_minhash_lsh", doc="rows-only: approximate candidate generation")
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) near-dup pairs with exact-Jaccard
+    verification ≥ 0.5. Candidates by band-bucket equality join — no pairwise
+    comparison, the 100 TB-safe path. Not SQL-expressible (xxhash64
+    signatures) → rows-only driver check; pytest asserts planted-dup recall."""
+    return dd.minhash_lsh_pairs(
+        _neardup_corpus(spark, sf_dir), threshold=0.5
+    ).orderBy("doc_a", "doc_b")
+
+
+@register("dedup_simhash", doc="rows-only: approximate candidate generation")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit chunk-equality
+    blocking (pigeonhole-complete for the threshold). Rows-only check."""
+    return dd.simhash_pairs(_dup_corpus(spark, sf_dir), max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+EMB_CORPUS_SQL = """
+  SELECT vec_id, embedding, label FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding, label FROM embeddings WHERE vec_id % 50 = 0
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH corpus AS ({EMB_CORPUS_SQL})
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round(
+         list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)])
+         / (sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE for i in range(1, 65)]))
+            * sqrt(list_sum([y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)]))),
+         4) AS cos_sim
+FROM corpus x JOIN corpus y ON x.label = y.label AND x.vec_id < y.vec_id
+WHERE round(
+         list_sum([x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)])
+         / (sqrt(list_sum([x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE for i in range(1, 65)]))
+            * sqrt(list_sum([y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE for i in range(1, 65)]))),
+         4) >= 0.99
+ORDER BY vec_a, vec_b
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.99) blocked on label — exact and
+    oracle-able; the unblocked scale path swaps the label block for LSH
+    buckets (ann_cosine_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = emb.unionByName(dups)
+    return sim.cosine_near_dup_pairs(corpus, threshold=0.99).orderBy("vec_a", "vec_b")

@@ -1,0 +1,85 @@
+"""Similarity-search queries over `embeddings` (north star: ANN search).
+
+Brute-force cosine top-k is the exact baseline with a DuckDB oracle (the
+oracle mirrors the double-precision dot/norm arithmetic); the LSH-bucketed
+variant is the 100 TB path — approximate, so rows-only + pytest recall tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_table
+from etl_lala_spark.operators import similarity as sim
+from etl_lala_spark.plans import register
+
+DIM = 64
+
+_DOT = "list_sum([c.embedding[i]::DOUBLE * q.qv[i]::DOUBLE for i in range(1, 65)])"
+_NQ = "sqrt(list_sum([q.qv[i]::DOUBLE * q.qv[i]::DOUBLE for i in range(1, 65)]))"
+_NC = "sqrt(list_sum([c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE for i in range(1, 65)]))"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         round({_DOT} / ({_NQ} * {_NC}), 4) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+""",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 100th vector: broadcast the
+    query set, scan the corpus once (no corpus shuffle), rank per query with
+    a deterministic rounded-sim + id tiebreak."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+@register("ann_cosine_lsh", doc="rows-only: approximate ANN via LSH buckets")
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-5: queries compare only against their
+    bucket (≈ corpus/2^8 candidates each). Deterministic hyperplanes, no
+    RNG. Approximate → rows-only driver check; pytest measures recall vs the
+    brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.lsh_topk(emb, queries, dim=DIM, k=5, n_planes=8).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "ann_self_similarity",
+    oracle=f"""
+SELECT c.vec_id,
+       round({_DOT.replace('q.qv', 'c.embedding')} /
+             ({_NC} * {_NC}), 4) AS self_sim
+FROM embeddings c
+WHERE c.vec_id < 100
+ORDER BY c.vec_id
+""",
+)
+def ann_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sanity invariant: cosine(v, v) == 1.0 for every vector — guards the
+    dot/norm arithmetic on both engines."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    e = F.col("embedding")
+    return emb.select(
+        "vec_id",
+        F.round(sim.dot(e, e) / (sim.norm(e) * sim.norm(e)), 4).alias("self_sim"),
+    ).orderBy("vec_id")

@@ -1,0 +1,181 @@
+"""Text-analysis queries over `documents` (north star: text analysis).
+
+Oracles mirror the operators token-for-token: DuckDB
+``regexp_split_to_array(text, '\\s+')`` ≡ Spark ``F.split(text, '\\s+')``,
+``list_filter`` ≡ ``F.filter``, with identical arithmetic term order so
+rounded doubles hash-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_table
+from etl_lala_spark.operators import text as tx
+from etl_lala_spark.plans import register
+
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+_TOK_SQL = "regexp_split_to_array(text, '\\s+')"
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+SELECT doc_id, lang, source, n_chars,
+       length(text) AS n_chars_calc,
+       CAST(len({_TOK_SQL}) AS INT) AS n_tokens,
+       CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS INT) AS n_punct,
+       CAST(len(list_filter({_TOK_SQL}, x -> x IN {_STOP_SQL})) AS INT) AS n_stopwords,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / CAST(len({_TOK_SQL}) AS DOUBLE), 4) AS avg_token_len
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation/stopword statistics — quality
+    signals for a training-data pipeline. Includes the fixture invariant
+    n_chars == length(text) (FIXTURES.md §3)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.length(t).alias("n_chars_calc"),
+        tx.token_count(t).alias("n_tokens"),
+        tx.punct_count(t).alias("n_punct"),
+        tx.stopword_count(t).alias("n_stopwords"),
+        F.round(
+            F.length(F.regexp_replace(t, " ", "")).cast("double")
+            / tx.token_count(t).cast("double"),
+            4,
+        ).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH stats AS (
+  SELECT doc_id, source,
+         CAST(len({_TOK_SQL}) AS DOUBLE) AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_ch,
+         CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_TOK_SQL}, x -> x IN {_STOP_SQL})) AS DOUBLE) AS n_stop
+  FROM documents
+)
+SELECT doc_id, source,
+       round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - n_punct / n_ch)
+             + 0.3 * (n_stop / n_tok), 4) AS quality_score,
+       (round(0.4 * least(n_tok / 100.0, 1.0)
+             + 0.3 * (1.0 - n_punct / n_ch)
+             + 0.3 * (n_stop / n_tok), 4) >= 0.5) AS is_quality
+FROM stats
+ORDER BY doc_id
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic + keep/drop flag (the filter stage of
+    a corpus-cleaning pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    score = tx.quality_score(F.col("text"))
+    return d.select(
+        "doc_id",
+        "source",
+        score.alias("quality_score"),
+        (score >= 0.5).alias("is_quality"),
+    ).orderBy("doc_id")
+
+
+_MARKER_SQL = {
+    lang: f"len(list_filter({_TOK_SQL}, x -> x IN {tuple(m)!r}))"
+    for lang, m in tx.LANG_MARKERS.items()
+}
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+WITH scores AS (
+  SELECT doc_id, lang,
+         {_MARKER_SQL['en']} AS s_en,
+         {_MARKER_SQL['de']} AS s_de,
+         {_MARKER_SQL['es']} AS s_es,
+         {_MARKER_SQL['fr']} AS s_fr
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+             WHEN s_es >= s_fr THEN 'es'
+             ELSE 'fr' END = lang) AS is_match
+FROM scores
+ORDER BY doc_id
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic with fixed tie order (deterministic
+    n-gram-style langid — accuracy is secondary to reproducibility on the
+    synthetic fixture)."""
+    d = load_table(spark, sf_dir, "documents")
+    pred = tx.predicted_lang(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp_prefix
+FROM documents
+ORDER BY doc_id
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting (md5 over normalized text) — the exact-dedup
+    key at corpus scale."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = tx.fingerprint(F.col("text"))
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 8).alias("fp_prefix")
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_counts",
+    oracle=f"""
+SELECT source,
+       CAST(sum(len({_TOK_SQL})) AS BIGINT) AS ws_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+         AS bpe_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens + BPE-ish lexer
+    tokens (the 'how many tokens is this dataset' query)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.sum(tx.token_count(t)).alias("ws_tokens"),
+            F.sum(tx.bpe_token_count(t)).alias("bpe_tokens"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
