@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
+
+Each query is forced to full materialization via the noop sink (no driver
+collect — measures the distributed plan, not row transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "window_topk_per_customer",
+    "events_tumbling_window",
+    "events_sessionization",
+    "datasus_pa_summary",
+    "datasus_run_summary",
+    "text_token_counts",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "ann_cosine_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from etl_lala_spark.plans import query_fns
+    from etl_lala_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="etl_lala_spark_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    fns = query_fns()
+
+    # JVM/codegen warm-up on the smallest sf so headline timings measure the
+    # plan, not first-call JIT + class-loading.
+    fns["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

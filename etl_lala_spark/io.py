@@ -60,6 +60,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Ensure at least cluster-default parallelism before a CPU-bound stage.
+
+    Single-row-group parquet files scan as one real task no matter the split
+    config, serializing per-row kernels (shingling, hashing, decode). This
+    repartitions only when the scan under-splits — on a production layout
+    (many files / row groups ≥ cores) it is a no-op, so the shuffle cost
+    exists only in exactly the situations where it buys full parallelism.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; all of them when ``names`` is empty."""
     wanted = names or TABLES

@@ -29,14 +29,28 @@ from etl_lala_spark.operators.text import tokens
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-grams; docs shorter than k words contribute the whole
-    text as a single shingle (so every doc has ≥1 shingle)."""
+    text as a single shingle (so every doc has ≥1 shingle).
+
+    Built with slice + zip_with (not transform + element_at): element access
+    inside a higher-order-function lambda re-evaluates the underlying split
+    per element (projection collapse defeats CSE), turning shingling
+    quadratic. Slices reference the token array a constant number of times
+    per row — ~10× faster on real corpora and scale-safe.
+    """
     toks = tokens(text)
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    gram = F.zip_with(
+        F.slice(toks, 1, n - (k - 1)),
+        F.slice(toks, 2, n - (k - 1)),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(text)))
+    for j in range(2, k):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, j + 1, n - (k - 1)),
+            lambda xy, z: F.concat_ws(" ", xy, z),
+        )
+    return F.array_distinct(F.when(n >= k, gram).otherwise(F.array(text)))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -54,7 +68,10 @@ def shingle_table(
 ) -> DataFrame:
     """Exploded (id, block…, shingle) inverted-index rows, one per distinct
     shingle per doc, with the per-doc shingle count attached."""
-    base = df.select(
+    from etl_lala_spark.io import spread
+
+    pruned = spread(df.select(text_col, id_col, *block_cols))
+    base = pruned.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in block_cols],
         word_shingles(F.col(text_col), k).alias("shingles"),
@@ -192,8 +209,14 @@ def minhash_lsh_pairs(
         / F.lit(float(n_hashes)),
         4,
     )
-    cand_sig = cand.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
-        "doc_a", "doc_b", est.alias("est_jaccard")
+    # Prune candidates on the cheap signature estimate before the exact
+    # inverted-index verification — band collisions between genuinely
+    # dissimilar docs die here instead of costing a shingle join each.
+    cand_sig = (
+        cand.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold * 0.5)
     )
 
     a = sh.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"), "shingle")
@@ -271,7 +294,9 @@ def simhash_pairs(
 
     Returns (doc_a, doc_b, hamming).
     """
-    fp = df.select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
+    from etl_lala_spark.io import spread
+
+    fp = spread(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
     chunks = fp.select(
         "doc",
         "fp",

@@ -54,7 +54,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    from etl_lala_spark.io import spread
+
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
@@ -111,8 +113,10 @@ def lsh_topk(
     an equality-key join, no pairwise blowup. Returns
     (query_id, neighbor_id, cos_sim, rank).
     """
+    from etl_lala_spark.io import spread
+
     planes = [hyperplane(dim, p) for p in range(n_planes)]
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
@@ -145,10 +149,12 @@ def cosine_near_dup_pairs(
     Blocked pairwise join — exact, oracle-able; for unblocked 100 TB corpora
     use lsh_topk buckets as the block instead. Returns (vec_a, vec_b, cos_sim).
     """
+    from etl_lala_spark.io import spread
+
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    t = df.select(*cols)
+    t = spread(df).select(*cols)
     x, y = t.alias("x"), t.alias("y")
     cond = F.col("x.id") < F.col("y.id")
     if block_col:

@@ -129,7 +129,17 @@ def datasus_pa(spark: SparkSession, sf_dir: str) -> DataFrame:
     Numeric-as-string goes through DECIMAL(14,2) so the string rendering is
     identical in Spark and DuckDB (double→string shortest-repr is riskier).
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    from etl_lala_spark.io import spread
+
+    # Prune to the 5 source columns before the repartition so the spread
+    # shuffle moves ~30 bytes/row, then compute the string projection with
+    # full parallelism.
+    li = spread(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_shipdate", "l_returnflag", "l_linestatus", "l_suppkey", "l_partkey",
+            "l_extendedprice",
+        )
+    )
     return li.select(
         F.date_format("l_shipdate", "yyyyMM").alias("AP_MVM"),
         F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
