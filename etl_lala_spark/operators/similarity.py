@@ -101,37 +101,55 @@ def lsh_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's LSH bucket.
+    """Approximate top-k: compare only within the query's LSH bucket(s).
 
-    With p planes the corpus splits into 2^p buckets → ~corpus/2^p exact
-    comparisons per query instead of the full corpus. At 100 TB, bucket the
-    corpus once (write-partitioned by bucket) and route queries by bucket —
-    an equality-key join, no pairwise blowup. Returns
-    (query_id, neighbor_id, cos_sim, rank).
+    Multi-table random-hyperplane LSH: ``n_tables`` independent plane sets;
+    a corpus vector is a candidate if it shares a bucket with the query in
+    ANY table (OR-amplification lifts recall; each table splits the corpus
+    into 2^planes buckets so per-query work stays ~n_tables·corpus/2^planes).
+    At 100 TB, bucket the corpus once (write-partitioned by (table, bucket))
+    and route queries by bucket — an equality-key join, no pairwise blowup.
+    Returns (query_id, neighbor_id, cos_sim, rank).
     """
     from etl_lala_spark.io import spread
 
-    planes = [hyperplane(dim, p) for p in range(n_planes)]
-    c = spread(corpus).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    tables = [
+        [hyperplane(dim, t * n_planes + p) for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+    def bucketed(df: DataFrame, idc: str, vecc: str) -> DataFrame:
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"), lsh_bucket(F.col(vecc), planes).alias("bucket")
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return df.select(
+            F.col(idc), F.col(vecc), F.explode(buckets).alias("tb")
+        ).select(idc, vecc, "tb.tbl", "tb.bucket")
+
+    c = bucketed(spread(corpus), id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "tbl", "bucket"
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    q = bucketed(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "tbl", "bucket"
+    )
+    cand = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-    )
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -28,6 +28,9 @@ SESSION_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for any pandas_udf / applyInPandas / toPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Partition values stay strings (the record model is string-typed —
+    # competência "202501" must not come back as an int).
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 

@@ -1,0 +1,93 @@
+"""Managed-table writer with idempotent competência loads (reference S11/T5)
+and the JSON sink + run manifest (S12, A5-A7).
+
+The reference's loader creates a destination table on first sight
+(``criada_agora``), appends per month, and skips months already present
+(``competencias_existentes`` — src/datasus/datasus.service.ts:28-34).
+Spark-first: parquet tables partitioned by the competência column; idempotency
+is a left-anti join of the incoming batch against the existing partition keys
+(metadata-only listing, no data scan), so re-running a load is a no-op per
+month — at 100 TB this stays O(partitions), not O(rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class LoadResult(dict):
+    """Per-load metadata mirroring the reference's response contract
+    (tabela.nome / criada_agora / registros_inseridos /
+    competencias_existentes, src/datasus/datasus.service.ts:15-39)."""
+
+
+def existing_partitions(spark: SparkSession, table_path: str, part_col: str) -> list[str]:
+    """Partition values already present — read from the directory layout
+    (metadata-only; no row scan)."""
+    if not os.path.isdir(table_path):
+        return []
+    vals = []
+    for entry in sorted(os.listdir(table_path)):
+        if entry.startswith(f"{part_col}="):
+            vals.append(entry.split("=", 1)[1])
+    return vals
+
+
+def load_incremental(
+    spark: SparkSession,
+    df: DataFrame,
+    table_path: str,
+    part_col: str = "competencia",
+) -> LoadResult:
+    """Create-if-absent + append, skipping partitions already loaded.
+
+    Returns the reference-shaped metadata. The skip is an anti-join against
+    the existing partition-key list (broadcast — it is tiny), and the write
+    is partitioned by ``part_col`` so downstream reads prune by month.
+    """
+    created = not os.path.isdir(table_path)
+    existing = existing_partitions(spark, table_path, part_col)
+
+    batch = df
+    if existing:
+        keys = spark.createDataFrame([(v,) for v in existing], f"{part_col} string")
+        batch = df.join(F.broadcast(keys), part_col, "left_anti")
+
+    inserted = batch.count()
+    if inserted:
+        batch.write.mode("append").partitionBy(part_col).parquet(table_path)
+
+    return LoadResult(
+        tabela={"nome": os.path.basename(table_path), "criada_agora": created},
+        registros_inseridos=inserted,
+        competencias_existentes=existing,
+    )
+
+
+def write_json_with_manifest(
+    df: DataFrame, out_dir: str, name: str, manifest_name: str = "_indice.json"
+) -> dict:
+    """JSON sink + `_indice`-style run manifest (S12/A5:
+    ESTRUTURA_DADOS_PROCESSADOS.md:33-73): write the records as JSON lines
+    and a small manifest with count/column stats computed via ``observe``
+    (single pass — no second scan for the stats)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"manifest_{name}")
+    observed = df.observe(obs, F.count(F.lit(1)).alias("total_registros"))
+    observed.write.mode("overwrite").json(os.path.join(out_dir, name))
+
+    manifest = {
+        "arquivo": name,
+        "total_registros": obs.get["total_registros"],
+        "total_colunas": len(df.columns),
+        "colunas": df.columns,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, manifest_name), "w") as fh:
+        json.dump(manifest, fh)
+    return manifest

@@ -1,0 +1,112 @@
+"""Event-time streaming operators (SURVEY.md §2.9, §2.12).
+
+The reference streams NDJSON with constant memory (T1), chunked triggers
+(T3), progress emission (T4), and idempotent incremental loads (T5) — but has
+no event-time semantics. These builders define them Spark-first: watermarked
+tumbling/sliding/session windows and key-dedup over any streaming DataFrame.
+Each returns an unstarted streaming DataFrame so callers pick sink + trigger;
+the batch shapes of the same aggregations live in ``plans.events`` with
+DuckDB oracles, and tests drive these with a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (parquet dir): the harness analog of a Kafka
+    topic. ``maxFilesPerTrigger`` is the T3 chunk-size knob."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts+sums per event_type; late data
+    beyond the watermark is dropped and state is bounded (T1)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(F.col("w.start").alias("w_start"), "n_events", "value_sum")
+    )
+
+
+def session_aggregates(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Native session windows (gap-based), the streaming form of the batch
+    sessionization plan."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful exactly-once-per-key dedup on event_id within the watermark
+    horizon — the streaming form of the reference's at-least-once retry
+    tolerance (T6): replays collapse instead of double-counting."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a (bounded) streaming query to completion into a memory sink and
+    return the result table — the test/bench harness path."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,65 @@
+"""Load-path tests: dynamic table creation, append, idempotent competência
+re-load (reference S11/T5/S12)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lala_spark.sinks import writer
+
+TMP = os.path.join(os.path.dirname(__file__), ".tmp", "sink")
+
+
+@pytest.fixture()
+def out_dir():
+    shutil.rmtree(TMP, ignore_errors=True)
+    os.makedirs(TMP, exist_ok=True)
+    yield TMP
+
+
+def _batch(spark, months):
+    rows = [(m, f"v{i}") for m in months for i in range(5)]
+    return spark.createDataFrame(rows, "competencia string, valor string")
+
+
+def test_incremental_load_is_idempotent(spark, out_dir):
+    path = os.path.join(out_dir, "sia_pa")
+
+    r1 = writer.load_incremental(spark, _batch(spark, ["202501", "202502"]), path)
+    assert r1["tabela"]["criada_agora"] is True
+    assert r1["registros_inseridos"] == 10
+    assert r1["competencias_existentes"] == []
+
+    # same months again: anti-join drops everything (reference skip-list)
+    r2 = writer.load_incremental(spark, _batch(spark, ["202501", "202502"]), path)
+    assert r2["tabela"]["criada_agora"] is False
+    assert r2["registros_inseridos"] == 0
+    assert sorted(r2["competencias_existentes"]) == ["202501", "202502"]
+
+    # one new month: only its rows land
+    r3 = writer.load_incremental(spark, _batch(spark, ["202502", "202503"]), path)
+    assert r3["registros_inseridos"] == 5
+
+    total = spark.read.parquet(path)
+    assert total.count() == 15
+    assert sorted(
+        r["competencia"] for r in total.select("competencia").distinct().collect()
+    ) == ["202501", "202502", "202503"]
+    # partition pruning works on the layout
+    assert total.filter(F.col("competencia") == "202501").count() == 5
+
+
+def test_json_sink_with_manifest(spark, out_dir):
+    df = _batch(spark, ["202501"])
+    manifest = writer.write_json_with_manifest(df, out_dir, "PAPE2501")
+    assert manifest["total_registros"] == 5
+    assert manifest["total_colunas"] == 2
+    with open(os.path.join(out_dir, "_indice.json")) as fh:
+        assert json.load(fh)["arquivo"] == "PAPE2501"
+    back = spark.read.json(os.path.join(out_dir, "PAPE2501"))
+    assert back.count() == 5

@@ -1,0 +1,115 @@
+"""Ingestion-parity tests: archive expansion, DBF decode, NDJSON tagged
+streams, manifest building (reference S1-S10)."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+
+import pytest
+
+from etl_lala_spark.sources import archive as arc
+from etl_lala_spark.sources import dbc
+from etl_lala_spark.sources import manifest as man
+from etl_lala_spark.sources import ndjson
+
+TMP = os.path.join(os.path.dirname(__file__), ".tmp")
+
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def staging(spark):
+    os.makedirs(TMP, exist_ok=True)
+    yield TMP
+
+
+def test_archive_expansion_filters_suffix(spark, staging):
+    zdir = os.path.join(staging, "zips")
+    os.makedirs(zdir, exist_ok=True)
+    with open(os.path.join(zdir, "a.zip"), "wb") as fh:
+        fh.write(
+            _zip_bytes({"PAPE2501.dbc": b"x" * 10, "README.txt": b"no", "sub/PBPE2502.DBC": b"y" * 5})
+        )
+    archives = arc.read_binary_files(spark, zdir, glob="*.zip")
+    members = arc.strip_extension(arc.extract_archive_members(archives, suffix=".dbc"))
+    rows = {r["member_basename"]: r for r in members.collect()}
+    # suffix filter is case-insensitive (reference lowercases), txt dropped
+    assert set(rows) == {"PAPE2501.dbc", "PBPE2502.DBC"}
+    assert rows["PAPE2501.dbc"]["n_bytes"] == 10
+    assert rows["PBPE2502.DBC"]["nome_sem_ext"] == "PBPE2502"
+
+
+def test_dbf_roundtrip_and_decode(spark, staging):
+    cols = ["AP_MVM", "AP_CONDIC", "AP_VL_TOTAL"]
+    rows = [["202501", "EP", "153.27"], ["202502", "PG", "99.10"], ["202501", "EP", "1.00"]]
+    data = dbc.write_dbf(cols, rows)
+    assert dbc.parse_dbf_header(data) == cols
+    got_cols, got_rows = dbc.parse_dbf(data)
+    assert got_cols == cols and got_rows == rows
+    # limit pushdown (reference S9)
+    assert len(dbc.parse_dbf(data, limit=2)[1]) == 2
+
+    # distributed decode path: zip -> members -> all-string record table
+    zdir = os.path.join(staging, "dbfzips")
+    os.makedirs(zdir, exist_ok=True)
+    with open(os.path.join(zdir, "b.zip"), "wb") as fh:
+        fh.write(_zip_bytes({"PAPE2501.dbf": data}))
+    members = arc.extract_archive_members(
+        arc.read_binary_files(spark, zdir, glob="*.zip"), suffix=".dbf"
+    )
+    records = dbc.read_dbf(members)
+    out = records.collect()
+    assert len(out) == 3
+    assert out[0]["AP_MVM"] == "202501"
+    assert all(r["arquivo_origem"] == "PAPE2501" for r in out)
+    assert [f.dataType.simpleString() for f in records.schema.fields] == ["string"] * 4
+
+
+def test_dbc_codec_is_stubbed():
+    if dbc.HAVE_DBC_CODEC:
+        pytest.skip("codec present")
+    with pytest.raises(NotImplementedError):
+        dbc.dbc_to_dbf(b"\x00\x01")
+
+
+def test_latin1_roundtrip():
+    cols = ["NOME"]
+    rows = [["SÃO PAULO"]]
+    data = dbc.write_dbf(cols, rows)
+    assert dbc.parse_dbf(data)[1] == rows
+
+
+def test_tagged_ndjson_split(spark, staging):
+    ndir = os.path.join(staging, "ndjson")
+    os.makedirs(ndir, exist_ok=True)
+    lines = [
+        {"tipo": "metadados", "arquivo": "PAPE2501", "total_colunas": 2, "colunas": ["A", "B"]},
+        {"tipo": "registro", "dados": {"A": "1", "B": "x"}},
+        {"tipo": "registro", "dados": {"A": "2", "B": "y"}},
+    ]
+    with open(os.path.join(ndir, "f.ndjson"), "w") as fh:
+        fh.write("\n".join(json.dumps(x) for x in lines))
+    meta, recs = ndjson.read_tagged_ndjson(spark, ndir, record_fields=["A", "B"])
+    m = meta.collect()
+    assert len(m) == 1 and m[0]["arquivo"] == "PAPE2501" and m[0]["colunas"] == ["A", "B"]
+    got = sorted((r["A"], r["B"]) for r in recs.collect())
+    assert got == [("1", "x"), ("2", "y")]
+
+
+def test_manifest_filename_roundtrip(spark):
+    cat = man.build_catalog_manifest(spark, anchor="2025-01-01", n_months=3)
+    parsed = man.parse_datasus_filename(cat)
+    for r in parsed.collect():
+        assert r["tipo_parsed"] in ("PA", "PS", "RD")
+        assert r["uf_parsed"] in ("PE", "AL")
+        assert r["competencia"].endswith(r["yymm_parsed"][2:])
+        assert r["link"].startswith("https://") and r["link"].endswith(".zip")

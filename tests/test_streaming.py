@@ -1,0 +1,111 @@
+"""Structured Streaming tests: watermarked windows, stateful dedup, custom
+stateful progress operator, tagged NDJSON stream (reference §2.9)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_events
+from etl_lala_spark.streaming import stateful, windows
+
+TMP = os.path.join(os.path.dirname(__file__), ".tmp", "stream")
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, sf_dir):
+    """Events as a µs-timestamp parquet dir (streaming file source)."""
+    shutil.rmtree(TMP, ignore_errors=True)
+    path = os.path.join(TMP, "events")
+    load_events(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, event_dir):
+    stream = windows.read_event_stream(spark, event_dir)
+    got = windows.run_to_memory(windows.tumbling_counts(stream), "t_tumbling")
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+    )
+    # append mode only emits windows the watermark has passed: the tail
+    # window (containing max ts) stays open at end-of-stream, everything
+    # else must match batch exactly
+    assert batch.count() - got.count() in (0, 1, 2)
+    emitted_match = got.join(
+        batch.select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "value_sum"
+        ),
+        ["w_start", "event_type", "n_events", "value_sum"],
+        "inner",
+    )
+    assert emitted_match.count() == got.count(), "emitted windows must equal batch"
+
+
+def test_streaming_session_windows(spark, event_dir):
+    stream = windows.read_event_stream(spark, event_dir)
+    got = windows.run_to_memory(windows.session_aggregates(stream), "t_session")
+    rows = got.collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+
+
+def test_streaming_dedup_collapses_replay(spark, event_dir):
+    # replay the same files twice under one stream dir -> dedup collapses
+    dup_dir = os.path.join(TMP, "events_dup")
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    os.makedirs(dup_dir)
+    for f in os.listdir(event_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(event_dir, f), os.path.join(dup_dir, "a_" + f))
+            shutil.copy(os.path.join(event_dir, f), os.path.join(dup_dir, "b_" + f))
+    stream = windows.read_event_stream(spark, dup_dir, max_files_per_trigger=1)
+    deduped = windows.run_to_memory(
+        windows.dedup_stream(stream).select("event_id"), "t_dedup"
+    )
+    n_unique = spark.read.parquet(event_dir).select("event_id").distinct().count()
+    assert deduped.count() == n_unique
+
+
+def test_stateful_progress_operator(spark, event_dir):
+    stream = windows.read_event_stream(spark, event_dir)
+    got = windows.run_to_memory(stateful.attach_progress(stream), "t_progress")
+    rows = got.collect()
+    assert len(rows) > 0
+    # one row per crossed stride per user; totals are monotone per user
+    by_user: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["emitted"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for user_rows in by_user.values():
+        strides = [r["emitted"] for r in user_rows]
+        assert strides == sorted(set(strides)), "strides must be unique & increasing"
+        assert user_rows[-1]["total_events"] >= strides[-1] * 50
+
+
+def test_tagged_ndjson_streaming(spark):
+    from etl_lala_spark.sources import ndjson
+
+    ndir = os.path.join(TMP, "ndjson_stream")
+    shutil.rmtree(ndir, ignore_errors=True)
+    os.makedirs(ndir)
+    with open(os.path.join(ndir, "chunk1.ndjson"), "w") as fh:
+        fh.write(
+            "\n".join(
+                json.dumps(x)
+                for x in [
+                    {"tipo": "metadados", "arquivo": "F1", "total_colunas": 1, "colunas": ["A"]},
+                    {"tipo": "registro", "dados": {"A": "1"}},
+                    {"tipo": "registro", "dados": {"A": "2"}},
+                ]
+            )
+        )
+    meta, recs = ndjson.read_tagged_ndjson(spark, ndir, record_fields=["A"], streaming=True)
+    out = windows.run_to_memory(recs, "t_ndjson")
+    assert sorted(r["A"] for r in out.collect()) == ["1", "2"]
