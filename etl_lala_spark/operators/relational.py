@@ -1,0 +1,103 @@
+"""Relational operator extensions Spark lacks as single built-ins
+(SURVEY.md §2.12): as-of join (two implementations), top-k per group.
+
+The as-of join has two physical strategies with identical semantics:
+
+- ``asof_join_window``: union both sides, one window pass with
+  last(ignorenulls) — a single shuffle on the partition key, fully JVM-side.
+  Preferred at 100 TB: no Python, no per-group materialization.
+- ``asof_join_pandas``: per-key ``applyInPandas`` with ``pd.merge_asof`` —
+  the escape hatch when semantics outgrow window expressions (tolerance
+  bands, nearest-direction variants). Arrow-batched; state is one group.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join_window(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    right.on <= left.on within the same ``by`` key (backward as-of,
+    exact matches allowed).
+
+    Implementation: tag + union, then last(ignorenulls) over a
+    (by, on, tag) ordering where right rows sort before left rows at equal
+    timestamps. One shuffle, no join blowup, no Python.
+    """
+    lt = left.withColumn("_is_left", F.lit(1))
+    rt = right.select(
+        by,
+        on,
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    ).withColumn("_is_left", F.lit(0))
+
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        W.partitionBy(by)
+        .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return out.filter(F.col("_is_left") == 1).drop(
+        "_is_left", *[f"_r_{c}" for c in right_cols]
+    )
+
+
+def asof_join_pandas(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Same backward as-of semantics via per-key pd.merge_asof
+    (applyInPandas). Kept schema-identical to asof_join_window so the two
+    strategies are interchangeable (and share one oracle)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ", " + ", ".join(f"asof_{c} {dict(right.dtypes)[c]}" for c in right_cols)
+
+    lt = left.withColumn("_side", F.lit("l"))
+    rt = right.select(by, on, *right_cols).withColumn("_side", F.lit("r"))
+    both = lt.unionByName(rt, allowMissingColumns=True)
+    left_cols = [f.name for f in left.schema.fields]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = pdf[pdf["_side"] == "l"].sort_values(on, kind="mergesort")[left_cols]
+        rpdf = (
+            pdf[pdf["_side"] == "r"]
+            .sort_values(on, kind="mergesort")[[on, *right_cols]]
+            .rename(columns={c: f"asof_{c}" for c in right_cols})
+        )
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=[*left_cols, *[f"asof_{c}" for c in right_cols]])
+        merged = pd.merge_asof(
+            lpdf, rpdf, on=on, direction="backward", allow_exact_matches=True
+        )
+        return merged
+
+    return both.groupBy(by).applyInPandas(merge, schema=out_schema)
+
+
+def topk_per_group(
+    df: DataFrame, group_cols: list[str], order_by: list[Column], k: int
+) -> DataFrame:
+    """Deterministic per-group top-k (row_number + filter → Spark plans a
+    per-partition partial top-k before the shuffle)."""
+    w = W.partitionBy(*group_cols).orderBy(*order_by)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

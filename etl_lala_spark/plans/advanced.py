@@ -1,0 +1,251 @@
+"""Advanced relational surface: as-of joins, pivot/unpivot, subqueries,
+HAVING, and the UDF/UDTF extension points (SURVEY.md §2.10/§2.12).
+
+The two as-of implementations (window-based JVM path and merge_asof pandas
+path) share one oracle — interchangeable physical strategies for the same
+logical operator, which is the Spark-first design the reference's external-
+converter extension point maps onto.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_events, load_table
+from etl_lala_spark.operators import relational as rel
+from etl_lala_spark.plans import register
+
+ASOF_ORACLE = """
+SELECT event_id, user_id, ts,
+       last_value(CASE WHEN event_type = 'login' THEN ts END IGNORE NULLS)
+         OVER (PARTITION BY user_id
+               ORDER BY ts, CASE WHEN event_type = 'login' THEN 0 ELSE 1 END
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_login_ts
+FROM events
+ORDER BY event_id
+"""
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = load_events(spark, sf_dir)
+    left = ev.select("event_id", "user_id", "ts")
+    logins = (
+        ev.filter(F.col("event_type") == "login")
+        .select("user_id", "ts", F.col("ts").alias("login_ts"))
+    )
+    return left, logins
+
+
+@register("asof_join_window", oracle=ASOF_ORACLE)
+def asof_join_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join, window strategy: each event gets the user's most
+    recent login at-or-before it. One shuffle on user_id, no Python."""
+    left, logins = _asof_inputs(spark, sf_dir)
+    out = rel.asof_join_window(left, logins, on="ts", by="user_id", right_cols=["login_ts"])
+    return out.select("event_id", "user_id", "ts", F.col("asof_login_ts")).orderBy("event_id")
+
+
+@register("asof_join_pandas", oracle=ASOF_ORACLE)
+def asof_join_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same as-of semantics via per-user pd.merge_asof (applyInPandas) —
+    the Arrow-batched escape hatch, oracle-identical to the window strategy."""
+    left, logins = _asof_inputs(spark, sf_dir)
+    out = rel.asof_join_pandas(left, logins, on="ts", by="user_id", right_cols=["login_ts"])
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_login_ts")
+    ).orderBy("event_id")
+
+
+@register(
+    "pivot_status_by_month",
+    oracle="""
+SELECT strftime(o_orderdate, '%Y%m') AS competencia,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders
+GROUP BY 1
+ORDER BY competencia
+""",
+)
+def pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order-status counts as columns per competência."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_format("o_orderdate", "yyyyMM").alias("competencia"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0)
+        .orderBy("competencia")
+    )
+
+
+@register(
+    "unpivot_metrics",
+    oracle="""
+WITH agg AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS metric, sum_price AS value FROM agg
+ORDER BY l_returnflag, metric
+""",
+)
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (stack): wide per-flag aggregates to (flag, metric, value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(2, 'sum_qty', sum_qty, 'sum_price', sum_price) AS (metric, value)",
+    ).orderBy("l_returnflag", "metric")
+
+
+@register(
+    "having_heavy_orders",
+    oracle="""
+SELECT o.o_orderkey, o.o_orderdate, round(t.qty, 2) AS total_qty
+FROM orders o
+JOIN (
+  SELECT l_orderkey, sum(l_quantity) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) t ON t.l_orderkey = o.o_orderkey
+ORDER BY o.o_orderkey
+""",
+)
+def having_heavy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING feeding a join (TPC-H Q18 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+    )
+    return (
+        o.join(heavy, o.o_orderkey == heavy.l_orderkey)
+        .select("o_orderkey", "o_orderdate", F.round("qty", 2).alias("total_qty"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "subquery_scalar_avg",
+    oracle="""
+SELECT c_mktsegment, count(*) AS n_above
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def subquery_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (SQL surface — spark.sql)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_above
+        FROM customer_sq
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_sq)
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "subquery_correlated",
+    oracle="""
+SELECT l.l_partkey, count(*) AS n_small
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.4 * avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+ORDER BY l.l_partkey
+""",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery (TPC-H Q17 shape) — Catalyst decorrelates it into
+    an aggregate + join; the reference has no subquery machinery at all."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT l.l_partkey, count(*) AS n_small
+        FROM lineitem_sq l
+        WHERE l.l_quantity < (
+          SELECT 0.4 * avg(l2.l_quantity) FROM lineitem_sq l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        GROUP BY l.l_partkey
+        ORDER BY l.l_partkey
+        """
+    )
+
+
+@register(
+    "udf_pandas_charge",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS charge_sum,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def udf_pandas_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas_udf in the projection (§2.10 UDF surface) —
+    same arithmetic as the JVM path so the oracle still hash-matches; the
+    real engine keeps UDFs out of hot paths, this query proves the boundary
+    works and stays numerically identical."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(
+        price: pd.Series, disc: pd.Series, tax: pd.Series
+    ) -> pd.Series:
+        return price * (1 - disc) * (1 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("c", charge("l_extendedprice", "l_discount", "l_tax"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("c"), 2).alias("charge_sum"), F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register("udtf_token_positions", doc="rows-only: Python UDTF one-to-many expansion")
+def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+): one-to-many expansion of a document into
+    (token, position) rows — the §2.10 UDTF extension point, same shape as
+    archive expansion S6. Rows-only check (UDTF output vs posexplode is
+    asserted equal in pytest instead)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):
+            for i, tok in enumerate(text.split()):
+                yield doc_id, i, tok
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("docs_udtf")
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.pos, t.token
+        FROM docs_udtf d, LATERAL tokenize_udtf(d.doc_id, d.text) t
+        ORDER BY t.doc_id, t.pos
+        """
+    )

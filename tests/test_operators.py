@@ -97,3 +97,44 @@ def test_spread_is_noop_when_parallel_enough(spark, sf_dir):
     wide = li.repartition(64)
     assert spread(wide) is wide  # already >= default parallelism: no shuffle
     assert spread(li).rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_udtf_matches_posexplode(spark, sf_dir):
+    from etl_lala_spark.plans import query_fns
+
+    got = {
+        (r["doc_id"], r["pos"], r["token"])
+        for r in query_fns()["udtf_token_positions"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    ref = {
+        (r["doc_id"], r["pos"], r["token"])
+        for r in docs.select(
+            "doc_id", F.posexplode(F.split("text", r"\s+")).alias("pos", "token")
+        ).collect()
+    }
+    assert got == ref
+
+
+def test_asof_strategies_agree(spark, sf_dir):
+    from etl_lala_spark.plans import query_fns
+
+    w = query_fns()["asof_join_window"](spark, sf_dir).collect()
+    p = query_fns()["asof_join_pandas"](spark, sf_dir).collect()
+    assert [tuple(r) for r in w] == [tuple(r) for r in p]
+
+
+def test_approx_aggs_bounded_error(spark, sf_dir):
+    from etl_lala_spark.plans import query_fns
+
+    rows = query_fns()["approx_aggs"](spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        rel_err = abs(r["approx_parts"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]]
+        assert rel_err < 0.1, (r["l_returnflag"], rel_err)
