@@ -31,6 +31,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # Submodules that populate the registry on import.
 _PLAN_MODULES = (
     "etl_lala_spark.plans.relational",
+    "etl_lala_spark.plans.tpch_ext",
     "etl_lala_spark.plans.advanced",
     "etl_lala_spark.plans.scalars_ext",
     "etl_lala_spark.plans.windows",
