@@ -137,16 +137,19 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed i, min over xxhash64(shingle, i).
 
-    One aggregation over the exploded shingle table — the signature array is
-    n_hashes longs per doc regardless of doc size (constant state, reference
-    T1 constant-memory requirement transplanted to dedup).
+    Computed per-row from the shingle ARRAY (array_min over a transform) —
+    no explode, no groupBy: the signature needs no shuffle at all, and the
+    array is n_hashes longs per doc regardless of doc size (constant state,
+    reference T1 constant-memory requirement transplanted to dedup).
+    ``sh`` must carry (doc, n_shingles, shingles).
     """
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(n_hashes)
-    ]
-    agg = sh.groupBy("doc").agg(F.max("n_shingles").alias("n_shingles"), *mins)
-    return agg.select(
-        "doc", "n_shingles", F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("sig")
+    return sh.select(
+        "doc",
+        "n_shingles",
+        F.expr(
+            f"transform(sequence(0, {n_hashes - 1}), i -> "
+            f"array_min(transform(shingles, s -> xxhash64(s, i))))"
+        ).alias("sig"),
     )
 
 
@@ -167,24 +170,35 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, est_jaccard, jaccard).
     """
     rows = n_hashes // bands
-    sh = shingle_table(df, text_col, id_col, k).cache()
-    sig = minhash_signatures(sh, n_hashes)
+    from etl_lala_spark.io import spread
 
-    # band id + band signature hash → bucket key; equality join on it.
-    band_rows = sig.select(
+    # Cached (doc, n_shingles, shingles) base: the cache is a projection-
+    # collapse barrier, so the shingling expression is evaluated once and the
+    # signature / band / inverted-index derivations below all stay narrow.
+    base = (
+        spread(df.select(text_col, id_col))
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
+        .withColumn("n_shingles", F.size("shingles"))
+        .cache()
+    )
+    sig = minhash_signatures(base, n_hashes)
+    sh = base.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+
+    # band id + band signature hash → bucket key; equality join on it. Each
+    # band hashes its own `rows` seeds directly from the shingle array (one
+    # expression, each seed evaluated exactly once — no explode, no groupBy:
+    # the signature needs no shuffle at all).
+    band_rows = base.select(
         "doc",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(*[F.element_at("sig", b * rows + r + 1) for r in range(rows)]).alias(
-                            "bucket"
-                        ),
-                    )
-                    for b in range(bands)
-                ]
-            )
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
+            f"'band', b, "
+            f"'bucket', xxhash64(transform("
+            f"sequence(b * {rows}, b * {rows} + {rows - 1}), i -> "
+            f"array_min(transform(shingles, s -> xxhash64(s, i))))))))"
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 

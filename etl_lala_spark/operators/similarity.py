@@ -79,19 +79,21 @@ def hyperplane(dim: int, plane: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit bucket id over the hyperplanes (random-projection LSH)."""
+    """Sign-bit bucket id over the hyperplanes (random-projection LSH).
+
+    Single-plane-set form kept for tests; the multi-table hot path uses
+    ``_bucketed`` below, which evaluates every plane of every table in ONE
+    ``transform`` over a plane-matrix literal — 32 separate aggregate
+    expressions made Catalyst analysis + codegen the dominant cost (15 s for
+    a 2 k-row corpus), the fused form is one small tree.
+    """
+    mat = F.array(*[F.array(*[F.lit(float(w)) for w in p]) for p in planes])
+    projs = F.transform(mat, lambda p: dot(vec, p))
     bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(w) for w in p]),
-                lambda x, w: x.cast("double") * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+    for i in range(len(planes)):
+        bucket = bucket + F.when(
+            F.element_at(projs, i + 1) >= 0, F.lit(2**i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
     return bucket
 
 
@@ -118,21 +120,43 @@ def lsh_topk(
     """
     from etl_lala_spark.io import spread
 
-    tables = [
-        [hyperplane(dim, t * n_planes + p) for p in range(n_planes)]
-        for t in range(n_tables)
-    ]
-
     def bucketed(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        buckets = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"), lsh_bucket(F.col(vecc), planes).alias("bucket")
-                )
-                for t, planes in enumerate(tables)
-            ]
+        # All n_tables×n_planes projections in ONE transform over the plane
+        # matrix. The matrix itself is generated JVM-side (same sin formula
+        # as ``hyperplane``) in a one-row broadcast DataFrame: shipping 2048
+        # Python float literals through py4j cost ~4 s of plan-build time per
+        # query — more than executing the query. Projections are materialized
+        # as a column so the sign-bit extraction below reads an attribute
+        # reference (element access on a *computed* array re-evaluates it per
+        # element — the shingling lesson).
+        spark = df.sparkSession
+        mat_df = spark.range(1).select(
+            F.expr(
+                f"transform(sequence(0, {n_tables * n_planes - 1}), pl -> "
+                f"transform(sequence(0, {dim - 1}), d -> "
+                f"sin(pl * 7919 + d * 104729 + 0.5)))"
+            ).alias("planes_mat")
         )
-        return df.select(
+        projected = df.crossJoin(F.broadcast(mat_df)).select(
+            F.col(idc),
+            F.col(vecc),
+            F.expr(
+                f"transform(planes_mat, p -> aggregate("
+                f"zip_with({vecc}, p, (x, w) -> cast(x as double) * w), "
+                f"0D, (acc, v) -> acc + v))"
+            ).alias("projs"),
+        )
+        # Sign-bit bucket per table, built as one parsed expression (the
+        # equivalent per-plane Python column loop costs ~1 s of py4j round
+        # trips per call site).
+        buckets = F.expr(
+            f"transform(sequence(0, {n_tables - 1}), t -> named_struct("
+            f"'tbl', t, "
+            f"'bucket', aggregate(sequence(0, {n_planes - 1}), 0L, "
+            f"(acc, p) -> acc + if(element_at(projs, t * {n_planes} + p + 1) >= 0, "
+            f"shiftleft(1L, p), 0L))))"
+        )
+        return projected.select(
             F.col(idc), F.col(vecc), F.explode(buckets).alias("tb")
         ).select(idc, vecc, "tb.tbl", "tb.bucket")
 
