@@ -29,6 +29,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_cosine_topk",
     "ann_cosine_lsh",
+    "ann_cosine_ivf",
 ]
 
 

@@ -178,6 +178,96 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    ``n_cells`` cells, compare queries only against their ``nprobe`` nearest
+    cells.
+
+    Centroids are ``n_cells`` deterministic sample vectors (every
+    ``centroid_stride``-th corpus vector — no RNG, reproducible). The
+    codebook is collapsed to ONE row (collect_list) and broadcast; cell
+    assignment is then a per-row argmax over the codebook array — a narrow
+    map, no shuffle of the corpus. Candidates come from an equality join on
+    cell id. At 100 TB: write the corpus partitioned by cell once, route
+    queries by cell-key — scan cost drops ×(nprobe/n_cells), and the
+    codebook (n_cells × dim floats) broadcasts trivially.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    from etl_lala_spark.io import spread
+
+    centroids = (
+        corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            # n_cells rows only — the single-partition window is fine here.
+            (F.row_number().over(W.orderBy(id_col)) - 1).alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+        # Pre-normalize centroids once at codebook build: cell argmax then
+        # needs only a dot product per cell (the row-vector norm is constant
+        # across cells and drops out of the argmax).
+        .select(
+            "cell",
+            F.expr(
+                "transform(cvec, a -> cast(a as double) / "
+                "sqrt(aggregate(transform(cvec, b -> cast(b as double) * b), "
+                "0D, (acc, v) -> acc + v)))"
+            ).alias("cvec"),
+        )
+    )
+    # One-row broadcast codebook: array<struct<cell, cvec>>.
+    codebook = centroids.agg(
+        F.collect_list(F.struct("cell", "cvec")).alias("cells")
+    )
+
+    # argmax over the codebook via array_max on (sim, cell) structs —
+    # evaluated per row, corpus never shuffles.
+    def assign(df: DataFrame, idc: str, out_cells: int) -> DataFrame:
+        sims = F.expr(
+            f"transform(cells, x -> named_struct("
+            f"'s', aggregate(zip_with({vec_col}, x.cvec, "
+            f"(a, b) -> cast(a as double) * b), 0D, (acc, v) -> acc + v), "
+            f"'cell', x.cell))"
+        )
+        with_sims = df.crossJoin(F.broadcast(codebook)).select(
+            F.col(idc), F.col(vec_col), sims.alias("cell_sims")
+        )
+        picked = F.expr(
+            f"transform(slice(reverse(array_sort(cell_sims)), 1, {out_cells}), "
+            f"x -> x.cell)"
+        )
+        return with_sims.select(
+            F.col(idc), F.col(vec_col), F.explode(picked).alias("cell")
+        )
+
+    c = assign(spread(corpus), id_col, 1).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
+    )
+    q = assign(queries, id_col, nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.98,

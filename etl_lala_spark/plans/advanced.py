@@ -225,12 +225,25 @@ def udf_pandas_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udtf_token_positions", doc="rows-only: Python UDTF one-to-many expansion")
+@register(
+    "udtf_token_positions",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(generate_subscripts(ts, 1) - 1 AS INT) AS pos,
+       unnest(ts) AS token
+FROM toks ORDER BY doc_id, pos
+""",
+)
 def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 3.5+): one-to-many expansion of a document into
     (token, position) rows — the §2.10 UDTF extension point, same shape as
-    archive expansion S6. Rows-only check (UDTF output vs posexplode is
-    asserted equal in pytest instead)."""
+    archive expansion S6. Oracle: whitespace split + ordinality in DuckDB
+    (Python str.split() == regex-\\s+ split with empties dropped)."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, pos int, token string")

@@ -63,6 +63,20 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_cosine_ivf", doc="rows-only: approximate ANN via IVF cells")
+def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized top-5: corpus assigned to its nearest of 16
+    deterministic sample-vector centroids (narrow map over a broadcast
+    codebook, no corpus shuffle), queries probe their 4 nearest cells.
+    Approximate → rows-only driver check; pytest measures recall vs
+    brute-force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 @register(
     "ann_self_similarity",
     oracle=f"""

@@ -71,6 +71,27 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert all(q != n for q, n in approx)
 
 
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # probing 4/16 cells scans ~25% of the corpus; on uniform-random vectors
+    # expected recall ≈ scan fraction — require comfortably above random-5.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, recall
+    assert all(r["query_id"] != r["neighbor_id"] for r in approx_rows)
+    # every query yields exactly k ranked rows with contiguous ranks
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
+
+
 def test_cosine_self_similarity_is_one(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     e = F.col("embedding")
