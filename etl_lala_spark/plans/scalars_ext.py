@@ -155,3 +155,110 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.trunc(d, "quarter"), "yyyy-MM-dd").alias("quarter_start"),
         F.dayofweek(F.date_sub(d, 1)).alias("iso_dow"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "stats_aggs",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 4)                 AS qty_stddev,
+       round(var_samp(l_quantity), 4)                    AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 6)       AS qty_price_corr,
+       round(covar_samp(l_discount, l_tax), 8)           AS disc_tax_covar,
+       round(CAST(median(l_extendedprice) AS DOUBLE), 4) AS price_median,
+       round(min(l_extendedprice), 2)                    AS price_min,
+       round(max(l_extendedprice), 2)                    AS price_max
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: stddev/variance/correlation/covariance/
+    median (absent in the reference — its only moments are sum/avg/max,
+    src/scripts/run-etl.ts:26-54; SURVEY.md §2.12 completion). All JVM
+    built-ins with partial+final hash aggregation; median is the exact
+    percentile path (the 100 TB variant is approx_percentile, covered in
+    approx_aggs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+            F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+            F.round(F.covar_samp("l_discount", "l_tax"), 8).alias("disc_tax_covar"),
+            F.round(F.median("l_extendedprice").cast("double"), 4).alias("price_median"),
+            F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+            F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "text_edit_distance",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist,
+       CAST(abs(len(a.text) - len(b.text)) AS INT) AS len_diff
+FROM documents a
+JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 100
+ORDER BY doc_a
+""",
+)
+def text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein edit distance between consecutive documents (JVM built-in;
+    the character-level companion to the token-level Jaccard dedup path).
+    Distance is computed on 40-char prefixes — the production guard against
+    O(len²) blowup on long documents."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a")
+    )
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(
+                F.substring("text_a", 1, 40), F.substring("text_b", 1, 40)
+            ).alias("edit_dist"),
+            F.abs(F.length("text_a") - F.length("text_b")).cast("int").alias("len_diff"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+@register(
+    "encoding_functions",
+    oracle="""
+SELECT doc_id,
+       base64(encode(substr(text, 1, 24)))       AS b64,
+       decode(from_base64(base64(encode(substr(text, 1, 24))))) AS roundtrip,
+       hex(encode(substr(lang, 1, 2)))           AS lang_hex,
+       md5(text)                                 AS content_md5,
+       CAST(sha256(text) IS NOT NULL AS BOOLEAN) AS has_sha
+FROM documents
+WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding scalar surface: base64/unbase64 round trip (reference decodes
+    base64 queue payloads, src/datasus/datasus.processor.ts:52-53), hex,
+    md5/sha2 content digests (charset decode per
+    OTIMIZACAO_API_PYTHON.md:202)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    prefix = F.substring("text", 1, 24)
+    b64 = F.base64(F.encode(prefix, "UTF-8"))
+    return d.select(
+        "doc_id",
+        b64.alias("b64"),
+        F.decode(F.unbase64(b64), "UTF-8").alias("roundtrip"),
+        F.hex(F.encode(F.substring("lang", 1, 2), "UTF-8")).alias("lang_hex"),
+        F.md5(F.col("text")).alias("content_md5"),
+        F.sha2(F.col("text"), 256).isNotNull().alias("has_sha"),
+    ).orderBy("doc_id")

@@ -63,3 +63,37 @@ def test_json_sink_with_manifest(spark, out_dir):
         assert json.load(fh)["arquivo"] == "PAPE2501"
     back = spark.read.json(os.path.join(out_dir, "PAPE2501"))
     assert back.count() == 5
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-bucketed fact⨝fact joins must plan with zero shuffles — the
+    bucket layout replaces the exchange (100 TB join strategy)."""
+    from etl_lala_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    for t in ("bkt_lineitem", "bkt_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if warehouse:
+            shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    writer.write_bucketed(li, "bkt_lineitem", "l_orderkey", n_buckets=8)
+    writer.write_bucketed(o, "bkt_orders", "l_orderkey", n_buckets=8)
+    # Force the fact⨝fact scenario: at 100 TB neither side broadcasts.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = writer.join_cobucketed(
+            spark, "bkt_lineitem", "bkt_orders", "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # and the join result matches the plain (shuffling) join
+        assert joined.count() == li.join(o, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
