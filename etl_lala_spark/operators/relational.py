@@ -101,3 +101,31 @@ def topk_per_group(
     per-partition partial top-k before the shuffle)."""
     w = W.partitionBy(*group_cols).orderBy(*order_by)
     return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: spreads each hot join key over ``n_salts``
+    shuffle partitions.
+
+    The left (big, skewed) side gets a deterministic salt derived from a
+    whole-row hash; the right side is replicated ×``n_salts`` so every
+    (key, salt) pair still meets its match — the classic salting rewrite,
+    for when AQE's skew splitter can't help (e.g. the skewed side feeds an
+    aggregation that must stay co-partitioned). Deterministic: no rand(),
+    so the plan is reproducible and resumable. Supported: inner/left joins
+    (the replicated side must be the lookup side).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l_salted = left.withColumn("_salt", salt)
+    r_rep = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return l_salted.join(r_rep, [on, "_salt"], how).drop("_salt")

@@ -159,3 +159,26 @@ def test_approx_aggs_bounded_error(spark, sf_dir):
     for r in rows:
         rel_err = abs(r["approx_parts"] - exact[r["l_returnflag"]]) / exact[r["l_returnflag"]]
         assert rel_err < 0.1, (r["l_returnflag"], rel_err)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics — same multiset of rows."""
+    from etl_lala_spark.operators import relational as rel
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey")
+    salted = rel.salted_join(li, o, "l_orderkey", n_salts=8)
+    assert salted.count() == plain.count()
+    assert (
+        salted.groupBy("l_orderkey").count()
+        .exceptAll(plain.groupBy("l_orderkey").count())
+        .count() == 0
+    )
+    # left join with unmatched keys keeps them
+    li_extra = li.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+    left = rel.salted_join(li_extra, o, "l_orderkey", n_salts=4, how="left")
+    assert left.count() == li_extra.count()
+    assert left.filter(F.col("o_totalprice").isNotNull()).count() == 0
