@@ -68,6 +68,8 @@ def parse_dbf(data: bytes, limit: int | None = None) -> tuple[list[str], list[li
     rows: list[list[str]] = []
     pos = header_len
     for _ in range(n_records):
+        if limit is not None and len(rows) >= limit:
+            break
         rec = data[pos : pos + record_len]
         pos += record_len
         if len(rec) < record_len or rec[0:1] == b"\x2a":  # deleted
@@ -77,8 +79,6 @@ def parse_dbf(data: bytes, limit: int | None = None) -> tuple[list[str], list[li
             vals.append(rec[fo : fo + flen].decode("latin1").strip())
             fo += flen
         rows.append(vals)
-        if limit is not None and len(rows) >= limit:
-            break
     return [f[0] for f in fields], rows
 
 

@@ -1,0 +1,69 @@
+"""Property-based tests (hypothesis) for the pure-Python codec layer — the
+part of the engine whose correctness the DuckDB oracle cannot see.
+
+The DBF writer/parser pair (sources/dbc.py) round-trips arbitrary latin1
+string tables; the reference's converter semantics (stringified values,
+latin1, stripped padding — DIAGNOSTICO_TAMANHO_JSON.md:246-252,
+OTIMIZACAO_API_PYTHON.md:202) define the normalization applied on read.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_lala_spark.sources import dbc
+
+# DBF constraint surface: field names ≤ 10 ASCII chars, values ≤ field_len
+# latin1 chars; values are space-padded on write and stripped on read, so the
+# round-trip invariant is on stripped values.
+name_st = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu",), max_codepoint=90),
+    min_size=1,
+    max_size=10,
+)
+value_st = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=255),
+    max_size=20,
+)
+
+
+@st.composite
+def tables(draw):
+    cols = draw(st.lists(name_st, min_size=1, max_size=8, unique=True))
+    rows = draw(
+        st.lists(
+            st.lists(value_st, min_size=len(cols), max_size=len(cols)),
+            max_size=20,
+        )
+    )
+    return cols, rows
+
+
+@settings(max_examples=200, deadline=None)
+@given(tables())
+def test_dbf_roundtrip(table):
+    cols, rows = table
+    data = dbc.write_dbf(cols, rows, field_len=20)
+    got_cols, got_rows = dbc.parse_dbf(data)
+    assert got_cols == cols
+    assert got_rows == [[v.strip() for v in r] for r in rows]
+
+
+@settings(max_examples=100, deadline=None)
+@given(tables(), st.integers(min_value=0, max_value=25))
+def test_dbf_limit_pushdown(table, limit):
+    """S9 record-limit pushdown: exactly min(limit, n) rows, same prefix."""
+    cols, rows = table
+    data = dbc.write_dbf(cols, rows, field_len=20)
+    _, got = dbc.parse_dbf(data, limit=limit)
+    _, full = dbc.parse_dbf(data)
+    assert got == full[:limit]
+
+
+@settings(max_examples=100, deadline=None)
+@given(tables())
+def test_dbf_header_matches_full_parse(table):
+    cols, rows = table
+    data = dbc.write_dbf(cols, rows, field_len=20)
+    assert dbc.parse_dbf_header(data) == cols
