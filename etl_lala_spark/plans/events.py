@@ -191,3 +191,38 @@ def events_tagged_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
         .orderBy("tipo")
     )
+
+
+@register(
+    "events_user_enrichment",
+    oracle="""
+SELECT c.c_mktsegment, e.event_type,
+       count(*) AS n_events,
+       count(DISTINCT e.user_id) AS n_users,
+       round(sum(e.value), 2) AS value_sum
+FROM events e
+JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment shape: events joined to the customer
+    dimension on user_id, aggregated per segment × event type. The dimension
+    is broadcast, so the streaming form of this plan joins each micro-batch
+    map-side with no state — the standard 100 TB enrichment pattern. Batch
+    (replayable) form here; the live form is covered in test_streaming."""
+    from etl_lala_spark.io import load_table
+
+    ev = load_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )

@@ -97,11 +97,14 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
     """Drive a (bounded) streaming query to completion into a memory sink and
-    return the result table — the test/bench harness path."""
+    return the result table — the test/bench harness path. ``output_mode``
+    must be "complete" for unwatermarked aggregations."""
     q = (
-        stream_df.writeStream.outputMode("append")
+        stream_df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -1,0 +1,53 @@
+"""Plan-shape regression tests: the SCALE.md invariants, asserted against the
+physical plan so a refactor that silently de-optimizes a query class fails CI
+— scan pruning/pushdown, broadcast policy, top-k without global sort, no
+nested-loop joins where an equi conjunct exists."""
+
+from __future__ import annotations
+
+from etl_lala_spark.plans import query_fns
+
+
+def plan_of(spark, name, sf_dir) -> str:
+    return query_fns()[name](spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark, sf_dir):
+    plan = plan_of(spark, "q1_pricing_summary", sf_dir)
+    # shipdate predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns are read
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "l_quantity" in read_schema and "l_returnflag" in read_schema
+    # partial+final hash aggregation (map-side combine before the shuffle)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, "topk_parts_by_revenue", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 10
+
+
+def test_star_joins_broadcast_dimensions(spark, sf_dir):
+    for name in ("q3_shipping_priority", "q5_local_supplier_volume"):
+        plan = plan_of(spark, name, sf_dir)
+        assert "BroadcastHashJoin" in plan, name
+        assert "NestedLoop" not in plan, name
+
+
+def test_range_join_is_not_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, "join_range_part_qty", sf_dir)
+    assert "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # equi conjunct drives the join
+
+
+def test_asof_window_form_has_no_join(spark, sf_dir):
+    plan = plan_of(spark, "asof_join_window", sf_dir)
+    assert "Join" not in plan  # union + single window pass
+
+
+def test_rollup_expands_before_partial_agg(spark, sf_dir):
+    plan = plan_of(spark, "rollup_pricing", sf_dir)
+    assert "Expand" in plan
+    assert plan.index("Expand") > plan.index("HashAggregate")  # Expand is below agg

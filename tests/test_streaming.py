@@ -109,3 +109,34 @@ def test_tagged_ndjson_streaming(spark):
     meta, recs = ndjson.read_tagged_ndjson(spark, ndir, record_fields=["A"], streaming=True)
     out = windows.run_to_memory(recs, "t_ndjson")
     assert sorted(r["A"] for r in out.collect()) == ["1", "2"]
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_dir):
+    """Stream-static broadcast join: the streaming micro-batch form of
+    events_user_enrichment must agree with its batch twin."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.plans import query_fns
+
+    c = load_table(spark, sf_dir, "customer")
+    stream = windows.read_event_stream(spark, event_dir)
+    # streaming forbids exact distinct aggregates — the live form carries the
+    # supported columns; the batch twin's n_users is checked by its oracle.
+    enriched = (
+        stream.join(F.broadcast(c), stream.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+    )
+    got = {
+        tuple(r)
+        for r in windows.run_to_memory(enriched, "enrich_test", output_mode="complete")
+        .orderBy("c_mktsegment", "event_type")
+        .collect()
+    }
+    want = {
+        (r["c_mktsegment"], r["event_type"], r["n_events"], r["value_sum"])
+        for r in query_fns()["events_user_enrichment"](spark, sf_dir).collect()
+    }
+    assert got == want
