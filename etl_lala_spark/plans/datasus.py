@@ -140,13 +140,17 @@ def datasus_pa(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice",
         )
     )
+    # yyyyMM via integer arithmetic, not date_format: the per-row formatter
+    # is ~2× the cost of the whole remaining projection, and the second
+    # format (yyMM) is a substring of the first.
+    mvm = F.expr("cast(year(l_shipdate) * 100 + month(l_shipdate) as string)")
     return li.select(
-        F.date_format("l_shipdate", "yyyyMM").alias("AP_MVM"),
+        mvm.alias("AP_MVM"),
         F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
         F.col("l_suppkey").cast("string").alias("AP_GESTAO"),
         F.col("l_partkey").cast("string").alias("AP_CODUNI"),
         F.round("l_extendedprice", 2).cast("decimal(14,2)").cast("string").alias("AP_VL_TOTAL"),
-        F.concat(F.lit("PA"), F.lit("PE"), F.date_format("l_shipdate", "yyMM")).alias(
+        F.concat(F.lit("PA"), F.lit("PE"), F.substring(mvm, 3, 4)).alias(
             "arquivo_origem"
         ),
         F.lit("SIASUS").alias("fonte"),
