@@ -65,3 +65,31 @@ def read_tagged_ndjson(
         *[F.col("dados").getItem(f).alias(f) for f in record_fields]
     )
     return metadata, records
+
+
+def tagged_ndjson_errors(
+    spark: SparkSession, path: str, record_fields: list[str]
+) -> DataFrame:
+    """Structured error records for the tagged-NDJSON source (reference R5:
+    error propagation with structured payloads,
+    src/datasus/datasus.service.ts:366-387).
+
+    PERMISSIVE semantics: a malformed line never fails the job — it surfaces
+    here as (raw line, error kind) for a badRecordsPath-style sink, while
+    `read_tagged_ndjson` keeps processing the well-formed lines. A line is
+    bad if it fails to parse as JSON or carries an unknown `tipo` tag.
+    """
+    lines = spark.read.text(path)
+    parsed = lines.select(
+        "value", F.from_json(F.col("value"), tagged_schema(record_fields)).alias("j")
+    )
+    # PERMISSIVE from_json yields an all-null struct for unparseable input,
+    # so "malformed" is detected via the mandatory tag being null.
+    bad = F.col("j").isNull() | F.col("j.tipo").isNull()
+    return parsed.filter(
+        (F.length(F.trim("value")) > 0)
+        & (bad | ~F.col("j.tipo").isin("metadados", "registro"))
+    ).select(
+        F.col("value").alias("raw_line"),
+        F.when(bad, F.lit("malformed_json")).otherwise(F.lit("unknown_tipo")).alias("error"),
+    )

@@ -113,3 +113,28 @@ def test_manifest_filename_roundtrip(spark):
         assert r["uf_parsed"] in ("PE", "AL")
         assert r["competencia"].endswith(r["yymm_parsed"][2:])
         assert r["link"].startswith("https://") and r["link"].endswith(".zip")
+
+
+def test_tagged_ndjson_permissive_error_records(spark, tmp_path):
+    """R5 error path: malformed lines surface as structured error records
+    while good lines keep flowing — the job never fails."""
+    from etl_lala_spark.sources import ndjson
+
+    p = tmp_path / "tagged.ndjson"
+    p.write_text(
+        '{"tipo": "metadados", "arquivo": "PA2501.dbc", "total_colunas": 1, "colunas": ["A"]}\n'
+        '{"tipo": "registro", "dados": {"A": "1"}}\n'
+        "this is not json\n"
+        '{"tipo": "whatever", "dados": {"A": "2"}}\n'
+        '{"tipo": "registro", "dados": {"A": "3"}}\n'
+    )
+    meta, recs = ndjson.read_tagged_ndjson(spark, str(p), record_fields=["A"])
+    assert meta.count() == 1
+    assert {r["A"] for r in recs.collect()} == {"1", "3"}
+    errors = {
+        (r["raw_line"], r["error"])
+        for r in ndjson.tagged_ndjson_errors(spark, str(p), ["A"]).collect()
+    }
+    assert ("this is not json", "malformed_json") in errors
+    assert ('{"tipo": "whatever", "dados": {"A": "2"}}', "unknown_tipo") in errors
+    assert len(errors) == 2
