@@ -262,3 +262,38 @@ def encoding_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("text")).alias("content_md5"),
         F.sha2(F.col("text"), 256).isNotNull().alias("has_sha"),
     ).orderBy("doc_id")
+
+
+@register(
+    "null_semantics",
+    oracle="""
+SELECT o_orderkey,
+       coalesce(NULLIF(o_orderstatus, 'O'), 'OPEN')          AS status_or_open,
+       CAST(o_orderstatus IS NOT DISTINCT FROM 'P' AS BOOLEAN) AS nullsafe_is_p,
+       ifnull(NULLIF(o_orderpriority, o_orderpriority), 'same') AS always_same,
+       CASE WHEN o_totalprice > 100000 THEN 'high'
+            WHEN o_totalprice > 10000 THEN 'mid'
+            ELSE 'low' END                                    AS price_band
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+""",
+)
+def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling surface: nullif/coalesce/ifnull, null-safe equality
+    (`<=>` / IS NOT DISTINCT FROM), and multi-branch CASE."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias(
+            "status_or_open"
+        ),
+        F.col("o_orderstatus").eqNullSafe("P").alias("nullsafe_is_p"),
+        F.ifnull(
+            F.nullif("o_orderpriority", F.col("o_orderpriority")), F.lit("same")
+        ).alias("always_same"),
+        F.when(F.col("o_totalprice") > 100000, "high")
+        .when(F.col("o_totalprice") > 10000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    ).orderBy("o_orderkey")

@@ -143,3 +143,38 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "s_suppkey", "s_acctbal", F.count("*").over(w).alias("n_within_500")
     ).orderBy("s_acctbal", "s_suppkey")
+
+
+@register(
+    "window_analytics_ext",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       round(percent_rank() OVER w, 6)  AS pct_rank,
+       round(cume_dist() OVER w, 6)     AS cume,
+       first_value(o_orderkey) OVER w   AS first_ok,
+       last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ok,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+FROM orders
+WHERE o_custkey < 100
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def window_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window completion: percent_rank / cume_dist / first_value /
+    last_value / nth_value with explicit unbounded frames (last/nth need the
+    full-partition frame on both engines to be deterministic)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wf).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
+    ).orderBy("o_custkey", "o_orderkey")

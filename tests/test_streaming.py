@@ -140,3 +140,41 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, event_dir):
         for r in query_fns()["events_user_enrichment"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_no_double_count(spark, sf_dir, tmp_path):
+    """T6 at-least-once + checkpointed recovery: a restarted query resumes
+    from the checkpoint — already-processed files are not re-counted, new
+    files are picked up exactly once."""
+    from etl_lala_spark.io import load_events
+
+    src = str(tmp_path / "events_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    ev = load_events(spark, sf_dir)
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            windows.read_event_stream(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == half1.count()
+    # restart with no new data: nothing re-processed
+    run_once()
+    assert spark.read.parquet(out).count() == n1
+    # append the second half, restart: picked up exactly once
+    half2.write.mode("append").parquet(src)
+    run_once()
+    assert spark.read.parquet(out).count() == ev.count()
