@@ -67,7 +67,13 @@ def shingle_table(
     block_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exploded (id, block…, shingle) inverted-index rows, one per distinct
-    shingle per doc, with the per-doc shingle count attached."""
+    shingle per doc, with the per-doc shingle count attached.
+
+    The shingle is carried as its 64-bit xxhash, not the string: the
+    inverted-index self-join shuffles one long per row instead of a k-word
+    string — at 100 TB that is the difference between shuffling the corpus
+    text and shuffling 8 bytes/shingle. Collision risk at 64 bits is
+    negligible (~n²/2⁶⁵ per block)."""
     from etl_lala_spark.io import spread
 
     pruned = spread(df.select(text_col, id_col, *block_cols))
@@ -77,7 +83,12 @@ def shingle_table(
         word_shingles(F.col(text_col), k).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
     return base.select(
-        "doc", *block_cols, "n_shingles", F.explode("shingles").alias("shingle")
+        "doc", *block_cols, "n_shingles", F.explode("shingles").alias("shingle_str")
+    ).select(
+        "doc",
+        *block_cols,
+        "n_shingles",
+        F.xxhash64("shingle_str").alias("shingle"),
     )
 
 
@@ -185,7 +196,11 @@ def minhash_lsh_pairs(
         .cache()
     )
     sig = minhash_signatures(base, n_hashes)
-    sh = base.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+    # Hash-keyed inverted index for exact verification — same rationale as
+    # shingle_table: shuffle 8 bytes per shingle, not the text.
+    sh = base.select(
+        "doc", "n_shingles", F.explode("shingles").alias("shingle_str")
+    ).select("doc", "n_shingles", F.xxhash64("shingle_str").alias("shingle"))
 
     # band id + band signature hash → bucket key; equality join on it. Each
     # band hashes its own `rows` seeds directly from the shingle array (one
