@@ -596,3 +596,39 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("o_totalprice").cast("long").alias("price_floor"),
         F.substring("o_orderpriority", 1, 1).alias("prio_code"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+ORDER BY o_custkey
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL: bag semantics — each customer kept min(multiplicity)
+    times (the distinct form is `setop_intersect`)."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    return a.intersectAll(b).orderBy("o_custkey")
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_totalprice > 50000
+ORDER BY o_custkey
+""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: bag difference — multiplicities subtract instead of the
+    distinct form's set removal."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    return a.exceptAll(b).orderBy("o_custkey")
