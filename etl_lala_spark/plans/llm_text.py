@@ -179,3 +179,71 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_training_data",
+    oracle=f"""
+WITH deduped AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.lang, d.source, d.text,
+         CAST(len({_TOK_SQL.replace('text', 'd.text')}) AS DOUBLE) AS n_tok,
+         CAST(length(d.text) AS DOUBLE) AS n_ch,
+         CAST(length(regexp_replace(d.text, '[^.!?,;]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter({_TOK_SQL.replace('text', 'd.text')},
+                              x -> x IN {_STOP_SQL})) AS DOUBLE) AS n_stop
+  FROM documents d
+  JOIN deduped k ON k.doc_id = d.doc_id
+),
+scored AS (
+  SELECT *,
+         round(0.4 * least(n_tok / 100.0, 1.0)
+               + 0.3 * (1.0 - n_punct / n_ch)
+               + 0.3 * (n_stop / n_tok), 4) AS q
+  FROM kept
+)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(sum(q), 4) AS sum_quality
+FROM scored
+WHERE q >= 0.5
+GROUP BY lang, source
+ORDER BY lang, source
+""",
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation pipeline in one plan: exact dedup
+    (keep smallest id per content hash) → quality filter (score ≥ 0.5) →
+    per-(lang, source) corpus accounting.
+
+    Composition story: the dedup is one shuffle on the 128-bit digest, the
+    semi-join back is a shuffle on doc_id, the scoring is a narrow codegen
+    projection, and the final agg is map-side-combined — 3 shuffles total
+    for the whole pipeline, independent of corpus size."""
+    from etl_lala_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    keepers = dd.exact_dedup(d).select(F.col("keeper_id").alias("doc_id"))
+    kept = d.join(keepers, "doc_id", "left_semi")
+    score = tx.quality_score(F.col("text"))
+    scored = kept.select(
+        "lang", "source", tx.token_count(F.col("text")).cast("double").alias("n_tok"),
+        score.alias("q"),
+    ).filter(F.col("q") >= 0.5)
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            # sum, not avg: the scores are exact 4-decimal values, so the
+            # rounded sum is engine-deterministic while a rounded average
+            # of rounded values sits on round-half boundaries.
+            F.round(F.sum("q"), 4).alias("sum_quality"),
+        )
+        .orderBy("lang", "source")
+    )
