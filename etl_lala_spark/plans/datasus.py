@@ -300,3 +300,40 @@ def datasus_run_by_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tabela_nome")
     )
+
+
+@register(
+    "datasus_filename_parse",
+    oracle=f"""
+WITH tipos(tipo, fonte) AS (VALUES ('PA','SIASUS'), ('PS','SIASUS'), ('RD','SIHSUS')),
+ufs(uf) AS (VALUES ('AL'), ('PE'), ('PB')),
+meses AS (
+  SELECT unnest(generate_series(
+           DATE '{ANCHOR}' - INTERVAL 11 MONTH,
+           DATE '{ANCHOR}', INTERVAL 1 MONTH))::DATE AS m
+),
+nomes AS (
+  SELECT concat(t.tipo, u.uf, strftime(m.m, '%y%m')) AS arquivo
+  FROM tipos t CROSS JOIN ufs u CROSS JOIN meses m
+)
+SELECT arquivo,
+       regexp_extract(arquivo, '^([A-Z]+?)([A-Z]{{2}})([0-9]{{4}})', 1) AS tipo_parsed,
+       regexp_extract(arquivo, '^([A-Z]+?)([A-Z]{{2}})([0-9]{{4}})', 2) AS uf_parsed,
+       regexp_extract(arquivo, '^([A-Z]+?)([A-Z]{{2}})([0-9]{{4}})', 3) AS yymm_parsed
+FROM nomes
+ORDER BY arquivo
+""",
+)
+def datasus_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 filename provenance parsing: {TYPE}{UF}{YYMM} names split back into
+    typed columns — the inverse of the catalog's name construction, the round
+    trip the reference performs implicitly via its job payloads
+    (src/datasus/datasus.processor.ts:12-21)."""
+    from etl_lala_spark.sources.manifest import build_catalog, parse_datasus_filename
+
+    cat = build_catalog(spark, anchor=ANCHOR, n_months=N_MONTHS)
+    return (
+        parse_datasus_filename(cat.select("arquivo"))
+        .select("arquivo", "tipo_parsed", "uf_parsed", "yymm_parsed")
+        .orderBy("arquivo")
+    )
