@@ -23,7 +23,9 @@ HEADLINE = [
     "events_sessionization",
     "datasus_pa_summary",
     "datasus_run_summary",
+    "events_user_enrichment",
     "text_token_counts",
+    "pipeline_training_data",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
