@@ -357,3 +357,75 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster canonicalization (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def canonical_components(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every doc in a
+    transitive duplicate cluster maps to the cluster's minimum id — the
+    keep-one-per-cluster step that follows pair generation in a curation
+    pipeline (pairs alone under-delete: a~b, b~c must drop two docs, not
+    one per pair).
+
+    Iterative min-label propagation over the undirected edge set; each
+    round is one join + one aggregation, and the iteration count is bounded
+    by the cluster diameter (≤ log n rounds with doubling via the
+    both-direction edges; `max_iterations` is a hard stop). The loop is
+    driver-side control flow with a per-round convergence ACTION — the data
+    never leaves the cluster. At 100 TB the same loop runs with the labels
+    checkpointed every few rounds to truncate lineage (the standard
+    large-star/small-star refinement drops in here unchanged).
+    Returns (doc, canonical).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("canonical", F.col("doc"))
+        .cache()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("canonical").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("canonical"), F.coalesce("nbr_min", F.col("canonical"))
+                ).alias("canonical"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.canonical") != F.col("o.canonical"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

@@ -192,3 +192,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(dups)
     return sim.cosine_near_dup_pairs(corpus, threshold=0.99).orderBy("vec_a", "vec_b")
+
+
+@register(
+    "dedup_canonical_clusters",
+    doc="rows-only: iterative connected-components canonicalization",
+)
+def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters over the documents table: MinHash pairs →
+    connected components → one canonical (minimum) id per cluster with the
+    member count. Iterative label propagation — genuinely non-SQL-expressible
+    (driver-side loop, bounded by cluster diameter), so rows-only at the
+    driver; transitive-closure correctness is pinned by pytest."""
+    from etl_lala_spark.operators import dedup as dd
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    comp = dd.canonical_components(pairs)
+    return (
+        comp.groupBy("canonical")
+        .agg(F.count("*").alias("n_members"))
+        .orderBy("canonical")
+    )

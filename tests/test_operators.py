@@ -182,3 +182,41 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     left = rel.salted_join(li_extra, o, "l_orderkey", n_salts=4, how="left")
     assert left.count() == li_extra.count()
     assert left.filter(F.col("o_totalprice").isNotNull()).count() == 0
+
+
+def test_canonical_components_transitive_closure(spark, sf_dir):
+    """a~b and b~c must collapse the whole chain to min(a,b,c), across
+    multiple disjoint clusters, regardless of pair orientation."""
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21), (30, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc"], r["canonical"])
+        for r in dd.canonical_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (5, 1), (9, 1), (12, 1),
+        (20, 20), (21, 20),
+        (22, 22), (30, 22),
+    }
+
+
+def test_canonical_components_on_planted_dups(spark, sf_dir):
+    """End-to-end: minhash pairs on the planted corpus -> every planted
+    (d, d+100000) pair shares a canonical id, and the canonical is the
+    cluster minimum."""
+    corpus = _neardup_corpus(spark, sf_dir)
+    pairs = dd.minhash_lsh_pairs(corpus, threshold=0.5).select("doc_a", "doc_b")
+    comp = {r["doc"]: r["canonical"] for r in dd.canonical_components(pairs).collect()}
+    planted = [
+        r["doc_id"]
+        for r in corpus.filter((F.col("doc_id") < 100000) & (F.col("doc_id") % 20 == 0))
+        .select("doc_id").collect()
+    ]
+    hits = sum(
+        1 for d in planted
+        if d in comp and d + 100000 in comp and comp[d] == comp[d + 100000]
+    )
+    assert hits >= 0.9 * len(planted)
+    assert all(c <= d for d, c in comp.items())
