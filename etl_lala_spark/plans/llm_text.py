@@ -247,3 +247,61 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+@register(
+    "split_train_holdout",
+    oracle=f"""
+WITH tagged AS (
+  SELECT lang,
+         CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'holdout' END AS split,
+         CAST(len({_TOK_SQL}) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT lang, split,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM tagged
+GROUP BY lang, split
+ORDER BY lang, split
+""",
+)
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/holdout split on a key function of the
+    stable document id — reproducible across runs and engines (the
+    training-pipeline alternative to randomSplit, whose output depends on
+    partitioning). Per-(lang, split) corpus accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(F.col("doc_id") % 100 < 90, "train").otherwise("holdout")
+    return (
+        d.select(
+            "lang", split.alias("split"),
+            tx.token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+@register(
+    "sample_stratified",
+    doc="rows-only: seeded per-stratum Bernoulli sampling",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: per-language sampling fractions via
+    ``sampleBy`` (Bernoulli per stratum, seeded — the downsample-the-
+    dominant-language step of corpus curation). Sampling is engine-specific
+    → rows-only; the fraction tolerances and determinism are pinned in
+    pytest."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )

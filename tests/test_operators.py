@@ -220,3 +220,19 @@ def test_canonical_components_on_planted_dups(spark, sf_dir):
     )
     assert hits >= 0.9 * len(planted)
     assert all(c <= d for d, c in comp.items())
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0}
+    s1 = docs.sampleBy("lang", fractions, seed=42)
+    s2 = docs.sampleBy("lang", fractions, seed=42)
+    # same seed -> identical sample (reproducible pipeline runs)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+    totals = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # full-fraction strata pass through untouched
+    for lang in ("de", "es", "fr"):
+        assert got[lang] == totals[lang]
+    # Bernoulli(0.5) on the en stratum: within generous binomial bounds
+    assert 0.35 * totals["en"] <= got["en"] <= 0.65 * totals["en"]
