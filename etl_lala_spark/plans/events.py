@@ -226,3 +226,41 @@ def events_user_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+@register(
+    "events_gap_detection",
+    oracle="""
+WITH laggy AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_gaps,
+       CAST(max(date_diff('second', prev_ts, ts)) AS BIGINT) AS max_gap_s
+FROM laggy
+WHERE prev_ts IS NOT NULL
+  AND date_diff('second', prev_ts, ts) > 300
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap detection per user: lag over the per-user event-time
+    order, gaps > 5 minutes counted and maxed — the session-boundary
+    diagnostic behind the sessionization windows."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("gap_s", gap)
+        .filter(F.col("gap_s") > 300)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )

@@ -632,3 +632,38 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     b = o.filter(F.col("o_totalprice") > 50000).select("o_custkey")
     return a.exceptAll(b).orderBy("o_custkey")
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT o_custkey, min(strftime(o_orderdate, '%Y%m')) AS cohort
+  FROM orders GROUP BY o_custkey
+),
+activity AS (
+  SELECT f.cohort, strftime(o.o_orderdate, '%Y%m') AS active_month, o.o_custkey
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+)
+SELECT cohort, active_month,
+       count(DISTINCT o_custkey) AS active_customers
+FROM activity
+WHERE cohort <= '199606'
+GROUP BY cohort, active_month
+ORDER BY cohort, active_month
+""",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month, counted
+    distinct in every month they stay active — the classic warehouse
+    self-aggregate + join-back shape (first-touch attribution)."""
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyyMM")
+    firsts = o.groupBy("o_custkey").agg(F.min(month).alias("cohort"))
+    return (
+        o.join(firsts, "o_custkey")
+        .filter(F.col("cohort") <= "199606")
+        .groupBy("cohort", month.alias("active_month"))
+        .agg(F.countDistinct("o_custkey").alias("active_customers"))
+        .orderBy("cohort", "active_month")
+    )
