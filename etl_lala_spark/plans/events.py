@@ -264,3 +264,62 @@ def events_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_resample_minutes",
+    oracle="""
+WITH bounds AS (
+  SELECT time_bucket(INTERVAL 1 MINUTE, min(ts)) AS t0,
+         time_bucket(INTERVAL 1 MINUTE, max(ts)) AS t1 FROM events
+),
+grid AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 MINUTE)) AS minute FROM bounds
+),
+agg AS (
+  SELECT time_bucket(INTERVAL 1 MINUTE, ts) AS minute,
+         count(*) AS n, round(sum(value), 2) AS v
+  FROM events GROUP BY 1
+)
+SELECT g.minute,
+       coalesce(a.n, 0) AS n_events,
+       coalesce(a.v, 0.0) AS value_sum,
+       last_value(a.v IGNORE NULLS) OVER (ORDER BY g.minute) AS value_locf
+FROM grid g LEFT JOIN agg a USING (minute)
+ORDER BY g.minute
+""",
+)
+def events_resample_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled 1-minute resample: a dense time grid (sequence + explode
+    from the observed bounds) left-joined to the sparse per-minute
+    aggregates, zeros for empty minutes and last-observation-carried-forward
+    for the value series — the time-series densification operator.
+
+    The LOCF window here is a global ORDER BY (one partition); at 100 TB the
+    same plan partitions the grid by day, computes LOCF within partitions,
+    and seeds each day with the previous day's closing value (one extra
+    small join) — semantics unchanged.
+    """
+    ev = load_events(spark, sf_dir)
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("t0"),
+        F.date_trunc("minute", F.max("ts")).alias("t1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("t0", "t1", F.expr("interval 1 minute"))).alias("minute")
+    )
+    agg = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("minute"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    w = W.orderBy("minute").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        grid.join(agg, "minute", "left")
+        .select(
+            "minute",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("v", F.lit(0.0)).alias("value_sum"),
+            F.last("v", ignorenulls=True).over(w).alias("value_locf"),
+        )
+        .orderBy("minute")
+    )
