@@ -305,3 +305,95 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=r"""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(text, ' contact: user', doc_id, '@example.com or +1-555-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM documents WHERE doc_id < 200
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\+?[0-9][0-9()\-\. ]{7,}[0-9]', '<PHONE>', 'g') AS clean,
+         text
+  FROM seeded
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+         AS n_emails,
+       CAST(contains(clean, '<EMAIL>') AS BOOLEAN) AS has_email_tag,
+       CAST(contains(clean, '<PHONE>') AS BOOLEAN) AS has_phone_tag,
+       CAST(NOT regexp_matches(clean, '@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS BOOLEAN) AS emails_gone,
+       substr(clean, -40) AS clean_tail
+FROM scrubbed
+ORDER BY doc_id
+""",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: email and phone patterns redacted to typed tags — the
+    privacy pass of a training-data pipeline. Matches are planted
+    deterministically (derived from doc_id) so the redaction is exercised on
+    every row and the invariant 'no address survives' is oracle-checked."""
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    PHONE = r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact: user"), F.col("doc_id"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", EMAIL, "<EMAIL>"), PHONE, "<PHONE>"
+    )
+    scrubbed = seeded.select("doc_id", "text", clean.alias("clean"))
+    return scrubbed.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL), 0)).alias("n_emails"),
+        F.col("clean").contains("<EMAIL>").alias("has_email_tag"),
+        F.col("clean").contains("<PHONE>").alias("has_phone_tag"),
+        (~F.col("clean").rlike(r"@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")).alias("emails_gone"),
+        F.substring("clean", -40, 40).alias("clean_tail"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_term_frequencies",
+    oracle=f"""
+WITH toks AS (
+  SELECT lower(unnest({_TOK_SQL})) AS term FROM documents
+)
+SELECT term, count(*) AS freq
+FROM toks
+WHERE term NOT IN {_STOP_SQL} AND term <> ''
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 25
+""",
+)
+def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency top-25 (stopwords removed): the vocabulary /
+    Zipf diagnostic. Explode → hash-agg with map-side combine → bounded
+    top-k; the explode never materializes per-doc token lists on the
+    driver."""
+    from etl_lala_spark.operators.text import STOPWORDS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .select(F.lower("t").alias("term"))
+        .filter((~F.col("term").isin(*STOPWORDS)) & (F.col("term") != ""))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(25)
+    )
