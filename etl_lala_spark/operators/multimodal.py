@@ -37,15 +37,52 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def decode_image(data: bytes) -> tuple[int, int, int]:
-    """Real image decode — requires an image codec library.
+    """Full pixel decode — requires an image codec library.
 
-    STUB: PIL/opencv are not installed in this environment. The Spark
-    plumbing calls ``fake_decode`` instead; swap this in when a codec is
-    available.
+    STUB: PIL/opencv are not installed in this environment. Header-level
+    metadata (dimensions, channels, sample rate) needs NO codec — see
+    ``sniff_media`` below, which parses PNG/JPEG/GIF/WAV headers in pure
+    Python. Swap this in when a pixel codec is available.
     """
     raise NotImplementedError(
-        "image codecs unavailable in this environment; use fake_decode"
+        "pixel codecs unavailable in this environment; use sniff_media for "
+        "header metadata or fake_decode for the deterministic stand-in"
     )
+
+
+def sniff_media(data: bytes) -> tuple[str, int, int, int]:
+    """Pure-Python media header sniffing: (kind, width, height, channels)
+    for PNG / JPEG / GIF images and (kind, sample_rate, n_channels,
+    bits_per_sample) for WAV audio — real metadata extraction with no
+    third-party codec, which is all the manifest/partitioning plane of a
+    100 TB media pipeline needs (full pixel/sample decode stays pluggable).
+    Unknown formats return ("unknown", 0, 0, 0).
+    """
+    import struct as _struct
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = _struct.unpack(">II", data[16:24])
+        return ("png", w, h, 3)
+    if data[:3] == b"GIF" and len(data) >= 10:
+        w, h = _struct.unpack("<HH", data[6:10])
+        return ("gif", w, h, 3)
+    if data[:2] == b"\xff\xd8":  # JPEG: scan for a SOFn marker
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            seg_len = _struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = _struct.unpack(">HH", data[i + 5 : i + 9])
+                return ("jpeg", w, h, data[i + 9])
+            i += 2 + seg_len
+        return ("jpeg", 0, 0, 0)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) >= 36:
+        n_channels, sample_rate = _struct.unpack("<HI", data[22:28])
+        bits = _struct.unpack("<H", data[34:36])[0]
+        return ("wav", sample_rate, n_channels, bits)
+    return ("unknown", 0, 0, 0)
 
 
 def fake_decode(data: bytes) -> tuple[int, int, int]:
@@ -77,6 +114,31 @@ def decode_media(df: DataFrame, kernel=fake_decode) -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+SNIFFED_SCHEMA = "doc_id long, kind string, dim1 int, dim2 int, dim3 int"
+
+
+def sniff_media_df(df: DataFrame) -> DataFrame:
+    """Arrow-batched header sniffing over mapInPandas: real (codec-free)
+    media metadata per row — (kind, width, height, channels) for images,
+    (kind, sample_rate, n_channels, bits) for WAV. Input needs (doc_id,
+    media binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sniffed = pdf["media"].map(lambda b: sniff_media(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": sniffed.map(lambda s: s[0]),
+                    "dim1": sniffed.map(lambda s: s[1]).astype("int32"),
+                    "dim2": sniffed.map(lambda s: s[2]).astype("int32"),
+                    "dim3": sniffed.map(lambda s: s[3]).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=SNIFFED_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:

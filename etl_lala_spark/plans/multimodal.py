@@ -95,3 +95,72 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_sniff",
+    oracle="""
+WITH expected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS kind,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 8) * 1000
+              ELSE (doc_id % 1024) + 1 END AS dim1,
+         CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2
+              ELSE (doc_id % 768) + 1 END AS dim2,
+         CASE WHEN doc_id % 2 = 0 THEN 16 ELSE 3 END AS dim3
+  FROM documents WHERE doc_id < 500
+)
+SELECT kind, count(*) AS n,
+       CAST(min(dim1) AS BIGINT) AS min_d1, CAST(max(dim1) AS BIGINT) AS max_d1,
+       CAST(sum(dim2) AS BIGINT) AS sum_d2, CAST(max(dim3) AS BIGINT) AS max_d3
+FROM expected
+GROUP BY kind ORDER BY kind
+""",
+)
+def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec-free media metadata round trip: real PNG / WAV byte headers are
+    CONSTRUCTED per row from doc_id (struct-packed, valid layouts), then
+    sniffed back by the pure-Python header parser over Arrow batches — the
+    oracle recomputes the expected metadata arithmetically, so a parser that
+    misreads any field hash-mismatches. This is the manifest/partition plane
+    of a media pipeline (full pixel decode stays behind decode_image)."""
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def build(doc_id: int) -> bytes:
+        if doc_id % 2 == 0:
+            rate = 8000 + (doc_id % 8) * 1000
+            ch = 1 + doc_id % 2
+            return (
+                b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+                + struct.pack("<I", 16)
+                + struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+            )
+        w, h = (doc_id % 1024) + 1, (doc_id % 768) + 1
+        return (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02" + b"\x00" * 8
+        )
+
+    def make_media(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media": pdf["doc_id"].map(build)}
+            )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    media = d.select("doc_id").mapInPandas(make_media, "doc_id long, media binary")
+    sniffed = mm.sniff_media_df(media)
+    return (
+        sniffed.groupBy("kind")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("dim1").cast("long").alias("min_d1"),
+            F.max("dim1").cast("long").alias("max_d1"),
+            F.sum("dim2").cast("long").alias("sum_d2"),
+            F.max("dim3").cast("long").alias("max_d3"),
+        )
+        .orderBy("kind")
+    )

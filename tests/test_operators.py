@@ -236,3 +236,28 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
         assert got[lang] == totals[lang]
     # Bernoulli(0.5) on the en stratum: within generous binomial bounds
     assert 0.35 * totals["en"] <= got["en"] <= 0.65 * totals["en"]
+
+
+def test_sniff_media_real_headers(spark, sf_dir):
+    """Codec-free header decode on real PNG/GIF/WAV/JPEG byte layouts."""
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", 640, 480) + b"\x08\x02" + b"\x00" * 20
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 20
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt " + struct.pack("<I", 16)
+           + struct.pack("<HHIIHH", 1, 2, 44100, 176400, 4, 16))
+    # minimal JPEG: SOI + APP0 (len 4, empty) + SOF0 (len 11: prec, h, w, ncomp)
+    jpeg = (b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03"
+            + b"\x00" * 4)
+    junk = b"not a media file at all"
+    rows = [(1, bytearray(png)), (2, bytearray(gif)), (3, bytearray(wav)),
+            (4, bytearray(jpeg)), (5, bytearray(junk))]
+    df = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: (r["kind"], r["dim1"], r["dim2"], r["dim3"])
+           for r in mm.sniff_media_df(df).collect()}
+    assert got[1] == ("png", 640, 480, 3)
+    assert got[2] == ("gif", 320, 200, 3)
+    assert got[3] == ("wav", 44100, 2, 16)
+    assert got[4] == ("jpeg", 1920, 1080, 3)
+    assert got[5] == ("unknown", 0, 0, 0)
