@@ -121,3 +121,24 @@ def join_cobucketed(
     """Equi-join of two co-bucketed tables on the bucket key — planned as a
     zero-exchange sort-merge join when bucket counts match."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def stream_incremental(
+    stream_df: DataFrame,
+    table_path: str,
+    part_col: str = "competencia",
+    checkpoint: str | None = None,
+):
+    """Streaming form of the idempotent load (reference T5): each micro-batch
+    flows through ``load_incremental``, so partitions already on disk are
+    skipped even across restarts and replays — at-least-once delivery
+    upstream becomes effectively-once at the table. Returns the started
+    StreamingQuery (caller owns trigger/stop)."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        load_incremental(batch_df.sparkSession, batch_df, table_path, part_col)
+
+    writer = stream_df.writeStream.foreachBatch(upsert).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
