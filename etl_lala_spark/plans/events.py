@@ -323,3 +323,53 @@ def events_resample_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("minute")
     )
+
+
+@register(
+    "events_session_ids",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN date_diff('second',
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 600
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+),
+sessioned AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS value_sum
+FROM sessioned
+WHERE user_id < 20
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+)
+def events_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (batch form): a 10-minute inactivity
+    gap starts a new session; session ids are the running sum of start flags
+    — one window pass, no self-join. The streaming twin is
+    `F.session_window` (events_sessionization); this form additionally
+    yields stable ordinal session ids for downstream joins."""
+    ev = load_events(spark, sf_dir).filter(F.col("user_id") < 20)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    flagged = ev.withColumn(
+        "is_start",
+        F.when(gap.isNull() | (gap > 600), 1).otherwise(0),
+    )
+    run = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    sessioned = flagged.withColumn("session_id", F.sum("is_start").over(run))
+    return (
+        sessioned.groupBy("user_id", F.col("session_id").cast("long").alias("session_id"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .orderBy("user_id", "session_id")
+    )

@@ -178,3 +178,44 @@ def window_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_ok"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@register(
+    "window_percent_of_total",
+    oracle="""
+WITH per_nation AS (
+  SELECT n.n_name, round(sum(c.c_acctbal), 2) AS acctbal
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name, acctbal,
+       round(acctbal / sum(acctbal) OVER (), 6) AS share,
+       round(sum(acctbal) OVER (ORDER BY acctbal DESC, n_name)
+             / sum(acctbal) OVER (), 6) AS cum_share
+FROM per_nation
+ORDER BY acctbal DESC, n_name
+""",
+)
+def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total and cumulative share (ratio_to_report / Pareto
+    analysis): an empty-frame window sum against the grand total plus a
+    running share over the descending order. The unpartitioned windows act
+    on the small AGGREGATED relation (one row per nation), not the fact
+    table — the correct place for a global window at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("acctbal"))
+    )
+    total = W.partitionBy()
+    running = W.partitionBy().orderBy(F.col("acctbal").desc(), "n_name")
+    return per_nation.select(
+        "n_name",
+        "acctbal",
+        F.round(F.col("acctbal") / F.sum("acctbal").over(total), 6).alias("share"),
+        F.round(
+            F.sum("acctbal").over(running) / F.sum("acctbal").over(total), 6
+        ).alias("cum_share"),
+    ).orderBy(F.col("acctbal").desc(), "n_name")
