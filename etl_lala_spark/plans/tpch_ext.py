@@ -475,3 +475,39 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q12_shipping_delay",
+    oracle="""
+SELECT o.o_orderpriority,
+       CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+       CAST(sum(CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+                     THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines,
+       round(avg(date_diff('day', o.o_orderdate, l.l_shipdate)), 4) AS avg_delay_days
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+""",
+)
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape adapted to the reduced schema (no commitdate/
+    receiptdate/shipmode): ship-lateness conditional counts per order
+    priority — the two-branch conditional aggregation over the fact join."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("late_lines"),
+            F.sum(F.when(~late, 1).otherwise(0)).cast("long").alias("ontime_lines"),
+            F.round(F.avg(F.datediff("l_shipdate", "o_orderdate")), 4).alias(
+                "avg_delay_days"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
