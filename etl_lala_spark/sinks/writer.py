@@ -142,3 +142,49 @@ def stream_incremental(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    part_col: str = "competencia",
+    files_per_partition: int = 1,
+) -> dict:
+    """Small-file compaction for a partitioned table — the maintenance pass
+    every incrementally-loaded 100 TB table needs (each micro-batch/month
+    append leaves small files; scan cost grows with file count, not bytes).
+
+    Rewrites the table so each partition holds ``files_per_partition``
+    files: one shuffle keyed on the partition column (hash-partitioned so
+    rows co-locate), written to a staging dir then atomically swapped in.
+    Returns {files_before, files_after, rows}.
+    """
+    import shutil
+
+    def count_files(root: str) -> int:
+        n = 0
+        for dirpath, _dirs, files in os.walk(root):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = count_files(table_path)
+    df = spark.read.parquet(table_path)
+    rows = df.count()
+    staging = table_path.rstrip("/") + "._compacting"
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        df.repartition(files_per_partition, F.col(part_col))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(staging)
+    )
+    backup = table_path.rstrip("/") + "._precompact"
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(table_path, backup)
+    os.rename(staging, table_path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return {
+        "files_before": before,
+        "files_after": count_files(table_path),
+        "rows": rows,
+    }

@@ -97,3 +97,24 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() == li.join(o, "l_orderkey").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, out_dir):
+    """Incremental appends leave small files; compaction must shrink the
+    file count without changing the data."""
+    path = os.path.join(out_dir, "compact_t")
+    for months in (["202401"], ["202402"], ["202403"]):
+        # several small appends per month
+        for _ in range(3):
+            df = _batch(spark, months).withColumn(
+                "valor", F.concat(F.col("valor"), F.lit("_x"))
+            )
+            df.write.mode("append").partitionBy("competencia").parquet(path)
+    before_rows = spark.read.parquet(path).count()
+    stats = writer.compact_partitions(spark, path, part_col="competencia")
+    assert stats["files_before"] > stats["files_after"]
+    assert stats["files_after"] <= 3  # one file per month partition
+    after = spark.read.parquet(path)
+    assert after.count() == before_rows == stats["rows"]
+    # partition pruning still works on the compacted layout
+    assert after.filter(F.col("competencia") == "202402").count() == before_rows // 3
