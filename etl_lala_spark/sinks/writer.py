@@ -188,3 +188,46 @@ def compact_partitions(
         "files_after": count_files(table_path),
         "rows": rows,
     }
+
+
+def write_sorted(
+    df: DataFrame,
+    table_path: str,
+    part_col: str = "competencia",
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """Partitioned write with rows sorted inside each file: parquet row-group
+    min/max statistics become tight, so selective scans skip whole row
+    groups (the zone-map lever — at 100 TB this turns point lookups on the
+    sort key from full-partition scans into a handful of row groups).
+    ``sortWithinPartitions`` keeps the sort shuffle-free after the
+    partition-key repartition."""
+    (
+        df.repartition(F.col(part_col))
+        .sortWithinPartitions(*([part_col] + list(sort_cols)))
+        .write.mode("overwrite")
+        .partitionBy(part_col)
+        .parquet(table_path)
+    )
+
+
+def retain_latest_runs(base_dir: str, keep: int = 5) -> list[str]:
+    """Keep-N-most-recent run retention (reference O3: the ops runbook keeps
+    the 5 newest `execucao-*` dirs, ESTRUTURA_DADOS_PROCESSADOS.md:236-239 —
+    `ls -t | tail -n +6 | xargs rm -rf`). Ordered by directory mtime,
+    newest retained; returns the deleted paths."""
+    import shutil
+
+    if not os.path.isdir(base_dir):
+        return []
+    runs = sorted(
+        (os.path.join(base_dir, d) for d in os.listdir(base_dir)
+         if os.path.isdir(os.path.join(base_dir, d))),
+        key=os.path.getmtime,
+        reverse=True,
+    )
+    deleted = []
+    for path in runs[keep:]:
+        shutil.rmtree(path, ignore_errors=True)
+        deleted.append(path)
+    return deleted

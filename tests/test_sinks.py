@@ -118,3 +118,48 @@ def test_compact_partitions_reduces_files_preserves_rows(spark, out_dir):
     assert after.count() == before_rows == stats["rows"]
     # partition pruning still works on the compacted layout
     assert after.filter(F.col("competencia") == "202402").count() == before_rows // 3
+
+
+def test_write_sorted_tightens_row_group_stats(spark, out_dir):
+    """Sorted files must have non-overlapping, ordered row-group min/max on
+    the sort key (the data-skipping precondition)."""
+    import pyarrow.parquet as pq
+    from etl_lala_spark.io import load_table
+
+    path = os.path.join(out_dir, "sorted_t")
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").withColumn(
+        "competencia", F.date_format("l_shipdate", "yyyy")
+    )
+    writer.write_sorted(li, path, part_col="competencia", sort_cols=("l_partkey",))
+    assert spark.read.parquet(path).count() == li.count()
+    checked = 0
+    for dirpath, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["l_partkey"]
+            prev_max = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                assert st.min <= st.max
+                if prev_max is not None:
+                    assert st.min >= prev_max  # ordered, non-overlapping
+                prev_max = st.max
+                checked += 1
+    assert checked > 0
+
+
+def test_retain_latest_runs(spark, out_dir):
+    import time
+
+    base = os.path.join(out_dir, "runs")
+    os.makedirs(base)
+    for i in range(7):
+        d = os.path.join(base, f"execucao-{i}")
+        os.makedirs(d)
+        os.utime(d, (1000 + i, 1000 + i))
+    deleted = writer.retain_latest_runs(base, keep=5)
+    remaining = sorted(os.listdir(base))
+    assert remaining == [f"execucao-{i}" for i in range(2, 7)]
+    assert sorted(deleted) == [os.path.join(base, f"execucao-{i}") for i in range(2)]
