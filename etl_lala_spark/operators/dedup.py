@@ -76,7 +76,7 @@ def shingle_table(
     negligible (~n²/2⁶⁵ per block)."""
     from etl_lala_spark.io import spread
 
-    pruned = spread(df.select(text_col, id_col, *block_cols))
+    pruned = spread(df.select(text_col, id_col, *block_cols), by=id_col)
     base = pruned.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in block_cols],
@@ -146,20 +146,29 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 32
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed i, min over xxhash64(shingle, i).
+    """Per-doc MinHash signature: for seed i, min over a seeded re-hash of
+    each shingle's 64-bit hash.
 
-    Computed per-row from the shingle ARRAY (array_min over a transform) —
-    no explode, no groupBy: the signature needs no shuffle at all, and the
-    array is n_hashes longs per doc regardless of doc size (constant state,
-    reference T1 constant-memory requirement transplanted to dedup).
-    ``sh`` must carry (doc, n_shingles, shingles).
+    Computed per-row from a hashed-shingle ARRAY (array_min over a
+    transform) — no explode, no groupBy: the signature needs no shuffle at
+    all, and the array is n_hashes longs per doc regardless of doc size
+    (constant state, reference T1 constant-memory requirement transplanted
+    to dedup).
+
+    Higher-order-function lambdas run interpreted (outside whole-stage
+    codegen), so the per-element work must be minimal: each shingle STRING
+    is hashed exactly once (``hashes`` column), and the n_hashes seeded
+    variants remix the 8-byte long — not the string — via xxhash64(h, i).
+
+    ``sh`` must carry (doc, n_shingles, hashes); docs with shingle arrays
+    still present can derive it with ``transform(shingles, s -> xxhash64(s))``.
     """
     return sh.select(
         "doc",
         "n_shingles",
         F.expr(
             f"transform(sequence(0, {n_hashes - 1}), i -> "
-            f"array_min(transform(shingles, s -> xxhash64(s, i))))"
+            f"array_min(transform(hashes, h -> xxhash64(h, i))))"
         ).alias("sig"),
     )
 
@@ -183,37 +192,41 @@ def minhash_lsh_pairs(
     rows = n_hashes // bands
     from etl_lala_spark.io import spread
 
-    # Cached (doc, n_shingles, shingles) base: the cache is a projection-
-    # collapse barrier, so the shingling expression is evaluated once and the
-    # signature / band / inverted-index derivations below all stay narrow.
+    # Cached (doc, n_shingles, hashes) base: the cache is a projection-
+    # collapse barrier, so shingling + string-hashing run exactly once and
+    # every derivation below (signatures, bands, inverted index) works on
+    # 8-byte longs — the text never re-enters the pipeline.
     base = (
-        spread(df.select(text_col, id_col))
+        spread(df.select(text_col, id_col), by=id_col)
         .select(
             F.col(id_col).alias("doc"),
             word_shingles(F.col(text_col), k).alias("shingles"),
         )
-        .withColumn("n_shingles", F.size("shingles"))
+        .select(
+            "doc",
+            F.size("shingles").alias("n_shingles"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
+        )
         .cache()
     )
-    sig = minhash_signatures(base, n_hashes)
+    # Signatures cached too: the self-join below references them on both
+    # sides, and HOF lambdas are interpreted — without the cache the
+    # n_hashes × n_shingles remix would run once per reference (measured 3×
+    # the whole query's cost).
+    sig = minhash_signatures(base, n_hashes).cache()
     # Hash-keyed inverted index for exact verification — same rationale as
     # shingle_table: shuffle 8 bytes per shingle, not the text.
-    sh = base.select(
-        "doc", "n_shingles", F.explode("shingles").alias("shingle_str")
-    ).select("doc", "n_shingles", F.xxhash64("shingle_str").alias("shingle"))
+    sh = base.select("doc", "n_shingles", F.explode("hashes").alias("shingle"))
 
-    # band id + band signature hash → bucket key; equality join on it. Each
-    # band hashes its own `rows` seeds directly from the shingle array (one
-    # expression, each seed evaluated exactly once — no explode, no groupBy:
-    # the signature needs no shuffle at all).
-    band_rows = base.select(
+    # band id + band signature hash → bucket key; equality join on it. The
+    # bucket is a hash of the signature SLICE for that band — derived from
+    # the cached signature, so band generation costs bands × O(rows) per doc.
+    band_rows = sig.select(
         "doc",
         F.expr(
             f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
             f"'band', b, "
-            f"'bucket', xxhash64(transform("
-            f"sequence(b * {rows}, b * {rows} + {rows - 1}), i -> "
-            f"array_min(transform(shingles, s -> xxhash64(s, i))))))))"
+            f"'bucket', xxhash64(slice(sig, b * {rows} + 1, {rows})))))"
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 
@@ -278,32 +291,73 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash from token hashes: bit i of the fingerprint is the sign
-    of sum(±1 over tokens, + if token-hash bit i set).
+def _fold_bits(vote_col) -> Column:
+    """64 bit-votes → one long fingerprint (bit i set iff vote_i > 0)."""
+    out = None
+    for i in range(64):
+        bit = F.when(vote_col(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = bit if out is None else out.bitwiseOR(bit)
+    return out
 
-    Pure array/bitwise built-ins: per-token xxhash64, then for each bit
-    position the majority vote, folded into one long.
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash from token hashes, as a single per-row expression: bit i
+    of the fingerprint is the sign of sum(±1 over tokens, + if token-hash bit
+    i set).
+
+    Zero-shuffle but SLOW on wide corpora: the 64 `aggregate` folds are
+    higher-order-function lambdas, which Spark evaluates interpreted (outside
+    whole-stage codegen) — 64 passes over the token array per row. Prefer
+    ``simhash_fingerprints`` (explode + one codegen'd aggregation) anywhere
+    the corpus is non-trivial; this form remains for per-row contexts
+    (e.g. streaming expressions) where a groupBy is unavailable.
     """
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
     def bit_vote(i: int):
         return lambda acc, h: acc + F.when(
             F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
         ).otherwise(-1)
 
-    bits = []
-    for i in range(64):
-        vote = F.aggregate(hashes, F.lit(0), bit_vote(i))
-        bits.append(
-            F.when(vote > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    def vote(i: int):
+        return F.aggregate(hashes, F.lit(0), bit_vote(i))
+
+    return _fold_bits(vote)
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, fp) SimHash-64 fingerprints via explode + one hash aggregation.
+
+    Same fingerprint values as ``simhash64`` but the 64 bit-votes are 64
+    conditional-sum aggregate columns over exploded token hashes — a single
+    whole-stage-codegen pass per token instead of 64 interpreted array folds
+    per doc (measured ~10× faster at sf0.1). The explode is partitioned by
+    doc id (``spread``), so the partial aggregation collapses map-side and
+    the exchange moves one 64-long vote row per doc — constant per-doc state
+    at 100 TB. ``explode_outer`` keeps empty/short docs (fp = 0, matching the
+    per-row form's empty-array fold).
+    """
+    from etl_lala_spark.io import spread
+
+    toks = F.array_distinct(tokens(F.col(text_col)))
+    th = spread(df.select(id_col, text_col), by=id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode_outer(F.transform(toks, lambda t: F.xxhash64(t))).alias("h"),
+    )
+    votes = th.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    return votes.select("doc", _fold_bits(lambda i: F.col(f"v{i}")).alias("fp"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -323,9 +377,9 @@ def simhash_pairs(
 
     Returns (doc_a, doc_b, hamming).
     """
-    from etl_lala_spark.io import spread
-
-    fp = spread(df).select(F.col(id_col).alias("doc"), simhash64(F.col(text_col)).alias("fp"))
+    # Cached: the chunk self-join references the fingerprint table on both
+    # sides; without the cache the explode+agg would run twice.
+    fp = simhash_fingerprints(df, text_col, id_col).cache()
     chunks = fp.select(
         "doc",
         "fp",
@@ -400,32 +454,35 @@ def canonical_components(
         .withColumn("canonical", F.col("doc"))
         .cache()
     )
+    cached = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
             .groupBy("src")
             .agg(F.min("canonical").alias("nbr_min"))
         )
-        new_labels = (
+        # One ACTION per round: the step carries the previous label, so the
+        # convergence check is an aggregate over the same cached
+        # materialization — not a second join (which cost a full extra job
+        # per round, tripling the loop's wall time).
+        stepped = (
             labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
             .select(
                 "doc",
+                F.col("canonical").alias("prev"),
                 F.least(
                     F.col("canonical"), F.coalesce("nbr_min", F.col("canonical"))
                 ).alias("canonical"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.canonical") != F.col("o.canonical"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        changed = stepped.agg(
+            F.sum(F.when(F.col("canonical") != F.col("prev"), 1).otherwise(0))
+        ).first()[0]
+        cached.unpersist()
+        cached = stepped
+        labels = stepped.select("doc", "canonical")
+        if not changed:
             break
     edges.unpersist()
     return labels

@@ -56,7 +56,7 @@ def brute_force_topk(
     )
     from etl_lala_spark.io import spread
 
-    c = spread(corpus).select(
+    c = spread(corpus, by=id_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
@@ -160,7 +160,7 @@ def lsh_topk(
             F.col(idc), F.col(vecc), F.explode(buckets).alias("tb")
         ).select(idc, vecc, "tb.tbl", "tb.bucket")
 
-    c = bucketed(spread(corpus), id_col, vec_col).select(
+    c = bucketed(spread(corpus, by=id_col), id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "tbl", "bucket"
     )
     q = bucketed(queries, id_col, vec_col).select(
@@ -251,7 +251,7 @@ def ivf_topk(
             F.col(idc), F.col(vec_col), F.explode(picked).alias("cell")
         )
 
-    c = assign(spread(corpus), id_col, 1).select(
+    c = assign(spread(corpus, by=id_col), id_col, 1).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     )
     q = assign(queries, id_col, nprobe).select(
@@ -286,7 +286,7 @@ def cosine_near_dup_pairs(
     cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
-    t = spread(df).select(*cols)
+    t = spread(df, by=id_col).select(*cols)
     x, y = t.alias("x"), t.alias("y")
     cond = F.col("x.id") < F.col("y.id")
     if block_col:

@@ -138,7 +138,11 @@ def datasus_pa(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem").select(
             "l_shipdate", "l_returnflag", "l_linestatus", "l_suppkey", "l_partkey",
             "l_extendedprice",
-        )
+        ),
+        # Hash-partition on the shipdate the groupBy keys derive from: no
+        # sort-before-repartition (vs round-robin) and months arrive
+        # pre-clustered, so the partial agg reduces harder.
+        by="l_shipdate",
     )
     # yyyyMM via integer arithmetic, not date_format: the per-row formatter
     # is ~2× the cost of the whole remaining projection, and the second
@@ -164,8 +168,8 @@ WITH datasus_pa AS ({DATASUS_PA_SQL})
 SELECT "AP_MVM" AS competencia,
        count(*) AS total_registros,
        count(DISTINCT arquivo_origem) AS total_arquivos,
-       round(sum(CAST("AP_VL_TOTAL" AS DOUBLE)), 2) AS total_valor,
-       round(avg(CAST("AP_VL_TOTAL" AS DOUBLE)), 4) AS media_valor,
+       round(CAST(sum(CAST("AP_VL_TOTAL" AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_valor,
+       round(CAST(sum(CAST("AP_VL_TOTAL" AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS media_valor,
        max("AP_CODUNI") AS max_coduni
 FROM datasus_pa
 GROUP BY 1
@@ -177,14 +181,19 @@ def datasus_pa_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (A5/A7 `_indice.json` stats, ESTRUTURA_DADOS_PROCESSADOS.md:38-72),
     exercising string→double typed-projection casts (SURVEY.md §1.2)."""
     pa = datasus_pa(spark, sf_dir)
-    vl = F.col("AP_VL_TOTAL").cast("double")
+    # Exact decimal sum (the strings carry exactly 2 decimals), THEN divide:
+    # double partial sums depend on partition/merge order, so a round() at
+    # the half-point boundary could disagree with the oracle run-to-run.
+    # Decimal aggregation is order-independent; the single double division
+    # afterwards is identical IEEE arithmetic in both engines.
+    vl = F.col("AP_VL_TOTAL").cast("decimal(18,2)")
     return (
         pa.groupBy(F.col("AP_MVM").alias("competencia"))
         .agg(
             F.count("*").alias("total_registros"),
             F.countDistinct("arquivo_origem").alias("total_arquivos"),
-            F.round(F.sum(vl), 2).alias("total_valor"),
-            F.round(F.avg(vl), 4).alias("media_valor"),
+            F.round(F.sum(vl).cast("double"), 2).alias("total_valor"),
+            F.round(F.sum(vl).cast("double") / F.count("*"), 4).alias("media_valor"),
             F.max("AP_CODUNI").alias("max_coduni"),
         )
         .orderBy("competencia")
