@@ -743,3 +743,277 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the testdata has no partsupp table, so the four TPC-H
+# shapes that need it (Q2, Q11, Q16, Q20) run over the relation implied by
+# lineitem — one row per observed (partkey, suppkey) pair, with
+# ps_supplycost = min observed unit price and ps_availqty = total shipped
+# quantity. At 100 TB this is one hash aggregate over lineitem's natural
+# (partkey, suppkey) grain; the result is dimension-sized (|part| × ~4
+# suppliers) and cheap to reuse or broadcast downstream.
+
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey,
+         l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem
+  GROUP BY 1, 2
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ps_supplycost stays unrounded: Spark and DuckDB round(x, 2) break
+    # .xx5 ties in opposite directions, while the raw double division and
+    # min() agree bit-for-bit. Quantities are integer-valued doubles, so
+    # the sum is exact too.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost"),
+        F.sum("l_quantity").alias("ps_availqty"),
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+eu AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_brand, e.ps_supplycost
+FROM eu e
+JOIN (SELECT ps_partkey, min(ps_supplycost) AS min_cost FROM eu GROUP BY 1) b
+  ON b.ps_partkey = e.ps_partkey AND e.ps_supplycost = b.min_cost
+JOIN part p ON p.p_partkey = e.ps_partkey
+WHERE p.p_type = 'ECONOMY' AND p.p_size < 20
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+""",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region.
+
+    The correlated MIN subquery is decorrelated into a self-aggregate on
+    ps_partkey joined back on (partkey, cost) — both sides share the
+    ps_partkey shuffle key so AQE coalesces them into one exchange.
+    supplier/nation/region are broadcast; LIMIT 100 after sort becomes
+    TakeOrderedAndProject."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("ps_partkey", "ps_suppkey", "ps_supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    best = eu.groupBy("ps_partkey").agg(F.min("ps_supplycost").alias("min_cost"))
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 20)
+    ).select("p_partkey", "p_brand")
+    return (
+        eu.join(
+            best,
+            (eu.ps_partkey == best.ps_partkey)
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .drop(best.ps_partkey)
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "ps_supplycost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+natps AS (
+  SELECT ps.ps_partkey,
+         CAST(floor(ps.ps_supplycost * ps.ps_availqty * 1000 + 0.5) AS BIGINT)
+           AS value_mil
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+)
+SELECT ps_partkey, CAST(sum(value_mil) AS BIGINT) AS value_mil
+FROM natps
+GROUP BY ps_partkey
+HAVING sum(value_mil) * 1000 > (SELECT sum(value_mil) FROM natps)
+ORDER BY value_mil DESC, ps_partkey
+""",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's stock value.
+
+    The scalar threshold subquery is a 1-row aggregate broadcast-cross-joined
+    against the per-part sums — the nation-filtered base relation is computed
+    once and feeds both sides (no second scan of lineitem at 100 TB).
+
+    Value arithmetic is quantized to integer thousandths before the sums
+    (floor(x*1000+0.5) is bit-identical across engines on identical doubles,
+    and int64 sums are exact and order-independent) — double sums here differ
+    by 1 ulp between Spark and DuckDB depending on summation order, which
+    flips round()/threshold decisions right at cent boundaries."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            F.floor(
+                F.col("ps_supplycost") * F.col("ps_availqty") * 1000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("value_mil"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("value_mil").alias("value_mil"))
+    threshold = natps.agg(F.sum("value_mil").alias("total_mil"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value_mil") * 1000 > F.col("total_mil"))
+        .select("ps_partkey", "value_mil")
+        .orderBy(F.col("value_mil").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "q16_parts_supplier_relationship",
+    oracle="""
+WITH partsupp AS (
+  SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey FROM lineitem
+)
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many suppliers can supply each (brand, type,
+    size) bucket, excluding flagged suppliers.
+
+    Adaptation: "customer complaints" becomes s_acctbal < 0. The NOT IN is a
+    broadcast left-anti join (s_suppkey is non-null, so anti-join and NOT IN
+    agree); the distinct supplier count rides the (partkey, suppkey) grain
+    of the derived partsupp so no extra shuffle before the final agg."""
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    flagged = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#2")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(flagged), ps.ps_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+WITH avail AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         sum(l_quantity) AS ps_availqty
+  FROM lineitem
+  GROUP BY 1, 2
+),
+yr AS (
+  SELECT l_partkey, l_suppkey, 0.8 * sum(l_quantity) AS qty_bar
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+),
+qualifying AS (
+  SELECT DISTINCT a.ps_suppkey
+  FROM avail a
+  JOIN yr ON yr.l_partkey = a.ps_partkey AND yr.l_suppkey = a.ps_suppkey
+  JOIN part p ON p.p_partkey = a.ps_partkey AND p.p_name LIKE 'small%'
+  WHERE a.ps_availqty > yr.qty_bar
+)
+SELECT s.s_name, round(s.s_acctbal, 2) AS s_acctbal
+FROM supplier s
+JOIN qualifying q ON q.ps_suppkey = s.s_suppkey
+ORDER BY s.s_name
+""",
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding surplus stock of promotable parts
+    (availqty exceeds a threshold of one year's shipments).
+
+    Adaptation: no s_address/nation filter in testdata — returns (name,
+    acctbal); threshold is 0.8× the 1996 shipped quantity against all-time
+    quantity. Both aggregates share the (partkey, suppkey) shuffle key, the
+    part-name filter is a broadcast, and the final supplier lookup is a
+    semi join (duplicate elimination before the join, not after)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    avail = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.sum("l_quantity").alias("ps_availqty"))
+    yr = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((F.lit(0.8) * F.sum("l_quantity")).alias("qty_bar"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    ).select("p_partkey")
+    qualifying = (
+        avail.join(
+            yr,
+            (avail.ps_partkey == yr.l_partkey) & (avail.ps_suppkey == yr.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") > F.col("qty_bar"))
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.ps_suppkey, "left_semi")
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )
