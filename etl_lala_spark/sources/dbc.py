@@ -5,9 +5,10 @@ service that runs dbc2dbf + dbfread and streams records back
 (OTIMIZACAO_API_PYTHON.md:190-207,270-287). Here the decode runs *inside* the
 engine: a pure-Python DBF parser (dBase III layout, public spec) executed as
 Arrow-batched ``mapInPandas`` over ``binaryFile`` rows — the idiomatic
-replacement for "POST rows to a Python service". `.dbc` decompression needs
-the PKWare implode codec (``pyreaddbc``), which is not in this environment →
-gated behind an import-try; the DBF path is fully functional and tested.
+replacement for "POST rows to a Python service". `.dbc` decompression uses
+the pure-Python PKWare implode codec in
+:mod:`etl_lala_spark.sources.implode`, so the whole path runs in-engine with
+no third-party binary dependency.
 
 Record data model matches the reference: every value stringified, latin1
 decoding, column names discovered from the file header (SURVEY.md §1.2).
@@ -23,13 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # optional native codec for .dbc (not installed in this environment)
-    import pyreaddbc  # type: ignore
+from etl_lala_spark.sources import implode
 
-    HAVE_DBC_CODEC = True
-except Exception:  # pragma: no cover
-    pyreaddbc = None
-    HAVE_DBC_CODEC = False
+HAVE_DBC_CODEC = True  # pure-Python implode codec, no third-party dependency
 
 
 def parse_dbf_header(data: bytes) -> list[str]:
@@ -83,18 +80,31 @@ def parse_dbf(data: bytes, limit: int | None = None) -> tuple[list[str], list[li
 
 
 def dbc_to_dbf(data: bytes) -> bytes:
-    """Decompress a DATASUS .dbc into DBF bytes.
+    """Decompress a DATASUS .dbc into DBF bytes (in-engine dbc2dbf).
 
-    STUB when pyreaddbc is absent: the PKWare implode codec is a native
-    library not available here; the DBF decode path below is exercised with
-    plain DBF bytes instead.
+    Container layout (public, used by every DATASUS reader): the DBF header
+    is stored verbatim up to its own declared length (bytes 8-9), followed by
+    a 4-byte CRC32, followed by the record section compressed with PKWare
+    DCL implode — decoded here by the pure-Python
+    :mod:`etl_lala_spark.sources.implode` codec, replacing the reference's
+    external converter service (OTIMIZACAO_API_PYTHON.md:190-207).
     """
-    if not HAVE_DBC_CODEC:
-        raise NotImplementedError(
-            "pyreaddbc not available: .dbc decompression requires the PKWare "
-            "implode codec; feed DBF bytes directly"
-        )
-    raise NotImplementedError("wire pyreaddbc.dbc2dbf via temp files when available")
+    if len(data) < 12:
+        raise ValueError("not a .dbc: shorter than a DBF header prefix")
+    header_len = struct.unpack("<H", data[8:10])[0]
+    if header_len < 32 or header_len + 4 > len(data):
+        raise ValueError(f"not a .dbc: implausible header length {header_len}")
+    body = implode.decompress(data[header_len + 4 :])
+    return data[:header_len] + body
+
+
+def dbf_to_dbc(dbf: bytes) -> bytes:
+    """Inverse of :func:`dbc_to_dbf` (fixture generator): verbatim header,
+    zeroed CRC field, literal-mode-imploded record section."""
+    header_len = struct.unpack("<H", dbf[8:10])[0]
+    return dbf[:header_len] + b"\x00\x00\x00\x00" + implode.compress_literal(
+        dbf[header_len:]
+    )
 
 
 def infer_dbf_columns(binaries: DataFrame, content_col: str = "content") -> list[str]:
@@ -134,6 +144,45 @@ def read_dbf(
             frames = []
             for name, blob in zip(pdf[name_col], pdf[content_col]):
                 file_cols, rows = parse_dbf(bytes(blob), limit=limit)
+                if file_cols != cols:
+                    raise ValueError(
+                        f"{name}: columns {file_cols[:3]}... != expected {cols[:3]}..."
+                    )
+                f = pd.DataFrame(rows, columns=cols, dtype=str)
+                f["arquivo_origem"] = name.rsplit(".", 1)[0]
+                frames.append(f)
+            yield (
+                pd.concat(frames, ignore_index=True)
+                if frames
+                else pd.DataFrame(columns=[*cols, "arquivo_origem"])
+            )
+
+    return binaries.select(name_col, content_col).mapInPandas(decode, schema=schema)
+
+
+def read_dbc(
+    binaries: DataFrame,
+    content_col: str = "content",
+    name_col: str = "member_basename",
+    limit: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """S8 end-to-end: decode ``.dbc`` binary rows (implode-compressed DBF)
+    into the all-string record table. Schema discovery needs no
+    decompression — the DBF header is stored verbatim at the front of a
+    ``.dbc`` — and the per-file decompress+parse runs distributed inside
+    ``mapInPandas``, one task per batch of files."""
+    cols = columns if columns is not None else infer_dbf_columns(binaries, content_col)
+    schema = T.StructType(
+        [T.StructField(c, T.StringType()) for c in cols]
+        + [T.StructField("arquivo_origem", T.StringType())]
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for name, blob in zip(pdf[name_col], pdf[content_col]):
+                file_cols, rows = parse_dbf(dbc_to_dbf(bytes(blob)), limit=limit)
                 if file_cols != cols:
                     raise ValueError(
                         f"{name}: columns {file_cols[:3]}... != expected {cols[:3]}..."

@@ -67,3 +67,21 @@ def test_dbf_header_matches_full_parse(table):
     cols, rows = table
     data = dbc.write_dbf(cols, rows, field_len=20)
     assert dbc.parse_dbf_header(data) == cols
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=2000), st.sampled_from([4, 5, 6]))
+def test_implode_literal_roundtrip(blob, dict_bits):
+    """Implode decoder inverts the literal-mode encoder on arbitrary bytes."""
+    from etl_lala_spark.sources import implode
+
+    assert implode.decompress(implode.compress_literal(blob, dict_bits)) == blob
+
+
+@settings(max_examples=200, deadline=None)
+@given(tables())
+def test_dbc_roundtrip(table):
+    """.dbc container round trip: DBF → implode container → identical DBF."""
+    cols, rows = table
+    dbf_bytes = dbc.write_dbf(cols, rows, field_len=20)
+    assert dbc.dbc_to_dbf(dbc.dbf_to_dbc(dbf_bytes)) == dbf_bytes

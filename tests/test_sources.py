@@ -74,11 +74,50 @@ def test_dbf_roundtrip_and_decode(spark, staging):
     assert [f.dataType.simpleString() for f in records.schema.fields] == ["string"] * 4
 
 
-def test_dbc_codec_is_stubbed():
-    if dbc.HAVE_DBC_CODEC:
-        pytest.skip("codec present")
-    with pytest.raises(NotImplementedError):
-        dbc.dbc_to_dbf(b"\x00\x01")
+def test_implode_known_answer_vector():
+    """The format's published test vector: matches + end-of-stream code."""
+    from etl_lala_spark.sources import implode
+
+    kat = bytes([0x00, 0x04, 0x82, 0x24, 0x25, 0x8F, 0x80, 0x7F])
+    assert implode.decompress(kat) == b"AIAIAIAIAIAIA"
+
+
+def test_implode_literal_roundtrip_and_errors():
+    from etl_lala_spark.sources import implode
+
+    for blob in [b"", b"A", b"hello world" * 50, bytes(range(256))]:
+        for bits in (4, 5, 6):
+            assert implode.decompress(implode.compress_literal(blob, bits)) == blob
+    with pytest.raises(implode.CorruptError):
+        implode.decompress(b"\x02\x04\x00")  # bad literal flag
+    with pytest.raises(implode.CorruptError):
+        implode.decompress(b"\x00\x07\x00")  # bad dictionary size
+    with pytest.raises(implode.CorruptError):
+        implode.decompress(b"\x00\x04")  # truncated stream
+
+
+def test_dbc_end_to_end(spark, staging):
+    """S8 full path: .dbc (implode-compressed DBF) → all-string records."""
+    cols = ["AP_MVM", "AP_CONDIC", "AP_VL_TOTAL"]
+    rows = [["202501", "EP", "153.27"], ["202502", "PG", "99.10"]]
+    dbf_bytes = dbc.write_dbf(cols, rows)
+    dbc_bytes = dbc.dbf_to_dbc(dbf_bytes)
+    assert len(dbc_bytes) != len(dbf_bytes)
+    assert dbc.dbc_to_dbf(dbc_bytes) == dbf_bytes
+    # header is stored verbatim → schema discovery without decompression
+    assert dbc.parse_dbf_header(dbc_bytes) == cols
+
+    zdir = os.path.join(staging, "dbczips")
+    os.makedirs(zdir, exist_ok=True)
+    with open(os.path.join(zdir, "c.zip"), "wb") as fh:
+        fh.write(_zip_bytes({"PAPE2501.dbc": dbc_bytes}))
+    members = arc.extract_archive_members(
+        arc.read_binary_files(spark, zdir, glob="*.zip"), suffix=".dbc"
+    )
+    out = dbc.read_dbc(members).collect()
+    assert len(out) == 2
+    assert out[0]["AP_MVM"] == "202501"
+    assert all(r["arquivo_origem"] == "PAPE2501" for r in out)
 
 
 def test_latin1_roundtrip():
