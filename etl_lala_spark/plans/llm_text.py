@@ -397,3 +397,100 @@ def text_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("freq").desc(), "term")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranked retrieval: BM25 scoring of a fixed multi-term query.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    toks = "regexp_split_to_array(lower(text), '\\s+')"
+    tf_cols = ",\n         ".join(
+        f"len(list_filter({toks}, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ",\n         ".join(
+        f"sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}" for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"CASE WHEN tf_{t} > 0 THEN ln(1 + (n - df_{t} + 0.5) / (df_{t} + 0.5))"
+        f" * tf_{t} * {_BM25_K1 + 1} / (tf_{t} + {_BM25_K1} *"
+        f" ({1 - _BM25_B} + {_BM25_B} * dl / avgdl)) ELSE 0 END"
+        for t in _BM25_TERMS
+    )
+    any_tf = " + ".join(f"tf_{t}" for t in _BM25_TERMS)
+    return f"""
+WITH pertoken AS (
+  SELECT doc_id,
+         len({toks}) AS dl,
+         {tf_cols}
+  FROM documents
+),
+corpus AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         {df_cols}
+  FROM pertoken
+)
+SELECT doc_id, round({score}, 6) AS bm25
+FROM pertoken, corpus
+WHERE {any_tf} > 0
+ORDER BY bm25 DESC, doc_id
+"""
+
+
+@register("text_bm25_retrieval", oracle=_bm25_oracle())
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, +1-smoothed IDF) for a fixed
+    multi-term query over the corpus.
+
+    Scale shape: per-document term frequencies come from JVM-side array
+    filters in ONE projection (no explode, no (doc, term) shuffle); document
+    frequencies and avgdl reduce to a single 1-row aggregate that is
+    broadcast back. At 100 TB the corpus scan happens twice (stats pass +
+    score pass) and nothing else moves — persist the projection to make it
+    one pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+
+    def _eq(term: str):
+        # single-arg lambda: F.filter passes (element, index) to 2-arg ones
+        return lambda x: x == term
+
+    pertoken = d.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[F.size(F.filter(toks, _eq(t))).alias(f"tf_{t}") for t in _BM25_TERMS],
+    )
+    corpus = pertoken.agg(
+        F.count("*").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = None
+    for t in _BM25_TERMS:
+        tf = F.col(f"tf_{t}")
+        idf = F.log(1 + (F.col("n") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5))
+        part = F.when(
+            tf > 0,
+            idf
+            * tf
+            * (_BM25_K1 + 1)
+            / (tf + _BM25_K1 * ((1 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avgdl"))),
+        ).otherwise(F.lit(0.0))
+        score = part if score is None else score + part
+    any_tf = None
+    for t in _BM25_TERMS:
+        any_tf = F.col(f"tf_{t}") if any_tf is None else any_tf + F.col(f"tf_{t}")
+    return (
+        pertoken.join(F.broadcast(corpus))
+        .filter(any_tf > 0)
+        .select("doc_id", F.round(score, 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+    )

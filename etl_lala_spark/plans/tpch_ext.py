@@ -704,37 +704,39 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Adaptation: late = l_shipdate > o_orderdate + 90 days (no receipt/commit
     dates in testdata). The canonical EXISTS/NOT EXISTS double self-join is
-    rewritten as ONE order-level aggregate (distinct suppliers vs distinct
-    late suppliers) joined back to the late lines — two shuffles on
-    l_orderkey total, where the textbook plan re-shuffles lineitem three
-    times; at 100 TB that is the difference between one wide exchange and
-    three."""
+    rewritten shuffle-minimally: dedup line items to (order, supplier,
+    ever-late) pairs in one hash agg, then order-level supplier counts as
+    WINDOW aggregates over l_orderkey — two lineitem-derived exchanges
+    total and zero self-joins, where the textbook plan (and the
+    countDistinct form, which expands into two more shuffles) re-shuffles
+    lineitem four times. At 100 TB that halves the wide-exchange bytes."""
+    from pyspark.sql.window import Window
+
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey", "o_orderdate")
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    li_o = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days")
-        ).alias("late"),
-    )
-    per_order = li_o.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
-    )
-    waiting = (
-        li_o.filter(F.col("late"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+    # no broadcast hint on orders: it is a fact table (planner/AQE may still
+    # broadcast the filtered side when it fits, as it does at test scale)
+    pairs = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
             "l_orderkey",
-            "left_semi",
+            "l_suppkey",
+            (
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days")
+            ).alias("line_late"),
         )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("line_late").alias("late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    waiting = (
+        pairs.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late_supp", F.sum(F.col("late").cast("int")).over(w))
+        .filter(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -51,3 +51,42 @@ def test_rollup_expands_before_partial_agg(spark, sf_dir):
     plan = plan_of(spark, "rollup_pricing", sf_dir)
     assert "Expand" in plan
     assert plan.index("Expand") > plan.index("HashAggregate")  # Expand is below agg
+
+
+def test_q4_semi_join_keeps_equi_key(spark, sf_dir):
+    """EXISTS with an inter-table inequality: the equi conjunct must drive a
+    hash semi join (inequality as residual), never a nested loop."""
+    plan = plan_of(spark, "q4_order_priority", sf_dir)
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    plan = plan_of(spark, "q6_forecast_revenue", sf_dir)
+    pushed = plan.split("PushedFilters: ")[1].splitlines()[0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema  # 4-column projection only
+
+
+def test_q2_decorrelated_min_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, "q2_min_cost_supplier", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+    assert "TakeOrderedAndProject" in plan  # LIMIT 100 without global sort
+
+
+def test_q21_single_wide_shuffle(spark, sf_dir):
+    """The one-agg rewrite of Q21 must not re-shuffle lineitem per EXISTS:
+    at most two exchanges touch lineitem-derived data (join + order agg)."""
+    plan = plan_of(spark, "q21_suppliers_kept_waiting", sf_dir)
+    assert "NestedLoop" not in plan
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
+
+
+def test_bm25_single_projection_no_explode(spark, sf_dir):
+    """BM25 term frequencies ride one JVM-side projection: no Generate
+    (explode) node and no Python UDF in the plan."""
+    plan = plan_of(spark, "text_bm25_retrieval", sf_dir)
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
