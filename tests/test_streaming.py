@@ -207,3 +207,31 @@ def test_stream_incremental_load_skips_existing_partitions(spark, sf_dir, tmp_pa
     # skip-list makes the reload a no-op
     run()
     assert spark.read.parquet(table).count() == n1
+
+
+def test_transform_with_state_progress_matches_legacy(spark, event_dir):
+    """The Spark 4 transformWithState form agrees with the
+    applyInPandasWithState form on the same input: same per-user stride
+    rows, same final totals.
+
+    transformWithState's driver worker imports protobuf at runtime; this
+    environment ships no google.protobuf, so the agreement check only runs
+    where the dependency exists (the processor itself is plain pandas)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_lala_spark.streaming import tws
+
+    stream = windows.read_event_stream(spark, event_dir)
+    new_rows = windows.run_to_memory(
+        tws.attach_progress_tws(stream), "t_progress_tws"
+    ).collect()
+    legacy_rows = windows.run_to_memory(
+        stateful.attach_progress(windows.read_event_stream(spark, event_dir)),
+        "t_progress_legacy",
+    ).collect()
+    key = lambda r: (r["user_id"], r["emitted"])
+    new_set = {(r["user_id"], r["total_events"], r["total_value"], r["emitted"]) for r in new_rows}
+    legacy_set = {
+        (r["user_id"], r["total_events"], r["total_value"], r["emitted"]) for r in legacy_rows
+    }
+    assert len(new_rows) > 0
+    assert new_set == legacy_set
