@@ -346,3 +346,80 @@ def datasus_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("arquivo", "tipo_parsed", "uf_parsed", "yymm_parsed")
         .orderBy("arquivo")
     )
+
+
+@register(
+    "datasus_dbc_roundtrip",
+    oracle="""
+WITH base AS (
+  SELECT concat(l_returnflag, l_linestatus) AS condic,
+         CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)) AS VARCHAR)
+           AS vl_total
+  FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 200)
+)
+SELECT condic, count(*) AS n,
+       round(CAST(sum(CAST(vl_total AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM base
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def datasus_dbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 end-to-end under the correctness gate: 200 deterministic lineitem
+    rows are rendered to a dBase III table, compressed into a DATASUS
+    ``.dbc`` with the pure-Python implode codec, read back through
+    ``binaryFile`` → distributed ``read_dbc`` decode, and aggregated — the
+    oracle computes the same aggregate straight from lineitem, so a codec
+    or DBF-layout bug breaks the hash match.
+
+    The driver-side fixture write is 200 rows (generation, not the operator
+    path); the decode itself runs in executors via mapInPandas."""
+    import hashlib
+    import os
+    import tempfile
+
+    from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+    cols = ["AP_CONDIC", "AP_VL_TOTAL"]
+    rows = [
+        [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
+        for r in li.select(
+            F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
+            F.round("l_extendedprice", 2)
+            .cast("decimal(14,2)")
+            .cast("string")
+            .alias("AP_VL_TOTAL"),
+        ).collect()
+    ]
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dbc_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(fixture_dir, exist_ok=True)
+    with open(os.path.join(fixture_dir, "PAPE2501.dbc"), "wb") as fh:
+        fh.write(dbf_to_dbc(write_dbf(cols, rows)))
+
+    members = (
+        spark.read.format("binaryFile")
+        .load(fixture_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("member_basename"),
+            "content",
+        )
+    )
+    records = read_dbc(members)
+    return (
+        records.groupBy(F.col("AP_CONDIC").alias("condic"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("AP_VL_TOTAL").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("condic")
+    )

@@ -373,3 +373,70 @@ def events_session_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         coalesce(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_view
+  FROM events
+),
+staged AS (
+  SELECT *,
+         CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END AS s2,
+         coalesce(max(CASE WHEN event_type = 'click' AND seen_view = 1
+                           THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seen_click
+  FROM ordered
+)
+SELECT count(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS n_view,
+       count(DISTINCT CASE WHEN s2 = 1 THEN user_id END) AS n_click_after_view,
+       count(DISTINCT CASE WHEN event_type = 'purchase' AND seen_click = 1
+                           THEN user_id END) AS n_purchase_after_click
+FROM staged
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked strictly after
+    a view, then purchased strictly after such a click.
+
+    The events fact is shuffled ONCE (both cumulative-flag windows share
+    the (user_id; ts, event_id) partitioning → one Exchange, two Window
+    nodes); the multi-column distinct count then re-shuffles only tiny
+    (user_id, flag) tuples. The strictly-before semantics come from the
+    UNBOUNDED PRECEDING .. 1 PRECEDING frame (no self-joins, no per-stage
+    re-scan of events — the textbook 3-CTE funnel scans the fact table once
+    per stage)."""
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "ts", "event_id")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    ordered = ev.withColumn("seen_view", F.coalesce(F.max(is_view).over(w), F.lit(0)))
+    s2_expr = F.when(
+        (F.col("event_type") == "click") & (F.col("seen_view") == 1), 1
+    ).otherwise(0)
+    staged = ordered.withColumn("s2", s2_expr).withColumn(
+        "seen_click", F.coalesce(F.max(s2_expr).over(w), F.lit(0))
+    )
+    return staged.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_view"),
+        F.countDistinct(F.when(F.col("s2") == 1, F.col("user_id"))).alias(
+            "n_click_after_view"
+        ),
+        F.countDistinct(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("seen_click") == 1),
+                F.col("user_id"),
+            )
+        ).alias("n_purchase_after_click"),
+    )
