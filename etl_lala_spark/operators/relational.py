@@ -129,3 +129,37 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return l_salted.join(r_rep, [on, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_n: int = 10
+) -> DataFrame:
+    """Join/agg-key skew diagnostic: per-key frequencies for the heaviest
+    keys plus their share of all rows and the ratio to a perfectly uniform
+    key ("hot keys N× the mean" is the number that decides whether a salted
+    join — ``salted_join`` — or AQE skew splitting is needed BEFORE the big
+    shuffle runs).
+
+    One hash agg on the key + a 1-row broadcast of (total, distinct):
+    diagnostic cost is a map-side-combined count, never a sort of the
+    fact table.
+    """
+    per_key = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    totals = per_key.agg(
+        F.sum("n").alias("total_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        per_key.join(F.broadcast(totals))
+        .select(
+            "key",
+            "n",
+            F.round(F.col("n") / F.col("total_rows"), 6).alias("row_share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("x_uniform"),
+        )
+        .orderBy(F.col("n").desc(), "key")
+        .limit(top_n)
+    )

@@ -667,3 +667,33 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").alias("active_customers"))
         .orderBy("cohort", "active_month")
     )
+
+
+@register(
+    "diag_key_skew",
+    oracle="""
+WITH per_key AS (
+  SELECT o_custkey AS key, count(*) AS n FROM orders GROUP BY 1
+),
+totals AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total_rows, count(*) AS n_keys FROM per_key
+)
+SELECT key, n,
+       round(n / total_rows, 6) AS row_share,
+       round(n * n_keys / total_rows, 4) AS x_uniform
+FROM per_key, totals
+ORDER BY n DESC, key
+LIMIT 10
+""",
+)
+def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic over orders.o_custkey (the key every
+    customer join hashes on): hottest keys, their row share, and their
+    multiple of the uniform expectation — the pre-flight check that decides
+    between a plain shuffle join, AQE skew splitting, and salting
+    (operators/relational.py:salted_join)."""
+    from etl_lala_spark.operators.relational import key_skew_profile
+
+    return key_skew_profile(
+        load_table(spark, sf_dir, "orders"), "o_custkey", top_n=10
+    )

@@ -90,3 +90,19 @@ def test_bm25_single_projection_no_explode(spark, sf_dir):
     plan = plan_of(spark, "text_bm25_retrieval", sf_dir)
     assert "Generate" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_aqe_coalesces_shuffle_partitions(spark, sf_dir):
+    """AQE must be live: after execution, the adaptive plan of a grouped
+    aggregate shows AQEShuffleRead coalescing the tiny shuffle."""
+    df = query_fns()["q1_pricing_summary"](spark, sf_dir)
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan
+
+
+def test_diag_key_skew_never_sorts_fact_table(spark, sf_dir):
+    plan = plan_of(spark, "diag_key_skew", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # top-k, no global sort
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the key
