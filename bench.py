@@ -18,9 +18,12 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
     "window_topk_per_customer",
     "events_tumbling_window",
     "events_sessionization",
+    "events_funnel_conversion",
+    "text_bm25_retrieval",
     "datasus_pa_summary",
     "datasus_run_summary",
     "events_user_enrichment",
