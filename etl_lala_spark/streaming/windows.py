@@ -113,3 +113,45 @@ def run_to_memory(
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def stream_stream_interval_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "10 minutes",
+    watermark: str = "20 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each click joins the views
+    by the same user in the preceding ``horizon``.
+
+    Both sides carry a watermark and the join condition bounds event time in
+    BOTH directions (view.ts <= click.ts <= view.ts + horizon), so Spark can
+    evict join state once the slower watermark passes the interval — state
+    stays bounded no matter the stream length (T1), which is what makes the
+    operator runnable against an unbounded 100 TB/day event feed. Without
+    the time bound the state store would grow forever.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("click_ts", watermark)
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr(f"interval {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        "click_value",
+    )

@@ -235,3 +235,38 @@ def test_transform_with_state_progress_matches_legacy(spark, event_dir):
     }
     assert len(new_rows) > 0
     assert new_set == legacy_set
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, event_dir):
+    """Stream-stream watermarked interval join produces exactly the batch
+    join's pairs (availableNow processes everything, so no rows are lost to
+    the watermark in this bounded run)."""
+    views_s = windows.read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "view"
+    )
+    clicks_s = windows.read_event_stream(spark, event_dir).filter(
+        F.col("event_type") == "click"
+    )
+    got = windows.run_to_memory(
+        windows.stream_stream_interval_join(views_s, clicks_s), "t_ssjoin"
+    )
+    stream_pairs = {(r["view_id"], r["click_id"]) for r in got.collect()}
+
+    ev = load_events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts"), F.col("event_id").alias("vid")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    batch_pairs = {
+        (r["vid"], r["cid"])
+        for r in v.join(
+            c,
+            (F.col("vu") == F.col("cu"))
+            & (F.col("cts") >= F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("interval 10 minutes")),
+        ).collect()
+    }
+    assert len(batch_pairs) > 0
+    assert stream_pairs == batch_pairs
