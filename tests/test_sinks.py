@@ -163,3 +163,55 @@ def test_retain_latest_runs(spark, out_dir):
     remaining = sorted(os.listdir(base))
     assert remaining == [f"execucao-{i}" for i in range(2, 7)]
     assert sorted(deleted) == [os.path.join(base, f"execucao-{i}") for i in range(2)]
+
+
+def test_write_zordered_skips_on_both_columns(spark, out_dir):
+    """Z-order clustering must give real skipping power on BOTH columns: for
+    a box predicate on (l_partkey, l_suppkey), fewer row groups overlap the
+    box than under a lexicographic sort's trailing column, and the trailing
+    column's per-row-group ranges must not all span the full domain."""
+    import pyarrow.parquet as pq
+    from etl_lala_spark.io import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    zpath = os.path.join(out_dir, "zorder_t")
+    lexpath = os.path.join(out_dir, "lex_t")
+    writer.write_zordered(li, zpath, zcols=("l_partkey", "l_suppkey"), n_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey", "l_suppkey")
+        .write.mode("overwrite")
+        .parquet(lexpath)
+    )
+    assert spark.read.parquet(zpath).count() == li.count()
+
+    def rg_ranges(path, col):
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    out.append((st.min, st.max))
+        return out
+
+    # thin box (lowest 10%) on the TRAILING/second dimension, relative to
+    # the observed domain so the test holds at any scale factor
+    bounds = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    smin, smax = bounds[0], bounds[1]
+    lo, hi = smin, smin + max(1, (smax - smin) // 10)
+    z_hit = sum(1 for mn, mx in rg_ranges(zpath, "l_suppkey") if mx >= lo and mn <= hi)
+    z_all = len(rg_ranges(zpath, "l_suppkey"))
+    lex_hit = sum(
+        1 for mn, mx in rg_ranges(lexpath, "l_suppkey") if mx >= lo and mn <= hi
+    )
+    lex_all = len(rg_ranges(lexpath, "l_suppkey"))
+    # lexicographic: every row group spans ~the full suppkey domain -> no skip
+    assert lex_hit == lex_all
+    # z-order: a thin suppkey box must actually skip row groups
+    assert z_hit < z_all, f"z-order skipped nothing ({z_hit}/{z_all})"
