@@ -494,3 +494,65 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round(score, 6).alias("bm25"))
         .orderBy(F.col("bm25").desc(), "doc_id")
     )
+
+
+@register(
+    "text_model_inference",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         least(len({_TOK_SQL}) / 100.0, 1.0) AS f_len,
+         length(regexp_replace(text, '[^.!?,;]', '', 'g')) * 1.0
+           / length(text) AS f_punct,
+         len(list_filter({_TOK_SQL}, t -> t IN {_STOP_SQL})) * 1.0
+           / len({_TOK_SQL}) AS f_stop,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS f_en
+  FROM documents
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-(-1.5 + 2.0 * f_len - 3.0 * f_punct
+                                + 1.2 * f_stop + 0.8 * f_en))), 6) AS p_keep,
+       (1.0 / (1.0 + exp(-(-1.5 + 2.0 * f_len - 3.0 * f_punct
+                           + 1.2 * f_stop + 0.8 * f_en))) >= 0.5) AS keep
+FROM feats
+ORDER BY doc_id
+""",
+)
+def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-model inference fused into the scan (the pure-SQL ML-inference
+    pattern — ICDE 2025 "ML Inference Pipeline Execution Using Pure SQL
+    Based on Operator Fusion"): a fixed logistic-regression quality
+    classifier over four text features, evaluated entirely as JVM
+    expressions inside one whole-stage-codegen'd projection.
+
+    No UDF, no model server, no extra pass: at 100 TB inference costs
+    exactly one scan, and Catalyst prunes to the two referenced columns.
+    Weights are illustrative constants (a real pipeline would broadcast a
+    small coefficients table and generate the same expression)."""
+    from etl_lala_spark.operators.text import (
+        STOPWORDS,
+        punct_count,
+        stopword_count,
+        token_count,
+        tokens,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    f_len = F.least(token_count(text) / F.lit(100.0), F.lit(1.0))
+    f_punct = punct_count(text).cast("double") / F.length(text)
+    f_stop = stopword_count(text).cast("double") / token_count(text)
+    f_en = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    logit = (
+        F.lit(-1.5)
+        + F.lit(2.0) * f_len
+        - F.lit(3.0) * f_punct
+        + F.lit(1.2) * f_stop
+        + F.lit(0.8) * f_en
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return d.select(
+        "doc_id",
+        F.round(p, 6).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
