@@ -262,3 +262,50 @@ def udtf_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.doc_id, t.pos
         """
     )
+
+
+@register(
+    "udaf_pandas_geomean",
+    oracle="""
+SELECT l_returnflag,
+       round(exp(avg(ln(l_extendedprice))), 4) AS geo_mean_price,
+       count(*) AS n
+FROM lineitem
+WHERE l_extendedprice > 0
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def udaf_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF surface, SURVEY.md §2.10): a
+    per-group geometric mean computed vectorized in Arrow batches.
+
+    The UDF computes mean(log(x)) per group — a value Spark's built-ins
+    could also express (exp(avg(ln))), which is exactly why it makes a good
+    oracle-checked UDAF: the custom-aggregation machinery is verified
+    against a pure-SQL formulation. Log-domain accumulation also keeps the
+    partial sums in a numerically safe range at 100 TB group sizes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def mean_log(v: pd.Series) -> float:
+        import numpy as np
+
+        return float(np.log(v.to_numpy()).mean())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing grouped-agg pandas UDFs with built-in
+        # aggregates in one agg, so the count is a pandas UDAF too.
+        return len(v)
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.exp(mean_log("l_extendedprice")), 4).alias("geo_mean_price"),
+            n_rows("l_extendedprice").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -215,3 +215,47 @@ def test_write_zordered_skips_on_both_columns(spark, out_dir):
     assert lex_hit == lex_all
     # z-order: a thin suppkey box must actually skip row groups
     assert z_hit < z_all, f"z-order skipped nothing ({z_hit}/{z_all})"
+
+
+def test_maintain_summary_incremental_matches_batch(spark, sf_dir, out_dir):
+    """Incremental materialized view: after streaming all files (one per
+    trigger), the summary equals the batch groupBy; re-running the stream
+    (replay without checkpoint) must not double-count."""
+    from etl_lala_spark.io import load_events
+    from etl_lala_spark.streaming import windows as sw
+
+    src = os.path.join(out_dir, "mv_src")
+    summary = os.path.join(out_dir, "mv_summary")
+    ev = load_events(spark, sf_dir)
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    def run():
+        q = writer.maintain_summary(
+            sw.read_event_stream(spark, src, max_files_per_trigger=1),
+            summary,
+            keys=["event_type"],
+            value_col="value",
+        )
+        q.awaitTermination(180)
+        q.stop()
+
+    run()
+    got = {
+        r["event_type"]: (r["n_rows"], round(r["value_sum"], 2))
+        for r in spark.read.parquet(summary).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], round(r["s"], 2))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # replay the whole stream with a fresh (uncheckpointed) query: batch ids
+    # restart at 0 and every batch is <= last applied -> no double counting
+    run()
+    got2 = {
+        r["event_type"]: (r["n_rows"], round(r["value_sum"], 2))
+        for r in spark.read.parquet(summary).collect()
+    }
+    assert got2 == want
