@@ -440,3 +440,72 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_purchase_after_click"),
     )
+
+
+@register(
+    "events_variant_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) // 25 AS k_bucket,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY k_bucket
+""",
+)
+def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the Spark 4 VARIANT type: ``parse_json``
+    once into a binary variant, then typed ``variant_get`` extraction —
+    the engine parses each JSON document a single time however many fields
+    later stages pull out, where ``get_json_object`` re-parses per call.
+    The DuckDB oracle uses its native JSON path on the same documents."""
+    ev = load_events(spark, sf_dir)
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.groupBy(F.floor(k / 25).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@register(
+    "events_trending_topk",
+    oracle="""
+WITH per_window AS (
+  SELECT time_bucket(INTERVAL 6 HOUR, ts) AS w_start,
+         event_type,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY w_start ORDER BY n DESC, event_type) AS rnk
+  FROM per_window
+)
+SELECT w_start, event_type, n, rnk
+FROM ranked
+WHERE rnk <= 3
+ORDER BY w_start, rnk
+""",
+)
+def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per 6-hour window (the classic streaming
+    leaderboard, in its replayable batch form): windowed pre-aggregation
+    shrinks the fact table to (window × type) BEFORE the rank window, so
+    the ranking shuffle moves an aggregate, not events."""
+    ev = load_events(spark, sf_dir)
+    per_window = ev.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("w_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        per_window.select(F.col("w.start").alias("w_start"), "event_type", "n")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("w_start", "rnk")
+    )
