@@ -106,3 +106,61 @@ def test_diag_key_skew_never_sorts_fact_table(spark, sf_dir):
     plan = plan_of(spark, "diag_key_skew", sf_dir)
     assert "TakeOrderedAndProject" in plan  # top-k, no global sort
     assert plan.count("HashAggregate") >= 2  # map-side combine on the key
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir):
+    """A selective dim filter feeding a shuffle join injects a bloom-filter
+    semi-join reduction (`might_contain`) on the fact scan, dropping most
+    fact rows before the shuffle. Local test data sits under the 10 MB
+    creation-side threshold, so the thresholds are lowered here to assert
+    the rewrite itself fires; production keeps the stock thresholds."""
+    from etl_lala_spark.io import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        urgent = orders.filter("o_orderpriority = '1-URGENT'").select("o_orderkey")
+        q = li.join(urgent, li.l_orderkey == urgent.o_orderkey).groupBy().count()
+        plan = q._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_dynamic_partition_pruning_on_partitioned_load(spark, sf_dir, tmp_path):
+    """Tables written partitioned by the incremental writer are DPP-eligible:
+    joining on the partition column against a filtered broadcast dimension
+    puts a dynamicpruningexpression into the scan's PartitionFilters, so only
+    the matching partition directories are listed and read — at 100 TB the
+    other partitions never leave object storage."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.sinks.writer import load_incremental
+
+    path = str(tmp_path / "li_by_flag")
+    li = load_table(spark, sf_dir, "lineitem")
+    load_incremental(spark, li, path, part_col="l_returnflag")
+
+    part = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("N", "drop"), ("R", "drop")], ["flag", "tag"]
+    )
+    q = (
+        part.join(F.broadcast(dim), part.l_returnflag == dim.flag)
+        .filter(F.col("tag") == "keep")
+        .groupBy("flag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
