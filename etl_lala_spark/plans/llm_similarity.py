@@ -97,3 +97,43 @@ def ann_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(sim.dot(e, e) / (sim.norm(e) * sim.norm(e)), 4).alias("self_sim"),
     ).orderBy("vec_id")
+
+
+# `+ 0` collapses IEEE -0.0 to 0.0 so both engines repr identically.
+_CENTROID_TERMS = ", ".join(
+    f"round(avg(embedding[{i + 1}]::DOUBLE), 4) + 0" for i in range(DIM)
+)
+
+
+@register(
+    "embedding_centroids",
+    oracle=f"""
+SELECT label,
+       count(*) AS n_vectors,
+       [{_CENTROID_TERMS}] AS centroid
+FROM embeddings
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise mean of the embedding column (class centroids —
+    the reduce step of IVF codebook training / per-cluster summaries).
+
+    Spark-first plan: 64 columnar ``avg(embedding[i])`` aggregates in ONE
+    hash aggregate, reassembled with ``F.array`` — a single shuffle of
+    (labels × 64) partial sums with map-side combine, instead of the naive
+    ``posexplode`` which would inflate the fact table 64× before shuffling.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroid = F.array(
+        *[
+            F.round(F.avg(F.col("embedding")[i].cast("double")), 4) + F.lit(0.0)
+            for i in range(DIM)
+        ]
+    ).alias("centroid")
+    return (
+        emb.groupBy("label")
+        .agg(F.count("*").alias("n_vectors"), centroid)
+        .orderBy("label")
+    )

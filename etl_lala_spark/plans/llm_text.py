@@ -556,3 +556,66 @@ def text_model_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_keep"),
         (p >= 0.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+_PROFILE_COLS = ("doc_id", "lang", "n_chars", "source", "text")
+
+_PROFILE_STATS = ",\n         ".join(
+    f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c},\n"
+    f"         min(CAST({c} AS VARCHAR)) AS mn_{c}, max(CAST({c} AS VARCHAR)) AS mx_{c}"
+    for c in _PROFILE_COLS
+)
+
+_PROFILE_ARMS = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, n_rows, nn_{c} AS n_nonnull, nd_{c} AS n_distinct,\n"
+    f"       mn_{c} AS min_str, mx_{c} AS max_str FROM s"
+    for c in _PROFILE_COLS
+)
+
+
+@register(
+    "profile_documents",
+    oracle=f"""
+WITH s AS (
+  SELECT count(*) AS n_rows,
+         {_PROFILE_STATS}
+  FROM documents
+)
+{_PROFILE_ARMS}
+ORDER BY col_name
+""",
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling (per-column null / distinct / min / max) — the
+    first step of any curation pipeline, and the stats feeding partition
+    and skew decisions.
+
+    Single-scan design: all per-column stats ride ONE aggregate (the exact
+    distincts expand map-side, Catalyst plans one pass over the table), then
+    ``stack`` unpivots the 1-row wide result into the long report — at
+    100 TB the table is read once, not once per column as a naive
+    ``describe`` loop would. Min/max compare stringified values on both
+    engines so numeric columns profile identically.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"mx_{c}"),
+        ]
+    wide = docs.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col_name, n_nonnull, n_distinct, min_str, max_str)",
+            "n_rows",
+        )
+        .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_str", "max_str")
+        .orderBy("col_name")
+    )
