@@ -163,3 +163,78 @@ def key_skew_profile(
         .orderBy(F.col("n").desc(), "key")
         .limit(top_n)
     )
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_col: str = "effective_batch",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) maintenance as one DataFrame plan —
+    MERGE-INTO semantics without a table format that supports it.
+
+    ``current`` is the dimension history: ``key``, ``tracked`` attributes,
+    ``valid_from``, ``valid_to`` (null = open), ``is_current``. ``updates``
+    carries ``key``, new ``tracked`` values, and ``effective_col`` (the batch
+    stamp for the new version). Rows whose tracked attributes changed are
+    closed out (``valid_to`` = effective stamp) and a new open version is
+    appended; unchanged and historical rows pass through untouched; brand-new
+    keys insert an open version.
+
+    Scale: a single equi-join on ``key`` against the *current* slice only
+    (history rows never join), so the wide work is one shuffle — or zero when
+    the updates side broadcasts. The reference's loader only ever appends
+    (SURVEY.md §1.3); this supplies the dimension-versioning path a warehouse
+    needs on top.
+    """
+    null_long = F.lit(None).cast("long")
+    cur = current.filter(F.col("is_current"))
+    hist = current.filter(~F.col("is_current"))
+
+    changed_pred = F.lit(False)
+    for c in tracked:
+        changed_pred = changed_pred | ~F.col(c).eqNullSafe(F.col(f"u_{c}"))
+
+    upd = updates.select(
+        F.col(key),
+        F.col(effective_col).alias("u_effective"),
+        *[F.col(c).alias(f"u_{c}") for c in tracked],
+    )
+    joined = cur.join(upd, on=key, how="left").cache()
+
+    untouched = joined.filter(F.col("u_effective").isNull() | ~changed_pred).select(
+        cur.columns
+    )
+    closed = (
+        joined.filter(F.col("u_effective").isNotNull() & changed_pred)
+        .withColumn("valid_to", F.col("u_effective"))
+        .withColumn("is_current", F.lit(False))
+        .select(cur.columns)
+    )
+    reopened = (
+        joined.filter(F.col("u_effective").isNotNull() & changed_pred)
+        .select(
+            F.col(key),
+            *[F.col(f"u_{c}").alias(c) for c in tracked],
+            F.col("u_effective").alias("valid_from"),
+            null_long.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(cur.columns)
+    )
+    inserted = (
+        upd.join(cur, on=key, how="left_anti")
+        .select(
+            F.col(key),
+            *[F.col(f"u_{c}").alias(c) for c in tracked],
+            F.col("u_effective").alias("valid_from"),
+            null_long.alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
+        .select(cur.columns)
+    )
+    return hist.unionByName(untouched).unionByName(closed).unionByName(
+        reopened
+    ).unionByName(inserted)

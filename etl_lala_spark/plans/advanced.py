@@ -309,3 +309,58 @@ def udaf_pandas_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+WITH cur AS (SELECT c_custkey, c_mktsegment FROM customer),
+out AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(0 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+         TRUE AS is_current
+  FROM cur WHERE c_custkey % 7 <> 0
+  UNION ALL
+  SELECT c_custkey, c_mktsegment, 0, 1, FALSE
+  FROM cur WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey, 'MOVED', 1, NULL, TRUE
+  FROM cur WHERE c_custkey % 7 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, 'NEW', 1, NULL, TRUE
+  FROM cur WHERE c_custkey % 100 = 0
+)
+SELECT * FROM out ORDER BY c_custkey, valid_from
+""",
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance (`operators/relational.py:scd2_apply`)
+    driven by a deterministic update batch: customers with key % 7 == 0 move
+    segment (close + reopen), key % 5 == 0 arrive as no-op updates (pass
+    through), key % 100 == 0 spawn brand-new keys (insert). One equi-join on
+    the key against the current slice is the only wide work."""
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    base = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(0).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = F.lit(1).cast("long").alias("effective_batch")
+    upd_existing = cust.filter((k % 7 == 0) | (k % 5 == 0)).select(
+        "c_custkey",
+        F.when(k % 7 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        batch,
+    )
+    upd_new = cust.filter(k % 100 == 0).select(
+        (k + 10000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        batch,
+    )
+    updates = upd_existing.unionByName(upd_new)
+    out = rel.scd2_apply(base, updates, "c_custkey", ["c_mktsegment"])
+    return out.orderBy("c_custkey", "valid_from")

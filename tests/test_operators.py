@@ -261,3 +261,29 @@ def test_sniff_media_real_headers(spark, sf_dir):
     assert got[3] == ("wav", 44100, 2, 16)
     assert got[4] == ("jpeg", 1920, 1080, 3)
     assert got[5] == ("unknown", 0, 0, 0)
+
+
+def test_scd2_apply_closes_reopens_and_is_idempotent(spark):
+    from etl_lala_spark.operators import relational as rel
+
+    base = spark.createDataFrame(
+        [(1, "A", 0, None, True), (2, "B", 0, None, True),
+         (2, "Z", -1, 0, False)],  # key 2 already has history
+        "k long, seg string, valid_from long, valid_to long, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "A2", 1), (2, "B", 1), (3, "C", 1)],  # change, no-op, insert
+        "k long, seg string, effective_batch long",
+    )
+    out = rel.scd2_apply(base, updates, "k", ["seg"])
+    rows = {(r.k, r.valid_from): r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[(1, 0)].valid_to == 1 and rows[(1, 0)].is_current is False
+    assert rows[(1, 1)].seg == "A2" and rows[(1, 1)].is_current is True
+    assert rows[(2, 0)].is_current is True          # no-op passes through
+    assert rows[(2, -1)].valid_to == 0              # history untouched
+    assert rows[(3, 1)].seg == "C" and rows[(3, 1)].is_current is True
+
+    # Re-applying the same batch is a no-op: MERGE semantics are idempotent.
+    again = rel.scd2_apply(out, updates, "k", ["seg"])
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
