@@ -297,3 +297,35 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("price_band"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "events_distinct_rollup_hll",
+    doc="rows-only: mergeable DataSketches HLL rollup of daily distinct users",
+)
+def events_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting (DataSketches HLL): build one
+    user-id sketch PER DAY with ``hll_sketch_agg``, then merge the daily
+    sketches with ``hll_union_agg`` for per-type totals — distinct counts
+    roll up without ever touching raw keys twice.
+
+    This is the 100 TB pattern plain ``countDistinct`` can't offer: daily
+    sketches are small (~KB), persistable next to the partition, and any
+    ad-hoc date range is answered by unioning sketches instead of
+    re-scanning the fact table. Sketch estimates are algorithm-specific,
+    so no cross-engine oracle; pytest bounds the error vs exact.
+    """
+    from etl_lala_spark.io import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -85,3 +85,27 @@ def test_dbc_roundtrip(table):
     cols, rows = table
     dbf_bytes = dbc.write_dbf(cols, rows, field_len=20)
     assert dbc.dbc_to_dbf(dbc.dbf_to_dbc(dbf_bytes)) == dbf_bytes
+
+
+def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
+    """Unioning per-day HLL sketches must estimate per-type distinct users
+    within 5% of the exact count (HLL lgK=12 gives ~1.6% stddev)."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.io import load_events
+    from etl_lala_spark.plans import query_fns
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in query_fns()["events_distinct_rollup_hll"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for t, est in approx.items():
+        assert abs(est - exact[t]) <= max(2, 0.05 * exact[t]), (t, est, exact[t])
