@@ -364,3 +364,29 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = upd_existing.unionByName(upd_new)
     out = rel.scd2_apply(base, updates, "c_custkey", ["c_mktsegment"])
     return out.orderBy("c_custkey", "valid_from")
+
+
+_RCTE_SQL = """
+WITH RECURSIVE chain (c_custkey, depth) AS (
+  SELECT c_custkey, 0 AS depth FROM customer WHERE c_custkey <= 3
+  UNION ALL
+  SELECT c.c_custkey, ch.depth + 1
+  FROM customer c JOIN chain ch ON c.c_custkey = ch.c_custkey * 2
+  WHERE ch.depth < 12
+)
+SELECT depth, count(*) AS n_nodes,
+       min(c_custkey) AS min_key, max(c_custkey) AS max_key
+FROM chain GROUP BY depth ORDER BY depth
+"""
+
+
+@register("recursive_cte_chain", oracle=_RCTE_SQL)
+def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): iterative key-doubling
+    walk over customer — the hierarchy/graph-traversal shape (org charts,
+    BOM explosions) that needed driver-side loops before Spark 4. The SAME
+    SQL text runs on DuckDB as the oracle. Each iteration is one equi-join
+    of the frontier against the dimension; the frontier shrinks
+    geometrically, so total work is O(edges), not O(depth x table)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RCTE_SQL)

@@ -329,3 +329,51 @@ def events_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "higher_order_arrays",
+    oracle="""
+WITH arrs AS (
+  SELECT o_custkey, list_sort(list(round(o_totalprice, 2))) AS prices
+  FROM orders WHERE o_custkey <= 50
+  GROUP BY o_custkey
+)
+SELECT o_custkey,
+       round(list_sum(list_transform(prices, p -> p * 0.9)) + 0, 2) AS discounted_total,
+       len(list_filter(prices, p -> p > 150000)) AS n_large,
+       round(list_reduce(prices, (a, b) -> CASE WHEN b > a THEN b ELSE a END) + 0, 2)
+         AS max_via_reduce
+FROM arrs
+ORDER BY o_custkey
+""",
+)
+def higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — ``transform``/``filter``/``aggregate``
+    lambdas run INSIDE codegen on the JVM (SURVEY §2.12 scalar surface), the
+    idiomatic replacement for per-row Python when values are nested. The
+    DuckDB oracle mirrors each lambda with list_transform/list_filter/
+    list_reduce over identically sorted arrays."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    arrs = o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_list(F.round("o_totalprice", 2))).alias("prices")
+    )
+    zero = F.lit(0.0)
+    return arrs.select(
+        "o_custkey",
+        F.round(
+            F.aggregate(
+                F.transform("prices", lambda p: p * 0.9), zero, lambda a, b: a + b
+            )
+            + zero,
+            2,
+        ).alias("discounted_total"),
+        F.size(F.filter("prices", lambda p: p > 150000)).alias("n_large"),
+        F.round(
+            F.aggregate(
+                "prices", F.lit(float("-inf")), lambda a, b: F.greatest(a, b)
+            )
+            + zero,
+            2,
+        ).alias("max_via_reduce"),
+    ).orderBy("o_custkey")
