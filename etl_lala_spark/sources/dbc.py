@@ -41,13 +41,24 @@ def parse_dbf_header(data: bytes) -> list[str]:
     return names
 
 
-def parse_dbf(data: bytes, limit: int | None = None) -> tuple[list[str], list[list[str]]]:
+def parse_dbf(
+    data: bytes,
+    limit: int | None = None,
+    project: list[str] | None = None,
+) -> tuple[list[str], list[list[str]]]:
     """Decode DBF bytes → (column names, rows of stringified latin1 values).
 
     Mirrors the reference converter's semantics: ``str(value)`` for every
     field (DIAGNOSTICO_TAMANHO_JSON.md:246-252), latin1 encoding
     (OTIMIZACAO_API_PYTHON.md:202), deleted rows (0x2A flag) skipped, and
     optional record-limit pushdown (S9, OTIMIZACAO_API_PYTHON.md:62-76).
+
+    ``project`` is projection pushdown into the decoder: only the named
+    fields are sliced/decoded (field offsets come from the header, so
+    non-projected bytes are skipped, never touched). Returned columns keep
+    file order. On a 92-column DATASUS file a 3-column projection does
+    ~1/30th of the per-record Python work — the custom-source analog of
+    Parquet column pruning.
     """
     n_records = struct.unpack("<I", data[4:8])[0]
     header_len = struct.unpack("<H", data[8:10])[0]
@@ -62,6 +73,14 @@ def parse_dbf(data: bytes, limit: int | None = None) -> tuple[list[str], list[li
         fields.append((name, length))
         off += 32
 
+    # (name, record offset, length) for each decoded field; header order.
+    sel: list[tuple[str, int, int]] = []
+    fo = 1
+    for name, flen in fields:
+        if project is None or name in project:
+            sel.append((name, fo, flen))
+        fo += flen
+
     rows: list[list[str]] = []
     pos = header_len
     for _ in range(n_records):
@@ -71,12 +90,8 @@ def parse_dbf(data: bytes, limit: int | None = None) -> tuple[list[str], list[li
         pos += record_len
         if len(rec) < record_len or rec[0:1] == b"\x2a":  # deleted
             continue
-        vals, fo = [], 1
-        for _name, flen in fields:
-            vals.append(rec[fo : fo + flen].decode("latin1").strip())
-            fo += flen
-        rows.append(vals)
-    return [f[0] for f in fields], rows
+        rows.append([rec[o : o + l].decode("latin1").strip() for _n, o, l in sel])
+    return [s[0] for s in sel], rows
 
 
 def dbc_to_dbf(data: bytes) -> bytes:
@@ -124,6 +139,7 @@ def read_dbf(
     name_col: str = "member_basename",
     limit: int | None = None,
     columns: list[str] | None = None,
+    project: list[str] | None = None,
 ) -> DataFrame:
     """Decode DBF binary rows into an all-string record table with
     ``arquivo_origem`` provenance (reference record shape,
@@ -131,9 +147,13 @@ def read_dbf(
 
     Column list is discovered from the data unless supplied; files whose
     header disagrees raise inside the task (fail-fast, like the reference's
-    ``sucesso !== true`` guard).
+    ``sucesso !== true`` guard). ``project`` pushes column pruning into the
+    per-record decoder (see ``parse_dbf``); the output schema keeps the
+    projected fields in file order.
     """
     cols = columns if columns is not None else infer_dbf_columns(binaries, content_col)
+    if project is not None:
+        cols = [c for c in cols if c in project]
     schema = T.StructType(
         [T.StructField(c, T.StringType()) for c in cols]
         + [T.StructField("arquivo_origem", T.StringType())]
@@ -143,7 +163,7 @@ def read_dbf(
         for pdf in batches:
             frames = []
             for name, blob in zip(pdf[name_col], pdf[content_col]):
-                file_cols, rows = parse_dbf(bytes(blob), limit=limit)
+                file_cols, rows = parse_dbf(bytes(blob), limit=limit, project=project)
                 if file_cols != cols:
                     raise ValueError(
                         f"{name}: columns {file_cols[:3]}... != expected {cols[:3]}..."
@@ -166,13 +186,19 @@ def read_dbc(
     name_col: str = "member_basename",
     limit: int | None = None,
     columns: list[str] | None = None,
+    project: list[str] | None = None,
 ) -> DataFrame:
     """S8 end-to-end: decode ``.dbc`` binary rows (implode-compressed DBF)
     into the all-string record table. Schema discovery needs no
     decompression — the DBF header is stored verbatim at the front of a
     ``.dbc`` — and the per-file decompress+parse runs distributed inside
-    ``mapInPandas``, one task per batch of files."""
+    ``mapInPandas``, one task per batch of files. ``project`` prunes columns
+    inside the decoder (decompression still touches every byte — implode
+    output is sequential — but field slicing/decoding skips non-projected
+    fields)."""
     cols = columns if columns is not None else infer_dbf_columns(binaries, content_col)
+    if project is not None:
+        cols = [c for c in cols if c in project]
     schema = T.StructType(
         [T.StructField(c, T.StringType()) for c in cols]
         + [T.StructField("arquivo_origem", T.StringType())]
@@ -182,7 +208,9 @@ def read_dbc(
         for pdf in batches:
             frames = []
             for name, blob in zip(pdf[name_col], pdf[content_col]):
-                file_cols, rows = parse_dbf(dbc_to_dbf(bytes(blob)), limit=limit)
+                file_cols, rows = parse_dbf(
+                    dbc_to_dbf(bytes(blob)), limit=limit, project=project
+                )
                 if file_cols != cols:
                     raise ValueError(
                         f"{name}: columns {file_cols[:3]}... != expected {cols[:3]}..."

@@ -177,3 +177,34 @@ def test_tagged_ndjson_permissive_error_records(spark, tmp_path):
     assert ("this is not json", "malformed_json") in errors
     assert ('{"tipo": "whatever", "dados": {"A": "2"}}', "unknown_tipo") in errors
     assert len(errors) == 2
+
+
+def test_dbf_projection_pushdown(spark, staging):
+    cols = ["AP_MVM", "AP_CONDIC", "AP_VL_TOTAL"]
+    rows = [["202501", "EP", "153.27"], ["202502", "PG", "99.10"]]
+    data = dbc.write_dbf(cols, rows)
+
+    # decoder-level pruning: only projected fields are decoded, file order kept
+    got_cols, got_rows = dbc.parse_dbf(data, project=["AP_VL_TOTAL", "AP_MVM"])
+    assert got_cols == ["AP_MVM", "AP_VL_TOTAL"]
+    assert got_rows == [["202501", "153.27"], ["202502", "99.10"]]
+
+    # distributed path: projected schema + provenance only
+    zdir = os.path.join(staging, "dbfproj")
+    os.makedirs(zdir, exist_ok=True)
+    with open(os.path.join(zdir, "p.zip"), "wb") as fh:
+        fh.write(_zip_bytes({"PAPE2502.dbf": data}))
+    members = arc.extract_archive_members(
+        arc.read_binary_files(spark, zdir, glob="*.zip"), suffix=".dbf"
+    )
+    records = dbc.read_dbf(members, project=["AP_CONDIC"])
+    assert records.columns == ["AP_CONDIC", "arquivo_origem"]
+    assert sorted(r["AP_CONDIC"] for r in records.collect()) == ["EP", "PG"]
+
+    # and through the .dbc (implode) path
+    from pyspark.sql import functions as F
+
+    dbc_members = members.withColumn("content", F.udf(lambda b: dbc.dbf_to_dbc(bytes(b)), "binary")("content"))
+    rec2 = dbc.read_dbc(dbc_members, project=["AP_MVM"])
+    assert rec2.columns == ["AP_MVM", "arquivo_origem"]
+    assert sorted(r["AP_MVM"] for r in rec2.collect()) == ["202501", "202502"]
