@@ -7,7 +7,7 @@ variant is the 100 TB path — approximate, so rows-only + pytest recall tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from etl_lala_spark.io import load_table
@@ -137,3 +137,58 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_vectors"), centroid)
         .orderBy("label")
     )
+
+
+def _hybrid_oracle() -> str:
+    from etl_lala_spark.plans.llm_text import _bm25_oracle
+
+    dot = _DOT  # candidate alias c x query alias q, as in the ANN oracles
+    return f"""
+WITH cand AS (
+  SELECT doc_id, bm25 FROM ({_bm25_oracle()})
+  ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT cand.doc_id, cand.bm25,
+         round({dot} / ({_NQ} * {_NC}), 4) AS cos_sim
+  FROM cand JOIN embeddings c ON c.vec_id = cand.doc_id
+  CROSS JOIN q
+)
+SELECT doc_id, bm25, cos_sim,
+       CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rerank
+FROM scored
+ORDER BY rerank
+"""
+
+
+@register("hybrid_retrieval_rerank", oracle=_hybrid_oracle())
+def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the RAG-serving shape: cheap lexical BM25
+    candidate generation (top-20, JVM-only scoring over `documents`) followed
+    by embedding cosine rerank against a designated query vector
+    (``vec_id = 0``), joining candidates to `embeddings` on the shared id.
+
+    Scale: stage 1 touches the full corpus but moves only (doc_id, score);
+    stage 2 is a broadcast-able 20-row join against the embedding table —
+    the expensive vector math runs on exactly the candidate set, never the
+    corpus. This is the composition pattern for ANN-at-scale: prune with an
+    index-friendly signal, rerank exactly."""
+    from etl_lala_spark.plans import query_fns
+
+    cand = query_fns()["text_bm25_retrieval"](spark, sf_dir).limit(20)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    c = F.col("embedding")
+    q = F.col("qv")
+    scored = (
+        cand.join(emb, cand.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(sim.dot(c, q) / (sim.norm(q) * sim.norm(c)), 4).alias("cos_sim"),
+        )
+    )
+    w = W.orderBy(F.col("cos_sim").desc(), "doc_id")
+    return scored.withColumn("rerank", F.row_number().over(w)).orderBy("rerank")
