@@ -35,6 +35,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",
+    "hybrid_retrieval_rerank",
+    "profile_documents",
 ]
 
 
