@@ -152,3 +152,30 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_bytes") - 1, F.lit(0)), F.lit(every_n_bytes))
         ).alias("frame_offset"),
     )
+
+
+def sniff_media_df_arrow(df: DataFrame) -> DataFrame:
+    """``mapInArrow`` variant of ``sniff_media_df``: RecordBatches pass
+    straight from the JVM into pyarrow with zero pandas conversion, so the
+    binary column is touched as Arrow buffers, never boxed into Python
+    object Series — the preferred boundary when rows carry MB-sized media
+    blobs. Same output schema/semantics as the pandas form (agreement is
+    pytest-enforced)."""
+    import pyarrow as pa
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in it:
+            media = rb.column(rb.schema.get_field_index("media"))
+            sniffed = [sniff_media(b.as_py()) for b in media]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pa.array([s[0] for s in sniffed], pa.string()),
+                    pa.array([s[1] for s in sniffed], pa.int32()),
+                    pa.array([s[2] for s in sniffed], pa.int32()),
+                    pa.array([s[3] for s in sniffed], pa.int32()),
+                ],
+                names=["doc_id", "kind", "dim1", "dim2", "dim3"],
+            )
+
+    return df.mapInArrow(batches, schema=SNIFFED_SCHEMA)

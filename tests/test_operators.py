@@ -287,3 +287,15 @@ def test_scd2_apply_closes_reopens_and_is_idempotent(spark):
     # Re-applying the same batch is a no-op: MERGE semantics are idempotent.
     again = rel.scd2_apply(out, updates, "k", ["seg"])
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, out.collect()))
+
+
+def test_sniff_media_arrow_agrees_with_pandas(spark, sf_dir):
+    """The mapInArrow fast path must produce exactly the pandas-path rows."""
+    from etl_lala_spark.operators import multimodal as mm
+    from etl_lala_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = mm.attach_binary(docs)
+    a = sorted(map(tuple, mm.sniff_media_df(media).collect()))
+    b = sorted(map(tuple, mm.sniff_media_df_arrow(media).collect()))
+    assert a == b and len(a) == 50
