@@ -509,3 +509,63 @@ def events_trending_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .orderBy("w_start", "rnk")
     )
+
+
+@register(
+    "events_rate_anomaly",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events GROUP BY 1
+),
+scored AS (
+  SELECT hour, n,
+         avg(n) OVER w AS base_mean,
+         stddev_samp(n) OVER w AS base_std,
+         count(n) OVER w AS n_prev
+  FROM hourly
+  WINDOW w AS (ORDER BY hour ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT hour, n,
+       round((n - base_mean) / base_std, 4) AS z_score,
+       abs(n - base_mean) > 3 * base_std AS is_anomaly
+FROM scored
+WHERE n_prev = 24 AND base_std > 0
+ORDER BY hour
+""",
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection: hourly event counts z-scored against the
+    TRAILING 24-hour baseline (rows frame excluding the current hour), the
+    standard monitoring shape for ingest pipelines.
+
+    Scale: the fact table collapses to one row per hour BEFORE the ordered
+    window, so the single-partition window scan touches #hours rows (8.8 k
+    per year) no matter how many events feed it — the same pre-agg-then-rank
+    discipline as the trending query."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("n")
+    )
+    w = W.orderBy("hour").rowsBetween(-24, -1)
+    scored = hourly.select(
+        "hour",
+        "n",
+        F.avg("n").over(w).alias("base_mean"),
+        F.stddev_samp("n").over(w).alias("base_std"),
+        F.count("n").over(w).alias("n_prev"),
+    )
+    return (
+        scored.filter((F.col("n_prev") == 24) & (F.col("base_std") > 0))
+        .select(
+            "hour",
+            "n",
+            F.round((F.col("n") - F.col("base_mean")) / F.col("base_std"), 4).alias(
+                "z_score"
+            ),
+            (F.abs(F.col("n") - F.col("base_mean")) > 3 * F.col("base_std")).alias(
+                "is_anomaly"
+            ),
+        )
+        .orderBy("hour")
+    )
