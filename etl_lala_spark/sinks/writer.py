@@ -144,6 +144,60 @@ def stream_incremental(
     return writer.start()
 
 
+def stream_scd2(
+    stream_updates: DataFrame,
+    table_path: str,
+    key: str,
+    tracked: list[str],
+    checkpoint: str | None = None,
+):
+    """Streaming SCD type-2 maintenance: each micro-batch of dimension
+    updates merges into the on-disk history via ``scd2_apply``
+    (operators/relational.py) and atomically swaps the rewritten table in.
+
+    Replay-safe without a checkpoint: SCD2 merges are idempotent (unchanged
+    tracked values pass through, already-inserted keys become no-ops), so
+    at-least-once upstream delivery yields exactly-once history. Dimension
+    tables are small next to facts, so the per-batch rewrite is the cheap
+    side; the fact path never rewrites. Returns the started StreamingQuery.
+    """
+    import shutil
+
+    from etl_lala_spark.operators.relational import scd2_apply
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if os.path.isdir(table_path):
+            current = spark.read.parquet(table_path)
+        else:
+            current = batch_df.select(
+                F.col(key),
+                *[F.col(c) for c in tracked],
+                F.col("effective_batch").alias("valid_from"),
+                F.lit(None).cast("long").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ).limit(0)
+        merged = scd2_apply(current, batch_df, key, tracked)
+        staging = table_path.rstrip("/") + "._scd2merge"
+        shutil.rmtree(staging, ignore_errors=True)
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(table_path):
+            backup = table_path.rstrip("/") + "._scd2prev"
+            shutil.rmtree(backup, ignore_errors=True)
+            os.rename(table_path, backup)
+            os.rename(staging, table_path)
+            shutil.rmtree(backup, ignore_errors=True)
+        else:
+            os.rename(staging, table_path)
+
+    writer = stream_updates.writeStream.foreachBatch(merge).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def compact_partitions(
     spark: SparkSession,
     table_path: str,

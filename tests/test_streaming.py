@@ -270,3 +270,45 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, event_dir):
     }
     assert len(batch_pairs) > 0
     assert stream_pairs == batch_pairs
+
+
+def test_stream_scd2_merges_batches_and_replay_is_noop(spark, tmp_path):
+    """Streaming SCD2: sequential update batches build version history;
+    replaying a batch (at-least-once upstream) leaves the table unchanged."""
+    from etl_lala_spark.sinks import writer as w
+
+    table = str(tmp_path / "dim")
+
+    def run(src_dir: str) -> None:
+        df = spark.read.parquet(src_dir)
+        stream = spark.readStream.schema(df.schema).parquet(src_dir)
+        q = w.stream_scd2(stream, table, key="k", tracked=["seg"])
+        q.awaitTermination(120)
+        q.stop()
+
+    b1 = spark.createDataFrame(
+        [(1, "A", 1), (2, "B", 1)], "k long, seg string, effective_batch long"
+    )
+    src1 = str(tmp_path / "src1")
+    b1.write.parquet(src1)
+    run(src1)
+    assert spark.read.parquet(table).count() == 2
+
+    b2 = spark.createDataFrame(
+        [(1, "A2", 2), (2, "B", 2), (3, "C", 2)],
+        "k long, seg string, effective_batch long",
+    )
+    src2 = str(tmp_path / "src2")
+    b2.write.parquet(src2)
+    run(src2)
+    rows = {(r.k, r.valid_from): r for r in spark.read.parquet(table).collect()}
+    assert len(rows) == 4
+    assert rows[(1, 1)].valid_to == 2 and rows[(1, 1)].is_current is False
+    assert rows[(1, 2)].seg == "A2" and rows[(1, 2)].is_current is True
+    assert rows[(2, 1)].is_current is True  # no-op update passed through
+    assert rows[(3, 2)].seg == "C"
+
+    run(src2)  # replay: same files again, no checkpoint
+    again = {(r.k, r.valid_from): (r.valid_to, r.is_current, r.seg)
+             for r in spark.read.parquet(table).collect()}
+    assert again == {kf: (r.valid_to, r.is_current, r.seg) for kf, r in rows.items()}
