@@ -185,9 +185,12 @@ def scd2_apply(
 
     Scale: a single equi-join on ``key`` against the *current* slice only
     (history rows never join), so the wide work is one shuffle — or zero when
-    the updates side broadcasts. The reference's loader only ever appends
-    (SURVEY.md §1.3); this supplies the dimension-versioning path a warehouse
-    needs on top.
+    the updates side broadcasts. Each joined row conditionally explodes into
+    its 1 (pass-through) or 2 (close + reopen) output rows in the SAME pass,
+    so the join is computed once with no caching — safe to call per
+    micro-batch (``sinks/writer.py:stream_scd2``). The reference's loader
+    only ever appends (SURVEY.md §1.3); this supplies the dimension-
+    versioning path a warehouse needs on top.
     """
     null_long = F.lit(None).cast("long")
     cur = current.filter(F.col("is_current"))
@@ -202,27 +205,40 @@ def scd2_apply(
         F.col(effective_col).alias("u_effective"),
         *[F.col(c).alias(f"u_{c}") for c in tracked],
     )
-    joined = cur.join(upd, on=key, how="left").cache()
+    joined = cur.join(upd, on=key, how="left")
 
-    untouched = joined.filter(F.col("u_effective").isNull() | ~changed_pred).select(
-        cur.columns
+    def out_struct(*cols: F.Column) -> F.Column:
+        return F.struct(*[c.alias(n) for c, n in zip(cols, cur.columns, strict=True)])
+
+    passthrough = out_struct(*[F.col(c) for c in cur.columns])
+    closed = out_struct(
+        *[
+            F.col("u_effective") if c == "valid_to"
+            else F.lit(False) if c == "is_current"
+            else F.col(c)
+            for c in cur.columns
+        ]
     )
-    closed = (
-        joined.filter(F.col("u_effective").isNotNull() & changed_pred)
-        .withColumn("valid_to", F.col("u_effective"))
-        .withColumn("is_current", F.lit(False))
-        .select(cur.columns)
+    reopened = out_struct(
+        *[
+            F.col("u_effective") if c == "valid_from"
+            else null_long if c == "valid_to"
+            else F.lit(True) if c == "is_current"
+            else F.col(f"u_{c}") if c in tracked
+            else F.col(c)
+            for c in cur.columns
+        ]
     )
-    reopened = (
-        joined.filter(F.col("u_effective").isNotNull() & changed_pred)
-        .select(
-            F.col(key),
-            *[F.col(f"u_{c}").alias(c) for c in tracked],
-            F.col("u_effective").alias("valid_from"),
-            null_long.alias("valid_to"),
-            F.lit(True).alias("is_current"),
+    merged = (
+        joined.select(
+            F.explode(
+                F.when(
+                    F.col("u_effective").isNotNull() & changed_pred,
+                    F.array(closed, reopened),
+                ).otherwise(F.array(passthrough))
+            ).alias("r")
         )
-        .select(cur.columns)
+        .select("r.*")
     )
     inserted = (
         upd.join(cur, on=key, how="left_anti")
@@ -235,6 +251,4 @@ def scd2_apply(
         )
         .select(cur.columns)
     )
-    return hist.unionByName(untouched).unionByName(closed).unionByName(
-        reopened
-    ).unionByName(inserted)
+    return hist.unionByName(merged).unionByName(inserted)
