@@ -208,3 +208,30 @@ def test_dbf_projection_pushdown(spark, staging):
     rec2 = dbc.read_dbc(dbc_members, project=["AP_MVM"])
     assert rec2.columns == ["AP_MVM", "arquivo_origem"]
     assert sorted(r["AP_MVM"] for r in rec2.collect()) == ["202501", "202502"]
+
+
+def test_csv_and_orc_roundtrip_formats(spark, sf_dir, tmp_path):
+    """Format coverage beyond parquet: lineitem survives a lossless round
+    trip through CSV (explicit schema + header — CSV carries no types) and
+    ORC; the ORC scan still takes predicate pushdown like parquet."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(1000)
+
+    csv_dir = str(tmp_path / "li_csv")
+    li.write.option("header", True).csv(csv_dir)
+    back_csv = spark.read.schema(li.schema).option("header", True).csv(csv_dir)
+    assert sorted(map(tuple, back_csv.collect())) == sorted(map(tuple, li.collect()))
+
+    orc_dir = str(tmp_path / "li_orc")
+    li.write.orc(orc_dir)
+    back_orc = spark.read.orc(orc_dir)
+    assert back_orc.schema == li.schema
+    assert sorted(map(tuple, back_orc.collect())) == sorted(map(tuple, li.collect()))
+    plan = (
+        back_orc.filter(F.col("l_quantity") > 25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
