@@ -252,3 +252,34 @@ def scd2_apply(
         .select(cur.columns)
     )
     return hist.unionByName(merged).unionByName(inserted)
+
+
+def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """One-pass data-quality gate: every rule is a boolean Column (True =
+    row passes); returns one row per rule with ``(rule, n_rows,
+    n_violations, violation_rate)``. NULL rule results count as violations
+    (three-valued logic never hides a bad row).
+
+    Generalizes the reference's inline validation predicates (P6 —
+    url/competência/sucesso checks, datasus.service.ts:78-80,252-254,341-343)
+    into a declarative rule set evaluated in ONE aggregate over ONE scan —
+    at 100 TB the table is read once no matter how many rules run; adding a
+    rule adds a codegen'd sum, not a pass."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.when(c, 0).otherwise(1)).alias(f"v_{i}")
+        for i, c in enumerate(rules.values())
+    ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(f"'{name}', v_{i}" for i, name in enumerate(rules))
+    return (
+        wide.selectExpr(
+            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)", "n_rows"
+        )
+        .select(
+            "rule",
+            "n_rows",
+            "n_violations",
+            F.round(F.col("n_violations") / F.col("n_rows"), 6).alias("violation_rate"),
+        )
+        .orderBy("rule")
+    )

@@ -390,3 +390,45 @@ def recursive_cte_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometrically, so total work is O(edges), not O(depth x table)."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_RCTE_SQL)
+
+
+@register(
+    "dq_lineitem_expectations",
+    oracle="""
+WITH s AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty,
+         sum(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS v_disc,
+         sum(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS v_flag,
+         sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS v_ship,
+         sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price
+  FROM lineitem
+)
+SELECT rule, n_rows, n_violations,
+       round(n_violations / n_rows, 6) AS violation_rate
+FROM (
+  SELECT 'discount_le_5pct' AS rule, n_rows, v_disc AS n_violations FROM s
+  UNION ALL SELECT 'price_positive', n_rows, v_price FROM s
+  UNION ALL SELECT 'quantity_1_to_50', n_rows, v_qty FROM s
+  UNION ALL SELECT 'returnflag_domain', n_rows, v_flag FROM s
+  UNION ALL SELECT 'shipdate_not_null', n_rows, v_ship FROM s
+)
+ORDER BY rule
+""",
+)
+def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem
+    (`operators/relational.py:check_expectations`): five rules — range,
+    threshold, set-membership, not-null, positivity — summarized in one
+    aggregate over one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return rel.check_expectations(
+        li,
+        {
+            "quantity_1_to_50": F.col("l_quantity").between(1, 50),
+            "discount_le_5pct": F.col("l_discount") <= 0.05,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+            "shipdate_not_null": F.col("l_shipdate").isNotNull(),
+            "price_positive": F.col("l_extendedprice") > 0,
+        },
+    )
