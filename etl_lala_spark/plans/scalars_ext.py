@@ -377,3 +377,34 @@ def higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("max_via_reduce"),
     ).orderBy("o_custkey")
+
+
+@register(
+    "ansi_safe_arithmetic",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+            ELSE l_extendedprice / (l_quantity - l_quantity) END AS div_by_zero,
+       round(l_extendedprice / l_quantity, 4) AS unit_price,
+       TRY_CAST(l_returnflag AS INTEGER) AS bad_cast
+FROM lineitem
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def ansi_safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs in ANSI mode, where division by zero and invalid casts
+    are runtime ERRORS; the ``try_*`` family turns them into NULLs — the
+    expression-level form of the reference's structured error handling (R5):
+    bad values degrade to NULL rows instead of failing a 100 TB job.
+    DuckDB mirrors with CASE guards and TRY_CAST."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"), F.col("l_quantity") - F.col("l_quantity")
+        ).alias("div_by_zero"),
+        F.round(F.try_divide("l_extendedprice", "l_quantity"), 4).alias("unit_price"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("bad_cast"),
+    ).orderBy("l_orderkey", "l_linenumber")
