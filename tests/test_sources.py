@@ -235,3 +235,17 @@ def test_csv_and_orc_roundtrip_formats(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity" in plan
+
+
+def test_xml_roundtrip_format(spark, tmp_path):
+    """Spark 4 built-in XML source: typed roundtrip with rowTag framing
+    (schema supplied on read — XML carries no types either)."""
+    df = spark.createDataFrame(
+        [(1, "EP", 153.27), (2, "PG", 99.10)], "id long, cond string, total double"
+    )
+    xml_dir = str(tmp_path / "recs_xml")
+    df.write.option("rootTag", "records").option("rowTag", "rec").format("xml").save(xml_dir)
+    back = (
+        spark.read.schema(df.schema).option("rowTag", "rec").format("xml").load(xml_dir)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
