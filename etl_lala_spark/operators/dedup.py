@@ -486,3 +486,38 @@ def canonical_components(
             break
     edges.unpersist()
     return labels
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents sharing any k-gram
+    with a benchmark/holdout set — the overlap pass every training-data
+    pipeline runs before release.
+
+    Scale shape: the benchmark's DISTINCT hashed shingles are tiny relative
+    to the corpus (eval sets are small by construction) and broadcast, so
+    the corpus is scanned once and NEVER self-joins or shuffles on shingle;
+    per-doc hit counts come from one hash aggregate on doc_id. Returns every
+    corpus doc with ``(doc_id, n_hits, contaminated)``.
+    """
+    c_sh = shingle_table(corpus, text_col, id_col, k, ())
+    b_sh = shingle_table(benchmark, text_col, id_col, k, ()).select("shingle").distinct()
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "shingle")
+        .groupBy("doc")
+        .agg(F.countDistinct("shingle").alias("n_hits"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

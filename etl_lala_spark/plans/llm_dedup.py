@@ -214,3 +214,46 @@ def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"))
         .orderBy("canonical")
     )
+
+
+_SHINGLE_CTE = """
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+              ELSE [text] END AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t, text FROM {src})
+"""
+
+
+@register(
+    "decontaminate_corpus",
+    oracle=f"""
+WITH bench AS (SELECT * FROM documents WHERE doc_id % 50 = 0),
+corp AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+bsh AS ({_SHINGLE_CTE.format(src="bench")}),
+csh AS ({_SHINGLE_CTE.format(src="corp")}),
+bex AS (SELECT DISTINCT unnest(shingles) AS shingle FROM bsh),
+cex AS (SELECT doc_id, unnest(shingles) AS shingle FROM csh),
+hits AS (
+  SELECT cex.doc_id, count(DISTINCT cex.shingle) AS n_hits
+  FROM cex JOIN bex USING (shingle)
+  GROUP BY cex.doc_id
+)
+SELECT corp.doc_id,
+       coalesce(hits.n_hits, 0) AS n_hits,
+       coalesce(hits.n_hits, 0) > 0 AS contaminated
+FROM corp LEFT JOIN hits ON corp.doc_id = hits.doc_id
+ORDER BY corp.doc_id
+""",
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`operators/dedup.py:decontaminate`): every
+    50th document plays the eval set; the remaining corpus is flagged
+    wherever it shares a 3-gram shingle with it. The benchmark's distinct
+    hashed shingles broadcast, so the corpus scan is single-pass with no
+    shingle shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corp = docs.filter(F.col("doc_id") % 50 != 0)
+    return dd.decontaminate(corp, bench).orderBy("doc_id")
