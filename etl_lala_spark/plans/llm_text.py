@@ -619,3 +619,46 @@ def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("col_name", "n_rows", "n_nonnull", "n_distinct", "min_str", "max_str")
         .orderBy("col_name")
     )
+
+
+@register(
+    "text_winsorized_lengths",
+    oracle="""
+WITH b AS (
+  SELECT quantile_cont(n_chars, 0.01) AS lo, quantile_cont(n_chars, 0.99) AS hi
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS mean_raw,
+       round(avg(least(greatest(n_chars::DOUBLE, lo), hi)), 4) AS mean_winsorized
+FROM documents, b
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized length statistics: clip document lengths at the corpus
+    p01/p99 before averaging — the standard robust-stats treatment so a few
+    giant or empty documents don't distort per-language curation decisions.
+
+    Scale: the two exact percentiles reduce to a 1-row bound set that
+    broadcasts back over the scan (scalar-subquery shape, no second wide
+    pass); the clip itself is a codegen'd least/greatest."""
+    docs = load_table(spark, sf_dir, "documents")
+    bounds = docs.agg(
+        F.expr("percentile(n_chars, 0.01)").alias("lo"),
+        F.expr("percentile(n_chars, 0.99)").alias("hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        docs.crossJoin(F.broadcast(bounds))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+        .orderBy("lang")
+    )
