@@ -697,3 +697,29 @@ def diag_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(
         load_table(spark, sf_dir, "orders"), "o_custkey", top_n=10
     )
+
+
+_ROLLUP_GID_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+       count(*) AS n_orders
+FROM {src}
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio,
+         o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+"""
+
+
+@register(
+    "rollup_grouping_markers",
+    oracle=_ROLLUP_GID_SQL.format(src="orders"),
+)
+def rollup_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with ``grouping()`` markers: the bit that distinguishes a
+    genuine NULL dimension value from a subtotal row — without it, rollup
+    output is ambiguous the moment a dimension is nullable. Identical SQL
+    text runs on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gid")
+    return spark.sql(_ROLLUP_GID_SQL.format(src="orders_gid"))
