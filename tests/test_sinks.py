@@ -259,3 +259,28 @@ def test_maintain_summary_incremental_matches_batch(spark, sf_dir, out_dir):
         for r in spark.read.parquet(summary).collect()
     }
     assert got2 == want
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """SURVEY §1.3 schema evolution: a later month arrives with a NEW column
+    (DATASUS layouts grow over time). The partitioned append succeeds and a
+    mergeSchema read unions the layouts — old rows surface NULL for the new
+    column, new rows carry it."""
+    from etl_lala_spark.sinks import writer as w
+
+    table = str(tmp_path / "evolving")
+    m1 = spark.createDataFrame(
+        [("202501", "1", "EP")], "competencia string, ap_mvm string, ap_condic string"
+    )
+    w.load_incremental(spark, m1, table)
+    m2 = spark.createDataFrame(
+        [("202502", "2", "PG", "NEW")],
+        "competencia string, ap_mvm string, ap_condic string, ap_extra string",
+    )
+    w.load_incremental(spark, m2, table)
+
+    merged = spark.read.option("mergeSchema", True).parquet(table)
+    assert set(merged.columns) == {"competencia", "ap_mvm", "ap_condic", "ap_extra"}
+    rows = {r["competencia"]: r for r in merged.collect()}
+    assert rows["202501"]["ap_extra"] is None
+    assert rows["202502"]["ap_extra"] == "NEW"
