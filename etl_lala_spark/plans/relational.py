@@ -723,3 +723,39 @@ def rollup_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     o.createOrReplaceTempView("orders_gid")
     return spark.sql(_ROLLUP_GID_SQL.format(src="orders_gid"))
+
+
+@register(
+    "join_theta_price_tiers",
+    oracle="""
+SELECT o.o_orderkey, t.tier,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM (SELECT * FROM orders WHERE o_custkey < 100) o
+JOIN (VALUES ('low', 0.0, 100000.0),
+             ('mid', 100000.0, 250000.0),
+             ('high', 250000.0, 1e9)) t(tier, lo, hi)
+  ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+ORDER BY o.o_orderkey
+""",
+)
+def join_theta_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta join — NO equi conjunct, inequality-only condition —
+    classifying orders into irregular price tiers. With no hashable key a
+    nested-loop is the only physical strategy; it is CORRECT here exactly
+    because the tier side is a 3-row broadcast literal, so the 'loop' is
+    3 comparisons per order inside codegen. The inverse situation (two big
+    sides, no equi key) is the shape the engine's range/band queries avoid
+    by construction (SCALE.md no-NLJ invariant)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        o.join(
+            F.broadcast(tiers),
+            (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi),
+        )
+        .select("o_orderkey", "tier", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .orderBy("o_orderkey")
+    )
