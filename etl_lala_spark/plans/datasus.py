@@ -423,3 +423,81 @@ def datasus_dbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("condic")
     )
+
+
+@register(
+    "datasus_dbc_source",
+    oracle="""
+WITH base AS (
+  SELECT concat(l_returnflag, l_linestatus) AS condic,
+         CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)) AS VARCHAR)
+           AS vl_total
+  FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100)
+)
+SELECT 'PAPE2501' AS arquivo_origem, condic, count(*) AS n,
+       round(CAST(sum(CAST(vl_total AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM base
+GROUP BY 2
+ORDER BY 2
+""",
+)
+def datasus_dbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 as a first-class Spark 4 Python DataSource
+    (``spark.read.format("dbc")``, SURVEY.md §4 "optionally a DSv2 source
+    later"): 200 deterministic lineitem rows are split across two ``.dbc``
+    files (two competências), and the query reads the format with an
+    equality predicate on the ``arquivo_origem`` provenance column — Spark
+    4.1 ``pushFilters`` prunes the second file at planning time, so only
+    file 1 is ever decompressed. The oracle recomputes the same aggregate
+    from the first 100 lineitem rows directly, pinning schema inference,
+    the implode codec, partition planning, and the pruning logic under the
+    hash gate."""
+    import hashlib
+    import os
+    import tempfile
+
+    from etl_lala_spark.sources.dbc import dbf_to_dbc, write_dbf
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(200)
+    )
+    cols = ["AP_CONDIC", "AP_VL_TOTAL"]
+    rows = [
+        [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
+        for r in li.select(
+            F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
+            F.round("l_extendedprice", 2)
+            .cast("decimal(14,2)")
+            .cast("string")
+            .alias("AP_VL_TOTAL"),
+        ).collect()
+    ]
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dbc_ds_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(fixture_dir, exist_ok=True)
+    for name, chunk in [("PAPE2501", rows[:100]), ("PAPE2502", rows[100:])]:
+        with open(os.path.join(fixture_dir, name + ".dbc"), "wb") as fh:
+            fh.write(dbf_to_dbc(write_dbf(cols, chunk)))
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_dbc_source(spark)
+    records = (
+        spark.read.format("dbc")
+        .load(fixture_dir)
+        .filter(F.col("arquivo_origem") == "PAPE2501")
+    )
+    return (
+        records.groupBy("arquivo_origem", F.col("AP_CONDIC").alias("condic"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("AP_VL_TOTAL").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("condic")
+    )

@@ -1,0 +1,174 @@
+"""Spark 4 Python DataSource for the DATASUS ``.dbc``/``.dbf`` format.
+
+SURVEY.md §4 names this as the long-term shape for the S8 decode path
+("optionally a DSv2 source later", src/datasus/datasus.service.ts:307-388 →
+in-engine decode): instead of the caller wiring ``binaryFile`` +
+``mapInPandas`` by hand, the format registers as a first-class source —
+
+    spark.dataSource.register(DbcDataSource)
+    spark.read.format("dbc").load("/data/*.dbc")
+
+and the standard DataSource V2 contracts do the rest:
+
+- **Schema inference** reads only the first file's DBF header prefix (the
+  header is stored verbatim at the front of a ``.dbc``, so no decompression
+  happens at planning time).
+- **Partition planning** yields one :class:`InputPartition` per file — on a
+  1000-executor cluster every file decodes in parallel, with no driver-side
+  loop and no single-task fan-in.
+- **Filter pushdown** (Spark 4.1 ``pushFilters``): equality/IN/prefix
+  predicates on the ``arquivo_origem`` provenance column prune whole files at
+  *planning* time — the custom-source analog of partition pruning. A query
+  for one competência never opens the other months' files.
+- **Record-limit pushdown** via the ``limit`` option (reference S9,
+  OTIMIZACAO_API_PYTHON.md:62-76) stops each file's decode after N records.
+- ``read()`` yields Arrow ``RecordBatch``es, so rows cross the
+  Python→JVM boundary columnar, not row-at-a-time.
+
+Decode semantics are shared with :mod:`etl_lala_spark.sources.dbc` (all
+values stringified, latin1, deleted rows skipped) — this module is only the
+DataSource plumbing around ``parse_dbf``/``dbc_to_dbf``.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+from collections.abc import Iterable, Iterator
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    In,
+    InputPartition,
+    StringStartsWith,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+from etl_lala_spark.sources.dbc import dbc_to_dbf, parse_dbf, parse_dbf_header
+
+PROVENANCE_COL = "arquivo_origem"
+
+
+def _list_files(path: str) -> list[str]:
+    """Resolve the load path (file, directory, or glob) to sorted file paths."""
+    if os.path.isdir(path):
+        pattern = os.path.join(path, "*.db[cf]")
+    else:
+        pattern = path
+    return sorted(p for p in globmod.glob(pattern) if os.path.isfile(p))
+
+
+def _basename_no_ext(path: str) -> str:
+    """`PAPE2501.dbc` → `PAPE2501` — the reference's provenance key
+    (nomeArquivo.replace(/\\.[^/.]+$/, ''), datasus.service.ts:323-324)."""
+    return os.path.basename(path).rsplit(".", 1)[0]
+
+
+def _decode_file(path: str, limit: int | None) -> tuple[list[str], list[list[str]]]:
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if path.lower().endswith(".dbc"):
+        data = dbc_to_dbf(data)
+    return parse_dbf(data, limit=limit)
+
+
+@dataclass
+class DbcInputPartition(InputPartition):
+    path: str
+
+
+class DbcReader(DataSourceReader):
+    """One partition per file; provenance filters prune files at planning."""
+
+    def __init__(self, files: list[str], columns: list[str], limit: int | None):
+        self.files = files
+        self.columns = columns
+        self.limit = limit
+
+    def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
+        for f in filters:
+            consumed = False
+            if f.attribute == (PROVENANCE_COL,):
+                if isinstance(f, EqualTo):
+                    self.files = [
+                        p for p in self.files if _basename_no_ext(p) == f.value
+                    ]
+                    consumed = True
+                elif isinstance(f, In):
+                    keep = set(f.value)
+                    self.files = [
+                        p for p in self.files if _basename_no_ext(p) in keep
+                    ]
+                    consumed = True
+                elif isinstance(f, StringStartsWith):
+                    self.files = [
+                        p
+                        for p in self.files
+                        if _basename_no_ext(p).startswith(f.value)
+                    ]
+                    consumed = True
+            if not consumed:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        return [DbcInputPartition(p) for p in self.files]
+
+    def read(self, partition: DbcInputPartition) -> Iterator["object"]:
+        import pyarrow as pa
+
+        cols, rows = _decode_file(partition.path, self.limit)
+        if cols != self.columns:
+            raise ValueError(
+                f"{partition.path}: columns {cols[:3]}... != inferred schema "
+                f"{self.columns[:3]}... (heterogeneous file set)"
+            )
+        origem = _basename_no_ext(partition.path)
+        arrays = [
+            pa.array([r[i] for r in rows], type=pa.string())
+            for i in range(len(cols))
+        ]
+        arrays.append(pa.array([origem] * len(rows), type=pa.string()))
+        yield pa.RecordBatch.from_arrays(arrays, names=[*cols, PROVENANCE_COL])
+
+
+class DbcDataSource(DataSource):
+    """``spark.read.format("dbc")`` — options: ``path`` (file/dir/glob),
+    ``limit`` (per-file record-limit pushdown)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dbc"
+
+    def _files(self) -> list[str]:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("format('dbc') requires a load path")
+        files = _list_files(path)
+        if not files:
+            raise ValueError(f"no .dbc/.dbf files match {path!r}")
+        return files
+
+    def schema(self) -> StructType:
+        with open(self._files()[0], "rb") as fh:
+            head = fh.read(4096)
+        return StructType(
+            [StructField(c, StringType()) for c in parse_dbf_header(head)]
+            + [StructField(PROVENANCE_COL, StringType())]
+        )
+
+    def reader(self, schema: StructType) -> DbcReader:
+        limit = self.options.get("limit")
+        return DbcReader(
+            self._files(),
+            [f.name for f in schema.fields if f.name != PROVENANCE_COL],
+            int(limit) if limit is not None else None,
+        )
+
+
+def register_dbc_source(spark) -> None:
+    """Idempotently register the format on a session."""
+    spark.dataSource.register(DbcDataSource)

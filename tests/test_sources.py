@@ -249,3 +249,56 @@ def test_xml_roundtrip_format(spark, tmp_path):
         spark.read.schema(df.schema).option("rowTag", "rec").format("xml").load(xml_dir)
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_dbc_python_datasource(spark, tmp_path):
+    """Spark 4 Python DataSource wrapper around the S8 decode path
+    (``spark.read.format("dbc")``): schema inference from the header prefix,
+    one partition per file, per-file record-limit pushdown, and Spark 4.1
+    ``pushFilters`` pruning whole files on the ``arquivo_origem`` provenance
+    column at planning time — proven by a planted corrupt file that would
+    fail the decode if it were ever opened."""
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_dbc_source(spark)
+
+    d = str(tmp_path)
+    cols = ["AP_CONDIC", "AP_VL_TOTAL"]
+    for name, rows in [
+        ("PAPE2501", [["EP", "10.00"], ["AB", "20.50"]]),
+        ("PAPE2502", [["EP", "30.00"]]),
+    ]:
+        with open(os.path.join(d, name + ".dbc"), "wb") as fh:
+            fh.write(dbc.dbf_to_dbc(dbc.write_dbf(cols, rows)))
+
+    df = spark.read.format("dbc").load(d)
+    assert df.columns == [*cols, "arquivo_origem"]
+    assert df.rdd.getNumPartitions() == 2  # one partition per file
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [
+        ("AB", "20.50", "PAPE2501"),
+        ("EP", "10.00", "PAPE2501"),
+        ("EP", "30.00", "PAPE2502"),
+    ]
+
+    # per-file record-limit pushdown (S9)
+    lim = spark.read.format("dbc").option("limit", 1).load(d)
+    assert lim.count() == 2  # 1 per file
+
+    # planning-time file pruning: the corrupt file decodes to an error, so a
+    # successful filtered read means it was pruned, never opened
+    with open(os.path.join(d, "ZZZ9999.dbc"), "wb") as fh:
+        fh.write(b"\x00" * 64)
+    eq = spark.read.format("dbc").load(d).filter("arquivo_origem = 'PAPE2501'")
+    assert eq.count() == 2
+    pre = spark.read.format("dbc").load(d).filter("arquivo_origem LIKE 'PAPE%'")
+    assert pre.count() == 3
+    isin = (
+        spark.read.format("dbc")
+        .load(d)
+        .filter("arquivo_origem IN ('PAPE2501', 'PAPE2502')")
+    )
+    assert isin.count() == 3
+    with pytest.raises(Exception, match="implausible header"):
+        spark.read.format("dbc").load(d).count()
