@@ -24,6 +24,10 @@ and the standard DataSource V2 contracts do the rest:
   OTIMIZACAO_API_PYTHON.md:62-76) stops each file's decode after N records.
 - ``read()`` yields Arrow ``RecordBatch``es, so rows cross the
   Python→JVM boundary columnar, not row-at-a-time.
+- **Streaming** (``spark.readStream.format("dbc")``): the same format
+  watches the landing directory and decodes newly-arrived files per
+  micro-batch with checkpointed exactly-once file tracking
+  (:class:`DbcStreamReader`).
 
 Decode semantics are shared with :mod:`etl_lala_spark.sources.dbc` (all
 values stringified, latin1, deleted rows skipped) — this module is only the
@@ -40,6 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     Filter,
     In,
@@ -135,6 +140,59 @@ class DbcReader(DataSourceReader):
         yield pa.RecordBatch.from_arrays(arrays, names=[*cols, PROVENANCE_COL])
 
 
+class DbcStreamReader(DataSourceStreamReader):
+    """Micro-batch streaming over an arriving-``.dbc`` directory.
+
+    The offset is the sorted list of files already processed — the same
+    bookkeeping Spark's own FileStreamSource keeps (a seen-files map), made
+    explicit. Each ``latestOffset`` lists the directory; the delta between
+    two offsets becomes one :class:`InputPartition` per new file, decoded on
+    executors exactly like the batch reader. Replay of a committed batch
+    re-reads the same file set (deterministic), so the source composes with
+    checkpoint recovery and the sinks' idempotent load paths (T5/T6).
+
+    This is the streaming form of the reference's per-competência arrival
+    loop (new months appear in the catalog over time,
+    src/datasus/datasus.service.ts:222-237) — here the engine watches the
+    landing directory instead of polling the remote catalog.
+    """
+
+    def __init__(self, path: str, columns: list[str], limit: int | None):
+        self.path = path
+        self.columns = columns
+        self.limit = limit
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _list_files(self.path)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        new = sorted(set(end["files"]) - set(start["files"]))
+        return [DbcInputPartition(p) for p in new]
+
+    def read(self, partition: DbcInputPartition) -> Iterator["object"]:
+        import pyarrow as pa
+
+        cols, rows = _decode_file(partition.path, self.limit)
+        if cols != self.columns:
+            raise ValueError(
+                f"{partition.path}: columns {cols[:3]}... != stream schema "
+                f"{self.columns[:3]}..."
+            )
+        origem = _basename_no_ext(partition.path)
+        arrays = [
+            pa.array([r[i] for r in rows], type=pa.string())
+            for i in range(len(cols))
+        ]
+        arrays.append(pa.array([origem] * len(rows), type=pa.string()))
+        yield pa.RecordBatch.from_arrays(arrays, names=[*cols, PROVENANCE_COL])
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class DbcDataSource(DataSource):
     """``spark.read.format("dbc")`` — options: ``path`` (file/dir/glob),
     ``limit`` (per-file record-limit pushdown)."""
@@ -164,6 +222,14 @@ class DbcDataSource(DataSource):
         limit = self.options.get("limit")
         return DbcReader(
             self._files(),
+            [f.name for f in schema.fields if f.name != PROVENANCE_COL],
+            int(limit) if limit is not None else None,
+        )
+
+    def streamReader(self, schema: StructType) -> DbcStreamReader:
+        limit = self.options.get("limit")
+        return DbcStreamReader(
+            self.options.get("path"),
             [f.name for f in schema.fields if f.name != PROVENANCE_COL],
             int(limit) if limit is not None else None,
         )

@@ -312,3 +312,67 @@ def test_stream_scd2_merges_batches_and_replay_is_noop(spark, tmp_path):
     again = {(r.k, r.valid_from): (r.valid_to, r.is_current, r.seg)
              for r in spark.read.parquet(table).collect()}
     assert again == {kf: (r.valid_to, r.is_current, r.seg) for kf, r in rows.items()}
+
+
+def test_dbc_streaming_source_incremental_and_recovery(spark, tmp_path):
+    """`spark.readStream.format("dbc")`: the custom DataSource's stream
+    reader picks up newly-arriving .dbc files per micro-batch (the streaming
+    form of the reference's per-competência arrival loop,
+    datasus.service.ts:222-237), and after a checkpointed restart only
+    genuinely-new files are processed — no re-decode of committed ones."""
+    import os
+
+    from etl_lala_spark.sources.dbc import dbf_to_dbc, write_dbf
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    register_dbc_source(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    cols = ["AP_CONDIC", "AP_VL_TOTAL"]
+
+    def put(name, rows):
+        (land / f"{name}.dbc").write_bytes(dbf_to_dbc(write_dbf(cols, rows)))
+
+    put("PAPE2501", [["EP", "10.00"], ["AB", "20.50"]])
+    out = str(tmp_path / "out")
+
+    def start():
+        return (
+            spark.readStream.format("dbc")
+            .load(str(land))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        put("PAPE2502", [["EP", "30.00"]])
+        q.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == [
+            ("AB", "20.50", "PAPE2501"),
+            ("EP", "10.00", "PAPE2501"),
+            ("EP", "30.00", "PAPE2502"),
+        ]
+    finally:
+        q.stop()
+
+    # restart from the checkpoint: only the file that arrived while the
+    # stream was down is decoded — committed files are not replayed
+    put("PAPE2503", [["ZZ", "1.00"]])
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+        assert got == [
+            ("AB", "20.50", "PAPE2501"),
+            ("EP", "10.00", "PAPE2501"),
+            ("EP", "30.00", "PAPE2502"),
+            ("ZZ", "1.00", "PAPE2503"),
+        ]
+    finally:
+        q2.stop()
