@@ -662,3 +662,111 @@ def text_winsorized_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "curate_token_budget",
+    oracle="""
+WITH toks AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+cum AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM toks
+)
+SELECT lang,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM cum
+WHERE cum_tokens <= 3000
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subsampling per language — the data-mixing primitive
+    ("give me ~N tokens of each language, reproducibly"): docs are ordered
+    by a uniform hash (deterministic shuffle, no RNG state), a running
+    token total is computed per language, and the corpus is cut at the
+    budget line.
+
+    Scale note: the window shuffles once on `lang` (few partitions, big
+    groups). At 100 TB the same semantics come cheaper by exploiting the
+    uniform hash: total_tokens per lang (one agg) gives a hash-threshold
+    t ≈ budget/total, so `WHERE h < t` needs no window at all; the
+    window form here is the exact gate the sampled form is tested against.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        cum.where(F.col("cum_tokens") <= 3000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+WITH r AS (
+  SELECT source,
+         len(regexp_split_to_array(text, '\\s+')) AS n_tokens,
+         len(list_distinct(regexp_split_to_array(text, '\\s+'))) AS n_distinct
+  FROM documents
+)
+SELECT source,
+       round(avg(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens), 6)
+         AS avg_repetition,
+       round(max(1.0 - CAST(n_distinct AS DOUBLE) / n_tokens), 6)
+         AS max_repetition,
+       CAST(sum(CASE WHEN 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens > 0.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive
+FROM r
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the classic "degenerate doc" filter):
+    1 − distinct/total whitespace tokens per doc, aggregated per source
+    with a count of docs above the 0.5 cut. Pure JVM expressions
+    (`split`/`array_distinct`/`size`) — one scan, one partial+final agg,
+    no UDF, so the filter runs at full codegen speed over 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", r"\s+")
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    per_doc = d.select("source", rep.alias("rep"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.round(F.avg("rep"), 6).alias("avg_repetition"),
+            F.round(F.max("rep"), 6).alias("max_repetition"),
+            F.sum(F.when(F.col("rep") > 0.5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repetitive"),
+        )
+        .orderBy("source")
+    )
