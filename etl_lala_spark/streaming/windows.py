@@ -93,8 +93,25 @@ def session_aggregates(
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Stateful exactly-once-per-key dedup on event_id within the watermark
     horizon — the streaming form of the reference's at-least-once retry
-    tolerance (T6): replays collapse instead of double-counting."""
+    tolerance (T6): replays collapse instead of double-counting.
+
+    Caveat (scale): because the event-time column is not part of the dedup
+    key, ``dropDuplicates`` never evicts key state — exact forever, but
+    state grows with distinct keys. For unbounded runs use
+    :func:`dedup_stream_bounded`."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def dedup_stream_bounded(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Bounded-state streaming dedup: ``dropDuplicatesWithinWatermark``
+    evicts a key's state once the watermark passes its event time, so state
+    is O(keys-per-watermark-window) instead of O(all keys ever) — the form
+    that survives an unbounded 100 TB ingest. Duplicates arriving within
+    the watermark horizon of the original collapse; a replay delayed beyond
+    it would be treated as new (the documented price of bounded state)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def run_to_memory(

@@ -376,3 +376,23 @@ def test_dbc_streaming_source_incremental_and_recovery(spark, tmp_path):
         ]
     finally:
         q2.stop()
+
+
+def test_streaming_dedup_bounded_state_collapses_replay(spark, event_dir):
+    """`dropDuplicatesWithinWatermark` — the bounded-state dedup (state
+    evicted as the watermark passes, O(window) not O(all keys)) — collapses
+    replayed files exactly like the unbounded-state form when duplicates
+    arrive within the watermark horizon."""
+    dup_dir = os.path.join(TMP, "events_dup_bounded")
+    shutil.rmtree(dup_dir, ignore_errors=True)
+    os.makedirs(dup_dir)
+    for f in os.listdir(event_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(event_dir, f), os.path.join(dup_dir, "a_" + f))
+            shutil.copy(os.path.join(event_dir, f), os.path.join(dup_dir, "b_" + f))
+    stream = windows.read_event_stream(spark, dup_dir)
+    deduped = windows.run_to_memory(
+        windows.dedup_stream_bounded(stream).select("event_id"), "t_dedup_bounded"
+    )
+    n_unique = spark.read.parquet(event_dir).select("event_id").distinct().count()
+    assert deduped.count() == n_unique
