@@ -770,3 +770,75 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "curate_sequence_packing",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         doc_id % 8 AS pack_group,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+cum AS (
+  SELECT pack_group, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY h, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM toks
+),
+binned AS (
+  SELECT pack_group,
+         CAST(floor((cum_tokens - 1) / 512) AS BIGINT) AS bin_id,
+         n_tokens
+  FROM cum
+)
+SELECT pack_group, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens
+FROM binned
+GROUP BY pack_group, bin_id
+ORDER BY pack_group, bin_id
+""",
+)
+def curate_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assigning documents to fixed-token-budget training
+    sequences (512 tokens here): docs are spread over hash groups, ordered
+    deterministically within each group, and binned by running token count.
+
+    Scale shape: the only shuffle is on ``pack_group`` (cheap,
+    uniformly-hashed, cardinality chosen to match the cluster), the window
+    is a running sum inside each group, and the bin assignment is pure
+    arithmetic — no per-bin loop, no driver state. Greedy cumulative
+    packing overfills each bin by at most one doc, the standard
+    streaming-pack tradeoff vs bin-perfect (NP-hard) packing. The group
+    key is ``doc_id % 8`` (portable across engines for the oracle gate;
+    in production any uniform hash of the id, with cardinality sized to
+    the cluster, gives the same plan shape).
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("pack_group"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w)).select(
+        "pack_group",
+        F.floor((F.col("cum_tokens") - 1) / 512).cast("bigint").alias("bin_id"),
+        "n_tokens",
+    )
+    return (
+        binned.groupBy("pack_group", "bin_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("tokens"))
+        .orderBy("pack_group", "bin_id")
+    )
