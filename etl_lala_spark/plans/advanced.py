@@ -432,3 +432,33 @@ def dq_lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_positive": F.col("l_extendedprice") > 0,
         },
     )
+
+
+_LATERAL_SQL = """
+SELECT n_name, c_name, c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal
+  FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name
+  LIMIT 2
+) t
+ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+@register("join_lateral_topn", oracle=_LATERAL_SQL)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-standard `, LATERAL (...)`): per
+    nation, its top-2 customers by balance — the same SQL text runs on
+    DuckDB as the oracle.
+
+    Plan shape: Catalyst decorrelates the per-row subquery into a
+    `WindowGroupLimit` (partial top-k per group pushed below the shuffle,
+    Spark 3.5's group-limit optimization) + one equi-join — NOT a
+    nested-loop re-execution of the subquery per outer row, so the lateral
+    form costs the same as the hand-written row_number() window at any
+    scale."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_SQL)
