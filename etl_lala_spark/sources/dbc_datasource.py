@@ -45,11 +45,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     In,
     InputPartition,
     StringStartsWith,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -193,9 +195,62 @@ class DbcStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class DbcWriteCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class DbcWriter(DataSourceWriter):
+    """``df.write.format("dbc")``: each task renders its partition to one
+    ``PART{i:04d}.dbc`` (dBase III bytes, implode-compressed) — a
+    distributed write with no driver fan-in, mirroring how DATASUS itself
+    ships one file per competência. Input must be all-string columns (the
+    reference's record model); ``arquivo_origem`` is dropped if present
+    (it is provenance, not data). Tasks write to a temp name and `commit`
+    renames, so a failed task never leaves a half-file visible."""
+
+    def __init__(self, path: str, columns: list[str], field_len: int):
+        self.path = path
+        self.columns = columns
+        self.field_len = field_len
+
+    def write(self, iterator) -> "DbcWriteCommit":
+        import os
+        import uuid
+
+        rows = [
+            ["" if row[c] is None else str(row[c]) for c in self.columns]
+            for row in iterator
+        ]
+        if not rows:  # empty partition → no file
+            return DbcWriteCommit(path="", n_rows=0)
+        tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}.dbc")
+        from etl_lala_spark.sources.dbc import dbf_to_dbc, write_dbf
+
+        with open(tmp, "wb") as fh:
+            fh.write(dbf_to_dbc(write_dbf(self.columns, rows, self.field_len)))
+        return DbcWriteCommit(path=tmp, n_rows=len(rows))
+
+    def commit(self, messages) -> None:
+        import os
+
+        done = [m for m in messages if m is not None and m.path]
+        for i, m in enumerate(done):
+            os.replace(m.path, os.path.join(self.path, f"PART{i:04d}.dbc"))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class DbcDataSource(DataSource):
     """``spark.read.format("dbc")`` — options: ``path`` (file/dir/glob),
-    ``limit`` (per-file record-limit pushdown)."""
+    ``limit`` (per-file record-limit pushdown). ``df.write.format("dbc")``
+    — options: ``path`` (dir), ``field_len`` (char-field width)."""
 
     @classmethod
     def name(cls) -> str:
@@ -226,6 +281,30 @@ class DbcDataSource(DataSource):
             int(limit) if limit is not None else None,
         )
 
+    def writer(self, schema: StructType, overwrite: bool) -> DbcWriter:
+        import glob as g
+        import os
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("format('dbc') write requires a path")
+        os.makedirs(path, exist_ok=True)
+        if overwrite:
+            for p in g.glob(os.path.join(path, "*.dbc")):
+                os.remove(p)
+        cols = [f.name for f in schema.fields if f.name != PROVENANCE_COL]
+        bad = [
+            f.name
+            for f in schema.fields
+            if f.name in cols and not isinstance(f.dataType, StringType)
+        ]
+        if bad:
+            raise ValueError(
+                f"format('dbc') writes the reference's all-string record "
+                f"model; cast non-string columns first: {bad}"
+            )
+        return DbcWriter(path, cols, int(self.options.get("field_len", 20)))
+
     def streamReader(self, schema: StructType) -> DbcStreamReader:
         limit = self.options.get("limit")
         return DbcStreamReader(
@@ -236,5 +315,8 @@ class DbcDataSource(DataSource):
 
 
 def register_dbc_source(spark) -> None:
-    """Idempotently register the format on a session."""
+    """Idempotently register the format on a session. Enables the Spark 4.1
+    Python-source filter-pushdown conf (runtime-settable) — without it any
+    reader implementing ``pushFilters`` is rejected at planning."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(DbcDataSource)

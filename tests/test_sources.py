@@ -302,3 +302,34 @@ def test_dbc_python_datasource(spark, tmp_path):
     assert isin.count() == 3
     with pytest.raises(Exception, match="implausible header"):
         spark.read.format("dbc").load(d).count()
+
+
+def test_dbc_datasource_write_roundtrip(spark, tmp_path):
+    """`df.write.format("dbc")` — the DataSource write path: each task
+    writes one implode-compressed .dbc (temp-name + commit-rename, so
+    failed tasks leave nothing visible), empty partitions produce no file,
+    non-string schemas are rejected (the reference's record model is
+    all-string), and a write→read round trip through the same format is
+    lossless."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    register_dbc_source(spark)
+    d = str(tmp_path / "out")
+    df = spark.range(0, 50).select(
+        F.col("id").cast("string").alias("AP_ID"),
+        F.concat(F.lit("V"), F.col("id")).cast("string").alias("AP_VAL"),
+    )
+    # 8 partitions over 50 rows: some may be empty — no empty files allowed
+    df.repartition(8).write.format("dbc").mode("overwrite").save(d)
+    files = sorted(os.listdir(d))
+    assert files and all(f.startswith("PART") and f.endswith(".dbc") for f in files)
+
+    back = spark.read.format("dbc").load(d)
+    assert sorted((r["AP_ID"], r["AP_VAL"]) for r in back.collect()) == sorted(
+        (r["AP_ID"], r["AP_VAL"]) for r in df.collect()
+    )
+
+    with pytest.raises(Exception, match="all-string"):
+        spark.range(3).write.format("dbc").mode("overwrite").save(d)
