@@ -283,3 +283,41 @@ def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Backward as-of via cogrouped ``applyInPandas`` — the two-sided
+    grouped-map API: both inputs are shuffled on ``by`` and each key's
+    (left, right) frames arrive as SEPARATE pandas DataFrames, so there is
+    no tag-and-union padding and no NULL-filled columns crossing Arrow.
+    Same semantics and output schema as the window / single-sided forms
+    (the three strategies share one oracle)."""
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in left.schema.fields
+    ) + ", " + ", ".join(f"asof_{c} {dict(right.dtypes)[c]}" for c in right_cols)
+    left_cols = [f.name for f in left.schema.fields]
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [*left_cols, *[f"asof_{c}" for c in right_cols]]
+        if len(lpdf) == 0:
+            return pd.DataFrame(columns=cols)
+        lpdf = lpdf.sort_values(on, kind="mergesort")[left_cols]
+        rpdf = (
+            rpdf.sort_values(on, kind="mergesort")[[on, *right_cols]]
+            .rename(columns={c: f"asof_{c}" for c in right_cols})
+        )
+        return pd.merge_asof(
+            lpdf, rpdf, on=on, direction="backward", allow_exact_matches=True
+        )
+
+    return (
+        left.groupBy(by)
+        .cogroup(right.groupBy(by))
+        .applyInPandas(merge, schema=out_schema)
+    )

@@ -462,3 +462,18 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_SQL)
+
+
+@register("asof_join_cogrouped", oracle=ASOF_ORACLE)
+def asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, third strategy: cogrouped applyInPandas
+    (`groupBy().cogroup().applyInPandas`) — the two-sided grouped-map API,
+    one shuffle per side on user_id, no union padding. Oracle-identical to
+    the window and single-sided pandas forms."""
+    left, logins = _asof_inputs(spark, sf_dir)
+    out = rel.asof_join_cogrouped(
+        left, logins, on="ts", by="user_id", right_cols=["login_ts"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_login_ts")
+    ).orderBy("event_id")
