@@ -569,3 +569,40 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour")
     )
+
+
+@register(
+    "events_heavy_hitters",
+    oracle="""
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 75
+ORDER BY n_events DESC, user_id
+""",
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the `approx_top_k` sketch (Spark 4): one
+    mergeable-sketch aggregation instead of a full groupBy, then a support
+    threshold over the exploded (item, count) pairs.
+
+    Threshold semantics make the sketch oracle-checkable: with
+    `maxItemsTracked` ≥ the distinct-key count the sketch never evicts, so
+    counts are exact and the ≥75 set is deterministic — unlike raw top-k,
+    where boundary ties are arbitrary. At 100 TB the same query runs with
+    a small tracked budget (sketches merge across partitions; memory is
+    O(tracked), not O(distinct users)) and the result degrades to
+    approximate counts with known one-sided error."""
+    ev = load_events(spark, sf_dir)
+    topk = ev.select(
+        F.expr("approx_top_k(user_id, 2000, 10000)").alias("sketch")
+    )
+    return (
+        topk.select(F.explode("sketch").alias("e"))
+        .select(
+            F.col("e.item").alias("user_id"),
+            F.col("e.count").alias("n_events"),
+        )
+        .where(F.col("n_events") >= 75)
+        .orderBy(F.desc("n_events"), "user_id")
+    )
