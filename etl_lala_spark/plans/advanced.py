@@ -477,3 +477,53 @@ def asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", F.col("asof_login_ts")
     ).orderBy("event_id")
+
+
+@register(
+    "udtf_polymorphic_split",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, ts[1] AS tok0, ts[2] AS tok1, ts[3] AS tok2
+FROM toks ORDER BY doc_id
+""",
+)
+def udtf_polymorphic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()``): the OUTPUT SCHEMA is
+    computed at plan time from a literal argument — ``split_fixed(text, 3)``
+    emits columns tok0..tok2; ``split_fixed(text, 5)`` would emit five —
+    the dynamic-schema extension point the reference's converter implements
+    with per-file column discovery (SURVEY.md §1.3), here moved into query
+    planning so Catalyst sees real typed columns, not a map."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class SplitFixed:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            if not n.isConstantExpression or n.value is None:
+                raise ValueError("split_fixed: n must be a non-null literal")
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"tok{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split()
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    docs.createOrReplaceTempView("docs_poly_udtf")
+    spark.udtf.register("split_fixed", SplitFixed)
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.*
+        FROM docs_poly_udtf d, LATERAL split_fixed(d.text, 3) s
+        ORDER BY d.doc_id
+        """
+    )
