@@ -1019,3 +1019,57 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+@register(
+    "market_basket_pairs",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT part_a, part_b, count(*) AS n_orders
+FROM pairs
+GROUP BY part_a, part_b
+HAVING count(*) >= 2
+ORDER BY n_orders DESC, part_a, part_b
+""",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence mining (market basket): part pairs bought together in
+    ≥2 orders.
+
+    Scale shape: instead of self-joining lineitem on l_orderkey (two full
+    fact shuffles + a join whose output is quadratic per order), the plan
+    aggregates each order's distinct parts into ONE sorted array (single
+    shuffle) and generates the C(n,2) pairs with codegen'd array lambdas —
+    the quadratic blowup happens inside a task on an array of ~4 elements,
+    never through the shuffle. The oracle states the same semantics as the
+    naive self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(
+            F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b")
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+    )
