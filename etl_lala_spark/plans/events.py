@@ -606,3 +606,34 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") >= 75)
         .orderBy(F.desc("n_events"), "user_id")
     )
+
+
+@register(
+    "events_hourly_active_users",
+    oracle="""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(DISTINCT user_id) AS active_users,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def events_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hourly active users per event type (the DAU/MAU shape at hour
+    grain) — the exact twin of the mergeable-HLL rollup
+    (`events_distinct_rollup_hll`): one shuffle keyed on (hour, type) with
+    Spark's two-phase distinct expansion. At 100 TB grain the HLL form
+    re-aggregates without touching raw user ids; this exact form is the
+    gate it is tested against."""
+    ev = load_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("hour", "event_type")
+    )
