@@ -192,3 +192,73 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.orderBy(F.col("cos_sim").desc(), "doc_id")
     return scored.withColumn("rerank", F.row_number().over(w)).orderBy("rerank")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+WITH q AS (
+  SELECT label,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127
+           AS scale,
+         embedding
+  FROM embeddings
+),
+err AS (
+  SELECT label, scale,
+         list_max(list_transform(embedding,
+           x -> abs(CAST(x AS DOUBLE)
+                    - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+           AS max_err
+  FROM q
+)
+SELECT label,
+       count(*) AS n_vectors,
+       round(avg(scale), 8) AS avg_scale,
+       round(avg(max_err), 8) AS avg_max_err,
+       round(max(max_err), 8) AS worst_err
+FROM err
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector quantization accounting — the 4× storage compression
+    every 100 TB embedding store runs: per-vector max-abs scale, symmetric
+    int8 codes, and the reconstruction-error profile per label.
+
+    All vector math is codegen'd JVM array lambdas over the float array —
+    no UDF, no explode (64× row inflation), one scan + one hash agg. The
+    quantizer is written as ``floor(x/scale + 0.5)`` on BOTH engines:
+    an explicit deterministic half-up rule, immune to the banker's-rounding
+    differences between engines' ``round``. Errors are bounded by scale/2
+    by construction — the oracle would catch a wrong scale or a biased
+    quantizer immediately."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "label",
+        (
+            F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+            / 127
+        ).alias("scale"),
+        "embedding",
+    )
+    err = q.select(
+        "label",
+        "scale",
+        F.expr(
+            "array_max(transform(embedding, "
+            "x -> abs(CAST(x AS DOUBLE) "
+            "- floor(CAST(x AS DOUBLE) / scale + 0.5D) * scale)))"
+        ).alias("max_err"),
+    )
+    return (
+        err.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("scale"), 8).alias("avg_scale"),
+            F.round(F.avg("max_err"), 8).alias("avg_max_err"),
+            F.round(F.max("max_err"), 8).alias("worst_err"),
+        )
+        .orderBy("label")
+    )
