@@ -219,3 +219,28 @@ def window_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("acctbal").over(running) / F.sum("acctbal").over(total), 6
         ).alias("cum_share"),
     ).orderBy(F.col("acctbal").desc(), "n_name")
+
+
+_ROLLING_HOUR_SQL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+         AS hour_value
+FROM events
+ORDER BY event_id
+"""
+
+
+@register("window_interval_range_frame", oracle=_ROLLING_HOUR_SQL)
+def window_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval RANGE frame on a timestamp ordering: each event's
+    trailing-one-hour value total per user — the time-windowed running
+    metric (rolling spend, rate limiting) that rows-frames can't express
+    when events are irregularly spaced. The SAME SQL text runs on DuckDB;
+    both engines order by µs-precision timestamps, so frame boundaries
+    agree exactly. One shuffle on user_id; the frame scan is linear
+    (two-pointer) per partition, not quadratic."""
+    from etl_lala_spark.io import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_ROLLING_HOUR_SQL)

@@ -164,3 +164,34 @@ def test_dynamic_partition_pruning_on_partitioned_load(spark, sf_dir, tmp_path):
     )
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan
+
+
+def test_market_basket_has_no_join(spark, sf_dir):
+    """Pair mining must generate C(n,2) inside each task (array lambdas
+    after one groupBy) — never as a lineitem self-join."""
+    plan = plan_of(spark, "market_basket_pairs", sf_dir)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL top-n must decorrelate: partial per-group
+    limit below the shuffle, one equi-join, no per-row subquery NLJ."""
+    plan = plan_of(spark, "join_lateral_topn", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_is_single_sketch_agg(spark, sf_dir):
+    """approx_top_k aggregates to ONE sketch row (partial+final, no
+    per-key shuffle of raw counts) before the explode."""
+    plan = plan_of(spark, "events_heavy_hitters", sf_dir)
+    assert "approx_top_k" in plan
+    assert plan.count("Exchange") <= 1  # only the partial->final singleton
+
+
+def test_quantization_has_no_explode(spark, sf_dir):
+    """Vector quantization stays in array lambdas: no Generate (explode)
+    node — the 64x row inflation it avoids."""
+    plan = plan_of(spark, "embedding_quantize_int8", sf_dir)
+    assert "Generate" not in plan
