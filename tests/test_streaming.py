@@ -396,3 +396,43 @@ def test_streaming_dedup_bounded_state_collapses_replay(spark, event_dir):
     )
     n_unique = spark.read.parquet(event_dir).select("event_id").distinct().count()
     assert deduped.count() == n_unique
+
+
+def test_stream_dedup_ingest_only_novel_docs(spark, sf_dir, tmp_path):
+    """Dedup-on-ingest (exact dedup ∘ T5): across micro-batches only
+    never-seen content is appended, and a full replay of the stream (no
+    checkpoint) inserts nothing — the fingerprint lives in the data table,
+    so there is no two-store commit problem."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.sinks import writer as w
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 60)           # includes exact dups
+    b2 = docs.filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 100))
+    b1.write.mode("overwrite").parquet(src)
+
+    def run():
+        q = w.stream_dedup_ingest(
+            spark.readStream.schema(docs.schema).parquet(src), table
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    n_batch1 = spark.read.parquet(table).count()
+    distinct_b1 = b1.select("text").distinct().count()
+    assert n_batch1 == distinct_b1
+
+    # second batch overlaps the first (40..59) and its own dup texts
+    b2.write.mode("append").parquet(src)
+    run()
+    got = spark.read.parquet(table)
+    want = docs.filter(F.col("doc_id") < 100).select("text").distinct().count()
+    assert got.count() == want
+    assert got.select("_fp").distinct().count() == want
+
+    # full replay (fresh stream over the same files): nothing new
+    run()
+    assert spark.read.parquet(table).count() == want
