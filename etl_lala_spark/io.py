@@ -57,6 +57,13 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if ts_type == "bigint":
         # Integer division — double division loses precision at ~1.7e18 ns.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # Parquet NANOS may also surface as TIMESTAMP_NTZ (reader-version
+        # dependent). Session tz is pinned to UTC (session.py), so casting to
+        # TimestampType keeps the same wall-clock instant the DuckDB oracle
+        # sees, and restores castability to numeric epoch seconds (Spark 4
+        # forbids TIMESTAMP_NTZ → BIGINT directly).
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
