@@ -41,6 +41,8 @@ HEADLINE = [
     "ann_cosine_ivf",
     "hybrid_retrieval_rerank",
     "profile_documents",
+    "rag_chunk_documents",
+    "semantic_kmeans_clusters",
 ]
 
 

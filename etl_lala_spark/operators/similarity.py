@@ -268,6 +268,101 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_fit(
+    corpus: DataFrame,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """Spherical k-means (Lloyd) over an embedding column — the clustering
+    step of SemDeDup-style semantic dedup and of IVF codebook training.
+
+    Pure DataFrame ops, no RNG: corpus vectors are L2-normalized once;
+    each Lloyd iteration is (a) a narrow argmax assignment against a
+    one-row broadcast codebook (the corpus never shuffles) and (b) a
+    centroid update computed as ``dim`` columnar ``avg`` aggregates in ONE
+    hash agg — only k × dim partial sums move, never the vectors. Initial
+    centroids are deterministic stride samples (reproducible/resumable,
+    like ``ivf_topk``). Empty cells drop out (standard Lloyd degeneracy;
+    k is an upper bound). With unit vectors the normalized-mean update is
+    exactly the spherical-k-means maximization step, so the objective
+    (mean cosine to the assigned centroid) is non-decreasing per
+    iteration — asserted in tests.
+
+    Returns the final assignment ``(id_col, cell, sim)`` where ``sim`` is
+    the cosine between the vector and its assigned centroid.
+    """
+    from etl_lala_spark.io import spread
+
+    unit = F.expr(
+        f"transform({vec_col}, a -> cast(a as double) / "
+        f"sqrt(aggregate(transform({vec_col}, b -> cast(b as double) * b), "
+        f"0D, (acc, v) -> acc + v)))"
+    )
+    vecs = spread(corpus, by=id_col).select(
+        F.col(id_col).alias("vid"), unit.alias("v")
+    )
+
+    centroids = (
+        vecs.filter((F.col("vid") % centroid_stride) == 0)
+        .orderBy("vid")
+        .limit(k)
+        .select(
+            # k rows only — the single-partition window is fine here.
+            (F.row_number().over(W.orderBy("vid")) - 1).alias("cell"),
+            F.col("v").alias("cvec"),
+        )
+    )
+
+    def assigned_to(centroids: DataFrame) -> DataFrame:
+        codebook = centroids.agg(
+            F.collect_list(F.struct("cell", "cvec")).alias("cells")
+        )
+        # argmax over the codebook via array_max on (sim, cell) structs —
+        # struct comparison orders on sim first, so ties break on the
+        # higher cell id, deterministically.
+        sims = F.expr(
+            "transform(cells, x -> named_struct("
+            "'s', aggregate(zip_with(v, x.cvec, (a, b) -> a * b), "
+            "0D, (acc, v2) -> acc + v2), "
+            "'cell', x.cell))"
+        )
+        return (
+            vecs.crossJoin(F.broadcast(codebook))
+            .select("vid", "v", sims.alias("cell_sims"))
+            .select(
+                "vid",
+                "v",
+                F.expr("array_max(cell_sims).cell").alias("cell"),
+                F.expr("array_max(cell_sims).s").alias("sim"),
+            )
+        )
+
+    for _ in range(iters):
+        asg = assigned_to(centroids)
+        means = asg.groupBy("cell").agg(
+            *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+        )
+        raw = means.select(
+            "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mvec")
+        )
+        # Normalize in a second projection so `mvec` is an attribute —
+        # element access on a *computed* array re-evaluates it per element.
+        centroids = raw.select(
+            "cell",
+            F.expr(
+                "transform(mvec, a -> a / "
+                "sqrt(aggregate(transform(mvec, b -> b * b), "
+                "0D, (acc, v) -> acc + v)))"
+            ).alias("cvec"),
+        )
+
+    return assigned_to(centroids).select(F.col("vid").alias(id_col), "cell", "sim")
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.98,

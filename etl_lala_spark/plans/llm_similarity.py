@@ -195,6 +195,93 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_kmeans_clusters",
+    doc="rows-only: iterative spherical k-means (Lloyd) cluster profile",
+)
+def semantic_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embedding corpus (3 Lloyd iterations,
+    k=8, deterministic stride-sample init — `operators/similarity.py:
+    kmeans_fit`), profiled per cluster: size, cohesion (mean cosine to the
+    centroid), dominant ground-truth label and its purity.
+
+    This is the clustering stage of SemDeDup-style semantic dedup and of
+    IVF codebook training. Iterative → not SQL-expressible, so rows-only
+    driver check; pytest asserts the Lloyd invariants (objective
+    non-decreasing, full assignment coverage).
+
+    Scale: per iteration the corpus is touched by one narrow argmax map
+    (broadcast codebook) plus one hash agg shuffling k × dim partial sums
+    — vectors themselves never shuffle, so iteration cost is O(scan), not
+    O(shuffle of 100 TB)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = sim.kmeans_fit(emb, dim=DIM, k=8, iters=3)
+    labeled = assigned.join(emb.select("vec_id", "label"), "vec_id")
+    per_cell = labeled.groupBy("cell").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("sim"), 4).alias("avg_cohesion"),
+    )
+    dom = (
+        labeled.groupBy("cell", "label")
+        .agg(F.count("*").alias("n"))
+        .groupBy("cell")
+        .agg(F.max(F.struct(F.col("n"), F.col("label"))).alias("top"))
+        .select("cell", F.col("top.label").alias("dominant_label"), F.col("top.n").alias("dom_n"))
+    )
+    return (
+        per_cell.join(dom, "cell")
+        .select(
+            F.col("cell").alias("cluster_id"),
+            "n_members",
+            "avg_cohesion",
+            "dominant_label",
+            F.round(F.col("dom_n") / F.col("n_members"), 4).alias("purity"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "dedup_semdedup",
+    doc="rows-only: semantic dedup — cosine near-dups within k-means clusters",
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup shape (cluster-then-dedup): spherical k-means blocks the
+    corpus, then cosine near-duplicate pairs (≥ 0.97) are mined ONLY within
+    each cluster — the quadratic comparison runs on cluster-sized blocks
+    instead of the full corpus, which is what makes embedding dedup
+    tractable at 100 TB (cost Σ|cluster|² ≪ N²). Per-cluster summary:
+    candidate pairs found and distinct docs flagged for removal (the
+    higher id of each pair, keep-first policy).
+
+    Approximate (blocking can miss cross-cluster pairs) → rows-only;
+    exact duplicates are planted (every 50th vector re-appears under a
+    shifted id, as in dedup_embedding_cosine) and are always caught:
+    identical vectors share an argmax cell by construction. pytest
+    asserts exactly that planted recall."""
+    base = load_table(spark, sf_dir, "embeddings")
+    dups = base.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    emb = base.unionByName(dups)
+    assigned = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2).select("vec_id", "cell")
+    blocked = emb.join(assigned, "vec_id")
+    pairs = sim.cosine_near_dup_pairs(
+        blocked, threshold=0.97, block_col="cell"
+    )
+    cell_of_b = assigned.select(F.col("vec_id").alias("vec_b"), "cell")
+    return (
+        pairs.join(cell_of_b, "vec_b")
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("vec_b").alias("n_flagged"),
+        )
+        .select(F.col("cell").alias("cluster_id"), "n_pairs", "n_flagged")
+        .orderBy("cluster_id")
+    )
+
+
+@register(
     "embedding_quantize_int8",
     oracle="""
 WITH q AS (

@@ -842,3 +842,118 @@ def curate_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").cast("bigint").alias("tokens"))
         .orderBy("pack_group", "bin_id")
     )
+
+
+@register(
+    "rag_chunk_documents",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, '\\s+') AS tk,
+         CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, tk, n_tok,
+         unnest(range(0,
+           1 + CAST(ceil(greatest(n_tok - 32, 0) / 24.0) AS BIGINT)))
+           AS chunk_id
+  FROM toks
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 24 AS start_tok,
+       CAST(least(32, n_tok - chunk_id * 24) AS BIGINT) AS chunk_tokens,
+       array_to_string(list_slice(tk, chunk_id * 24 + 1, chunk_id * 24 + 32), ' ')
+         AS chunk_text
+FROM ex
+ORDER BY doc_id, chunk_id
+""",
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the document→passage splitter of
+    a RAG indexing pipeline (window 32 tokens, stride 24, overlap 8, so no
+    answer span longer than 8 tokens is ever cut without a chunk that
+    contains it whole). Each chunk carries provenance: source doc, ordinal
+    chunk id, token offset, and token count (the tail chunk is short).
+
+    Spark-first shape: one projection computes the token array and chunk
+    count, `explode(sequence(...))` fans out chunk ordinals, and
+    `slice` + `array_join` materialize each window from the SAME tokenized
+    array — the text is tokenized once per document, not once per chunk,
+    and the whole plan is a narrow map (zero shuffles; ordering is for the
+    oracle only). At 100 TB chunking is embarrassingly parallel and this
+    plan keeps it that way."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split("text", r"\s+").alias("tk"),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tok"),
+    )
+    n_chunks = F.lit(1) + F.ceil(F.greatest(F.col("n_tok") - 32, F.lit(0)) / 24.0)
+    ex = toks.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1))
+    )
+    start = F.col("chunk_id") * 24
+    return ex.select(
+        "doc_id",
+        "chunk_id",
+        start.alias("start_tok"),
+        F.least(F.lit(32).cast("bigint"), F.col("n_tok") - start).alias(
+            "chunk_tokens"
+        ),
+        F.array_join(F.slice(F.col("tk"), start + 1, F.lit(32)), " ").alias(
+            "chunk_text"
+        ),
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "curate_source_mixing",
+    oracle="""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (
+  SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.5)) AS z FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z, 6) AS mix_weight,
+       CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) / z * 100000, 0) AS BIGINT)
+         AS target_tokens
+FROM per CROSS JOIN tot
+ORDER BY source
+""",
+)
+def curate_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights (α = 0.5) — the standard
+    training-mixture reweighting: sampling probability ∝ tokens^α, which
+    up-samples small sources and damps dominant ones relative to natural
+    frequency. Emits per-source token counts, the normalized mixture
+    weight, and the token budget each source gets out of a 100k-token
+    epoch. Downstream, `curate_token_budget`'s hash-threshold sampler
+    applies these budgets without any window or extra shuffle.
+
+    Scale: one partial+final hash agg over the corpus (per-source token
+    totals), then a 1-row normalizer broadcast back — the corpus is
+    scanned once and only (source, count) pairs ever move."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).cast("bigint").alias("n_tokens"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), 0.5)
+    tot = per.agg(F.sum(F.pow(F.col("n_tokens").cast("double"), 0.5)).alias("z"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w / F.col("z"), 6).alias("mix_weight"),
+            F.round(w / F.col("z") * 100000, 0).cast("bigint").alias("target_tokens"),
+        )
+        .orderBy("source")
+    )

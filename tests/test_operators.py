@@ -299,3 +299,38 @@ def test_sniff_media_arrow_agrees_with_pandas(spark, sf_dir):
     a = sorted(map(tuple, mm.sniff_media_df(media).collect()))
     b = sorted(map(tuple, mm.sniff_media_df_arrow(media).collect()))
     assert a == b and len(a) == 50
+
+
+def test_kmeans_objective_nondecreasing_and_covers_corpus(spark, sf_dir):
+    """Lloyd invariants: every vector gets exactly one cell, cells stay
+    within [0, k), and the spherical objective (mean cosine to the
+    assigned centroid) never decreases with more iterations."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+
+    def objective(iters: int) -> float:
+        asg = sim.kmeans_fit(emb, dim=64, k=8, iters=iters)
+        assert asg.count() == n
+        assert asg.select("vec_id").distinct().count() == n
+        cells = [r.cell for r in asg.select("cell").distinct().collect()]
+        assert all(0 <= c < 8 for c in cells)
+        return asg.agg(F.avg("sim")).first()[0]
+
+    o0, o1, o3 = objective(0), objective(1), objective(3)
+    eps = 1e-9
+    assert o1 >= o0 - eps
+    assert o3 >= o1 - eps
+
+
+def test_semdedup_catches_planted_exact_dups(spark, sf_dir):
+    """Identical vectors always share an argmax cell, so k-means blocking
+    never loses an exact duplicate: every planted copy must be flagged."""
+    from etl_lala_spark.plans import query_fns
+
+    base = load_table(spark, sf_dir, "embeddings")
+    n_planted = base.filter(F.col("vec_id") % 50 == 0).count()
+    out = query_fns()["dedup_semdedup"](spark, sf_dir)
+    total_flagged = out.agg(F.sum("n_flagged")).first()[0] or 0
+    # Every planted dup is a (orig, orig+100000) pair at cosine 1.0 inside
+    # one cell; organic near-dups can only add to the count.
+    assert total_flagged >= n_planted
