@@ -280,17 +280,26 @@ def kmeans_fit(
     """Spherical k-means (Lloyd) over an embedding column — the clustering
     step of SemDeDup-style semantic dedup and of IVF codebook training.
 
-    Pure DataFrame ops, no RNG: corpus vectors are L2-normalized once;
-    each Lloyd iteration is (a) a narrow argmax assignment against a
-    one-row broadcast codebook (the corpus never shuffles) and (b) a
-    centroid update computed as ``dim`` columnar ``avg`` aggregates in ONE
-    hash agg — only k × dim partial sums move, never the vectors. Initial
-    centroids are deterministic stride samples (reproducible/resumable,
-    like ``ivf_topk``). Empty cells drop out (standard Lloyd degeneracy;
-    k is an upper bound). With unit vectors the normalized-mean update is
+    No RNG: corpus vectors are L2-normalized once; each Lloyd iteration is
+    (a) a narrow argmax assignment against a one-row broadcast codebook
+    (the corpus never shuffles) and (b) a centroid update computed as
+    ``dim`` columnar ``avg`` aggregates in ONE hash agg — only k × dim
+    partial sums move, never the vectors. Initial centroids are
+    deterministic stride samples (reproducible/resumable, like
+    ``ivf_topk``). Empty cells drop out (standard Lloyd degeneracy; k is
+    an upper bound). With unit vectors the normalized-mean update is
     exactly the spherical-k-means maximization step, so the objective
     (mean cosine to the assigned centroid) is non-decreasing per
     iteration — asserted in tests.
+
+    EAGER per iteration, by design: the k × dim codebook is collected to
+    the driver after each update and re-broadcast as a literal. Model
+    state is driver-sized (that is the point of coarse quantization), and
+    truncating the lineage this way makes every iteration exactly ONE
+    corpus scan — a lazily chained loop re-derives each codebook from the
+    one before it, so iteration i re-runs iterations 0..i-1 (≈2× iters
+    corpus scans) and hands Catalyst an iters-deep nest of 64-avg
+    aggregates to analyze. Measured at sf0.1: 7–9 s lazy → ~2 s eager.
 
     Returns the final assignment ``(id_col, cell, sim)`` where ``sim`` is
     the cosine between the vector and its assigned centroid.
@@ -306,7 +315,15 @@ def kmeans_fit(
         F.col(id_col).alias("vid"), unit.alias("v")
     )
 
-    centroids = (
+    spark = corpus.sparkSession
+    cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
+
+    def materialize(cent_df: DataFrame) -> DataFrame:
+        """Collect the k×dim codebook and rebuild it as a literal DataFrame —
+        truncates lineage so the next iteration starts from flat state."""
+        return spark.createDataFrame(cent_df.collect(), schema=cent_schema)
+
+    centroids = materialize(
         vecs.filter((F.col("vid") % centroid_stride) == 0)
         .orderBy("vid")
         .limit(k)
@@ -351,13 +368,15 @@ def kmeans_fit(
         )
         # Normalize in a second projection so `mvec` is an attribute —
         # element access on a *computed* array re-evaluates it per element.
-        centroids = raw.select(
-            "cell",
-            F.expr(
-                "transform(mvec, a -> a / "
-                "sqrt(aggregate(transform(mvec, b -> b * b), "
-                "0D, (acc, v) -> acc + v)))"
-            ).alias("cvec"),
+        centroids = materialize(
+            raw.select(
+                "cell",
+                F.expr(
+                    "transform(mvec, a -> a / "
+                    "sqrt(aggregate(transform(mvec, b -> b * b), "
+                    "0D, (acc, v) -> acc + v)))"
+                ).alias("cvec"),
+            )
         )
 
     return assigned_to(centroids).select(F.col("vid").alias(id_col), "cell", "sim")
@@ -375,10 +394,21 @@ def cosine_near_dup_pairs(
 
     Blocked pairwise join — exact, oracle-able; for unblocked 100 TB corpora
     use lsh_topk buckets as the block instead. Returns (vec_a, vec_b, cos_sim).
+
+    The row norm is projected ONCE per row before the self-join and reused
+    on both sides — cosine per pair is then a single dot product instead of
+    three 64-element folds (3× less pair work; with b-sized blocks the pair
+    stage dominates at Σb² pairs). The reused norm is the bit-identical
+    double the per-pair form would compute, so rounded sims — and oracle
+    hash parity — are unchanged.
     """
     from etl_lala_spark.io import spread
 
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("vec")]
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("n2"),
+    ]
     if block_col:
         cols.append(F.col(block_col).alias("blk"))
     t = spread(df, by=id_col).select(*cols)
@@ -386,7 +416,10 @@ def cosine_near_dup_pairs(
     cond = F.col("x.id") < F.col("y.id")
     if block_col:
         cond = cond & (F.col("x.blk") == F.col("y.blk"))
-    sim = F.round(cosine(F.col("x.vec"), F.col("y.vec")), round_digits)
+    sim = F.round(
+        dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.n2") * F.col("y.n2")),
+        round_digits,
+    )
     return (
         x.join(y, cond)
         .select(

@@ -249,7 +249,8 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, then cosine near-duplicate pairs (≥ 0.97) are mined ONLY within
     each cluster — the quadratic comparison runs on cluster-sized blocks
     instead of the full corpus, which is what makes embedding dedup
-    tractable at 100 TB (cost Σ|cluster|² ≪ N²). Per-cluster summary:
+    tractable at 100 TB (cost Σ|cluster|² ≪ N²; grow k with the corpus —
+    k ≈ N/target_block keeps block cost flat). Per-cluster summary:
     candidate pairs found and distinct docs flagged for removal (the
     higher id of each pair, keep-first policy).
 
@@ -263,7 +264,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 100000
     )
     emb = base.unionByName(dups)
-    assigned = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2).select("vec_id", "cell")
+    assigned = sim.kmeans_fit(emb, dim=DIM, k=16, iters=2).select("vec_id", "cell")
     blocked = emb.join(assigned, "vec_id")
     pairs = sim.cosine_near_dup_pairs(
         blocked, threshold=0.97, block_col="cell"
