@@ -937,23 +937,27 @@ def curate_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     applies these budgets without any window or extra shuffle.
 
     Scale: one partial+final hash agg over the corpus (per-source token
-    totals), then a 1-row normalizer broadcast back — the corpus is
-    scanned once and only (source, count) pairs ever move."""
+    totals) — the corpus is scanned ONCE and only (source, count) pairs
+    ever move. The normalizer Σ tokens^α is an unpartitioned window over
+    the per-source aggregate: deliberately single-partition, but over
+    #sources rows, not corpus rows (a normalizer branch derived from the
+    corpus twice would double the scan — plan-shape-tested against)."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     per = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(F.split("text", r"\s+"))).cast("bigint").alias("n_tokens"),
     )
     w = F.pow(F.col("n_tokens").cast("double"), 0.5)
-    tot = per.agg(F.sum(F.pow(F.col("n_tokens").cast("double"), 0.5)).alias("z"))
+    z = F.sum(w).over(Window.partitionBy())
     return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
+        per.select(
             "source",
             "n_docs",
             "n_tokens",
-            F.round(w / F.col("z"), 6).alias("mix_weight"),
-            F.round(w / F.col("z") * 100000, 0).cast("bigint").alias("target_tokens"),
+            F.round(w / z, 6).alias("mix_weight"),
+            F.round(w / z * 100000, 0).cast("bigint").alias("target_tokens"),
         )
         .orderBy("source")
     )

@@ -195,3 +195,43 @@ def test_quantization_has_no_explode(spark, sf_dir):
     node — the 64x row inflation it avoids."""
     plan = plan_of(spark, "embedding_quantize_int8", sf_dir)
     assert "Generate" not in plan
+
+
+def test_rag_chunking_is_zero_shuffle_narrow_map(spark, sf_dir):
+    """Chunking must stay a narrow map: one scan, no join/agg; the only
+    exchange is the presentation orderBy."""
+    plan = plan_of(spark, "rag_chunk_documents", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "HashAggregate" not in plan
+    assert plan.count("Exchange") == 1
+
+
+def test_source_mixing_scans_corpus_once(spark, sf_dir):
+    """The normalizer must come from the per-source aggregate, not a second
+    corpus branch — a naive agg-of-agg cross join doubles the 100 TB scan."""
+    plan = plan_of(spark, "curate_source_mixing", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_kmeans_assignment_broadcasts_codebook(spark, sf_dir):
+    """Lloyd assignment must reach the corpus via a broadcast codebook —
+    never a shuffle join of the corpus against centroids."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = sim.kmeans_fit(emb, dim=64, k=4, iters=1)
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_er_fuzzy_join_runs_on_deduped_domain(spark, sf_dir):
+    """The quadratic ER step must run on the distinct-name domain (post-agg),
+    so the self-join's inputs are aggregates, not raw part scans feeding the
+    join directly."""
+    plan = plan_of(spark, "er_fuzzy_part_names", sf_dir)
+    assert plan.count("Scan parquet") == 2  # two branches of the self-join
+    # each branch aggregates to the name domain before joining
+    assert plan.count("HashAggregate") >= 4
