@@ -178,6 +178,71 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_codebook(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+) -> DataFrame:
+    """One-row broadcast-able IVF codebook ``(cells: array<struct<cell,
+    cvec>>)`` from deterministic stride-sampled, pre-normalized corpus
+    vectors — shared by ``ivf_topk`` and the incremental index writer
+    (``sinks.writer.stream_ivf_index``), which must quantize with the SAME
+    codebook the queries route by."""
+    centroids = (
+        corpus.filter((F.col(id_col) % centroid_stride) == 0)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .select(
+            # n_cells rows only — the single-partition window is fine here.
+            (F.row_number().over(W.orderBy(id_col)) - 1).alias("cell"),
+            F.col(vec_col).alias("cvec"),
+        )
+        # Pre-normalize centroids once at codebook build: cell argmax then
+        # needs only a dot product per cell (the row-vector norm is constant
+        # across cells and drops out of the argmax).
+        .select(
+            "cell",
+            F.expr(
+                "transform(cvec, a -> cast(a as double) / "
+                "sqrt(aggregate(transform(cvec, b -> cast(b as double) * b), "
+                "0D, (acc, v) -> acc + v)))"
+            ).alias("cvec"),
+        )
+    )
+    return centroids.agg(F.collect_list(F.struct("cell", "cvec")).alias("cells"))
+
+
+def ivf_assign(
+    df: DataFrame,
+    codebook: DataFrame,
+    out_cells: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``out_cells`` nearest codebook cells —
+    argmax over the broadcast one-row codebook, a narrow map with no
+    shuffle of ``df``. Returns (id_col, vec_col, cell), one row per
+    probed cell."""
+    sims = F.expr(
+        f"transform(cells, x -> named_struct("
+        f"'s', aggregate(zip_with({vec_col}, x.cvec, "
+        f"(a, b) -> cast(a as double) * b), 0D, (acc, v) -> acc + v), "
+        f"'cell', x.cell))"
+    )
+    with_sims = df.crossJoin(F.broadcast(codebook)).select(
+        F.col(id_col), F.col(vec_col), sims.alias("cell_sims")
+    )
+    picked = F.expr(
+        f"transform(slice(reverse(array_sort(cell_sims)), 1, {out_cells}), "
+        f"x -> x.cell)"
+    )
+    return with_sims.select(
+        F.col(id_col), F.col(vec_col), F.explode(picked).alias("cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -205,56 +270,21 @@ def ivf_topk(
     """
     from etl_lala_spark.io import spread
 
-    centroids = (
-        corpus.filter((F.col(id_col) % centroid_stride) == 0)
-        .orderBy(id_col)
-        .limit(n_cells)
-        .select(
-            # n_cells rows only — the single-partition window is fine here.
-            (F.row_number().over(W.orderBy(id_col)) - 1).alias("cell"),
-            F.col(vec_col).alias("cvec"),
-        )
-        # Pre-normalize centroids once at codebook build: cell argmax then
-        # needs only a dot product per cell (the row-vector norm is constant
-        # across cells and drops out of the argmax).
-        .select(
-            "cell",
-            F.expr(
-                "transform(cvec, a -> cast(a as double) / "
-                "sqrt(aggregate(transform(cvec, b -> cast(b as double) * b), "
-                "0D, (acc, v) -> acc + v)))"
-            ).alias("cvec"),
-        )
+    codebook = ivf_codebook(
+        corpus,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_stride=centroid_stride,
     )
-    # One-row broadcast codebook: array<struct<cell, cvec>>.
-    codebook = centroids.agg(
-        F.collect_list(F.struct("cell", "cvec")).alias("cells")
-    )
-
-    # argmax over the codebook via array_max on (sim, cell) structs —
-    # evaluated per row, corpus never shuffles.
-    def assign(df: DataFrame, idc: str, out_cells: int) -> DataFrame:
-        sims = F.expr(
-            f"transform(cells, x -> named_struct("
-            f"'s', aggregate(zip_with({vec_col}, x.cvec, "
-            f"(a, b) -> cast(a as double) * b), 0D, (acc, v) -> acc + v), "
-            f"'cell', x.cell))"
-        )
-        with_sims = df.crossJoin(F.broadcast(codebook)).select(
-            F.col(idc), F.col(vec_col), sims.alias("cell_sims")
-        )
-        picked = F.expr(
-            f"transform(slice(reverse(array_sort(cell_sims)), 1, {out_cells}), "
-            f"x -> x.cell)"
-        )
-        return with_sims.select(
-            F.col(idc), F.col(vec_col), F.explode(picked).alias("cell")
-        )
-
-    c = assign(spread(corpus, by=id_col), id_col, 1).select(
+    c = ivf_assign(
+        spread(corpus, by=id_col), codebook, 1, id_col=id_col, vec_col=vec_col
+    ).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
     )
-    q = assign(queries, id_col, nprobe).select(
+    q = ivf_assign(
+        queries, codebook, nprobe, id_col=id_col, vec_col=vec_col
+    ).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
     )
     sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)

@@ -464,3 +464,94 @@ def maintain_summary(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def stream_ivf_index(
+    stream_vecs: DataFrame,
+    index_path: str,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+):
+    """Incremental ANN index maintenance — the production layout behind
+    `ann_cosine_ivf` (SCALE.md: "corpus written partitioned by cell"), kept
+    fresh by streaming.
+
+    Each micro-batch of vectors is coarse-quantized against the FIXED
+    broadcast codebook (`operators.similarity.ivf_assign`, a narrow map) and
+    appended to a parquet index partitioned by cell — so a query probing
+    nprobe cells reads nprobe/n_cells of the data via partition pruning
+    (`ivf_index_search`). Replay-safe like `stream_dedup_ingest`: the batch
+    anti-joins on id against the index itself (reads only the id column),
+    so at-least-once delivery is effectively-once with no side ledger. The
+    codebook must stay fixed once the index exists — re-clustering is a
+    rebuild (standard IVF contract). Returns the started StreamingQuery.
+    """
+    from etl_lala_spark.operators.similarity import ivf_assign
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        assigned = ivf_assign(
+            batch_df.dropDuplicates([id_col]),
+            codebook,
+            1,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if os.path.isdir(index_path) and any(
+            not e.startswith("_") for e in os.listdir(index_path)
+        ):
+            seen = spark.read.parquet(index_path).select(id_col)
+            assigned = assigned.join(seen, id_col, "left_anti")
+        assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+
+    w = stream_vecs.writeStream.foreachBatch(ingest).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    codebook: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Route queries against a cell-partitioned IVF index: assign each query
+    to its nprobe nearest cells, then join on the index's PARTITION column —
+    Spark prunes every unprobed cell directory at planning time (asserted in
+    tests via the scan's PartitionFilters), so scan cost is
+    nprobe/n_cells of the index regardless of corpus size.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    from pyspark.sql import Window as W
+
+    from etl_lala_spark.operators.similarity import dot, ivf_assign, norm
+
+    idx = spark.read.parquet(index_path).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "cell",
+    )
+    q = ivf_assign(queries, codebook, nprobe, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+    )
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec"))
+        / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
+        round_digits,
+    )
+    scored = (
+        idx.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -436,3 +436,64 @@ def test_stream_dedup_ingest_only_novel_docs(spark, sf_dir, tmp_path):
     # full replay (fresh stream over the same files): nothing new
     run()
     assert spark.read.parquet(table).count() == want
+
+
+def test_stream_ivf_index_incremental_and_pruned_search(spark, sf_dir, tmp_path):
+    """Incremental ANN index: two streamed batches land cell-partitioned and
+    exactly once (replay is a no-op); query routing joins on the partition
+    column so the scan prunes unprobed cells; every corpus query finds its
+    planted exact twin at cosine 1.0."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.operators import similarity as sim
+    from etl_lala_spark.sinks import writer as w
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook_lazy = sim.ivf_codebook(emb, n_cells=8)
+    # Fix the codebook as a literal: the index contract is that it never
+    # changes once rows are written.
+    codebook = spark.createDataFrame(
+        codebook_lazy.collect(), schema=codebook_lazy.schema
+    )
+
+    src = str(tmp_path / "vec_src")
+    index = str(tmp_path / "ivf_index")
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    half1.write.mode("overwrite").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+        q = w.stream_ivf_index(stream, index, codebook)
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    assert spark.read.parquet(index).count() == half1.count()
+    run()  # replay without checkpoint: anti-join keeps it exactly-once
+    assert spark.read.parquet(index).count() == half1.count()
+    half2.write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(index).count() == emb.count()
+    # cell-partitioned layout on disk
+    import os
+
+    assert any(e.startswith("cell=") for e in os.listdir(index))
+
+    # Planted twins: copies of every 25th vector under shifted ids must be
+    # found at rank 1 with cosine 1.0 (same argmax cell by construction).
+    queries = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    res = w.ivf_index_search(spark, index, queries, codebook, k=3, nprobe=2)
+    top1 = {r.query_id: (r.neighbor_id, r.cos_sim) for r in res.filter("rank = 1").collect()}
+    for qid, (nid, cs) in top1.items():
+        assert nid == qid - 100000 and cs == 1.0
+    assert len(top1) == queries.count()
+
+    # Partition pruning: the index scan carries a PartitionFilters entry on
+    # the routed cell key (dynamic pruning via the broadcast join).
+    plan = w.ivf_index_search(
+        spark, index, queries, codebook, k=3, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("Scan parquet") :]
+    assert "dynamicpruningexpression" in scan  # unprobed cells never read
