@@ -95,3 +95,18 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     """Load several tables at once; all of them when ``names`` is empty."""
     wanted = names or TABLES
     return {n: load_table(spark, sf_dir, n) for n in wanted}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> list[str]:
+    """Expose the star schema as temp views so users can work in raw SQL —
+    the engine's interactive entry point (SURVEY.md §3.2: the reference's
+    HTTP surface is vestigial; ours is the PySpark API + ``spark.sql``).
+
+    After ``register_views(spark, sf_dir)``, any ANSI query the DuckDB
+    oracle runs is valid against ``spark.sql`` too (same table names).
+    Views are lazy — registering costs nothing until a query scans one.
+    Returns the registered names."""
+    wanted = list(names or TABLES)
+    for n in wanted:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return wanted

@@ -637,3 +637,66 @@ def events_hourly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour", "event_type")
     )
+
+
+@register(
+    "events_ewma_smoothing",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         list(value::DOUBLE ORDER BY ts, event_id) AS vals
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3), 6)
+         AS ewma_value,
+       round(list_aggregate(vals, 'avg'), 6) AS mean_value
+FROM seqs
+ORDER BY user_id
+""",
+)
+def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 0.3) of each user's event
+    values in event-time order — the recursive per-key computation SQL
+    window frames cannot express (each state depends on the previous
+    state, not on a frame of rows).
+
+    Spark-first shape: one hash agg collects each user's ordered value
+    sequence (array_sort on (ts, event_id, value) structs — deterministic
+    total order), then a codegen'd `aggregate` fold runs the recurrence
+    JVM-side. The null-init fold seeds s₀ = x₀, exactly DuckDB
+    `list_reduce`'s first-element-init, and both engines fold the same
+    sequence left-to-right so the doubles agree bit-for-bit. Scale: state
+    is one array per user (bounded by per-key history, shuffled once);
+    unbounded histories graduate to the streaming form
+    (applyInPandasWithState keeps just the scalar s_t per key)."""
+    ev = load_events(spark, sf_dir)
+    seqs = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
+            )
+        ).alias("ord"),
+    )
+    seqs = seqs.select(
+        "user_id",
+        "n_events",
+        F.expr("transform(ord, x -> x.v)").alias("vals"),
+    )
+    ewma = F.aggregate(
+        F.col("vals"),
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(acc * 0.7 + x * 0.3),
+    )
+    mean = F.aggregate(
+        F.col("vals"), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size("vals")
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.round(ewma, 6).alias("ewma_value"),
+        F.round(mean, 6).alias("mean_value"),
+    ).orderBy("user_id")

@@ -333,3 +333,19 @@ def test_dbc_datasource_write_roundtrip(spark, tmp_path):
 
     with pytest.raises(Exception, match="all-string"):
         spark.range(3).write.format("dbc").mode("overwrite").save(d)
+
+
+def test_register_views_enables_raw_sql(spark, sf_dir):
+    """After register_views, users can run plain ANSI SQL against the same
+    table names the DuckDB oracle uses."""
+    from etl_lala_spark.io import TABLES, register_views
+
+    assert register_views(spark, sf_dir) == list(TABLES)
+    row = spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY n_customers DESC, n.n_name LIMIT 1
+        """
+    ).first()
+    assert row.n_customers > 0
