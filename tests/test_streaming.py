@@ -497,3 +497,49 @@ def test_stream_ivf_index_incremental_and_pruned_search(spark, sf_dir, tmp_path)
     )._jdf.queryExecution().executedPlan().toString()
     scan = plan[plan.index("Scan parquet") :]
     assert "dynamicpruningexpression" in scan  # unprobed cells never read
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
+    """The bounded-state streaming EWMA (two scalars per key) agrees exactly
+    with the batch ordered-array fold when batches arrive in time order."""
+    from etl_lala_spark.io import load_events
+    from etl_lala_spark.plans import query_fns
+    from etl_lala_spark.streaming import stateful
+
+    ev = load_events(spark, sf_dir)
+    # Two time-ordered files: all of file1's events precede file2's.
+    mid = ev.selectExpr("percentile(cast(ts as double), 0.5) AS m").first().m
+    early = ev.where(F.col("ts").cast("double") <= mid)
+    late = ev.where(F.col("ts").cast("double") > mid)
+    src = str(tmp_path / "ewma_src")
+    early.write.mode("overwrite").parquet(src + "/b1")
+    late.write.mode("overwrite").parquet(src + "/b2")
+
+    out = str(tmp_path / "ewma_out")
+    stream = (
+        spark.readStream.schema(early.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src + "/b*")
+    )
+    q = (
+        stateful.attach_ewma(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ewma_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    got_rows = spark.read.parquet(out).collect()
+    # keep the final emission per user (largest n_events)
+    final = {}
+    for r in got_rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, round(r.ewma_value, 6))
+    want = {
+        r.user_id: (r.n_events, r.ewma_value)
+        for r in query_fns()["events_ewma_smoothing"](spark, sf_dir).collect()
+    }
+    assert final == want
