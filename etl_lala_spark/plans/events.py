@@ -700,3 +700,90 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ewma, 6).alias("ewma_value"),
         F.round(mean, 6).alias("mean_value"),
     ).orderBy("user_id")
+
+
+@register(
+    "behavior_similarity_topk",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+  FROM events GROUP BY user_id
+),
+prof AS (
+  SELECT user_id,
+         list_distinct(list_transform(range(1, len(types)),
+                                      i -> types[i] || '>' || types[i+1]))
+           AS grams
+  FROM seqs
+),
+q AS (SELECT user_id AS query_user, grams AS qg FROM prof WHERE user_id % 97 = 0),
+scored AS (
+  SELECT q.query_user, p.user_id AS other_user,
+         round(CASE WHEN len(list_distinct(list_concat(qg, grams))) = 0 THEN 0.0
+               ELSE CAST(len(list_intersect(qg, grams)) AS DOUBLE)
+                    / len(list_distinct(list_concat(qg, grams))) END, 6) AS jac
+  FROM prof p CROSS JOIN q
+  WHERE p.user_id <> q.query_user
+)
+SELECT query_user, other_user, jac,
+       CAST(row_number() OVER (PARTITION BY query_user
+                               ORDER BY jac DESC, other_user) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY query_user, rank
+""",
+)
+def behavior_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral trajectory similarity search (the REPOSE top-k
+    trajectory-similarity shape, PAPERS.md): each user's event-time-ordered
+    event-type sequence is reduced to its distinct transition-bigram set,
+    and a small query cohort is matched against all users by Jaccard
+    similarity, top-3 each.
+
+    Spark-first: profiles are built in ONE hash agg (ordered collect +
+    codegen'd transform/distinct — no explode of the trajectory); the
+    query cohort is broadcast against the profile table exactly like the
+    ANN brute-force path, so the profile corpus never shuffles and the
+    ranking window sees only #queries × #users candidate rows. The same
+    blocked/LSH graduation as text dedup applies when the cohort grows."""
+    ev = load_events(spark, sf_dir)
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("ord")
+    )
+    prof = seqs.select(
+        "user_id", F.expr("transform(ord, x -> x.event_type)").alias("types")
+    ).select(
+        "user_id",
+        F.expr(
+            "array_distinct(CASE WHEN size(types) < 2 THEN array() "
+            "ELSE transform(sequence(1, size(types) - 1), "
+            "i -> concat(element_at(types, i), '>', element_at(types, i + 1))) "
+            "END)"
+        ).alias("grams"),
+    )
+    q = prof.filter(F.col("user_id") % 97 == 0).select(
+        F.col("user_id").alias("query_user"), F.col("grams").alias("qg")
+    )
+    union_n = F.size(F.array_union(F.col("qg"), F.col("grams")))
+    jac = F.round(
+        F.when(union_n == 0, F.lit(0.0)).otherwise(
+            F.size(F.array_intersect(F.col("qg"), F.col("grams"))).cast("double")
+            / union_n
+        ),
+        6,
+    )
+    scored = (
+        prof.crossJoin(F.broadcast(q))
+        .filter(F.col("user_id") != F.col("query_user"))
+        .select(
+            "query_user", F.col("user_id").alias("other_user"), jac.alias("jac")
+        )
+    )
+    w = W.partitionBy("query_user").orderBy(F.col("jac").desc(), "other_user")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .orderBy("query_user", "rank")
+    )
