@@ -334,3 +334,25 @@ def test_semdedup_catches_planted_exact_dups(spark, sf_dir):
     # Every planted dup is a (orig, orig+100000) pair at cosine 1.0 inside
     # one cell; organic near-dups can only add to the count.
     assert total_flagged >= n_planted
+
+
+def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
+    """With reverse edges (no dangling nodes) the un-normalized PageRank
+    mass invariant holds: Σ rank = #nodes; and two runs agree exactly."""
+    from etl_lala_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .selectExpr("concat('c', o_custkey) AS src", "concat('s', l_suppkey) AS dst")
+        .distinct()
+    )
+    edges = trade.unionByName(trade.selectExpr("dst AS src", "src AS dst"))
+    r1 = pagerank(edges, iters=3)
+    n = r1.count()
+    total = r1.agg(F.sum("rank")).first()[0]
+    assert abs(total - n) < 1e-6 * n
+    assert r1.filter(F.col("rank") <= 0).count() == 0
+    r2 = pagerank(edges, iters=3)
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
