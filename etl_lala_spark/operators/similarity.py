@@ -390,16 +390,24 @@ def kmeans_fit(
 
     for _ in range(iters):
         asg = assigned_to(centroids)
+        # Centroid update as dim columnar avg()s in ONE hash agg: each task
+        # keeps k × dim running sums with no row inflation. The alternative
+        # (posexplode → (cell, idx) avg) has the same post-combine shuffle
+        # volume and a much smaller driver-side plan (~0.7 s of py4j Column
+        # construction saved per iteration at dim=64), but materializes dim
+        # rows per vector before the partial agg — a per-row CPU cost that
+        # scales with the corpus. Constant driver cost beats scaling
+        # executor cost at 100 TB, so the columnar form stays.
         means = asg.groupBy("cell").agg(
             *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
         )
-        raw = means.select(
+        means = means.select(
             "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mvec")
         )
         # Normalize in a second projection so `mvec` is an attribute —
         # element access on a *computed* array re-evaluates it per element.
         centroids = materialize(
-            raw.select(
+            means.select(
                 "cell",
                 F.expr(
                     "transform(mvec, a -> a / "

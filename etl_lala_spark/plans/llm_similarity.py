@@ -199,9 +199,10 @@ def hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="rows-only: iterative spherical k-means (Lloyd) cluster profile",
 )
 def semantic_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical k-means over the embedding corpus (3 Lloyd iterations,
+    """Spherical k-means over the embedding corpus (2 Lloyd iterations,
     k=8, deterministic stride-sample init — `operators/similarity.py:
-    kmeans_fit`), profiled per cluster: size, cohesion (mean cosine to the
+    kmeans_fit`; the objective-monotonicity pytest drives deeper
+    iteration), profiled per cluster: size, cohesion (mean cosine to the
     centroid), dominant ground-truth label and its purity.
 
     This is the clustering stage of SemDeDup-style semantic dedup and of
@@ -214,7 +215,7 @@ def semantic_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — vectors themselves never shuffle, so iteration cost is O(scan), not
     O(shuffle of 100 TB)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = sim.kmeans_fit(emb, dim=DIM, k=8, iters=3)
+    assigned = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2)
     labeled = assigned.join(emb.select("vec_id", "label"), "vec_id")
     per_cell = labeled.groupBy("cell").agg(
         F.count("*").alias("n_members"),
