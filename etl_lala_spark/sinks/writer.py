@@ -555,3 +555,42 @@ def ivf_index_search(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    table_path: str,
+    expected: list[str],
+    compute,
+    part_col: str = "competencia",
+) -> LoadResult:
+    """Backfill: materialize exactly the partitions that SHOULD exist but
+    don't — the completion of the reference's idempotent month loads
+    (``competencias_existentes`` tells it what to skip; backfill also knows
+    what is *missing* and repairs holes after failed or never-run months).
+
+    ``expected`` is the full partition-key list (e.g. the competence_months
+    dimension rendered to strings); ``compute(spark, [keys])`` produces the
+    rows for the missing keys only — so a backfill of 2 missing months in a
+    10-year table touches 2 partitions' worth of source data, never the
+    table. The gap check is directory-listing arithmetic (O(partitions),
+    no data scan), and the write appends only new partition directories, so
+    concurrent readers never see a partition half-replaced.
+    """
+    existing = set(existing_partitions(spark, table_path, part_col))
+    missing = [k for k in expected if k not in existing]
+    created = not os.path.isdir(table_path)
+    inserted = 0
+    if missing:
+        batch = compute(spark, missing)
+        # Safety: keep only the requested keys even if compute over-produces.
+        batch = batch.where(F.col(part_col).isin(missing))
+        inserted = batch.count()
+        if inserted:
+            batch.write.mode("append").partitionBy(part_col).parquet(table_path)
+    return LoadResult(
+        tabela={"nome": os.path.basename(table_path), "criada_agora": created},
+        registros_inseridos=inserted,
+        competencias_existentes=sorted(existing),
+        competencias_backfilled=missing,
+    )

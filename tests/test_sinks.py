@@ -284,3 +284,49 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
     rows = {r["competencia"]: r for r in merged.collect()}
     assert rows["202501"]["ap_extra"] is None
     assert rows["202502"]["ap_extra"] == "NEW"
+
+
+def test_backfill_fills_only_missing_partitions(spark, sf_dir, tmp_path):
+    """Backfill computes rows for exactly the missing months: pre-loaded
+    partitions are untouched (same file set), holes are filled, and a
+    second backfill is a no-op."""
+    import os
+
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.sinks.writer import backfill_partitions
+
+    table = str(tmp_path / "orders_monthly")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "competencia", F.date_format("o_orderdate", "yyyyMM")
+    )
+    months = sorted(r.competencia for r in o.select("competencia").distinct().collect())
+    assert len(months) >= 3
+    seed, holes = months[:1] + months[2:], [months[1]]
+    o.where(F.col("competencia").isin(seed)).write.partitionBy("competencia").parquet(table)
+    before = set()
+    for d in os.listdir(table):
+        if d.startswith("competencia="):
+            for f in os.listdir(os.path.join(table, d)):
+                before.add((d, f))
+
+    calls = []
+
+    def compute(spark_, keys):
+        calls.append(list(keys))
+        return o.where(F.col("competencia").isin(keys))
+
+    res = backfill_partitions(spark, table, months, compute)
+    assert res["competencias_backfilled"] == holes
+    assert calls == [holes]
+    got = spark.read.parquet(table)
+    assert got.count() == o.count()
+    # pre-existing partition files untouched (append created new dirs only)
+    after = set()
+    for d in os.listdir(table):
+        if d.startswith("competencia="):
+            for f in os.listdir(os.path.join(table, d)):
+                after.add((d, f))
+    assert before <= after
+
+    res2 = backfill_partitions(spark, table, months, compute)
+    assert res2["competencias_backfilled"] == [] and len(calls) == 1
