@@ -961,3 +961,52 @@ def curate_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "curate_weighted_sample",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+         round(pow(
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+             / 4294967297.0,
+           1.0 / n_chars), 9) AS ares_key
+  FROM documents
+)
+SELECT doc_id, source, n_chars, ares_key,
+       CAST(row_number() OVER (ORDER BY ares_key DESC, doc_id) AS INT) AS rank
+FROM keyed
+QUALIFY rank <= 50
+ORDER BY rank
+""",
+)
+def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res),
+    weight = document length: each doc gets key u^(1/w) from a
+    deterministic hash-uniform u, and the top-50 keys ARE a weighted
+    sample — the exact-size, reproducible form of weighted data mixing
+    (longer docs proportionally likelier, no RNG state, replayable).
+
+    Scale: one narrow projection computes keys, and the top-k is
+    TakeOrderedAndProject — per-partition partial top-50, never a global
+    sort; at 100 TB this is the only distributed-weighted-sample shape
+    that needs no shuffle of the corpus. Keys are rounded to 9 digits
+    BEFORE ranking with a doc_id tiebreak so the engines' last-ulp pow
+    differences cannot reorder the cut."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    ) / F.lit(4294967297.0)
+    key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
+    keyed = d.select("doc_id", "source", "n_chars", key.alias("ares_key"))
+    w = W.orderBy(F.col("ares_key").desc(), "doc_id")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .orderBy("rank")
+    )
