@@ -782,8 +782,10 @@ def behavior_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = W.partitionBy("query_user").orderBy(F.col("jac").desc(), "other_user")
+    # row_number is already int on the Spark side (the oracle casts DuckDB's
+    # bigint); a cast wrapper would defeat the WindowGroupLimit rewrite.
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .orderBy("query_user", "rank")
     )

@@ -1004,9 +1004,10 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(4294967297.0)
     key = F.round(F.pow(u, F.lit(1.0) / F.col("n_chars")), 9)
     keyed = d.select("doc_id", "source", "n_chars", key.alias("ares_key"))
+    # orderBy + limit plans as TakeOrderedAndProject — per-partition partial
+    # top-50, no global sort, no single-partition window over the corpus;
+    # ranks are then numbered over just the 50 survivors. (Spark row_number
+    # is already int; the oracle casts DuckDB's bigint.)
+    top = keyed.orderBy(F.col("ares_key").desc(), "doc_id").limit(50)
     w = W.orderBy(F.col("ares_key").desc(), "doc_id")
-    return (
-        keyed.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 50)
-        .orderBy("rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")

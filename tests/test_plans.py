@@ -235,3 +235,17 @@ def test_er_fuzzy_join_runs_on_deduped_domain(spark, sf_dir):
     assert plan.count("Scan parquet") == 2  # two branches of the self-join
     # each branch aggregates to the name domain before joining
     assert plan.count("HashAggregate") >= 4
+
+
+def test_weighted_sample_is_partial_topk(spark, sf_dir):
+    """A-Res sampling must cut via TakeOrderedAndProject (partial top-k);
+    the ranking window sees only the k survivors, never the corpus."""
+    plan = plan_of(spark, "curate_weighted_sample", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_behavior_similarity_rank_uses_window_group_limit(spark, sf_dir):
+    """The per-query rank filter must rewrite to WindowGroupLimit (partial
+    per-partition top-k before the final window)."""
+    plan = plan_of(spark, "behavior_similarity_topk", sf_dir)
+    assert "WindowGroupLimit" in plan
