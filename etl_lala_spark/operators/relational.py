@@ -321,3 +321,42 @@ def asof_join_cogrouped(
         .cogroup(right.groupBy(by))
         .applyInPandas(merge, schema=out_schema)
     )
+
+
+def table_diff(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    compare: list[str],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as added / removed /
+    changed / unchanged between two table versions — the validation step
+    after a migration, backfill, or reprocessing run (does the new load
+    agree with the old one, and where exactly not?).
+
+    Each side collapses to (key, row_hash) where the hash covers the
+    compared columns, so the full-outer join moves two thin columns per
+    row, never the payload — at 100 TB the diff costs one co-partitioned
+    join on the key (exchange-free if both snapshots are bucketed on it).
+    Returns (key, diff_status) for non-unchanged rows plus the hashes for
+    drill-down.
+    """
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare])).alias(
+                f"{side}_hash"
+            ),
+        )
+
+    l, r = hashed(left, "l"), hashed(right, "r")
+    joined = l.join(r, key, "full_outer")
+    status = (
+        F.when(F.col("l_hash").isNull(), F.lit("added"))
+        .when(F.col("r_hash").isNull(), F.lit("removed"))
+        .when(F.col("l_hash") != F.col("r_hash"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(key, status.alias("diff_status"), "l_hash", "r_hash").where(
+        F.col("diff_status") != "unchanged"
+    )

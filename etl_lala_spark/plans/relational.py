@@ -759,3 +759,67 @@ def join_theta_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "tier", F.round("o_totalprice", 2).alias("o_totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "reconcile_snapshots",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31), o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))) AS l_hash
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         md5(concat_ws(chr(31), o_orderstatus,
+             CAST(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                            ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR)))
+           AS r_hash
+  FROM orders WHERE o_orderkey % 7 <> 3
+),
+diff AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         CASE WHEN old.o_orderkey IS NULL THEN 'added'
+              WHEN new.o_orderkey IS NULL THEN 'removed'
+              WHEN l_hash <> r_hash THEN 'changed'
+              ELSE 'unchanged' END AS diff_status,
+         l_hash, r_hash
+  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+)
+SELECT o_orderkey, diff_status, l_hash, r_hash
+FROM diff WHERE diff_status <> 'unchanged'
+ORDER BY o_orderkey
+""",
+)
+def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (`operators/relational.py:table_diff`): after
+    a reprocessing/backfill run, classify every order as added / removed /
+    changed between the old and new table versions. Snapshots are derived
+    deterministically from `orders` (new drops every 7th-mod-3 key, gains
+    the mod-10 keys old lacked, and doubles the price of every 5th key).
+
+    Compared columns are hashed per side BEFORE the full-outer join, so
+    the diff moves (key, hash) pairs only — never row payloads; doubles
+    are pinned through DECIMAL(18,2) so both engines render identical
+    hash inputs. At 100 TB this is one co-partitioned join on the key,
+    exchange-free when both snapshots are bucketed on it."""
+    from etl_lala_spark.operators.relational import table_diff
+
+    o = load_table(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_cmp"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 2)
+        .otherwise(F.col("o_totalprice"))
+        .cast("decimal(18,2)")
+        .alias("price_cmp"),
+    )
+    return table_diff(
+        old, new, key="o_orderkey", compare=["o_orderstatus", "price_cmp"]
+    ).orderBy("o_orderkey")
