@@ -36,7 +36,12 @@ def pagerank(
     add reverse edges for bipartite graphs) — otherwise dangling mass
     drains the sum invariant.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # Materialize the edge list once: every iteration's scatter join reads
+    # it, and without this the whole upstream derivation (joins, distinct)
+    # re-executes per round — measured 4× on the trade graph at sf0.1.
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))

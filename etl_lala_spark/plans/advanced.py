@@ -608,7 +608,8 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterative (join-scatter + agg-gather per round with lineage
     truncation, `operators/graph.py:pagerank`) → not SQL-expressible, so
     rows-only at the driver; pytest pins the invariants (mass
-    conservation Σrank = #nodes, determinism across runs). Scale: each
+    conservation Σrank = #nodes, run-to-run agreement within float-sum
+    tolerance — distributed partial-agg merge order is not bit-stable). Scale: each
     round is two shuffles on uniform keys moving one double per
     edge/node; at 100 TB the edge list is the co-purchase projection kept
     pre-bucketed on src so the scatter join is exchange-free."""

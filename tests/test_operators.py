@@ -338,7 +338,8 @@ def test_semdedup_catches_planted_exact_dups(spark, sf_dir):
 
 def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
     """With reverse edges (no dangling nodes) the un-normalized PageRank
-    mass invariant holds: Σ rank = #nodes; and two runs agree exactly."""
+    mass invariant holds: Σ rank = #nodes; two runs agree within float
+    tolerance."""
     from etl_lala_spark.operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -354,5 +355,11 @@ def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
     total = r1.agg(F.sum("rank")).first()[0]
     assert abs(total - n) < 1e-6 * n
     assert r1.filter(F.col("rank") <= 0).count() == 0
+    # Reproducible up to float-sum association: partial-agg merge order is
+    # not guaranteed by Spark, so ranks agree to relative tolerance, not
+    # bit-for-bit.
     r2 = pagerank(edges, iters=3)
-    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    a = dict(map(tuple, r1.collect()))
+    b = dict(map(tuple, r2.collect()))
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) <= 1e-9 * max(1.0, abs(a[k])) for k in a)
