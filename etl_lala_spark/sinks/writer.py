@@ -594,3 +594,60 @@ def backfill_partitions(
         competencias_existentes=sorted(existing),
         competencias_backfilled=missing,
     )
+
+
+def delete_rows(
+    spark: SparkSession,
+    table_path: str,
+    keys: DataFrame,
+    key_col: str,
+    part_col: str = "competencia",
+) -> dict:
+    """Targeted deletion (GDPR / right-to-be-forgotten) from a partitioned
+    parquet table, rewriting ONLY the partitions that contain hits.
+
+    Three steps, each bounded by the hit set rather than the table:
+    (1) locate affected partitions with a key semi-join that reads just
+    (key, partition) columns — partition pruning and column pruning keep
+    this scan thin; (2) rewrite those partitions minus the keys into a
+    temp directory; (3) swap each rewritten partition directory
+    atomically (rename), leaving every untouched partition's files
+    byte-identical — at 100 TB deleting one user touches the handful of
+    month directories they appear in, not the table. Returns
+    {partitions_rewritten, rows_deleted}.
+
+    (A table format with deletion vectors — Delta/Iceberg — turns step 2
+    into a metadata write; this is the format-free equivalent with the
+    same blast-radius bound.)
+    """
+    import shutil
+
+    k = F.broadcast(keys.select(F.col(key_col)).distinct())
+    table = spark.read.parquet(table_path)
+    affected = sorted(
+        r[0]
+        for r in table.join(k, key_col, "left_semi")
+        .select(part_col)
+        .distinct()
+        .collect()
+    )
+    if not affected:
+        return {"partitions_rewritten": [], "rows_deleted": 0}
+
+    sub = table.where(F.col(part_col).isin(affected))
+    kept = sub.join(k, key_col, "left_anti")
+    deleted = sub.count() - kept.count()
+    tmp = table_path.rstrip("/") + "._delete_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    kept.write.partitionBy(part_col).parquet(tmp)
+    for part in affected:
+        src = os.path.join(tmp, f"{part_col}={part}")
+        dst = os.path.join(table_path, f"{part_col}={part}")
+        old = dst + "._old"
+        os.rename(dst, old)
+        # A fully-deleted partition produces no directory in the rewrite.
+        if os.path.isdir(src):
+            os.rename(src, dst)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {"partitions_rewritten": affected, "rows_deleted": deleted}

@@ -330,3 +330,53 @@ def test_backfill_fills_only_missing_partitions(spark, sf_dir, tmp_path):
 
     res2 = backfill_partitions(spark, table, months, compute)
     assert res2["competencias_backfilled"] == [] and len(calls) == 1
+
+
+def test_delete_rows_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
+    """Deleting a key rewrites just the partitions containing it: other
+    partitions' files stay byte-identical, the key is gone, all other rows
+    survive, and a re-delete is a no-op."""
+    import os
+
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.sinks.writer import delete_rows
+
+    table = str(tmp_path / "orders_t")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "competencia", F.date_format("o_orderdate", "yyyyMM")
+    )
+    o.write.partitionBy("competencia").parquet(table)
+
+    victim = o.select("o_custkey").first().o_custkey
+    victim_rows = o.where(F.col("o_custkey") == victim)
+    victim_parts = {
+        r.competencia for r in victim_rows.select("competencia").distinct().collect()
+    }
+    all_parts = {r.competencia for r in o.select("competencia").distinct().collect()}
+    untouched = all_parts - victim_parts
+    assert untouched, "fixture must include partitions without the victim"
+
+    def files_of(parts):
+        out = {}
+        for p in parts:
+            d = os.path.join(table, f"competencia={p}")
+            out[p] = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if not f.startswith(".")
+            )
+        return out
+
+    before = files_of(untouched)
+    keys = spark.createDataFrame([(victim,)], "o_custkey bigint")
+    res = delete_rows(spark, table, keys, "o_custkey")
+    assert sorted(res["partitions_rewritten"]) == sorted(victim_parts)
+    assert res["rows_deleted"] == victim_rows.count()
+    assert files_of(untouched) == before
+
+    got = spark.read.parquet(table)
+    assert got.where(F.col("o_custkey") == victim).count() == 0
+    assert got.count() == o.count() - victim_rows.count()
+
+    res2 = delete_rows(spark, table, keys, "o_custkey")
+    assert res2 == {"partitions_rewritten": [], "rows_deleted": 0}
