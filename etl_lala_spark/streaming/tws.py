@@ -84,3 +84,54 @@ def attach_progress_tws(events):
         outputMode="Append",
         timeMode="None",
     )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma_value", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("s", DoubleType()), StructField("n", LongType())]
+)
+
+EWMA_ALPHA = 0.3
+
+
+class EwmaProcessor(StatefulProcessor):
+    """transformWithState twin of ``stateful.ewma_update``: two scalars of
+    ValueState per key, same (ts, event_id)-ordered fold, same doubles."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState("ewma", _EWMA_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            s, n = self._state.get()
+        else:
+            s, n = None, 0
+        for pdf in rows:
+            for v in pdf.sort_values(["ts", "event_id"])["value"]:
+                x = float(v)
+                s = x if n == 0 else s * (1.0 - EWMA_ALPHA) + x * EWMA_ALPHA
+                n += 1
+        self._state.update((s, n))
+        yield pd.DataFrame(
+            [(key[0], n, s)], columns=["user_id", "n_events", "ewma_value"]
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def attach_ewma_tws(events):
+    """Wire the EWMA processor onto a streaming events DataFrame."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=EwmaProcessor(),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

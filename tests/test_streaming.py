@@ -543,3 +543,33 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path):
         for r in query_fns()["events_ewma_smoothing"](spark, sf_dir).collect()
     }
     assert final == want
+
+
+def test_transform_with_state_ewma_matches_legacy(spark, event_dir):
+    """The transformWithState EWMA twin agrees with the
+    applyInPandasWithState form: same final per-user (n, smoothed value).
+    Self-skips where google.protobuf (the tws driver-worker dependency) is
+    absent — the processor itself is plain pandas."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from etl_lala_spark.streaming import tws
+
+    def finals(rows):
+        out = {}
+        for r in rows:
+            if r["user_id"] not in out or r["n_events"] > out[r["user_id"]][0]:
+                out[r["user_id"]] = (r["n_events"], round(r["ewma_value"], 6))
+        return out
+
+    new = finals(
+        windows.run_to_memory(
+            tws.attach_ewma_tws(windows.read_event_stream(spark, event_dir)),
+            "t_ewma_tws",
+        ).collect()
+    )
+    legacy = finals(
+        windows.run_to_memory(
+            stateful.attach_ewma(windows.read_event_stream(spark, event_dir)),
+            "t_ewma_legacy",
+        ).collect()
+    )
+    assert len(new) > 0 and new == legacy
