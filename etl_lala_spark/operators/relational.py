@@ -342,11 +342,16 @@ def table_diff(
     drill-down.
     """
     def hashed(df: DataFrame, side: str) -> DataFrame:
+        # concat_ws silently DROPS null elements, which would hash
+        # (NULL, 'x') and ('x', NULL) identically — coalesce each column to
+        # a sentinel so null position is part of the fingerprint.
+        cols = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+            for c in compare
+        ]
         return df.select(
             F.col(key),
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare])).alias(
-                f"{side}_hash"
-            ),
+            F.md5(F.concat_ws("\x1f", *cols)).alias(f"{side}_hash"),
         )
 
     l, r = hashed(left, "l"), hashed(right, "r")
