@@ -77,6 +77,33 @@ _LENCODE = _Huffman(_LENLEN)
 _DISTCODE = _Huffman(_DISTLEN)
 
 
+def _decode_table(h: _Huffman) -> list:
+    """MAXBITS-wide lookup: LSB-first (inverted-bit) peek → (symbol, length).
+
+    Built by running the canonical first/count automaton once per prefix;
+    entries whose prefix matches no code are None (corrupt stream). Turns
+    the per-symbol bit walk into one mask + one list index at decode time.
+    """
+    tbl: list = [None] * (1 << MAXBITS)
+    for seq in range(1 << MAXBITS):
+        code = first = index = 0
+        for ln in range(1, MAXBITS + 1):
+            code |= ((seq >> (ln - 1)) & 1) ^ 1  # stream stores bits inverted
+            cnt = h.count[ln]
+            if code - first < cnt:
+                tbl[seq] = (h.symbol[index + (code - first)], ln)
+                break
+            index += cnt
+            first = (first + cnt) << 1
+            code <<= 1
+    return tbl
+
+
+_LIT_TABLE = _decode_table(_LITCODE)
+_LEN_TABLE = _decode_table(_LENCODE)
+_DIST_TABLE = _decode_table(_DISTCODE)
+
+
 def _canonical_codes(table: _Huffman) -> dict[int, tuple[int, int]]:
     """symbol -> (MSB-first canonical code, bit length), matching the
     first/count walk of the decoder."""
@@ -132,7 +159,7 @@ def decompress(data: bytes, max_output: int | None = None) -> bytes:
         bitcnt -= need
         return val
 
-    def decode(h: _Huffman) -> int:
+    def decode_slow(h: _Huffman) -> int:
         nonlocal pos, bitbuf, bitcnt
         code = first = index = 0
         for ln in range(1, MAXBITS + 1):
@@ -153,20 +180,63 @@ def decompress(data: bytes, max_output: int | None = None) -> bytes:
             code <<= 1
         raise CorruptError("code longer than max bits")
 
+    mask = (1 << MAXBITS) - 1
+    len_tbl, dist_tbl, lit_tbl = _LEN_TABLE, _DIST_TABLE, _LIT_TABLE
+
+    def decode(tbl, h: _Huffman) -> int:
+        # Table decode: peek MAXBITS, one dict lookup, consume. Falls back
+        # to the bit-walking automaton only near end-of-input.
+        nonlocal pos, bitbuf, bitcnt
+        while bitcnt < MAXBITS and pos < n:
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        if bitcnt < MAXBITS:
+            return decode_slow(h)
+        entry = tbl[bitbuf & mask]
+        if entry is None:
+            raise CorruptError("invalid code")
+        sym, ln = entry
+        bitbuf >>= ln
+        bitcnt -= ln
+        return sym
+
     while True:
+        # Inlined refill + fast burst for uncoded literals (flag bit 0,
+        # then 8 raw bits) — the dominant token in DATASUS payloads.
+        while bitcnt < 25 and pos < n:
+            bitbuf |= data[pos] << bitcnt
+            pos += 1
+            bitcnt += 8
+        if not coded_literals:
+            while bitcnt >= 9 and not (bitbuf & 1):
+                out.append((bitbuf >> 1) & 0xFF)
+                bitbuf >>= 9
+                bitcnt -= 9
+                if bitcnt < 9:
+                    while bitcnt < 25 and pos < n:
+                        bitbuf |= data[pos] << bitcnt
+                        pos += 1
+                        bitcnt += 8
+            if max_output is not None and len(out) > max_output:
+                raise CorruptError("output exceeds declared size")
         if bits(1):  # length/distance pair
-            sym = decode(_LENCODE)
+            sym = decode(len_tbl, _LENCODE)
             length = _LEN_BASE[sym] + bits(_LEN_EXTRA[sym])
             if length == _END_LENGTH:
                 break
             nbits = 2 if length == 2 else dict_bits
-            dist = (decode(_DISTCODE) << nbits) + bits(nbits) + 1
+            dist = (decode(dist_tbl, _DISTCODE) << nbits) + bits(nbits) + 1
             if dist > len(out):
                 raise CorruptError(f"distance {dist} beyond output {len(out)}")
-            for _ in range(length):
-                out.append(out[-dist])
+            start = len(out) - dist
+            if dist >= length:
+                out += out[start : start + length]
+            else:
+                # Overlapping copy: repeat the dist-sized tail.
+                out += (out[start:] * (length // dist + 1))[:length]
         else:
-            out.append(decode(_LITCODE) if coded_literals else bits(8))
+            out.append(decode(lit_tbl, _LITCODE) if coded_literals else bits(8))
         if max_output is not None and len(out) > max_output:
             raise CorruptError("output exceeds declared size")
     return bytes(out)
