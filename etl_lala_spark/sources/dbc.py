@@ -60,6 +60,26 @@ def parse_dbf(
     ~1/30th of the per-record Python work — the custom-source analog of
     Parquet column pruning.
     """
+    names, cols = parse_dbf_columns(data, limit=limit, project=project)
+    return names, [list(t) for t in zip(*cols)]
+
+
+def parse_dbf_columns(
+    data: bytes,
+    limit: int | None = None,
+    project: list[str] | None = None,
+) -> tuple[list[str], list[list[str]]]:
+    """Columnar variant of :func:`parse_dbf`: returns (names, one value list
+    per column) — the natural shape for building Arrow RecordBatches, so
+    the DataSource read path skips the rows→columns re-transpose entirely.
+
+    Deleted-row filtering and row gathering run in numpy (one reshape +
+    boolean mask over the record matrix); each column then decodes its
+    gathered bytes in ONE latin1 call and strips per-value on slices of
+    that single string — no per-cell bytes objects.
+    """
+    import numpy as np
+
     n_records = struct.unpack("<I", data[4:8])[0]
     header_len = struct.unpack("<H", data[8:10])[0]
     record_len = struct.unpack("<H", data[10:12])[0]
@@ -81,17 +101,24 @@ def parse_dbf(
             sel.append((name, fo, flen))
         fo += flen
 
-    rows: list[list[str]] = []
-    pos = header_len
-    for _ in range(n_records):
-        if limit is not None and len(rows) >= limit:
-            break
-        rec = data[pos : pos + record_len]
-        pos += record_len
-        if len(rec) < record_len or rec[0:1] == b"\x2a":  # deleted
-            continue
-        rows.append([rec[o : o + l].decode("latin1").strip() for _n, o, l in sel])
-    return [s[0] for s in sel], rows
+    body = data[header_len : header_len + n_records * record_len]
+    n_avail = len(body) // record_len
+    arr = np.frombuffer(body[: n_avail * record_len], dtype=np.uint8).reshape(
+        n_avail, record_len
+    )
+    keep = np.nonzero(arr[:, 0] != 0x2A)[0]  # drop deleted rows
+    if limit is not None:
+        keep = keep[:limit]
+    kept = arr[keep]
+    n_kept = len(kept)
+
+    cols: list[list[str]] = []
+    for _name, o, length in sel:
+        buf = kept[:, o : o + length].tobytes().decode("latin1")
+        cols.append(
+            [buf[i : i + length].strip() for i in range(0, n_kept * length, length)]
+        )
+    return [s[0] for s in sel], cols
 
 
 def dbc_to_dbf(data: bytes) -> bytes:

@@ -55,7 +55,7 @@ from pyspark.sql.datasource import (
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
-from etl_lala_spark.sources.dbc import dbc_to_dbf, parse_dbf, parse_dbf_header
+from etl_lala_spark.sources.dbc import dbc_to_dbf, parse_dbf_columns, parse_dbf_header
 
 PROVENANCE_COL = "arquivo_origem"
 
@@ -76,11 +76,12 @@ def _basename_no_ext(path: str) -> str:
 
 
 def _decode_file(path: str, limit: int | None) -> tuple[list[str], list[list[str]]]:
+    """(column names, one value list per column) — columnar, Arrow-ready."""
     with open(path, "rb") as fh:
         data = fh.read()
     if path.lower().endswith(".dbc"):
         data = dbc_to_dbf(data)
-    return parse_dbf(data, limit=limit)
+    return parse_dbf_columns(data, limit=limit)
 
 
 @dataclass
@@ -127,18 +128,16 @@ class DbcReader(DataSourceReader):
     def read(self, partition: DbcInputPartition) -> Iterator["object"]:
         import pyarrow as pa
 
-        cols, rows = _decode_file(partition.path, self.limit)
+        cols, colvals = _decode_file(partition.path, self.limit)
         if cols != self.columns:
             raise ValueError(
                 f"{partition.path}: columns {cols[:3]}... != inferred schema "
                 f"{self.columns[:3]}... (heterogeneous file set)"
             )
         origem = _basename_no_ext(partition.path)
-        arrays = [
-            pa.array([r[i] for r in rows], type=pa.string())
-            for i in range(len(cols))
-        ]
-        arrays.append(pa.array([origem] * len(rows), type=pa.string()))
+        n = len(colvals[0]) if colvals else 0
+        arrays = [pa.array(vals, type=pa.string()) for vals in colvals]
+        arrays.append(pa.array([origem] * n, type=pa.string()))
         yield pa.RecordBatch.from_arrays(arrays, names=[*cols, PROVENANCE_COL])
 
 
@@ -177,18 +176,16 @@ class DbcStreamReader(DataSourceStreamReader):
     def read(self, partition: DbcInputPartition) -> Iterator["object"]:
         import pyarrow as pa
 
-        cols, rows = _decode_file(partition.path, self.limit)
+        cols, colvals = _decode_file(partition.path, self.limit)
         if cols != self.columns:
             raise ValueError(
                 f"{partition.path}: columns {cols[:3]}... != stream schema "
                 f"{self.columns[:3]}..."
             )
         origem = _basename_no_ext(partition.path)
-        arrays = [
-            pa.array([r[i] for r in rows], type=pa.string())
-            for i in range(len(cols))
-        ]
-        arrays.append(pa.array([origem] * len(rows), type=pa.string()))
+        n = len(colvals[0]) if colvals else 0
+        arrays = [pa.array(vals, type=pa.string()) for vals in colvals]
+        arrays.append(pa.array([origem] * n, type=pa.string()))
         yield pa.RecordBatch.from_arrays(arrays, names=[*cols, PROVENANCE_COL])
 
     def commit(self, end: dict) -> None:
