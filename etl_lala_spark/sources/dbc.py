@@ -190,12 +190,16 @@ def read_dbf(
         for pdf in batches:
             frames = []
             for name, blob in zip(pdf[name_col], pdf[content_col]):
-                file_cols, rows = parse_dbf(bytes(blob), limit=limit, project=project)
+                # Columnar decode → dict-of-columns DataFrame: no row-list
+                # materialization, no per-cell dtype coercion pass.
+                file_cols, colvals = parse_dbf_columns(
+                    bytes(blob), limit=limit, project=project
+                )
                 if file_cols != cols:
                     raise ValueError(
                         f"{name}: columns {file_cols[:3]}... != expected {cols[:3]}..."
                     )
-                f = pd.DataFrame(rows, columns=cols, dtype=str)
+                f = pd.DataFrame(dict(zip(cols, colvals)), columns=cols)
                 f["arquivo_origem"] = name.rsplit(".", 1)[0]
                 frames.append(f)
             yield (
