@@ -52,14 +52,25 @@ def brute_force_topk(
     engines. Returns (query_id, neighbor_id, cos_sim, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
     )
     from etl_lala_spark.io import spread
 
+    # Row norms are projected once per side and reused per pair (the pair
+    # stage then costs one dot, not three folds); reused norms are the
+    # bit-identical doubles of the per-pair form, so rounded sims — and
+    # oracle parity — are unchanged.
     c = spread(corpus, by=id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+        round_digits,
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -161,18 +172,30 @@ def lsh_topk(
         ).select(idc, vecc, "tb.tbl", "tb.bucket")
 
     c = bucketed(spread(corpus, by=id_col), id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "tbl", "bucket"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+        "tbl",
+        "bucket",
     )
     q = bucketed(queries, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "tbl", "bucket"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+        "tbl",
+        "bucket",
     )
     cand = (
         c.join(F.broadcast(q), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "q_vec", "c_vec")
+        .select("query_id", "neighbor_id", "q_vec", "c_vec", "q_n", "c_n")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    # Per-row norms reused per pair — bit-identical to the inline form.
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+        round_digits,
+    )
     scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -280,14 +303,24 @@ def ivf_topk(
     c = ivf_assign(
         spread(corpus, by=id_col), codebook, 1, id_col=id_col, vec_col=vec_col
     ).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "cell"
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+        "cell",
     )
     q = ivf_assign(
         queries, codebook, nprobe, id_col=id_col, vec_col=vec_col
     ).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+        "cell",
     )
-    sim = F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits)
+    # Per-row norms reused per pair — bit-identical to the inline form.
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+        round_digits,
+    )
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

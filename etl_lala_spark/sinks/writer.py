@@ -491,14 +491,19 @@ def stream_ivf_index(
     from etl_lala_spark.operators.similarity import ivf_assign
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        from etl_lala_spark.operators.similarity import norm
+
         spark = batch_df.sparkSession
+        # The row norm is part of the index (one extra double per vector):
+        # search then scores each candidate with a single dot product
+        # instead of re-folding the vector norm per (query, candidate).
         assigned = ivf_assign(
             batch_df.dropDuplicates([id_col]),
             codebook,
             1,
             id_col=id_col,
             vec_col=vec_col,
-        )
+        ).withColumn("_norm", norm(F.col(vec_col)))
         if os.path.isdir(index_path) and any(
             not e.startswith("_") for e in os.listdir(index_path)
         ):
@@ -534,17 +539,24 @@ def ivf_index_search(
 
     from etl_lala_spark.operators.similarity import dot, ivf_assign, norm
 
-    idx = spark.read.parquet(index_path).select(
+    raw = spark.read.parquet(index_path)
+    stored_norm = (
+        F.col("_norm") if "_norm" in raw.columns else norm(F.col(vec_col))
+    )
+    idx = raw.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        stored_norm.alias("c_n"),
         "cell",
     )
     q = ivf_assign(queries, codebook, nprobe, id_col=id_col, vec_col=vec_col).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "cell"
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+        "cell",
     )
     sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec"))
-        / (norm(F.col("q_vec")) * norm(F.col("c_vec"))),
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
         round_digits,
     )
     scored = (
