@@ -172,3 +172,22 @@ def stream_stream_interval_join(
         "click_ts",
         "click_value",
     )
+
+
+def live_leaderboard(events: DataFrame, k: int = 5) -> DataFrame:
+    """Continuously-maintained top-k (complete-mode leaderboard): global
+    per-type totals, sorted. Streaming forbids sorting in append/update
+    modes (results would be retracted); in complete mode the full result
+    is re-emitted per trigger, so the orderBy is legal and the sink always
+    holds the current ranking. State is one row per key — the leaderboard
+    shape is only viable when the key domain is dashboard-sized, which is
+    exactly when you want it."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
+        .limit(k)
+    )

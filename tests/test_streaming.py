@@ -573,3 +573,24 @@ def test_transform_with_state_ewma_matches_legacy(spark, event_dir):
         ).collect()
     )
     assert len(new) > 0 and new == legacy
+
+
+def test_live_leaderboard_matches_batch(spark, sf_dir, event_dir):
+    """Complete-mode top-k: the streamed leaderboard equals the batch
+    ranking (sorting is legal only because complete mode re-emits the whole
+    result each trigger)."""
+    got = [
+        tuple(r)
+        for r in windows.run_to_memory(
+            windows.live_leaderboard(windows.read_event_stream(spark, event_dir)),
+            "t_leaderboard",
+            output_mode="complete",
+        )
+        .orderBy(F.col("n_events").desc(), "event_type")
+        .collect()
+    ]
+    want = [
+        tuple(r)
+        for r in windows.live_leaderboard(load_events(spark, sf_dir)).collect()
+    ]
+    assert got == want and len(got) > 0
