@@ -594,3 +594,37 @@ def test_live_leaderboard_matches_batch(spark, sf_dir, event_dir):
         for r in windows.live_leaderboard(load_events(spark, sf_dir)).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_ivf_index_compaction_preserves_search(spark, sf_dir, tmp_path):
+    """Micro-batch appends leave small files per cell; the generic partition
+    compactor consolidates them without changing search results."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.operators import similarity as sim
+    from etl_lala_spark.sinks import writer as w
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_lazy = sim.ivf_codebook(emb, n_cells=8)
+    codebook = spark.createDataFrame(cb_lazy.collect(), schema=cb_lazy.schema)
+    src = str(tmp_path / "vsrc")
+    index = str(tmp_path / "ivf_idx")
+    for i in range(3):  # three arrivals → three appends per touched cell
+        emb.filter(F.col("vec_id") % 3 == i).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+        q = w.stream_ivf_index(
+            spark.readStream.schema(emb.schema).parquet(src), index, codebook
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    before = sorted(
+        map(tuple, w.ivf_index_search(spark, index, queries, codebook, k=3).collect())
+    )
+    res = w.compact_partitions(spark, index, part_col="cell")
+    assert res["files_after"] < res["files_before"]
+    after = sorted(
+        map(tuple, w.ivf_index_search(spark, index, queries, codebook, k=3).collect())
+    )
+    assert after == before
