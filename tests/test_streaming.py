@@ -628,3 +628,43 @@ def test_ivf_index_compaction_preserves_search(spark, sf_dir, tmp_path):
         map(tuple, w.ivf_index_search(spark, index, queries, codebook, k=3).collect())
     )
     assert after == before
+
+
+def test_ivf_index_vector_removal(spark, sf_dir, tmp_path):
+    """Targeted deletion composes with the index: removing a vector
+    rewrites only its cell partition and search stops returning it."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.operators import similarity as sim
+    from etl_lala_spark.sinks import writer as w
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb_lazy = sim.ivf_codebook(emb, n_cells=8)
+    codebook = spark.createDataFrame(cb_lazy.collect(), schema=cb_lazy.schema)
+    src = str(tmp_path / "vsrc")
+    index = str(tmp_path / "ivf_idx")
+    emb.write.parquet(src)
+    q = w.stream_ivf_index(
+        spark.readStream.schema(emb.schema).parquet(src), index, codebook
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    victim = emb.select("vec_id").first().vec_id
+    n_cells_total = (
+        spark.read.parquet(index).select("cell").distinct().count()
+    )
+    res = w.delete_rows(
+        spark,
+        index,
+        spark.createDataFrame([(victim,)], "vec_id bigint"),
+        "vec_id",
+        part_col="cell",
+    )
+    assert res["rows_deleted"] == 1 and len(res["partitions_rewritten"]) == 1
+    assert n_cells_total > 1  # only one cell was touched, others exist
+    # a twin query of the victim no longer finds it
+    twin = emb.filter(F.col("vec_id") == victim).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    hits = w.ivf_index_search(spark, index, twin, codebook, k=3).collect()
+    assert all(r.neighbor_id != victim for r in hits)
