@@ -321,11 +321,14 @@ def ivf_topk(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
         round_digits,
     )
+    # No dedup needed: every corpus vector lives in exactly ONE cell
+    # (out_cells=1), so a (query, neighbor) pair can only arise once even
+    # though the query probes several cells — skipping dropDuplicates
+    # removes a full shuffle of the candidate set.
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

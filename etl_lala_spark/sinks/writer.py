@@ -559,11 +559,12 @@ def ivf_index_search(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
         round_digits,
     )
+    # No dedup: the index stores each vector in exactly one cell, so the
+    # routed join cannot produce a (query, neighbor) pair twice.
     scored = (
         idx.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
