@@ -635,3 +635,85 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "id")
         .limit(20)
     )
+
+
+@register(
+    "sql_udf_charge_summary",
+    oracle="""
+SELECT l_returnflag,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+         AS charge_sum,
+       round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_disc_price,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sql_udf_charge_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (`CREATE FUNCTION ... RETURNS ... RETURN expr`):
+    the pricing arithmetic is named once as catalog functions and reused in
+    SQL — unlike external UDFs these are *expressions*, so Catalyst
+    inlines them into whole-stage codegen and the plan is identical to
+    writing the formula inline (no Python boundary, no black box blocking
+    pushdown). The oracle states the same formulas literally."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN disc_price(p, d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(charge(l_extendedprice, l_discount, l_tax)), 2)
+                 AS charge_sum,
+               round(avg(disc_price(l_extendedprice, l_discount)), 4)
+                 AS avg_disc_price,
+               count(*) AS n
+        FROM lineitem_sqludf
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_scripting_threshold",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n_above,
+       round((SELECT avg(c_acctbal) FROM customer), 4) AS threshold
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (`BEGIN ... END` with DECLARE/SET): the
+    compute-a-parameter-then-use-it ETL step written procedurally — the
+    threshold lands in a session variable and parameterizes the final
+    statement, whose result is the script's result. Replaces the
+    reference's imperative orchestration glue (run-etl.ts) with in-engine
+    SQL control flow; semantics pinned against the scalar-subquery
+    oracle."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE threshold DOUBLE;
+          SET threshold = (SELECT avg(c_acctbal) FROM customer_script);
+          SELECT c_mktsegment,
+                 count(*) AS n_above,
+                 round(threshold, 4) AS threshold
+          FROM customer_script
+          WHERE c_acctbal > threshold
+          GROUP BY c_mktsegment
+          ORDER BY c_mktsegment;
+        END
+        """
+    )
