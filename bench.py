@@ -43,6 +43,11 @@ HEADLINE = [
     "profile_documents",
     "rag_chunk_documents",
     "semantic_kmeans_clusters",
+    "er_fuzzy_part_names",
+    "reconcile_snapshots",
+    "curate_weighted_sample",
+    "events_ewma_smoothing",
+    "behavior_similarity_topk",
 ]
 
 
