@@ -664,3 +664,70 @@ def delete_rows(
         shutil.rmtree(old)
     shutil.rmtree(tmp, ignore_errors=True)
     return {"partitions_rewritten": affected, "rows_deleted": deleted}
+
+
+def write_dataset_card(
+    docs: DataFrame,
+    out_dir: str,
+    name: str = "dataset_card.json",
+    text_col: str = "text",
+) -> dict:
+    """Write the dataset card for a document corpus — the standard artifact
+    shipped beside curated training data: sizes, token accounting,
+    per-source/per-language composition, dedup rate, and length profile.
+
+    ONE aggregation job computes every global number (count / tokens /
+    distinct fingerprints / length quantiles together); composition rolls
+    up in a second tiny grouped pass. Everything else is arithmetic on the
+    collected scalars — at 100 TB the card costs two scans, no collect of
+    data rows. Extends the run-manifest idea (`write_json_with_manifest`,
+    reference `_indice.json`) from bookkeeping to data documentation.
+    """
+    t = F.col(text_col)
+    n_tok = F.size(F.split(t, r"\s+"))
+    g = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(n_tok).alias("total_ws_tokens"),
+        F.countDistinct(F.md5(t)).alias("n_distinct_contents"),
+        F.expr(f"percentile(length({text_col}), array(0.05, 0.5, 0.95))").alias(
+            "len_q"
+        ),
+        F.min(F.length(t)).alias("min_chars"),
+        F.max(F.length(t)).alias("max_chars"),
+    ).first()
+    comp = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum(n_tok).alias("ws_tokens"))
+        .collect()
+    )
+    card = {
+        "n_docs": g["n_docs"],
+        "total_ws_tokens": int(g["total_ws_tokens"]),
+        "n_distinct_contents": g["n_distinct_contents"],
+        "duplicate_rate": round(1.0 - g["n_distinct_contents"] / g["n_docs"], 6)
+        if g["n_docs"]
+        else 0.0,
+        "char_length": {
+            "min": g["min_chars"],
+            "p05": g["len_q"][0],
+            "p50": g["len_q"][1],
+            "p95": g["len_q"][2],
+            "max": g["max_chars"],
+        },
+        "composition": sorted(
+            (
+                {
+                    "lang": r["lang"],
+                    "source": r["source"],
+                    "n_docs": r["n_docs"],
+                    "ws_tokens": int(r["ws_tokens"]),
+                }
+                for r in comp
+            ),
+            key=lambda d: (d["lang"], d["source"]),
+        ),
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, name), "w") as fh:
+        json.dump(card, fh, indent=2)
+    return card

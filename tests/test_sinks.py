@@ -380,3 +380,29 @@ def test_delete_rows_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
 
     res2 = delete_rows(spark, table, keys, "o_custkey")
     assert res2 == {"partitions_rewritten": [], "rows_deleted": 0}
+
+
+def test_dataset_card_accounting(spark, sf_dir, tmp_path):
+    """The dataset card's global numbers must agree with directly-computed
+    counts, and composition must cover the whole corpus exactly."""
+    import json
+    import os
+
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.sinks.writer import write_dataset_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    card = write_dataset_card(docs, str(tmp_path))
+    with open(os.path.join(str(tmp_path), "dataset_card.json")) as fh:
+        on_disk = json.load(fh)
+    assert on_disk == card
+    assert card["n_docs"] == docs.count()
+    assert sum(c["n_docs"] for c in card["composition"]) == card["n_docs"]
+    total_tok = sum(c["ws_tokens"] for c in card["composition"])
+    assert total_tok == card["total_ws_tokens"]
+    assert 0.0 <= card["duplicate_rate"] < 1.0
+    assert (
+        card["char_length"]["min"]
+        <= card["char_length"]["p50"]
+        <= card["char_length"]["max"]
+    )
