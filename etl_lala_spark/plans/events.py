@@ -789,3 +789,60 @@ def behavior_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .orderBy("query_user", "rank")
     )
+
+
+@register(
+    "events_seasonal_baseline",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h,
+         CAST(extract(hour FROM ts) AS INT) AS hod,
+         count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+base AS (
+  SELECT hod,
+         avg(n) AS base_mean,
+         stddev_samp(n) AS base_sd
+  FROM hourly GROUP BY hod
+)
+SELECT h.h AS hour_ts, h.hod, h.n AS n_events,
+       round(b.base_mean, 4) AS base_mean,
+       round((h.n - b.base_mean) / nullif(b.base_sd, 0), 4) AS seasonal_z
+FROM hourly h JOIN base b ON h.hod = b.hod
+ORDER BY hour_ts
+""",
+)
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly detection: each hour's event count is
+    z-scored against the historical baseline FOR THAT HOUR-OF-DAY (so a
+    quiet 3am hour isn't flagged just for being quieter than noon) — the
+    complement of the trailing-window z-score in events_rate_anomaly.
+
+    Shape: one event scan → hourly pre-agg; the 24-row baseline derives
+    from those aggregates and broadcasts back. Everything after the first
+    agg operates on #hours rows, never events."""
+    ev = load_events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    base = hourly.groupBy("hod").agg(
+        F.avg("n").alias("base_mean"), F.stddev_samp("n").alias("base_sd")
+    )
+    return (
+        hourly.join(F.broadcast(base), "hod")
+        .select(
+            F.col("h").alias("hour_ts"),
+            "hod",
+            F.col("n").alias("n_events"),
+            F.round("base_mean", 4).alias("base_mean"),
+            F.round(
+                (F.col("n") - F.col("base_mean"))
+                / F.nullif(F.col("base_sd"), F.lit(0)),
+                4,
+            ).alias("seasonal_z"),
+        )
+        .orderBy("hour_ts")
+    )

@@ -826,3 +826,90 @@ def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_diff(
         old, new, key="o_orderkey", compare=["o_orderstatus", "price_cmp"]
     ).orderBy("o_orderkey")
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+WITH rfm AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency, monetary,
+         CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS INT) AS r_quartile,
+         CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS INT) AS f_quartile,
+         CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS INT) AS m_quartile
+  FROM rfm
+)
+SELECT r_quartile, f_quartile, m_quartile,
+       count(*) AS n_customers,
+       round(avg(monetary), 4) AS avg_monetary,
+       CASE WHEN r_quartile = 4 AND f_quartile = 4 THEN 'champion'
+            WHEN r_quartile = 1 AND f_quartile >= 3 THEN 'at_risk_loyal'
+            WHEN r_quartile = 1 THEN 'lost'
+            ELSE 'regular' END AS segment
+FROM scored
+GROUP BY r_quartile, f_quartile, m_quartile
+ORDER BY r_quartile, f_quartile, m_quartile
+""",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics composition:
+    per-customer recency/frequency/monetary in one hash agg, quartile
+    scores via ntile (explicit customer-key tiebreaks so both engines cut
+    identical quartiles), rolled up to segment cells with a rule-based
+    label.
+
+    Scale note: the three ntile windows are global orderings of the
+    per-customer AGGREGATE (one row per customer, not per order) — at
+    100 TB the same scores come from approx percentile bounds broadcast
+    as cut points, avoiding the global sort; the window form here is the
+    exact gate for that approximation."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    scored = (
+        rfm.withColumn(
+            "r_quartile",
+            F.ntile(4).over(W.orderBy("last_order", "o_custkey")).cast("int"),
+        )
+        .withColumn(
+            "f_quartile",
+            F.ntile(4).over(W.orderBy("frequency", "o_custkey")).cast("int"),
+        )
+        .withColumn(
+            "m_quartile",
+            F.ntile(4).over(W.orderBy("monetary", "o_custkey")).cast("int"),
+        )
+    )
+    segment = (
+        F.when(
+            (F.col("r_quartile") == 4) & (F.col("f_quartile") == 4),
+            F.lit("champion"),
+        )
+        .when(
+            (F.col("r_quartile") == 1) & (F.col("f_quartile") >= 3),
+            F.lit("at_risk_loyal"),
+        )
+        .when(F.col("r_quartile") == 1, F.lit("lost"))
+        .otherwise(F.lit("regular"))
+    )
+    return (
+        scored.groupBy("r_quartile", "f_quartile", "m_quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("monetary"), 4).alias("avg_monetary"),
+        )
+        .withColumn("segment", segment)
+        .orderBy("r_quartile", "f_quartile", "m_quartile")
+    )
