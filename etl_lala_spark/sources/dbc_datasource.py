@@ -92,10 +92,17 @@ class DbcInputPartition(InputPartition):
 class DbcReader(DataSourceReader):
     """One partition per file; provenance filters prune files at planning."""
 
-    def __init__(self, files: list[str], columns: list[str], limit: int | None):
+    def __init__(
+        self,
+        files: list[str],
+        columns: list[str],
+        limit: int | None,
+        corrupt_col: str | None = None,
+    ):
         self.files = files
         self.columns = columns
         self.limit = limit
+        self.corrupt_col = corrupt_col
 
     def pushFilters(self, filters: list[Filter]) -> Iterable[Filter]:
         for f in filters:
@@ -128,17 +135,33 @@ class DbcReader(DataSourceReader):
     def read(self, partition: DbcInputPartition) -> Iterator["object"]:
         import pyarrow as pa
 
-        cols, colvals = _decode_file(partition.path, self.limit)
-        if cols != self.columns:
-            raise ValueError(
-                f"{partition.path}: columns {cols[:3]}... != inferred schema "
-                f"{self.columns[:3]}... (heterogeneous file set)"
-            )
         origem = _basename_no_ext(partition.path)
+        names = [*self.columns, PROVENANCE_COL]
+        if self.corrupt_col:
+            names.append(self.corrupt_col)
+        try:
+            cols, colvals = _decode_file(partition.path, self.limit)
+            if cols != self.columns:
+                raise ValueError(
+                    f"{partition.path}: columns {cols[:3]}... != inferred "
+                    f"schema {self.columns[:3]}... (heterogeneous file set)"
+                )
+        except Exception as exc:
+            if not self.corrupt_col:
+                raise
+            # PERMISSIVE: one error row per corrupt file — data columns
+            # NULL, provenance + error message set.
+            arrays = [pa.array([None], type=pa.string()) for _ in self.columns]
+            arrays.append(pa.array([origem], type=pa.string()))
+            arrays.append(pa.array([str(exc)[:500]], type=pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            return
         n = len(colvals[0]) if colvals else 0
         arrays = [pa.array(vals, type=pa.string()) for vals in colvals]
         arrays.append(pa.array([origem] * n, type=pa.string()))
-        yield pa.RecordBatch.from_arrays(arrays, names=[*cols, PROVENANCE_COL])
+        if self.corrupt_col:
+            arrays.append(pa.array([None] * n, type=pa.string()))
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 class DbcStreamReader(DataSourceStreamReader):
@@ -255,8 +278,13 @@ class DbcWriter(DataSourceArrowWriter):
 
 class DbcDataSource(DataSource):
     """``spark.read.format("dbc")`` — options: ``path`` (file/dir/glob),
-    ``limit`` (per-file record-limit pushdown). ``df.write.format("dbc")``
-    — options: ``path`` (dir), ``field_len`` (char-field width)."""
+    ``limit`` (per-file record-limit pushdown), ``corruptColumn`` (name of
+    an extra string column enabling PERMISSIVE handling of undecodable
+    files — reference R5's structured-error semantics on the binary path:
+    a corrupt file contributes ONE row carrying its provenance and error
+    message in that column instead of failing the job; good rows carry
+    NULL there). ``df.write.format("dbc")`` — options: ``path`` (dir),
+    ``field_len`` (char-field width)."""
 
     @classmethod
     def name(cls) -> str:
@@ -272,19 +300,37 @@ class DbcDataSource(DataSource):
         return files
 
     def schema(self) -> StructType:
-        with open(self._files()[0], "rb") as fh:
-            head = fh.read(4096)
+        # Infer from the first file whose header parses — with PERMISSIVE
+        # handling on, a corrupt first file must not break planning.
+        corrupt_col = self.options.get("corruptColumn")
+        files = self._files()
+        cols: list[str] = []
+        for p in files:
+            with open(p, "rb") as fh:
+                head = fh.read(4096)
+            try:
+                cols = parse_dbf_header(head)
+                if cols:
+                    break
+            except Exception:
+                if corrupt_col is None:
+                    raise
+        extra = [StructField(PROVENANCE_COL, StringType())]
+        if corrupt_col:
+            extra.append(StructField(corrupt_col, StringType()))
         return StructType(
-            [StructField(c, StringType()) for c in parse_dbf_header(head)]
-            + [StructField(PROVENANCE_COL, StringType())]
+            [StructField(c, StringType()) for c in cols] + extra
         )
 
     def reader(self, schema: StructType) -> DbcReader:
         limit = self.options.get("limit")
+        corrupt_col = self.options.get("corruptColumn")
+        skip = {PROVENANCE_COL, corrupt_col}
         return DbcReader(
             self._files(),
-            [f.name for f in schema.fields if f.name != PROVENANCE_COL],
+            [f.name for f in schema.fields if f.name not in skip],
             int(limit) if limit is not None else None,
+            corrupt_col=corrupt_col,
         )
 
     def writer(self, schema: StructType, overwrite: bool) -> DbcWriter:

@@ -349,3 +349,40 @@ def test_register_views_enables_raw_sql(spark, sf_dir):
         """
     ).first()
     assert row.n_customers > 0
+
+
+def test_dbc_source_permissive_corrupt_file(spark, sf_dir, tmp_path):
+    """R5 structured errors on the binary path: with corruptColumn set, an
+    undecodable file yields one error row (provenance + message, data NULL)
+    instead of failing the job; without it the job fails loudly."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.sources.dbc import write_dbf
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    register_dbc_source(spark)
+    d = str(tmp_path / "mixed")
+    os.makedirs(d)
+    with open(os.path.join(d, "GOOD1.dbf"), "wb") as fh:
+        fh.write(write_dbf(["A", "B"], [["1", "x"], ["2", "y"]], 4))
+    with open(os.path.join(d, "ZBAD.dbc"), "wb") as fh:
+        fh.write(b"\x99\x99 this is not an implode stream at all")
+
+    with _pytest.raises(Exception):
+        spark.read.format("dbc").load(d).count()
+
+    got = (
+        spark.read.format("dbc")
+        .option("corruptColumn", "_error")
+        .load(d)
+        .collect()
+    )
+    good = [r for r in got if r["_error"] is None]
+    bad = [r for r in got if r["_error"] is not None]
+    assert sorted((r["A"], r["B"]) for r in good) == [("1", "x"), ("2", "y")]
+    assert len(bad) == 1
+    assert bad[0]["arquivo_origem"] == "ZBAD"
+    assert bad[0]["A"] is None and bad[0]["B"] is None
