@@ -181,10 +181,17 @@ class DbcStreamReader(DataSourceStreamReader):
     landing directory instead of polling the remote catalog.
     """
 
-    def __init__(self, path: str, columns: list[str], limit: int | None):
+    def __init__(
+        self,
+        path: str,
+        columns: list[str],
+        limit: int | None,
+        corrupt_col: str | None = None,
+    ):
         self.path = path
         self.columns = columns
         self.limit = limit
+        self.corrupt_col = corrupt_col
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -199,17 +206,34 @@ class DbcStreamReader(DataSourceStreamReader):
     def read(self, partition: DbcInputPartition) -> Iterator["object"]:
         import pyarrow as pa
 
-        cols, colvals = _decode_file(partition.path, self.limit)
-        if cols != self.columns:
-            raise ValueError(
-                f"{partition.path}: columns {cols[:3]}... != stream schema "
-                f"{self.columns[:3]}..."
-            )
         origem = _basename_no_ext(partition.path)
+        names = [*self.columns, PROVENANCE_COL]
+        if self.corrupt_col:
+            names.append(self.corrupt_col)
+        try:
+            cols, colvals = _decode_file(partition.path, self.limit)
+            if cols != self.columns:
+                raise ValueError(
+                    f"{partition.path}: columns {cols[:3]}... != stream "
+                    f"schema {self.columns[:3]}..."
+                )
+        except Exception as exc:
+            if not self.corrupt_col:
+                raise
+            # PERMISSIVE (same contract as the batch reader): the corrupt
+            # arrival becomes one provenance-tagged error row; the stream
+            # keeps running and the file is still marked consumed.
+            arrays = [pa.array([None], type=pa.string()) for _ in self.columns]
+            arrays.append(pa.array([origem], type=pa.string()))
+            arrays.append(pa.array([str(exc)[:500]], type=pa.string()))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            return
         n = len(colvals[0]) if colvals else 0
         arrays = [pa.array(vals, type=pa.string()) for vals in colvals]
         arrays.append(pa.array([origem] * n, type=pa.string()))
-        yield pa.RecordBatch.from_arrays(arrays, names=[*cols, PROVENANCE_COL])
+        if self.corrupt_col:
+            arrays.append(pa.array([None] * n, type=pa.string()))
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     def commit(self, end: dict) -> None:
         pass
@@ -359,10 +383,13 @@ class DbcDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DbcStreamReader:
         limit = self.options.get("limit")
+        corrupt_col = self.options.get("corruptColumn")
+        skip = {PROVENANCE_COL, corrupt_col}
         return DbcStreamReader(
             self.options.get("path"),
-            [f.name for f in schema.fields if f.name != PROVENANCE_COL],
+            [f.name for f in schema.fields if f.name not in skip],
             int(limit) if limit is not None else None,
+            corrupt_col=corrupt_col,
         )
 
 

@@ -668,3 +668,47 @@ def test_ivf_index_vector_removal(spark, sf_dir, tmp_path):
     )
     hits = w.ivf_index_search(spark, index, twin, codebook, k=3).collect()
     assert all(r.neighbor_id != victim for r in hits)
+
+
+def test_dbc_stream_permissive_corrupt_arrival(spark, tmp_path):
+    """A corrupt file arriving mid-stream becomes one provenance-tagged
+    error row under corruptColumn; the stream keeps running and good
+    arrivals before and after decode normally."""
+    import os
+
+    from etl_lala_spark.sources.dbc import write_dbf
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    register_dbc_source(spark)
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    with open(os.path.join(src, "GOOD1.dbf"), "wb") as fh:
+        fh.write(write_dbf(["A"], [["1"], ["2"]], 4))
+
+    def run():
+        q = (
+            spark.readStream.format("dbc")
+            .option("corruptColumn", "_error")
+            .load(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    with open(os.path.join(src, "ZBAD.dbc"), "wb") as fh:
+        fh.write(b"\x00\x07 garbage dict bits")
+    with open(os.path.join(src, "GOOD2.dbf"), "wb") as fh:
+        fh.write(write_dbf(["A"], [["3"]], 4))
+    run()
+
+    rows = spark.read.parquet(out).collect()
+    good = sorted(r["A"] for r in rows if r["_error"] is None)
+    bad = [r for r in rows if r["_error"] is not None]
+    assert good == ["1", "2", "3"]
+    assert len(bad) == 1 and bad[0]["arquivo_origem"] == "ZBAD"
