@@ -846,3 +846,87 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_ts")
     )
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END
+           AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, min(ts) AS s, max(ts) AS e
+  FROM numbered GROUP BY user_id, session_id
+),
+points AS (
+  SELECT s AS pt, 1 AS delta, user_id, session_id FROM sessions
+  UNION ALL
+  SELECT e AS pt, -1 AS delta, user_id, session_id FROM sessions
+),
+swept AS (
+  SELECT pt, delta,
+         sum(delta) OVER (ORDER BY pt, delta, user_id, session_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS live
+  FROM points
+)
+SELECT CAST(max(live) AS INT) AS peak_concurrency,
+       min(pt) FILTER (WHERE live = (SELECT max(live) FROM swept)) AS peak_ts
+FROM swept
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line over session intervals: the classic interval-analytics
+    question "how many sessions were ever active at once, and when did the
+    peak first happen". Sessions come from the 30-minute-gap rule
+    (events_sessionization's intervals); each interval contributes a +1 at
+    its start and a −1 at its end (end processed first at equal
+    timestamps: deltas order ascending, so touching sessions don't
+    overlap), and a running sum over the fully-tiebroken point order is
+    the live-session count.
+
+    Scale: the sweep's global window runs over 2×#sessions points (never
+    events); at 100 TB concurrency is computed per shard/day first and
+    the final sweep merges per-shard boundary points — same plan shape
+    one level up."""
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800
+    numbered = ev.withColumn(
+        "new_session", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    ).withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    points = sessions.select(
+        F.col("s").alias("pt"), F.lit(1).alias("delta"), "user_id", "session_id"
+    ).unionByName(
+        sessions.select(
+            F.col("e").alias("pt"), F.lit(-1).alias("delta"), "user_id", "session_id"
+        )
+    )
+    sweep = W.orderBy("pt", "delta", "user_id", "session_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    swept = points.withColumn("live", F.sum("delta").over(sweep))
+    peak = swept.agg(F.max("live").alias("m"))
+    return (
+        swept.join(F.broadcast(peak), swept.live == peak.m)
+        .agg(
+            F.max("live").cast("int").alias("peak_concurrency"),
+            F.min("pt").alias("peak_ts"),
+        )
+    )
