@@ -569,7 +569,11 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "p_name",
             "n",
-            F.element_at(F.split("p_name", " "), 2).alias("noun"),
+            # try_element_at → NULL (not ANSI ARRAY_INDEX_OUT_OF_BOUNDS) on
+            # single-token names; coalesce to '' matches DuckDB split_part.
+            F.coalesce(
+                F.try_element_at(F.split("p_name", " "), F.lit(2)), F.lit("")
+            ).alias("noun"),
         )
     )
     a, b = names.alias("a"), names.alias("b")

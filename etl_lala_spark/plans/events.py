@@ -663,42 +663,74 @@ def events_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     window frames cannot express (each state depends on the previous
     state, not on a frame of rows).
 
-    Spark-first shape: one hash agg collects each user's ordered value
-    sequence (array_sort on (ts, event_id, value) structs — deterministic
-    total order), then a codegen'd `aggregate` fold runs the recurrence
-    JVM-side. The null-init fold seeds s₀ = x₀, exactly DuckDB
-    `list_reduce`'s first-element-init, and both engines fold the same
-    sequence left-to-right so the doubles agree bit-for-bit. Scale: state
-    is one array per user (bounded by per-key history, shuffled once);
-    unbounded histories graduate to the streaming form
-    (applyInPandasWithState keeps just the scalar s_t per key)."""
-    ev = load_events(spark, sf_dir)
-    seqs = ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        F.array_sort(
-            F.collect_list(
-                F.struct("ts", "event_id", F.col("value").cast("double").alias("v"))
-            )
-        ).alias("ord"),
+    Scale-safe batch shape: hash-repartition on the key, sort WITHIN each
+    partition by (user_id, ts, event_id) — a spillable sort, never an
+    in-memory per-key array — then stream Arrow batches through
+    ``mapInPandas`` carrying four scalars (current key, state, count,
+    sum) across batch boundaries. Task memory is one Arrow batch
+    regardless of how skewed a key's history is (the round-1
+    ``collect_list`` form materialized O(per-key history) arrays — a
+    power-law key OOMs at 100×; see SCALE.md). The fold computes
+    ``acc*0.7 + x*0.3`` seeded s₀ = x₀, exactly DuckDB ``list_reduce``'s
+    first-element-init, left-to-right in the same total order, so the
+    doubles agree bit-for-bit. Unbounded/continuous histories graduate to
+    the streaming twin (streaming/stateful.py) which keeps the same
+    scalars per key under a watermark."""
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id", F.col("value").cast("double").alias("v")
     )
-    seqs = seqs.select(
+    parts = ev.repartition("user_id").sortWithinPartitions(
+        "user_id", "ts", "event_id"
+    )
+
+    def fold(batches):
+        import pandas as pd
+
+        cur = None
+        s = 0.0
+        cnt = 0
+        tot = 0.0
+        out_ids: list = []
+        out_cnt: list = []
+        out_ewma: list = []
+        out_mean: list = []
+
+        def close_key() -> None:
+            out_ids.append(cur)
+            out_cnt.append(cnt)
+            out_ewma.append(s)
+            out_mean.append(tot / cnt)
+
+        for pdf in batches:
+            for uid, x in zip(pdf["user_id"].to_numpy(), pdf["v"].to_numpy()):
+                x = float(x)
+                if uid != cur:
+                    if cur is not None:
+                        close_key()
+                    cur, s, cnt, tot = uid, x, 1, x
+                else:
+                    s = s * 0.7 + x * 0.3
+                    cnt += 1
+                    tot += x
+        if cur is not None:
+            close_key()
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series(out_ids, dtype="int64"),
+                "n_events": pd.Series(out_cnt, dtype="int64"),
+                "ewma_raw": pd.Series(out_ewma, dtype="float64"),
+                "mean_raw": pd.Series(out_mean, dtype="float64"),
+            }
+        )
+
+    folded = parts.mapInPandas(
+        fold, "user_id long, n_events long, ewma_raw double, mean_raw double"
+    )
+    return folded.select(
         "user_id",
         "n_events",
-        F.expr("transform(ord, x -> x.v)").alias("vals"),
-    )
-    ewma = F.aggregate(
-        F.col("vals"),
-        F.lit(None).cast("double"),
-        lambda acc, x: F.when(acc.isNull(), x).otherwise(acc * 0.7 + x * 0.3),
-    )
-    mean = F.aggregate(
-        F.col("vals"), F.lit(0.0), lambda acc, x: acc + x
-    ) / F.size("vals")
-    return seqs.select(
-        "user_id",
-        "n_events",
-        F.round(ewma, 6).alias("ewma_value"),
-        F.round(mean, 6).alias("mean_value"),
+        F.round("ewma_raw", 6).alias("ewma_value"),
+        F.round("mean_raw", 6).alias("mean_value"),
     ).orderBy("user_id")
 
 
@@ -875,7 +907,7 @@ points AS (
 ),
 swept AS (
   SELECT pt, delta,
-         sum(delta) OVER (ORDER BY pt, delta, user_id, session_id
+         sum(delta) OVER (ORDER BY pt, delta DESC, user_id, session_id
                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS live
   FROM points
@@ -890,10 +922,12 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     question "how many sessions were ever active at once, and when did the
     peak first happen". Sessions come from the 30-minute-gap rule
     (events_sessionization's intervals); each interval contributes a +1 at
-    its start and a −1 at its end (end processed first at equal
-    timestamps: deltas order ascending, so touching sessions don't
-    overlap), and a running sum over the fully-tiebroken point order is
-    the live-session count.
+    its start and a −1 at its end. Intervals are CLOSED: at equal
+    timestamps the +1 is processed before the −1 (deltas order
+    descending), so a zero-duration single-event session still counts as
+    live at its instant and touching sessions overlap at the boundary
+    point. A running sum over the fully-tiebroken point order is the
+    live-session count.
 
     Scale: the sweep's global window runs over 2×#sessions points (never
     events); at 100 TB concurrency is computed per shard/day first and
@@ -918,9 +952,9 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("pt"), F.lit(-1).alias("delta"), "user_id", "session_id"
         )
     )
-    sweep = W.orderBy("pt", "delta", "user_id", "session_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
+    sweep = W.orderBy(
+        F.col("pt"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
     swept = points.withColumn("live", F.sum("delta").over(sweep))
     peak = swept.agg(F.max("live").alias("m"))
     return (

@@ -598,9 +598,16 @@ def backfill_partitions(
         batch = compute(spark, missing)
         # Safety: keep only the requested keys even if compute over-produces.
         batch = batch.where(F.col(part_col).isin(missing))
-        inserted = batch.count()
-        if inserted:
-            batch.write.mode("append").partitionBy(part_col).parquet(table_path)
+        # Materialize once: a nondeterministic/non-idempotent compute() must
+        # not run twice (count vs write could disagree, and it's a double
+        # scan). persist() pins the counted rows; the write reuses them.
+        batch = batch.persist()
+        try:
+            inserted = batch.count()
+            if inserted:
+                batch.write.mode("append").partitionBy(part_col).parquet(table_path)
+        finally:
+            batch.unpersist()
     return LoadResult(
         tabela={"nome": os.path.basename(table_path), "criada_agora": created},
         registros_inseridos=inserted,
@@ -623,11 +630,20 @@ def delete_rows(
     (1) locate affected partitions with a key semi-join that reads just
     (key, partition) columns — partition pruning and column pruning keep
     this scan thin; (2) rewrite those partitions minus the keys into a
-    temp directory; (3) swap each rewritten partition directory
-    atomically (rename), leaving every untouched partition's files
-    byte-identical — at 100 TB deleting one user touches the handful of
-    month directories they appear in, not the table. Returns
+    temp directory; (3) swap the rewritten partition directories in via
+    rename, leaving every untouched partition's files byte-identical — at
+    100 TB deleting one user touches the handful of month directories
+    they appear in, not the table. Returns
     {partitions_rewritten, rows_deleted}.
+
+    Crash-safety: originals are staged into a backup directory OUTSIDE
+    the table root before any swap, so no intermediate state ever leaves
+    a bogus-but-parseable partition (e.g. ``competencia=X._old``) where
+    Spark partition discovery would resurrect deleted rows. The swap
+    itself is per-partition rename, not transactional: a crash mid-swap
+    can leave some affected partitions temporarily absent (readers see
+    fewer rows, never deleted ones); the staged backups in
+    ``<table>._delete_backup`` allow manual restore.
 
     (A table format with deletion vectors — Delta/Iceberg — turns step 2
     into a metadata write; this is the format-free equivalent with the
@@ -651,17 +667,27 @@ def delete_rows(
     kept = sub.join(k, key_col, "left_anti")
     deleted = sub.count() - kept.count()
     tmp = table_path.rstrip("/") + "._delete_tmp"
+    backup = table_path.rstrip("/") + "._delete_backup"
     shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
     kept.write.partitionBy(part_col).parquet(tmp)
+    os.makedirs(backup, exist_ok=True)
+    # Phase 1: move every original out of the table root first. After this
+    # loop the table no longer contains any to-be-deleted row, and nothing
+    # inside the root parses as a partition it shouldn't.
+    for part in affected:
+        os.rename(
+            os.path.join(table_path, f"{part_col}={part}"),
+            os.path.join(backup, f"{part_col}={part}"),
+        )
+    # Phase 2: move the rewrites in. A fully-deleted partition produces no
+    # directory in the rewrite output and simply stays absent.
     for part in affected:
         src = os.path.join(tmp, f"{part_col}={part}")
-        dst = os.path.join(table_path, f"{part_col}={part}")
-        old = dst + "._old"
-        os.rename(dst, old)
-        # A fully-deleted partition produces no directory in the rewrite.
         if os.path.isdir(src):
-            os.rename(src, dst)
-        shutil.rmtree(old)
+            os.rename(src, os.path.join(table_path, f"{part_col}={part}"))
+    # Phase 3: originals are only discarded once every swap succeeded.
+    shutil.rmtree(backup)
     shutil.rmtree(tmp, ignore_errors=True)
     return {"partitions_rewritten": affected, "rows_deleted": deleted}
 

@@ -339,6 +339,15 @@ class DbcDataSource(DataSource):
             except Exception:
                 if corrupt_col is None:
                     raise
+        # A corruptColumn that collides with a real data column (or the
+        # provenance column) would be silently dropped from reads — data
+        # loss. Fail planning loudly instead.
+        if corrupt_col and corrupt_col in (*cols, PROVENANCE_COL):
+            raise ValueError(
+                f"corruptColumn {corrupt_col!r} collides with an existing "
+                f"column of the scanned files; pick a name not in "
+                f"{[*cols, PROVENANCE_COL]}"
+            )
         extra = [StructField(PROVENANCE_COL, StringType())]
         if corrupt_col:
             extra.append(StructField(corrupt_col, StringType()))

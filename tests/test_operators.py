@@ -363,3 +363,42 @@ def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
     b = dict(map(tuple, r2.collect()))
     assert a.keys() == b.keys()
     assert all(abs(a[k] - b[k]) <= 1e-9 * max(1.0, abs(a[k])) for k in a)
+
+
+def test_ewma_constant_memory_under_key_skew(spark, tmp_path):
+    """The batch EWMA must survive a power-law key: one user holding 2000×
+    the average history. The mapInPandas fold carries scalars across Arrow
+    batches (no per-key array), so this both completes and matches a plain
+    Python recurrence on the skewed key."""
+    import datetime
+
+    from etl_lala_spark.plans.events import events_ewma_smoothing
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    heavy_n = 20_000
+    for i in range(heavy_n):  # user 1: huge ordered history
+        rows.append((i, base + datetime.timedelta(seconds=i), 1, "view", float(i % 97), "{}"))
+    for u in range(2, 12):  # ten light users, 10 events each
+        for i in range(10):
+            rows.append(
+                (100_000 + u * 100 + i, base + datetime.timedelta(seconds=i), u, "view", float(u + i), "{}")
+            )
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    sf = str(tmp_path / "skew")
+    (tmp_path / "skew").mkdir()
+    df.coalesce(2).write.parquet(str(tmp_path / "skew" / "events.parquet"))
+
+    out = {r["user_id"]: r for r in events_ewma_smoothing(spark, sf).collect()}
+    assert out[1]["n_events"] == heavy_n
+    s = None
+    tot = 0.0
+    for i in range(heavy_n):
+        x = float(i % 97)
+        s = x if s is None else s * 0.7 + x * 0.3
+        tot += x
+    assert out[1]["ewma_value"] == round(s, 6)
+    assert out[1]["mean_value"] == round(tot / heavy_n, 6)
+    assert out[5]["n_events"] == 10

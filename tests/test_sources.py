@@ -386,3 +386,27 @@ def test_dbc_source_permissive_corrupt_file(spark, sf_dir, tmp_path):
     assert len(bad) == 1
     assert bad[0]["arquivo_origem"] == "ZBAD"
     assert bad[0]["A"] is None and bad[0]["B"] is None
+
+
+def test_dbc_corrupt_column_collision_rejected(spark, tmp_path):
+    """A corruptColumn naming a real data column (or the provenance column)
+    would silently drop that column from reads — planning must fail loudly
+    instead (ADVICE r01)."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_lala_spark.sources.dbc import write_dbf
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    register_dbc_source(spark)
+    d = str(tmp_path / "coll")
+    os.makedirs(d)
+    with open(os.path.join(d, "T.dbf"), "wb") as fh:
+        fh.write(write_dbf(["A", "B"], [["1", "x"]], 4))
+
+    for bad in ("A", "arquivo_origem"):
+        with _pytest.raises(Exception, match="collides"):
+            spark.read.format("dbc").option("corruptColumn", bad).load(d).schema
+    ok = spark.read.format("dbc").option("corruptColumn", "_err").load(d)
+    assert ok.count() == 1
