@@ -1,0 +1,471 @@
+"""Driver-visible audits for the approximate / iterative operators.
+
+The engine's approximate paths (MinHash-LSH, SimHash, LSH/IVF ANN, k-means,
+SemDeDup, PageRank, sketches, sampling) are rows-only at the driver: their
+outputs are algorithm-specific, so no cross-engine SQL oracle can replay
+them. This module pairs EACH of those queries with an oracle-backed audit
+that reduces the operator's contract to values DuckDB *can* verify:
+
+- exact quantities both engines compute independently (corpus counts,
+  distinct counts, planted-duplicate counts) — a hard hash-matched check;
+- deterministic invariant flags (planted recall == 100 %, sketch error
+  within bound, recall-vs-exact above floor, Σrank == #nodes) that the
+  Spark side computes and the oracle pins to 1 — a regression in the
+  operator flips the flag and the driver row goes red.
+
+Planted checks are chosen to be *deterministic*, not statistical: an exact
+copy of a document always collides in every MinHash band and at SimHash
+hamming 0, identical vectors always share an argmax k-means cell and score
+cosine 1.0 — so "all planted duplicates found" is an invariant, not a
+tolerance. Reference parity: the reference has no approximate operators at
+all (SURVEY §2); these audits guard the additions at the same evidence bar
+as the SQL surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_events, load_table
+from etl_lala_spark.operators import dedup as dd
+from etl_lala_spark.operators import similarity as sim
+from etl_lala_spark.plans import register
+
+DIM = 64
+
+def _flag(cond):
+    """Invariant flag column: 1 when the condition holds everywhere."""
+    return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# ANN: recall-vs-exact + score integrity (audits ann_cosine_lsh / ann_cosine_ivf)
+# ---------------------------------------------------------------------------
+
+
+def _ann_audit(spark: SparkSession, sf_dir: str, approx: DataFrame) -> DataFrame:
+    """Shared audit body: approx top-k vs the brute-force baseline.
+
+    ``recall_ok``: pair recall vs exact top-5 stays above a conservative
+    floor (0.10; the corpus is isotropic synthetic data, where bucketed ANN
+    recall is inherently modest — pytest pins a tighter 0.15).
+    ``scores_exact``: every (query, neighbor) the approximate index returns
+    carries the *exact* rounded cosine for that pair — approximation may
+    drop pairs but must never mis-score one.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    rescored = (
+        approx.join(c, "neighbor_id")
+        .join(q, "query_id")
+        .select(
+            "cos_sim",
+            F.round(
+                sim.dot(F.col("qv"), F.col("cv"))
+                / (sim.norm(F.col("qv")) * sim.norm(F.col("cv"))),
+                4,
+            ).alias("true_sim"),
+        )
+    )
+    mism = rescored.agg(
+        F.count(F.when(F.col("cos_sim") != F.col("true_sim"), True)).alias("n_bad")
+    )
+    return (
+        queries.agg(F.count("*").alias("n_queries"))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .crossJoin(mism)
+        .select(
+            "n_queries",
+            F.lit(5).alias("k"),
+            _flag(F.col("n_bad") == 0).alias("scores_exact"),
+            _flag(F.col("n_hit") >= 0.10 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
+_ANN_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_queries, 5 AS k,
+       1 AS scores_exact, 1 AS recall_ok
+FROM embeddings WHERE vec_id % 100 = 0
+"""
+
+
+@register("audit_ann_lsh", oracle=_ANN_ORACLE)
+def audit_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``ann_cosine_lsh`` (rows-only there)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = sim.lsh_topk(emb, queries, dim=DIM, k=5, n_planes=8)
+    return _ann_audit(spark, sf_dir, approx)
+
+
+@register("audit_ann_ivf", oracle=_ANN_ORACLE)
+def audit_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``ann_cosine_ivf`` (rows-only there)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = sim.ivf_topk(emb, queries, k=5, n_cells=16, nprobe=4)
+    return _ann_audit(spark, sf_dir, approx)
+
+
+# ---------------------------------------------------------------------------
+# k-means Lloyd invariants (audits semantic_kmeans_clusters)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_kmeans",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_assigned,
+       8 AS k_max, 1 AS cells_ok, 1 AS cohesion_ok
+FROM embeddings
+""",
+)
+def audit_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``semantic_kmeans_clusters``: every point assigned exactly
+    once, cell count within k, cosine-to-centroid inside [-1, 1]."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2)
+    return (
+        emb.agg(F.count("*").alias("n_points"))
+        .crossJoin(
+            asg.agg(
+                F.count("*").alias("n_assigned"),
+                F.countDistinct("cell").alias("n_cells"),
+                F.max("sim").alias("smax"),
+                F.min("sim").alias("smin"),
+            )
+        )
+        .select(
+            "n_points",
+            "n_assigned",
+            F.lit(8).alias("k_max"),
+            _flag((F.col("n_cells") >= 1) & (F.col("n_cells") <= 8)).alias("cells_ok"),
+            _flag(
+                (F.col("smax") <= 1.0000001) & (F.col("smin") >= -1.0000001)
+            ).alias("cohesion_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted-duplicate recall — deterministic 100 % for exact copies
+# ---------------------------------------------------------------------------
+
+
+def _planted_doc_audit(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """Planted exact copies (every 10th doc re-appears at doc_id+100000) MUST
+    all surface as pairs: identical text collides in every MinHash band and
+    at SimHash hamming 0 — recall 1.0 is an invariant, not a tolerance."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_a"),
+        (F.col("doc_id") + 100000).alias("doc_b"),
+    )
+    found = planted.join(pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi")
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(found.agg(F.count("*").alias("n_planted_found")))
+        .select(
+            "n_planted",
+            "n_planted_found",
+            _flag(F.col("n_planted") == F.col("n_planted_found")).alias("all_found"),
+        )
+    )
+
+
+_PLANTED_DOC_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(count(*) AS BIGINT) AS n_planted_found,
+       1 AS all_found
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+@register("audit_minhash_planted", oracle=_PLANTED_DOC_ORACLE)
+def audit_minhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``dedup_minhash_lsh``: planted exact dups always recovered."""
+    from etl_lala_spark.plans.llm_dedup import _dup_corpus
+
+    pairs = dd.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), threshold=0.5)
+    return _planted_doc_audit(spark, sf_dir, pairs)
+
+
+@register("audit_simhash_planted", oracle=_PLANTED_DOC_ORACLE)
+def audit_simhash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``dedup_simhash``: planted exact dups sit at hamming 0."""
+    from etl_lala_spark.plans.llm_dedup import _dup_corpus
+
+    pairs = dd.simhash_pairs(_dup_corpus(spark, sf_dir), max_hamming=3)
+    return _planted_doc_audit(spark, sf_dir, pairs)
+
+
+@register(
+    "audit_components_planted",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(count(*) AS BIGINT) AS n_same_cluster,
+       1 AS all_clustered, 1 AS min_label_ok
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def audit_components_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``dedup_canonical_clusters``: each planted (doc, copy) pair
+    lands in one component, and every label is the component minimum
+    (canonical ≤ member id for all members)."""
+    from etl_lala_spark.plans.llm_dedup import _dup_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(_dup_corpus(spark, sf_dir), threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp = dd.canonical_components(pairs)
+    ca = comp.select(F.col("doc").alias("pa"), F.col("canonical").alias("canon_a"))
+    cb = comp.select(F.col("doc").alias("pb"), F.col("canonical").alias("canon_b"))
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("pa"), (F.col("doc_id") + 100000).alias("pb")
+    )
+    same = (
+        planted.join(ca, "pa")
+        .join(cb, "pb")
+        .where(F.col("canon_a") == F.col("canon_b"))
+    )
+    bad_label = comp.agg(
+        F.count(F.when(F.col("canonical") > F.col("doc"), True)).alias("n_bad")
+    )
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(same.agg(F.count("*").alias("n_same_cluster")))
+        .crossJoin(bad_label)
+        .select(
+            "n_planted",
+            "n_same_cluster",
+            _flag(F.col("n_planted") == F.col("n_same_cluster")).alias("all_clustered"),
+            _flag(F.col("n_bad") == 0).alias("min_label_ok"),
+        )
+    )
+
+
+@register(
+    "audit_semdedup_planted",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(count(*) AS BIGINT) AS n_planted_found,
+       1 AS all_found
+FROM embeddings WHERE vec_id % 50 = 0
+""",
+)
+def audit_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``dedup_semdedup``: an identical planted vector always
+    shares its original's argmax cell and scores cosine 1.0 ≥ 0.97, so the
+    cluster-blocked near-dup pass must recover every planted pair."""
+    base = load_table(spark, sf_dir, "embeddings")
+    dups = base.filter(F.col("vec_id") % 50 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 100000
+    )
+    corpus = base.unionByName(dups)
+    assigned = sim.kmeans_fit(corpus, dim=DIM, k=16, iters=2).select("vec_id", "cell")
+    blocked = corpus.join(assigned, "vec_id")
+    pairs = sim.cosine_near_dup_pairs(blocked, threshold=0.97, block_col="cell")
+    planted = base.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("vec_a"), (F.col("vec_id") + 100000).alias("vec_b")
+    )
+    found = planted.join(pairs.select("vec_a", "vec_b"), ["vec_a", "vec_b"], "left_semi")
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(found.agg(F.count("*").alias("n_planted_found")))
+        .select(
+            "n_planted",
+            "n_planted_found",
+            _flag(F.col("n_planted") == F.col("n_planted_found")).alias("all_found"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank mass conservation (audits graph_supplier_pagerank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_pagerank_mass",
+    oracle="""
+SELECT CAST(c + s AS BIGINT) AS n_nodes, 1 AS mass_ok, 1 AS all_positive
+FROM (SELECT count(DISTINCT o_custkey) AS c
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+     (SELECT count(DISTINCT l_suppkey) AS s
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey)
+""",
+)
+def audit_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``graph_supplier_pagerank``: node count matches the exact
+    relational count, rank mass conserves (Σrank = #nodes on a graph with
+    no dangling nodes), and every rank is positive."""
+    from etl_lala_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    trade = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("cust"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("supp"),
+        )
+        .distinct()
+    )
+    edges = trade.selectExpr("cust AS src", "supp AS dst").unionByName(
+        trade.selectExpr("supp AS src", "cust AS dst")
+    )
+    ranks = pagerank(edges, iters=3)
+    return ranks.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("rank").alias("mass"),
+        F.min("rank").alias("rmin"),
+    ).select(
+        "n_nodes",
+        _flag(
+            F.abs(F.col("mass") - F.col("n_nodes")) <= 1e-6 * F.col("n_nodes")
+        ).alias("mass_ok"),
+        _flag(F.col("rmin") > 0).alias("all_positive"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch error bounds (audits events_distinct_rollup_hll / approx_aggs)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_hll_error",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       1 AS est_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def audit_hll_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``events_distinct_rollup_hll``: the merged daily-sketch
+    estimate must sit within 5 % of the exact distinct count the oracle
+    verifies independently (DataSketches HLL, lgK 12 → ~1.6 % RSE)."""
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    est = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            "n_days",
+            _flag(
+                F.abs(F.col("approx_users") / F.col("exact_users") - 1.0) <= 0.05
+            ).alias("est_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "audit_approx_aggs",
+    oracle="""
+SELECT l_returnflag,
+       count(*) AS n,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       1 AS acd_ok, 1 AS p50_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def audit_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``approx_aggs``: HLL++ distinct within 5 % of exact, and
+    approx_percentile(0.5) between the exact 45th and 55th percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_partkey").alias("acd"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("ap50"),
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "exact_parts",
+            _flag(
+                F.abs(F.col("acd") / F.col("exact_parts") - 1.0) <= 0.05
+            ).alias("acd_ok"),
+            _flag(
+                (F.col("ap50") >= F.col("p45")) & (F.col("ap50") <= F.col("p55"))
+            ).alias("p50_ok"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling bounds (audits sample_stratified)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "audit_stratified_sample",
+    oracle="""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, 1 AS keep_ok
+FROM documents GROUP BY lang ORDER BY lang
+""",
+)
+def audit_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``sample_stratified``: full-fraction strata keep every row
+    (exact), absent strata keep none (exact), and the Bernoulli stratum's
+    keep-rate stays within 5 binomial standard deviations of its target."""
+    d = load_table(spark, sf_dir, "documents")
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0}
+    sampled = d.sampleBy("lang", fractions, seed=42)
+    totals = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    kept = sampled.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in fractions.items() for x in kv]
+    )
+    j = (
+        totals.join(kept, "lang", "left")
+        .na.fill({"n_kept": 0})
+        .withColumn("target", F.coalesce(frac[F.col("lang")], F.lit(0.0)))
+    )
+    tol = 5.0 * F.sqrt(0.25 / F.col("n_docs"))
+    exact_stratum = (F.col("target") == 0.0) | (F.col("target") == 1.0)
+    return j.select(
+        "lang",
+        "n_docs",
+        _flag(
+            F.when(
+                exact_stratum, F.col("n_kept") == F.col("target") * F.col("n_docs")
+            ).otherwise(
+                F.abs(F.col("n_kept") / F.col("n_docs") - F.col("target")) <= tol
+            )
+        ).alias("keep_ok"),
+    ).orderBy("lang")
