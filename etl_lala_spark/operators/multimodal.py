@@ -2,12 +2,13 @@
 
 Media are opaque ``binary`` columns plus typed metadata structs; the heavy
 decode/feature steps run as Arrow-batched pandas over ``mapInPandas`` so each
-task streams batches without materializing a partition. The actual codec
-calls (PIL/ffmpeg/torchaudio) are NOT available in this environment, so the
-decode kernel is pluggable: the default is a clearly-marked deterministic
-fake (metadata derived from the byte stream itself), and ``decode_image``
-raises NotImplementedError — the Spark-side plumbing (schema, batching,
-partitioning) is real and tested either way.
+task streams batches without materializing a partition. The decode kernel is
+pluggable: PNG pixel decode is REAL and stdlib-only (``decode_png``: zlib
+inflate + all five PNG unfilter paths, CRC-checked), header metadata for
+PNG/JPEG/GIF/WAV is codec-free (``sniff_media``), and only formats whose
+pixel decode genuinely needs an external codec (JPEG DCT, video) keep a
+clearly-marked NotImplementedError seam with ``fake_decode`` as the
+deterministic stand-in.
 """
 
 from __future__ import annotations
@@ -37,16 +38,171 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def decode_image(data: bytes) -> tuple[int, int, int]:
-    """Full pixel decode — requires an image codec library.
+    """Full pixel decode to (width, height, n_channels).
 
-    STUB: PIL/opencv are not installed in this environment. Header-level
-    metadata (dimensions, channels, sample rate) needs NO codec — see
-    ``sniff_media`` below, which parses PNG/JPEG/GIF/WAV headers in pure
-    Python. Swap this in when a pixel codec is available.
+    PNG decodes for real — stdlib-only (`zlib` inflate + PNG unfilter),
+    see ``decode_png``. Formats whose pixel decode genuinely needs a codec
+    library (JPEG DCT, video) still raise: header metadata for those comes
+    codec-free from ``sniff_media``.
     """
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h, ch, _ = decode_png(data)
+        return (w, h, ch)
     raise NotImplementedError(
-        "pixel codecs unavailable in this environment; use sniff_media for "
-        "header metadata or fake_decode for the deterministic stand-in"
+        "non-PNG pixel codecs unavailable in this environment; use "
+        "sniff_media for header metadata or fake_decode for the "
+        "deterministic stand-in"
+    )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, bytes]:
+    """Real stdlib-only PNG pixel decode: chunk walk + CRC check, zlib
+    inflate of the IDAT stream, and per-row unfiltering for all five PNG
+    filter types (None/Sub/Up/Average/Paeth). Supports 8-bit depth,
+    non-interlaced, gray/RGB/gray+alpha/RGBA color types — returns
+    (width, height, n_channels, recon_pixels) with pixels row-major.
+
+    This replaces the round-1 ``NotImplementedError`` seam with a working
+    kernel: the Spark plumbing feeds whole byte payloads per row through
+    Arrow batches, and the kernel is pure CPU per value — exactly the shape
+    a PIL/turbojpeg kernel drops into at 100 TB.
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    if data[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG byte stream")
+    pos = 8
+    width = height = channels = -1
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = _struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        (crc,) = _struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if _zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = _struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace} "
+                    "unsupported (8-bit non-interlaced gray/RGB/alpha only)"
+                )
+            channels = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width < 0 or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    raw = _zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel payload size mismatch")
+    out = bytearray(stride * height)
+    prior = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(channels, stride):
+                row[i] = (row[i] + row[i - channels]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                row[i] = (row[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                left = row[i - channels] if i >= channels else 0
+                ul = prior[i - channels] if i >= channels else 0
+                row[i] = (row[i] + _paeth(left, prior[i], ul)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"PNG filter type {ft} invalid")
+        out[y * stride : (y + 1) * stride] = row
+        prior = bytes(row)
+    return (width, height, channels, bytes(out))
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal stdlib PNG encoder (8-bit, non-interlaced) used to build real
+    decodable fixtures: each row is filtered with type ``y % 5``, so a
+    decode of the output exercises every PNG unfilter path."""
+    import struct as _struct
+    import zlib as _zlib
+
+    color = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(body))
+            + ctype
+            + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride : (y + 1) * stride]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:
+            raw += bytes(
+                (row[i] - (row[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:
+            raw += bytes((row[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:
+            raw += bytes(
+                (
+                    row[i]
+                    - (((row[i - channels] if i >= channels else 0) + prior[i]) >> 1)
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - channels] if i >= channels else 0,
+                        prior[i],
+                        prior[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = row
+    ihdr = _struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
     )
 
 

@@ -164,3 +164,71 @@ def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+@register(
+    "multimodal_decode_png",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id % 32) + 1 AS INT) AS width,
+       CAST((doc_id % 24) + 1 AS INT) AS height,
+       3 AS n_channels,
+       CAST(((doc_id % 32) + 1) * ((doc_id % 24) + 1) * 3 AS BIGINT) AS n_pixel_bytes,
+       CAST(list_sum(list_transform(
+              range(0, ((doc_id % 32) + 1) * ((doc_id % 24) + 1) * 3),
+              i -> (doc_id + 3 * ((i // 3) % ((doc_id % 32) + 1))
+                    + 7 * (i // (3 * ((doc_id % 32) + 1)))
+                    + 11 * (i % 3)) % 256)) AS BIGINT) AS pixel_sum
+FROM documents WHERE doc_id < 300
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode end to end, no external codec: per row a valid PNG
+    is encoded from a deterministic pixel pattern (value at (x, y, c) is
+    ``(doc_id + 3x + 7y + 11c) % 256``, rows cycle through all five PNG
+    filter types), shipped through Arrow as a binary column, and decoded
+    back with the stdlib decoder (`operators/multimodal.py:decode_png` —
+    zlib inflate + CRC check + Sub/Up/Average/Paeth unfiltering). The
+    oracle recomputes width/height/byte-count/pixel-sum arithmetically, so
+    any filter-path or chunk-walk bug hash-mismatches.
+
+    Scale shape: encode and decode are per-value kernels inside one
+    mapInPandas pass — constant task memory, embarrassingly parallel; a
+    libjpeg/PIL kernel drops into the same seam for formats whose math
+    stdlib can't do."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "n_channels": [],
+                   "n_pixel_bytes": [], "pixel_sum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = (doc_id % 32) + 1, (doc_id % 24) + 1
+                pixels = bytes(
+                    (doc_id + 3 * x + 7 * y + 11 * c) % 256
+                    for y in range(h) for x in range(w) for c in range(3)
+                )
+                png = mm.encode_png(w, h, pixels, channels=3)
+                dw, dh, dc, recon = mm.decode_png(png)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["n_channels"].append(dc)
+                out["n_pixel_bytes"].append(len(recon))
+                out["pixel_sum"].append(sum(recon))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, n_channels int, "
+            "n_pixel_bytes long, pixel_sum long",
+        )
+        .orderBy("doc_id")
+    )

@@ -110,7 +110,36 @@ def test_multimodal_decode_stub_and_plumbing(spark, sf_dir):
         assert r["width"] == r["n_bytes"] % 640
         assert len(r["digest"]) == 32
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG")
+        mm.decode_image(b"\xff\xd8\xff\xe0 jpeg needs a DCT codec")
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png cycles filter types 0-4 per row; decode_png must invert
+    every unfilter path bit-exactly, check chunk CRCs, and reject damage."""
+    import zlib
+
+    w, h = 17, 9  # 9 rows -> filters 0,1,2,3,4,0,1,2,3 all exercised
+    pixels = bytes((3 * x + 7 * y + 11 * c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    png = mm.encode_png(w, h, pixels, channels=3)
+    dw, dh, dc, recon = mm.decode_png(png)
+    assert (dw, dh, dc) == (w, h, 3)
+    assert recon == pixels
+    assert mm.decode_image(png) == (w, h, 3)
+
+    gray = bytes((5 * i) % 256 for i in range(w * h))
+    dw, dh, dc, recon = mm.decode_png(mm.encode_png(w, h, gray, channels=1))
+    assert (dw, dh, dc) == (w, h, 1) and recon == gray
+
+    rgba = bytes((i * 13) % 256 for i in range(w * h * 4))
+    dw, dh, dc, recon = mm.decode_png(mm.encode_png(w, h, rgba, channels=4))
+    assert (dw, dh, dc) == (w, h, 4) and recon == rgba
+
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0xFF  # flip a byte inside a chunk body
+    with pytest.raises((ValueError, zlib.error)):
+        mm.decode_png(bytes(corrupt))
+    with pytest.raises(ValueError):
+        mm.decode_png(b"not a png at all")
 
 
 def test_spread_is_noop_when_parallel_enough(spark, sf_dir):
