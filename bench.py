@@ -5,16 +5,19 @@ JSON line: {"metric", "value", "unit": "sec", "queries": {...}, "sf"}.
 
 Each query is forced to full materialization via the noop sink (no driver
 collect — measures the distributed plan, not row transfer). Each query is
-timed twice with the Spark cache cleared in between and the MIN is
-reported: host-level CPU steal on shared machines is strictly additive
-noise (identical runs were measured at 6.5 s and 28 s in one JVM), and
-min-of-N recovers the machine-limited figure.
+timed N times (default 3, env SPARK_GRAFT_BENCH_RUNS) with the Spark cache
+cleared in between; the MIN is reported as the query's figure, plus a
+population stddev per query so round-over-round deltas can be judged
+against run noise: host-level CPU steal on shared machines is strictly
+additive noise (identical runs were measured at 6.5 s and 28 s in one
+JVM), and min-of-N recovers the machine-limited figure.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -72,19 +75,25 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        samples: list[float] = []
+        for _ in range(n_runs):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        dt = round(min(samples), 3)
         timings[name] = dt
+        spreads[name] = round(statistics.pstdev(samples), 3)
         total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        print(
+            f"# {name}: min {dt:.3f}s over {n_runs} (±{spreads[name]:.3f})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -93,6 +102,8 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "stddev": spreads,
+                "runs_per_query": n_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -41,6 +41,7 @@ _PLAN_MODULES = (
     "etl_lala_spark.plans.llm_dedup",
     "etl_lala_spark.plans.llm_similarity",
     "etl_lala_spark.plans.multimodal",
+    "etl_lala_spark.plans.audits",
 )
 
 
@@ -72,9 +73,88 @@ def _load_all() -> None:
         importlib.import_module(mod)
 
 
+# --- Driver-rotation ordering -------------------------------------------------
+#
+# The verification driver materializes a CORRECTNESS row for the FIRST 50
+# registered oracle-backed queries each round. With 150+ oracle-backed
+# queries, which 50 get the hard driver signal is a choice — so the registry
+# is emitted in an explicit rotation order: queries that have NOT yet earned
+# a driver-green row come first (current round's 50-slot window, then the
+# next rounds' backlog in registration order), and queries already verified
+# by a previous round's driver run come last. Each round the window advances
+# over the backlog until every oracle-backed query carries a driver row.
+
+# Round 1 driver-verified (CORRECTNESS_r01.json, all green) — rotate to the back.
+_DRIVER_GREEN_R1 = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+    "join_semi_orders", "join_anti_customers", "join_left_outer_parts",
+    "join_full_outer_halves", "join_range_part_qty", "agg_distinct",
+    "rollup_pricing", "cube_pricing", "grouping_sets_orders",
+    "setop_intersect", "setop_except", "setop_union_months",
+    "topk_parts_by_revenue", "scalar_functions", "setop_intersect_all",
+    "setop_except_all", "cohort_retention", "diag_key_skew",
+    "rollup_grouping_markers", "join_theta_price_tiers", "reconcile_snapshots",
+    "rfm_customer_segments", "q7_volume_shipping", "q8_market_share",
+    "q9_product_profit", "q10_returned_items", "q14_promo_revenue",
+    "q17_small_quantity", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q22_sales_opportunity", "q12_shipping_delay",
+    "q4_order_priority", "q6_forecast_revenue", "q13_customer_distribution",
+    "q15_top_supplier", "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
+    "q11_important_stock", "q16_parts_supplier_relationship",
+    "q20_potential_promotion", "market_basket_pairs", "asof_join_window",
+    "asof_join_pandas", "pivot_status_by_month", "unpivot_metrics",
+    "having_heavy_orders",
+]
+
+# Round 2 window: exactly 50 oracle-backed queries, priority per VERDICT.md —
+# north-star LLM-pipeline set, the approximate-operator audits, the real-PNG
+# decode, core window functions, and the complete datasus plane (incl. DBC).
+_DRIVER_WINDOW = [
+    # dedup + decontamination
+    "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
+    "dedup_embedding_cosine", "decontaminate_corpus",
+    # similarity / embeddings / retrieval
+    "ann_cosine_topk", "hybrid_retrieval_rerank", "embedding_centroids",
+    "embedding_quantize_int8",
+    # curation pipeline
+    "pipeline_training_data", "curate_token_budget", "curate_sequence_packing",
+    "curate_source_mixing", "curate_weighted_sample",
+    # text analysis
+    "text_stats", "text_quality_score", "text_lang_id", "text_fingerprint",
+    "text_token_counts", "text_pii_scrub", "text_term_frequencies",
+    "text_bm25_retrieval", "text_model_inference", "text_winsorized_lengths",
+    "text_repetition_ratio",
+    # audits pairing every rows-only approximate/iterative operator
+    "audit_ann_lsh", "audit_ann_ivf", "audit_kmeans", "audit_minhash_planted",
+    "audit_simhash_planted", "audit_components_planted",
+    "audit_semdedup_planted", "audit_pagerank_mass", "audit_hll_error",
+    "audit_approx_aggs", "audit_stratified_sample",
+    # real stdlib PNG pixel decode
+    "multimodal_decode_png",
+    # window-function core
+    "window_rank_ntile", "window_lag_lead", "window_range_frame",
+    "window_interval_range_frame",
+    # datasus ingestion plane (S1-S4, S8, S11 parity)
+    "datasus_competence_dim", "datasus_catalog_manifest", "datasus_pa_summary",
+    "datasus_incremental_insert", "datasus_run_summary", "datasus_run_by_table",
+    "datasus_filename_parse", "datasus_dbc_roundtrip", "datasus_dbc_source",
+]
+
+
 def all_queries() -> dict[str, Query]:
     _load_all()
-    return dict(_REGISTRY)
+    pri = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
+    tail = {n: i for i, n in enumerate(_DRIVER_GREEN_R1)}
+    reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+
+    def key(name: str):
+        if name in pri:
+            return (0, pri[name])
+        if name in tail:
+            return (2, tail[name])
+        return (1, reg_pos[name])
+
+    return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
 
 
 def query_fns() -> dict[str, QueryFn]:

@@ -249,3 +249,24 @@ def test_behavior_similarity_rank_uses_window_group_limit(spark, sf_dir):
     per-partition top-k before the final window)."""
     plan = plan_of(spark, "behavior_similarity_topk", sf_dir)
     assert "WindowGroupLimit" in plan
+
+
+def test_driver_rotation_window_is_valid():
+    """The driver materializes CORRECTNESS rows for the FIRST 50 oracle-backed
+    registry entries; the rotation must put exactly the intended 50
+    not-yet-driver-verified queries there, and round-1's verified set last."""
+    from etl_lala_spark.plans import (
+        _DRIVER_GREEN_R1,
+        _DRIVER_WINDOW,
+        all_queries,
+        oracle_sqls,
+    )
+
+    qs = all_queries()
+    ordered = list(oracle_sqls())
+    assert len(_DRIVER_WINDOW) == 50
+    assert ordered[:50] == _DRIVER_WINDOW
+    assert ordered[-len(_DRIVER_GREEN_R1):] == _DRIVER_GREEN_R1
+    for name in _DRIVER_WINDOW:
+        assert qs[name].oracle is not None, f"{name} is rows-only"
+        assert name not in _DRIVER_GREEN_R1, f"{name} wastes a slot (already green)"
