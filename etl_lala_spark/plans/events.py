@@ -772,28 +772,26 @@ def behavior_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a small query cohort is matched against all users by Jaccard
     similarity, top-3 each.
 
-    Spark-first: profiles are built in ONE hash agg (ordered collect +
-    codegen'd transform/distinct — no explode of the trajectory); the
-    query cohort is broadcast against the profile table exactly like the
-    ANN brute-force path, so the profile corpus never shuffles and the
+    Spark-first, skew-proof: each event's transition bigram comes from a
+    ``lag`` window (spillable sort within the user_id shuffle — never an
+    in-memory per-key history array), and the profile is a ``collect_set``
+    of bigrams whose size is bounded by |event-type alphabet|², not by the
+    user's history length — a power-law user costs sort time, not memory.
+    The query cohort is broadcast against the profile table exactly like
+    the ANN brute-force path, so the profile corpus never shuffles and the
     ranking window sees only #queries × #users candidate rows. The same
     blocked/LSH graduation as text dedup applies when the cohort grows."""
     ev = load_events(spark, sf_dir)
-    seqs = ev.groupBy("user_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct("ts", "event_id", "event_type"))
-        ).alias("ord")
+    wseq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    bigram = F.concat(
+        F.lag("event_type").over(wseq), F.lit(">"), F.col("event_type")
     )
-    prof = seqs.select(
-        "user_id", F.expr("transform(ord, x -> x.event_type)").alias("types")
-    ).select(
-        "user_id",
-        F.expr(
-            "array_distinct(CASE WHEN size(types) < 2 THEN array() "
-            "ELSE transform(sequence(1, size(types) - 1), "
-            "i -> concat(element_at(types, i), '>', element_at(types, i + 1))) "
-            "END)"
-        ).alias("grams"),
+    # collect_set drops the first event's NULL lag; a 1-event user yields an
+    # empty gram set, matching the oracle's size<2 branch.
+    prof = (
+        ev.withColumn("bg", bigram)
+        .groupBy("user_id")
+        .agg(F.collect_set("bg").alias("grams"))
     )
     q = prof.filter(F.col("user_id") % 97 == 0).select(
         F.col("user_id").alias("query_user"), F.col("grams").alias("qg")

@@ -137,7 +137,16 @@ ORDER BY s_acctbal, s_suppkey
 """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frame on a numeric ordering (value-based window)."""
+    """RANGE frame on a numeric ordering (value-based window).
+
+    Scale note: the frame is GLOBAL (no partition key), so Spark computes
+    it in one task — correct here because the windowed relation is a
+    dimension-sized table, and the frame scan itself is linear
+    (two-pointer). On a fact-sized input the same metric graduates to
+    range partitioning: ``repartitionByRange`` on the order key, the
+    identical in-partition two-pointer pass, plus one exchange of each
+    partition's 500-wide boundary strip to its successor — the standard
+    distributed value-window decomposition (see SCALE.md)."""
     s = load_table(spark, sf_dir, "supplier")
     w = W.orderBy("s_acctbal").rangeBetween(-500, W.currentRow)
     return s.select(

@@ -406,3 +406,42 @@ def test_dataset_card_accounting(spark, sf_dir, tmp_path):
         <= card["char_length"]["p50"]
         <= card["char_length"]["max"]
     )
+
+
+def test_delete_rows_staging_invisible_to_readers(spark, sf_dir, tmp_path):
+    """Crash-safety contract (ADVICE r01): originals are staged OUTSIDE the
+    table root, so no intermediate or leftover state is parseable as a
+    partition — a reader never resurrects deleted rows. A stale backup dir
+    from a crashed earlier run must not affect reads and must be replaced
+    by the next delete."""
+    import os
+
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.sinks.writer import delete_rows
+
+    table = str(tmp_path / "orders_t2")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "competencia", F.date_format("o_orderdate", "yyyyMM")
+    )
+    o.write.partitionBy("competencia").parquet(table)
+    n_total = o.count()
+
+    # Simulate a crashed earlier run: stale backup + tmp dirs next to the
+    # table root, each containing a would-be partition directory.
+    for stale in (table + "._delete_backup", table + "._delete_tmp"):
+        os.makedirs(os.path.join(stale, "competencia=999901"))
+        with open(os.path.join(stale, "competencia=999901", "junk"), "w") as fh:
+            fh.write("x")
+    assert spark.read.parquet(table).count() == n_total  # staging invisible
+
+    victim = o.select("o_custkey").first().o_custkey
+    keys = spark.createDataFrame([(victim,)], "o_custkey bigint")
+    res = delete_rows(spark, table, keys, "o_custkey")
+    assert res["rows_deleted"] > 0
+    # Success path removes both staging dirs entirely, stale content included.
+    assert not os.path.exists(table + "._delete_backup")
+    assert not os.path.exists(table + "._delete_tmp")
+    # And nothing inside the table root parses as an unexpected partition.
+    got = spark.read.parquet(table)
+    assert got.count() == n_total - res["rows_deleted"]
+    assert got.where(F.col("competencia") == "999901").count() == 0
