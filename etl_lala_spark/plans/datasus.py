@@ -44,7 +44,7 @@ def datasus_competence_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 time-dimension generator: 12 rolling monthly competências
     (src/datasus/datasus.service.ts:73-97), newest first (O2)."""
     return (
-        spark.range(1)
+        spark.range(1, numPartitions=1)
         .select(
             F.explode(
                 F.sequence(

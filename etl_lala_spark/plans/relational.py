@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_lala_spark.io import load_table
+from etl_lala_spark.io import load_table, tiny_df
 from etl_lala_spark.plans import register
 
 # ---------------------------------------------------------------------------
@@ -747,7 +747,8 @@ def join_theta_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides, no equi key) is the shape the engine's range/band queries avoid
     by construction (SCALE.md no-NLJ invariant)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    tiers = spark.createDataFrame(
+    tiers = tiny_df(
+        spark,
         [("low", 0.0, 100000.0), ("mid", 100000.0, 250000.0), ("high", 250000.0, 1e9)],
         "tier string, lo double, hi double",
     )

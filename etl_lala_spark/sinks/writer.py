@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_lala_spark.io import tiny_df
+
 
 class LoadResult(dict):
     """Per-load metadata mirroring the reference's response contract
@@ -54,7 +56,7 @@ def load_incremental(
 
     batch = df
     if existing:
-        keys = spark.createDataFrame([(v,) for v in existing], f"{part_col} string")
+        keys = tiny_df(spark, [(v,) for v in existing], f"{part_col} string")
         batch = df.join(F.broadcast(keys), part_col, "left_anti")
 
     inserted = batch.count()

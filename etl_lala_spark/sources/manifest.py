@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_lala_spark.io import tiny_df
+
 URL_RE = r'https?://[^"\s\]]+\.zip'
 
 # Control-plane dimensions (reference enums, src/datasus/datasus-arquivo.type.ts:
@@ -30,8 +32,12 @@ def competence_months(
     spark: SparkSession, anchor: str, n_months: int = 12
 ) -> DataFrame:
     """Rolling month dimension, one row per competência (reference S2,
-    src/datasus/datasus.service.ts:73-97). Returns column ``m`` (date)."""
-    return spark.range(1).select(
+    src/datasus/datasus.service.ts:73-97). Returns column ``m`` (date).
+
+    Single-partition on purpose: this is a metadata-sized dimension, and a
+    multi-partition seed would multiply through the catalog cross join into
+    partitions² scheduling overhead (32×32 = 1024 tasks for 72 rows)."""
+    return spark.range(1, numPartitions=1).select(
         F.explode(
             F.sequence(
                 F.add_months(F.lit(anchor).cast("date"), -(n_months - 1)),
@@ -53,8 +59,11 @@ def build_catalog(
     catalog of file descriptors with DATASUS-style names ({TYPE}{UF}{YYMM})
     and a download-responder string (stand-in for the remote catalog's
     response body, which S4 regexes the ZIP link out of)."""
-    tipos_df = spark.createDataFrame(list(tipos), "tipo string, fonte string")
-    ufs_df = spark.createDataFrame([(u,) for u in ufs], "uf string")
+    # VALUES-backed LocalRelations (io.tiny_df): RDD-backed createDataFrame
+    # dimensions make the CartesianProduct execute partition-product tasks
+    # and block constant folding — measured ~13 s vs ~0.2 s for this 3×3.
+    tipos_df = tiny_df(spark, list(tipos), "tipo string, fonte string")
+    ufs_df = tiny_df(spark, [(u,) for u in ufs], "uf string")
     meses = competence_months(spark, anchor, n_months)
     yymm = F.date_format("m", "yyMM")
     arquivo = F.concat(F.col("tipo"), F.col("uf"), yymm)
