@@ -488,6 +488,87 @@ def canonical_components(
     return labels
 
 
+def repeated_block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 8,
+    min_repeat: int = 3,
+) -> DataFrame:
+    """Cross-corpus repeated-block removal — the CCNet/C4 boilerplate pass:
+    documents are cut into non-overlapping ``block_words``-token blocks, any
+    block occurring ≥ ``min_repeat`` times ANYWHERE in the corpus (nav bars,
+    license banners, template fragments) is dropped from every document, and
+    the survivors are reassembled in original order.
+
+    Scale shape (the part that matters at 100 TB): the block-frequency
+    aggregate is one explode + hash agg with map-side combine — boilerplate
+    collapses hard in the partial agg precisely because it repeats. The
+    banned set is heavy-hitters-only (count ≥ min_repeat), which is tiny by
+    construction, so it BROADCASTS back to the exploded corpus — the corpus
+    never joins the full distinct-block table and never shuffles on block
+    content. Reassembly is one groupBy on the doc id. Returns
+    ``(id_col, n_blocks, n_removed, clean_text)`` with short docs
+    (< block_words tokens) excluded — they have no complete block.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    k = block_words
+    # Overlapping k-grams via the zip_with-of-shifted-slices chain (same
+    # linear-cost construction as word_shingles — per-element lambda access
+    # to the token array would re-run the split per element), then keep
+    # every k-th gram: non-overlapping blocks at stride k.
+    gram = F.zip_with(
+        F.slice(toks, 1, n - (k - 1)),
+        F.slice(toks, 2, n - (k - 1)),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    for j in range(2, k):
+        gram = F.zip_with(
+            gram,
+            F.slice(toks, j + 1, n - (k - 1)),
+            lambda xy, z: F.concat_ws(" ", xy, z),
+        )
+    # when-guard as well as the filter: the optimizer can evaluate the
+    # projection's slices before the n >= k predicate runs (same reason
+    # word_shingles guards), and slice throws on negative lengths.
+    blocks_arr = F.when(
+        n >= k, F.filter(gram, lambda _, i: i % k == 0)
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        df.filter(n >= k)
+        .select(F.col(id_col).alias("doc"), blocks_arr.alias("blocks"))
+        .select("doc", F.posexplode("blocks").alias("pos", "block"))
+    )
+    banned = (
+        exploded.groupBy("block")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_repeat)
+        .select("block", F.lit(True).alias("is_banned"))
+    )
+    flagged = exploded.join(F.broadcast(banned), "block", "left").select(
+        "doc",
+        "pos",
+        "block",
+        F.coalesce("is_banned", F.lit(False)).alias("is_banned"),
+    )
+    kept_in_order = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    ~F.col("is_banned"), F.struct(F.col("pos"), F.col("block"))
+                )
+            )
+        ),
+        lambda s: s.block,
+    )
+    return flagged.groupBy("doc").agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum(F.col("is_banned").cast("int")).cast("bigint").alias("n_removed"),
+        F.concat_ws(" ", kept_in_order).alias("clean_text"),
+    ).withColumnRenamed("doc", id_col)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -89,3 +89,48 @@ def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of the case-normalized text. At 100 TB this
     is the exact-dedup key — hash once, group on the 128-bit digest."""
     return F.md5(F.lower(text))
+
+
+def word_bigrams(text: Column) -> Column:
+    """Adjacent word bigrams as an array column.
+
+    zip_with over two shifted slices, NOT transform+element_at: element
+    access inside a higher-order lambda re-evaluates the split per element
+    (see word_shingles in operators/dedup.py) — slices touch the token
+    array a constant number of times per row."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+
+
+def dup_gram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier occurrence in
+    the same document (Gopher-style `duplicate n-gram fraction` repetition
+    signal). Within-row only — no shuffle, runs in codegen at scan speed."""
+    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+
+
+def top_gram_fraction(grams: Column) -> Column:
+    """Occurrences of the single most frequent n-gram over total n-grams
+    (Gopher's `top n-gram coverage`). Computed within-row as the longest
+    equal run of the sorted gram array — O(d log d) per doc, no per-gram
+    groupBy, no shuffle; the fold lambda never re-touches the gram array."""
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a.prev, a.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda a: a.best,
+    )
+    return best.cast("double") / F.size(grams)

@@ -257,3 +257,52 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corp = docs.filter(F.col("doc_id") % 50 != 0)
     return dd.decontaminate(corp, bench).orderBy("doc_id")
+
+
+@register(
+    "dedup_repeated_blocks",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(floor(len(t) / 8) AS INT))) AS pos
+  FROM toks WHERE len(t) >= 8
+),
+blocks AS (
+  SELECT doc_id, pos,
+         array_to_string(t[pos * 8 + 1 : pos * 8 + 8], ' ') AS block
+  FROM pos
+),
+counts AS (SELECT block, count(*) AS c FROM blocks GROUP BY block),
+flagged AS (
+  SELECT b.doc_id, b.pos, b.block, (c.c >= 3) AS is_banned
+  FROM blocks b JOIN counts c USING (block)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN is_banned THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(block, ' ' ORDER BY pos) FILTER (WHERE NOT is_banned),
+                '') AS clean_text
+FROM flagged
+WHERE doc_id < 500
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/C4-style cross-corpus boilerplate removal
+    (`operators/dedup.py:repeated_block_dedup`): non-overlapping 8-token
+    blocks, any block occurring ≥3 times anywhere in the corpus is dropped
+    from every document, survivors reassembled in order. The banned set is
+    heavy-hitters-only and broadcasts; the corpus never shuffles on block
+    content (frequency agg collapses map-side precisely because boilerplate
+    repeats). Projection to doc_id < 500 keeps the oracle result bounded —
+    the banned set still derives from the FULL corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        dd.repeated_block_dedup(d, block_words=8, min_repeat=3)
+        .filter(F.col("doc_id") < 500)
+        .orderBy("doc_id")
+    )

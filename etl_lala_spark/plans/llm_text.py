@@ -1011,3 +1011,73 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = keyed.orderBy(F.col("ares_key").desc(), "doc_id").limit(50)
     w = W.orderBy(F.col("ares_key").desc(), "doc_id")
     return top.withColumn("rank", F.row_number().over(w)).orderBy("rank")
+
+
+@register(
+    "text_dup_ngram_coverage",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, source, len(t) - 1 AS n_grams,
+         unnest(range(1, len(t))) AS i, t
+  FROM toks WHERE len(t) >= 2
+),
+grams AS (
+  SELECT doc_id, source, n_grams, t[i] || ' ' || t[i + 1] AS gram FROM g
+),
+per_gram AS (
+  SELECT doc_id, source, any_value(n_grams) AS n_grams, gram,
+         count(*) AS c
+  FROM grams GROUP BY doc_id, source, gram
+),
+per_doc AS (
+  SELECT doc_id, source,
+         1.0 - CAST(count(*) AS DOUBLE) / any_value(n_grams) AS dup_frac,
+         CAST(max(c) AS DOUBLE) / any_value(n_grams) AS top_frac
+  FROM per_gram GROUP BY doc_id, source
+)
+SELECT source,
+       round(avg(dup_frac), 6) AS avg_dup_bigram_frac,
+       round(max(dup_frac), 6) AS max_dup_bigram_frac,
+       round(avg(top_frac), 6) AS avg_top_bigram_frac,
+       CAST(sum(CASE WHEN dup_frac > 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per source: duplicate-bigram fraction
+    (share of bigram occurrences repeating an earlier one in the same doc)
+    and top-bigram coverage (share taken by the doc's single most frequent
+    bigram), with a count of docs above the 0.2 duplicate cut.
+
+    Both signals are WITHIN-ROW codegen expressions
+    (`operators/text.py:dup_gram_fraction` / `top_gram_fraction` — the top
+    fraction folds the sorted gram array instead of a per-gram groupBy), so
+    unlike the oracle's explode+group formulation the corpus never shuffles:
+    one scan, one per-source partial+final agg. The oracle re-derives the
+    same numbers relationally to pin the arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = tx.word_bigrams(F.col("text"))
+    per_doc = d.filter(F.size(F.split("text", r"\s+")) >= 2).select(
+        "source",
+        tx.dup_gram_fraction(grams).alias("dup_frac"),
+        tx.top_gram_fraction(grams).alias("top_frac"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.round(F.avg("dup_frac"), 6).alias("avg_dup_bigram_frac"),
+            F.round(F.max("dup_frac"), 6).alias("max_dup_bigram_frac"),
+            F.round(F.avg("top_frac"), 6).alias("avg_top_bigram_frac"),
+            F.sum(F.when(F.col("dup_frac") > 0.2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .orderBy("source")
+    )

@@ -431,3 +431,58 @@ def test_ewma_constant_memory_under_key_skew(spark, tmp_path):
     assert out[1]["ewma_value"] == round(s, 6)
     assert out[1]["mean_value"] == round(tot / heavy_n, 6)
     assert out[5]["n_events"] == 10
+
+
+def test_repeated_block_dedup_removes_planted_boilerplate(spark):
+    from etl_lala_spark.operators.dedup import repeated_block_dedup
+
+    banner = "all rights reserved by the example site inc"  # 8 tokens
+    uniq = [
+        " ".join(f"w{d}x{i}" for i in range(8)) for d in range(6)
+    ]  # 8 unique tokens per doc
+    rows = [
+        # banner + unique block: banner must go, unique block must stay
+        (d, f"{banner} {uniq[d]}")
+        for d in range(4)
+    ] + [
+        (10, uniq[4]),          # no banner: untouched
+        (11, "short text"),     # < 8 tokens: excluded entirely
+        (12, f"{uniq[5]} {banner}"),  # banner at the END: order preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in repeated_block_dedup(df, block_words=8, min_repeat=3).collect()
+    }
+    assert 11 not in out  # no complete block
+    for d in range(4):
+        assert out[d]["n_blocks"] == 2 and out[d]["n_removed"] == 1
+        assert out[d]["clean_text"] == uniq[d]
+    assert out[10]["n_removed"] == 0 and out[10]["clean_text"] == uniq[4]
+    assert out[12]["n_removed"] == 1 and out[12]["clean_text"] == uniq[5]
+
+
+def test_dup_and_top_gram_fractions_known_values(spark):
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators.text import (
+        dup_gram_fraction,
+        top_gram_fraction,
+        word_bigrams,
+    )
+
+    # "a b a b a" → bigrams [a b, b a, a b, b a]: 4 total, 2 distinct →
+    # dup 0.5; top gram "a b" covers 2/4 → 0.5.
+    # "x y z" → bigrams [x y, y z]: dup 0, top 0.5.
+    df = spark.createDataFrame([(1, "a b a b a"), (2, "x y z")], "id long, t string")
+    g = word_bigrams(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dup_gram_fraction(g).alias("dup"),
+            top_gram_fraction(g).alias("top"),
+        ).collect()
+    }
+    assert out[1]["dup"] == 0.5 and out[1]["top"] == 0.5
+    assert out[2]["dup"] == 0.0 and out[2]["top"] == 0.5
