@@ -430,14 +430,16 @@ def canonical_components(
     pipeline (pairs alone under-delete: a~b, b~c must drop two docs, not
     one per pair).
 
-    Iterative min-label propagation over the undirected edge set; each
-    round is one join + one aggregation, and the iteration count is bounded
-    by the cluster diameter (≤ log n rounds with doubling via the
-    both-direction edges; `max_iterations` is a hard stop). The loop is
+    Iterative min-label propagation over the undirected edge set WITH
+    pointer jumping: each round propagates neighbor minima (one join + one
+    aggregation) and then shortcuts every label to its label's label (one
+    self-join), so label distances halve per round and convergence takes
+    O(log diameter) rounds instead of O(diameter) — the difference between
+    ~60 and ~2^60-diameter coverage at a fixed round budget, and the part
+    that matters for chain-shaped near-dup clusters at 100 TB. The loop is
     driver-side control flow with a per-round convergence ACTION — the data
     never leaves the cluster. At 100 TB the same loop runs with the labels
-    checkpointed every few rounds to truncate lineage (the standard
-    large-star/small-star refinement drops in here unchanged).
+    checkpointed every few rounds to truncate lineage.
     Returns (doc, canonical).
     """
     edges = (
@@ -454,18 +456,20 @@ def canonical_components(
         .withColumn("canonical", F.col("doc"))
         .cache()
     )
-    cached = labels
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
             .groupBy("src")
             .agg(F.min("canonical").alias("nbr_min"))
         )
-        # One ACTION per round: the step carries the previous label, so the
-        # convergence check is an aggregate over the same cached
-        # materialization — not a second join (which cost a full extra job
-        # per round, tripling the loop's wall time).
-        stepped = (
+        # localCheckpoint (eager), NOT cache: the pointer-jump self-join
+        # references this frame twice, so a cache-based loop DOUBLES the
+        # logical plan every round — exponential plan growth that OOMs the
+        # driver during plan canonicalization around round ~15. Checkpoint
+        # truncates the PLAN, not just the execution, keeping every round's
+        # plan constant-size; it also serves as the per-round materialization
+        # the convergence aggregate reads for free.
+        propagated = (
             labels.join(neighbor_min, labels.doc == neighbor_min.src, "left")
             .select(
                 "doc",
@@ -474,13 +478,29 @@ def canonical_components(
                     F.col("canonical"), F.coalesce("nbr_min", F.col("canonical"))
                 ).alias("canonical"),
             )
-            .cache()
+            .localCheckpoint()
+        )
+        # Pointer jump: relabel through the canonical's own (propagated)
+        # label. Every canonical value is itself a doc in the label table
+        # (labels start as identity and only ever take existing labels), so
+        # the left join hits unless the canonical is already a root.
+        canon_map = propagated.select(
+            F.col("doc").alias("c_doc"), F.col("canonical").alias("c_canon")
+        )
+        stepped = (
+            propagated.join(
+                canon_map, propagated.canonical == canon_map.c_doc, "left"
+            )
+            .select(
+                "doc",
+                "prev",
+                F.coalesce("c_canon", "canonical").alias("canonical"),
+            )
+            .localCheckpoint()
         )
         changed = stepped.agg(
             F.sum(F.when(F.col("canonical") != F.col("prev"), 1).otherwise(0))
         ).first()[0]
-        cached.unpersist()
-        cached = stepped
         labels = stepped.select("doc", "canonical")
         if not changed:
             break

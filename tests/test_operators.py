@@ -486,3 +486,14 @@ def test_dup_and_top_gram_fractions_known_values(spark):
     }
     assert out[1]["dup"] == 0.5 and out[1]["top"] == 0.5
     assert out[2]["dup"] == 0.0 and out[2]["top"] == 0.5
+
+
+def test_canonical_components_long_chain_converges_by_pointer_jumping(spark):
+    """A chain whose diameter far exceeds max_iterations still collapses:
+    pointer jumping halves label distances per round (O(log diameter))."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "doc_a long, doc_b long"
+    )
+    rows = dd.canonical_components(chain, max_iterations=10).collect()
+    assert len(rows) == 121
+    assert all(r["canonical"] == 0 for r in rows)
