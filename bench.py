@@ -51,6 +51,8 @@ HEADLINE = [
     "curate_weighted_sample",
     "events_ewma_smoothing",
     "behavior_similarity_topk",
+    "text_dup_ngram_coverage",
+    "dedup_repeated_blocks",
 ]
 
 
