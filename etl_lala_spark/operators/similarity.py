@@ -503,3 +503,92 @@ def cosine_near_dup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def power_iteration_pc(
+    corpus: DataFrame,
+    dim: int,
+    iters: int = 8,
+    vec_col: str = "embedding",
+) -> dict:
+    """Dominant principal component of the embedding corpus via power
+    iteration — the "all-but-the-top" preprocessing step (removing the
+    common dominant direction) that embedding pipelines run before
+    SemDeDup-style clustering or cosine retrieval.
+
+    Scale shape: model state is O(dim) floats on the driver (like
+    kmeans_fit's codebook); each iteration is ONE corpus scan computing the
+    per-row centered projection s = (x−μ)·v (a codegen'd fold against
+    literal μ/v arrays) and `dim` columnar sums Σ s·(x_j−μ_j) in one hash
+    agg — only dim partial sums shuffle, vectors never move. Eigen-state
+    (w = n·C·v) is collected per round (dim floats) and re-broadcast as
+    literals, so lineage stays flat and iteration i never re-runs 0..i−1.
+
+    Returns dict(mu, v, eigval, n, rel_residual): μ the mean vector, v the
+    unit dominant direction, eigval = vᵀCv (biased covariance), and
+    rel_residual = ‖C·v − eigval·v‖ / eigval — convergence quality (small
+    also when the spectrum is near-flat, where any direction is close to
+    an eigendirection).
+    """
+    x = F.col(vec_col)
+    stats = corpus.agg(
+        F.count("*").alias("n"),
+        *[F.avg(x[i].cast("double")).alias(f"m{i}") for i in range(dim)],
+    ).first()
+    n = stats["n"]
+    mu = [float(stats[f"m{i}"]) for i in range(dim)]
+
+    v = [1.0 / dim**0.5] * dim
+    eigval = 0.0
+    rel_residual = float("inf")
+    mu_lit = F.array(*[F.lit(m) for m in mu])
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(c) for c in v])
+        centered = F.zip_with(x, mu_lit, lambda a, b: a.cast("double") - b)
+        s = dot(centered, v_lit)
+        row = (
+            corpus.select(
+                s.alias("s"),
+                *[
+                    (x[i].cast("double") - F.lit(mu[i])).alias(f"c{i}")
+                    for i in range(dim)
+                ],
+            )
+            .agg(*[F.sum(F.col("s") * F.col(f"c{i}")).alias(f"w{i}") for i in range(dim)])
+            .first()
+        )
+        w = [float(row[f"w{i}"]) for i in range(dim)]  # w = n·C·v
+        # Driver-side O(dim) arithmetic: Rayleigh quotient, residual, renorm.
+        eigval = sum(wi * vi for wi, vi in zip(w, v)) / n
+        resid = sum((wi / n - eigval * vi) ** 2 for wi, vi in zip(w, v)) ** 0.5
+        rel_residual = resid / eigval if eigval > 0 else float("inf")
+        wn = sum(wi * wi for wi in w) ** 0.5
+        if wn == 0:  # degenerate (zero-variance corpus): keep current v
+            break
+        v = [wi / wn for wi in w]
+    return {"mu": mu, "v": v, "eigval": eigval, "n": n, "rel_residual": rel_residual}
+
+
+def top_pc_projection(
+    corpus: DataFrame,
+    mu: list[float],
+    v: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector decomposition along the dominant component: projection
+    p = (x−μ)·v and residual energy ‖x−μ‖² − p² (Pythagoras with unit v —
+    deliberately NOT materializing the residual vector, whose per-element
+    lambda would re-fold the projection per element). One narrow projection,
+    no shuffle. Returns (id_col, proj, resid_sq)."""
+    x = F.col(vec_col)
+    mu_lit = F.array(*[F.lit(float(m)) for m in mu])
+    v_lit = F.array(*[F.lit(float(c)) for c in v])
+    centered = F.zip_with(x, mu_lit, lambda a, b: a.cast("double") - b)
+    return corpus.select(
+        F.col(id_col),
+        dot(centered, v_lit).alias("proj"),
+        (dot(centered, centered) - dot(centered, v_lit) * dot(centered, v_lit)).alias(
+            "resid_sq"
+        ),
+    )

@@ -469,3 +469,54 @@ def audit_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("keep_ok"),
     ).orderBy("lang")
+
+
+@register(
+    "audit_power_iteration",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       1 AS unit_norm_ok, 1 AS residual_ok,
+       1 AS energy_decomposition_ok, 1 AS variance_captured_ok
+FROM embeddings
+""",
+)
+def audit_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``embedding_top_pc_profile`` (rows-only
+    there). Deterministic eigen-contract flags:
+
+    - ``unit_norm_ok``: the returned direction is unit length (1e-9).
+    - ``residual_ok``: relative eigen-residual ‖C·v − λv‖/λ ≤ 0.15 —
+      small at convergence AND on near-flat spectra (where any unit
+      vector is near-eigen), so deterministic on the isotropic fixture.
+    - ``energy_decomposition_ok``: Σ(proj² + resid_sq) from the per-row
+      fold path equals Σ_j n·Var(x_j) from an independent columnar
+      aggregate (rel. 1e-6) — pins the two arithmetic paths against
+      each other.
+    - ``variance_captured_ok``: λ·n is a positive fraction of total
+      centered energy, ≤ 1 (+1e-9).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pc = sim.power_iteration_pc(emb, dim=DIM, iters=6)
+    x = F.col("embedding")
+    # Independent columnar path: total centered energy = Σ_j n·var_pop(x_j).
+    var_row = emb.agg(
+        F.count("*").alias("n"),
+        *[F.var_pop(x[i].cast("double")).alias(f"v{i}") for i in range(DIM)],
+    ).first()
+    col_energy = var_row["n"] * sum(float(var_row[f"v{i}"]) for i in range(DIM))
+    fold = sim.top_pc_projection(emb, pc["mu"], pc["v"]).agg(
+        F.sum(F.col("proj") * F.col("proj") + F.col("resid_sq")).alias("fold_energy"),
+        F.count("*").alias("n_vectors"),
+    )
+    unit = abs(sum(c * c for c in pc["v"]) - 1.0) < 1e-9
+    frac = pc["eigval"] * pc["n"] / col_energy if col_energy > 0 else -1.0
+    return fold.select(
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        _flag(F.lit(bool(unit))).alias("unit_norm_ok"),
+        _flag(F.lit(pc["rel_residual"] <= 0.15)).alias("residual_ok"),
+        _flag(
+            F.abs(F.col("fold_energy") - F.lit(col_energy))
+            <= F.lit(1e-6) * F.lit(col_energy)
+        ).alias("energy_decomposition_ok"),
+        _flag(F.lit(0.0 < frac <= 1.0 + 1e-9)).alias("variance_captured_ok"),
+    )

@@ -351,3 +351,31 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_top_pc_profile",
+    doc="rows-only: iterative power-iteration dominant principal component",
+)
+def embedding_top_pc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top embedding preprocessing profile: the corpus'
+    dominant principal component via power iteration
+    (`operators/similarity.py:power_iteration_pc` — O(dim) driver state,
+    one scan + one dim-column hash agg per iteration), then the per-label
+    decomposition of every vector into projection-along-PC and residual
+    energy. Iterative → rows-only driver check; `audit_power_iteration`
+    pins the eigen contract to oracle-checkable flags."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pc = sim.power_iteration_pc(emb, dim=DIM, iters=6)
+    proj = sim.top_pc_projection(emb, pc["mu"], pc["v"])
+    return (
+        proj.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg(F.abs(F.col("proj"))), 4).alias("avg_abs_proj"),
+            F.round(F.avg("resid_sq"), 4).alias("avg_resid_sq"),
+        )
+        .withColumn("eigval", F.round(F.lit(pc["eigval"]), 4))
+        .orderBy("label")
+    )

@@ -497,3 +497,26 @@ def test_canonical_components_long_chain_converges_by_pointer_jumping(spark):
     rows = dd.canonical_components(chain, max_iterations=10).collect()
     assert len(rows) == 121
     assert all(r["canonical"] == 0 for r in rows)
+
+
+def test_power_iteration_recovers_planted_direction(spark):
+    import math
+
+    from etl_lala_spark.operators.similarity import power_iteration_pc
+
+    # 2-D data stretched along (1,1)/√2: dominant PC must align with it.
+    rows = []
+    for i in range(200):
+        t = (i - 100) / 10.0          # big variance along (1,1)
+        o = ((i % 7) - 3) / 30.0      # small variance along (1,-1)
+        rows.append((i, [t + o, t - o]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pc = power_iteration_pc(df, dim=2, iters=10)
+    d = 1 / math.sqrt(2)
+    align = abs(pc["v"][0] * d + pc["v"][1] * d)
+    assert align > 0.999
+    assert abs(sum(c * c for c in pc["v"]) - 1.0) < 1e-9
+    assert pc["rel_residual"] < 0.01
+    # eigval ≈ variance along (1,1): t ranges ±10 → var ≈ E[2t²]... just
+    # require it dominates the minor-axis variance.
+    assert pc["eigval"] > 1.0
