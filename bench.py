@@ -53,6 +53,7 @@ HEADLINE = [
     "behavior_similarity_topk",
     "text_dup_ngram_coverage",
     "dedup_repeated_blocks",
+    "text_bigram_lm_perplexity",
 ]
 
 

@@ -1081,3 +1081,102 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "text_bigram_lm_perplexity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c_w
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+),
+big AS (
+  SELECT doc_id, source,
+         t[i] || ' ' || t[i + 1] AS gram,
+         t[i] AS head
+  FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+lm AS (SELECT gram, count(*) AS c_ab FROM big GROUP BY gram),
+scored AS (
+  SELECT b.doc_id, b.source,
+         ln(CAST(lm.c_ab AS DOUBLE) / uni.c_w) AS logp
+  FROM big b
+  JOIN lm USING (gram)
+  JOIN uni ON uni.w = b.head
+),
+per_doc AS (
+  SELECT doc_id, source, -avg(logp) AS ce
+  FROM scored GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(ce), 6) AS avg_cross_entropy,
+       round(min(ce), 6) AS min_cross_entropy,
+       round(max(ce), 6) AS max_cross_entropy,
+       CAST(sum(CASE WHEN ce < 2.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_entropy
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical quality signal: train a bigram language model
+    ON the corpus itself (maximum-likelihood P(b|a) = c(ab)/c(a)), then
+    score every document by cross-entropy −avg ln P — template/boilerplate
+    docs score low (predictable), noise scores high. Per-source profile
+    with a low-entropy count (the "too predictable" cut).
+
+    Scale shape: the LM is two hash aggs (unigram + bigram counts) whose
+    size is vocabulary-bounded, not corpus-bounded; scoring joins doc
+    bigrams to the LM on the gram key — a shuffle join where the LM side
+    re-partitions by construction smaller than the corpus, and map-side
+    combine has already collapsed repeated grams. No Python anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.split("text", r"\s+").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c_w"))
+    )
+    big = (
+        d.filter(F.size(F.split("text", r"\s+")) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tx.word_bigrams(F.col("text"))).alias("gram"),
+        )
+        .withColumn("head", F.substring_index("gram", " ", 1))
+    )
+    lm = big.groupBy("gram").agg(F.count("*").alias("c_ab"))
+    scored = (
+        big.join(lm, "gram")
+        # F.col, not big.head — `head` collides with DataFrame.head().
+        .join(uni, F.col("head") == uni.w)
+        .select(
+            "doc_id",
+            "source",
+            F.log(F.col("c_ab").cast("double") / F.col("c_w")).alias("logp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg((-F.avg("logp")).alias("ce"))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.round(F.avg("ce"), 6).alias("avg_cross_entropy"),
+            F.round(F.min("ce"), 6).alias("min_cross_entropy"),
+            F.round(F.max("ce"), 6).alias("max_cross_entropy"),
+            F.sum(F.when(F.col("ce") < 2.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_low_entropy"),
+        )
+        .orderBy("source")
+    )
