@@ -134,3 +134,77 @@ def top_gram_fraction(grams: Column) -> Column:
         lambda a: a.best,
     )
     return best.cast("double") / F.size(grams)
+
+
+def bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 8,
+    sep: str = "\x01",
+) -> list[dict]:
+    """Train a word-level BPE merge table ON the corpus — tokenizer
+    construction as a distributed job (the step that precedes token
+    counting in a real training-data pipeline).
+
+    Each round: (a) count adjacent token pairs over the CURRENT corpus (one
+    explode + hash agg — vocabulary-bounded, map-side combined), (b) pick
+    the most frequent pair on the driver (count desc, pair asc tiebreak —
+    fully deterministic), (c) apply the merge corpus-wide as ONE
+    whitespace-anchored regexp_replace (left-to-right non-overlapping —
+    exactly BPE's greedy application; "a a a" under merge (a,a) yields
+    "a·a a", one application). Model state on the driver is the merge
+    table — O(n_merges) strings, like kmeans' codebook.
+
+    The applied-count per round is measured with regexp_count BEFORE the
+    rewrite, giving the exact conservation law the audit checks: every
+    application replaces two tokens with one, so
+    final_token_total == initial_token_total − Σ applied.
+
+    Plan depth grows by one regexp_replace per round (round r re-evaluates
+    r rewrites); at production scale checkpoint the corpus every few
+    merges. Returns [{rank, pair, pair_count, applied}, ...].
+    """
+    import re as _re
+
+    cur = df.select(F.col(text_col).alias("t"))
+    merges: list[dict] = []
+    for r in range(n_merges):
+        top = (
+            cur.select(F.explode(word_bigrams(F.col("t"))).alias("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .orderBy(F.col("c").desc(), "g")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < 2:
+            break
+        g, c = top[0]["g"], int(top[0]["c"])
+        a, b = g.split(" ", 1)
+        pat = f"(?<=^|\\s){_re.escape(a)} {_re.escape(b)}(?=\\s|$)"
+        applied = int(
+            cur.agg(F.sum(F.regexp_count("t", F.lit(pat)))).first()[0]
+        )
+        cur = cur.withColumn(
+            "t", F.regexp_replace("t", pat, _re.sub(r"[\\$]", r"\\\g<0>", a + sep + b))
+        )
+        merges.append({"rank": r, "pair": g, "pair_count": c, "applied": applied})
+    return merges
+
+
+def bpe_apply(df, merges: list[dict], text_col: str = "text", sep: str = "\x01"):
+    """Apply a trained merge table in rank order (same anchored
+    non-overlapping rewrite as training). Narrow map, no shuffle."""
+    import re as _re
+
+    out = df.withColumn("bpe_text", F.col(text_col))
+    for m in merges:
+        a, b = m["pair"].split(" ", 1)
+        pat = f"(?<=^|\\s){_re.escape(a)} {_re.escape(b)}(?=\\s|$)"
+        out = out.withColumn(
+            "bpe_text",
+            F.regexp_replace(
+                "bpe_text", pat, _re.sub(r"[\\$]", r"\\\g<0>", a + sep + b)
+            ),
+        )
+    return out

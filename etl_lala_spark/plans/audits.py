@@ -520,3 +520,47 @@ def audit_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("energy_decomposition_ok"),
         _flag(F.lit(0.0 < frac <= 1.0 + 1e-9)).alias("variance_captured_ok"),
     )
+
+
+@register(
+    "audit_bpe_conservation",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS initial_tokens,
+       1 AS conservation_ok, 1 AS merge_order_ok
+FROM documents
+""",
+)
+def audit_bpe_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``tokenizer_bpe_merges`` (rows-only there).
+
+    ``initial_tokens`` is hash-matched against DuckDB's independent count.
+    ``conservation_ok``: every BPE application replaces two tokens with
+    one, so after applying the trained merge table the corpus token total
+    must equal initial − Σ applied — an EXACT law, checked by re-applying
+    the merges with ``bpe_apply`` and recounting.
+    ``merge_order_ok``: training picked pairs in non-increasing pair-count
+    order (the greedy invariant; equal counts may interleave)."""
+    from etl_lala_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(d, n_merges=8)
+    applied_total = sum(m["applied"] for m in merges)
+    order_ok = all(
+        merges[i]["pair_count"] >= merges[i + 1]["pair_count"]
+        for i in range(len(merges) - 1)
+    )
+    counts = tx.bpe_apply(d, merges).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("initial_tokens"),
+        F.sum(F.size(F.split("bpe_text", r"\s+"))).alias("final_tokens"),
+    )
+    return counts.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("initial_tokens").cast("bigint").alias("initial_tokens"),
+        _flag(
+            F.col("final_tokens") == F.col("initial_tokens") - F.lit(applied_total)
+        ).alias("conservation_ok"),
+        _flag(F.lit(bool(order_ok))).alias("merge_order_ok"),
+    )

@@ -1180,3 +1180,29 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tokenizer_bpe_merges",
+    doc="rows-only: iterative BPE merge-table training on the corpus",
+)
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level BPE tokenizer training on the corpus
+    (`operators/text.py:bpe_train`): 8 merge rounds, each one
+    vocabulary-bounded pair-count aggregate plus one anchored
+    regexp_replace rewrite; merge choice is deterministic (count desc,
+    pair asc). Emits the learned merge table. Iterative → rows-only;
+    `audit_bpe_conservation` pins the exact token-conservation law to an
+    oracle-checkable count."""
+    from etl_lala_spark.io import tiny_df
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = tx.bpe_train(d, n_merges=8)
+    return tiny_df(
+        spark,
+        [
+            (m["rank"], m["pair"], m["pair_count"], m["applied"])
+            for m in merges
+        ],
+        "rank int, pair string, pair_count bigint, applied bigint",
+    ).orderBy("rank")
