@@ -564,3 +564,39 @@ def audit_bpe_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("conservation_ok"),
         _flag(F.lit(bool(order_ok))).alias("merge_order_ok"),
     )
+
+
+@register(
+    "audit_logistic_training",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       1 AS loss_monotone_ok, 1 AS improved_ok, 1 AS accuracy_ok
+FROM documents
+""",
+)
+def audit_logistic_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``train_quality_classifier`` (rows-only
+    there): ``n_docs`` hash-matched against DuckDB;
+    ``loss_monotone_ok`` = the gradient-descent log-loss sequence never
+    increases (1e-9 float slack); ``improved_ok`` = final loss strictly
+    below initial; ``accuracy_ok`` = the trained student reproduces the
+    teacher rule's verdict on ≥ 80 % of the corpus."""
+    from etl_lala_spark.operators import ml
+    from etl_lala_spark.plans.llm_text import _quality_features
+
+    feats = _quality_features(load_table(spark, sf_dir, "documents")).cache()
+    cols = ["f_len", "f_punct", "f_stop"]
+    fit = ml.logistic_train(feats, cols, iters=30, lr=4.0)
+    ls = fit["losses"]
+    monotone = all(b <= a + 1e-9 for a, b in zip(ls, ls[1:]))
+    improved = ls[-1] < ls[0]
+    acc = ml.logistic_predict(feats, cols, fit["weights"]).agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("pred") == F.col("y")).cast("int")).alias("n_right"),
+    )
+    return acc.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        _flag(F.lit(bool(monotone))).alias("loss_monotone_ok"),
+        _flag(F.lit(bool(improved))).alias("improved_ok"),
+        _flag(F.col("n_right") >= F.lit(0.8) * F.col("n_docs")).alias("accuracy_ok"),
+    )

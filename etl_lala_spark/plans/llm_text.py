@@ -1206,3 +1206,46 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, pair string, pair_count bigint, applied bigint",
     ).orderBy("rank")
+
+
+def _quality_features(d: DataFrame) -> DataFrame:
+    """Shared teacher-rule feature/label frame for classifier training:
+    three scan-fused text features and the quality rule's 0/1 verdict as
+    the distillation label."""
+    text = F.col("text")
+    return d.select(
+        "doc_id",
+        F.least(tx.token_count(text) / F.lit(100.0), F.lit(1.0)).alias("f_len"),
+        (tx.punct_count(text).cast("double") / F.length(text)).alias("f_punct"),
+        (tx.stopword_count(text).cast("double") / tx.token_count(text)).alias(
+            "f_stop"
+        ),
+        (tx.quality_score(text) >= 0.5).cast("int").alias("y"),
+    )
+
+
+@register(
+    "train_quality_classifier",
+    doc="rows-only: iterative logistic-regression training loss curve",
+)
+def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier training ON the cluster (the fastText-style
+    distillation step: label with a cheap teacher rule, fit a linear
+    student, deploy the student as one fused scan expression —
+    `operators/ml.py:logistic_train`). Emits the per-iteration log-loss
+    curve. Iterative → rows-only; `audit_logistic_training` pins the
+    monotone-loss / accuracy contract to oracle-checkable flags."""
+    from etl_lala_spark.io import tiny_df
+    from etl_lala_spark.operators import ml
+
+    d = load_table(spark, sf_dir, "documents")
+    # cache: 31 gradient rounds re-read the same metadata-sized projection;
+    # at 100 TB this is the standard persist-the-training-frame step.
+    feats = _quality_features(d).cache()
+    fit = ml.logistic_train(feats, ["f_len", "f_punct", "f_stop"], iters=30, lr=4.0)
+    feats.unpersist()
+    return tiny_df(
+        spark,
+        [(i, round(l, 6)) for i, l in enumerate(fit["losses"])],
+        "iteration int, log_loss double",
+    ).orderBy("iteration")

@@ -520,3 +520,21 @@ def test_power_iteration_recovers_planted_direction(spark):
     # eigval ≈ variance along (1,1): t ranges ±10 → var ≈ E[2t²]... just
     # require it dominates the minor-axis variance.
     assert pc["eigval"] > 1.0
+
+
+def test_logistic_train_monotone_and_separates(spark):
+    from etl_lala_spark.operators.ml import logistic_predict, logistic_train
+
+    # Perfectly separable 1-D data: y = (f > 0.5).
+    rows = [(i, i / 100.0, 1 if i > 50 else 0) for i in range(101) if i != 50]
+    df = spark.createDataFrame(rows, "id long, f double, y int")
+    fit = logistic_train(df, ["f"], iters=25, lr=4.0)
+    ls = fit["losses"]
+    assert len(ls) == 26
+    assert all(b <= a + 1e-9 for a, b in zip(ls, ls[1:]))
+    assert ls[-1] < ls[0]
+    out = logistic_predict(df, ["f"], fit["weights"])
+    from pyspark.sql import functions as F
+
+    acc = out.agg(F.avg((F.col("pred") == F.col("y")).cast("double"))).first()[0]
+    assert acc >= 0.9
