@@ -78,33 +78,14 @@ def _load_all() -> None:
 # The verification driver materializes a CORRECTNESS row for the FIRST 50
 # registered oracle-backed queries each round. With 150+ oracle-backed
 # queries, which 50 get the hard driver signal is a choice — so the registry
-# is emitted in an explicit rotation order: queries that have NOT yet earned
-# a driver-green row come first (current round's 50-slot window, then the
-# next rounds' backlog in registration order), and queries already verified
-# by a previous round's driver run come last. Each round the window advances
-# over the backlog until every oracle-backed query carries a driver row.
-
-# Round 1 driver-verified (CORRECTNESS_r01.json, all green) — rotate to the back.
-_DRIVER_GREEN_R1 = [
-    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "join_semi_orders", "join_anti_customers", "join_left_outer_parts",
-    "join_full_outer_halves", "join_range_part_qty", "agg_distinct",
-    "rollup_pricing", "cube_pricing", "grouping_sets_orders",
-    "setop_intersect", "setop_except", "setop_union_months",
-    "topk_parts_by_revenue", "scalar_functions", "setop_intersect_all",
-    "setop_except_all", "cohort_retention", "diag_key_skew",
-    "rollup_grouping_markers", "join_theta_price_tiers", "reconcile_snapshots",
-    "rfm_customer_segments", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit", "q10_returned_items", "q14_promo_revenue",
-    "q17_small_quantity", "q18_large_volume_customers",
-    "q19_disjunctive_predicates", "q22_sales_opportunity", "q12_shipping_delay",
-    "q4_order_priority", "q6_forecast_revenue", "q13_customer_distribution",
-    "q15_top_supplier", "q21_suppliers_kept_waiting", "q2_min_cost_supplier",
-    "q11_important_stock", "q16_parts_supplier_relationship",
-    "q20_potential_promotion", "market_basket_pairs", "asof_join_window",
-    "asof_join_pandas", "pivot_status_by_month", "unpivot_metrics",
-    "having_heavy_orders",
-]
+# is emitted in a rotation order: queries that have NOT yet earned a
+# driver-green row come first (the explicitly prioritized window, then the
+# backlog in registration order), and queries already verified green by ANY
+# previous round's driver run come last. Prior greens are detected
+# AUTOMATICALLY from the repo's CORRECTNESS_r*.json files at import time
+# (rows_match+schema_match+hash_match all true), so each round the window
+# advances over the backlog with no manual list maintenance; a query that
+# FAILED a driver round stays in the window for a retry.
 
 # Round 2 window: exactly 50 oracle-backed queries, priority per VERDICT.md —
 # north-star LLM-pipeline set, the approximate-operator audits, the real-PNG
@@ -141,17 +122,43 @@ _DRIVER_WINDOW = [
 ]
 
 
+def _driver_green_names() -> set[str]:
+    """Names with an all-green row in any CORRECTNESS_r*.json this repo has
+    accumulated (the driver's hard verification record)."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
 def all_queries() -> dict[str, Query]:
     _load_all()
+    green = _driver_green_names()
     pri = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
-    tail = {n: i for i, n in enumerate(_DRIVER_GREEN_R1)}
     reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
 
     def key(name: str):
+        if name in green:
+            return (2, reg_pos[name])
         if name in pri:
             return (0, pri[name])
-        if name in tail:
-            return (2, tail[name])
         return (1, reg_pos[name])
 
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}

@@ -253,20 +253,34 @@ def test_behavior_similarity_rank_uses_window_group_limit(spark, sf_dir):
 
 def test_driver_rotation_window_is_valid():
     """The driver materializes CORRECTNESS rows for the FIRST 50 oracle-backed
-    registry entries; the rotation must put exactly the intended 50
-    not-yet-driver-verified queries there, and round-1's verified set last."""
+    registry entries; the rotation must fill that window with
+    not-yet-driver-verified queries and push every query already green in a
+    CORRECTNESS_r*.json record to the back automatically."""
     from etl_lala_spark.plans import (
-        _DRIVER_GREEN_R1,
         _DRIVER_WINDOW,
+        _driver_green_names,
         all_queries,
         oracle_sqls,
     )
 
     qs = all_queries()
     ordered = list(oracle_sqls())
+    green = _driver_green_names()
+    assert green, "repo carries at least the round-1 CORRECTNESS record"
     assert len(_DRIVER_WINDOW) == 50
-    assert ordered[:50] == _DRIVER_WINDOW
-    assert ordered[-len(_DRIVER_GREEN_R1):] == _DRIVER_GREEN_R1
     for name in _DRIVER_WINDOW:
         assert qs[name].oracle is not None, f"{name} is rows-only"
-        assert name not in _DRIVER_GREEN_R1, f"{name} wastes a slot (already green)"
+    # No green query may occupy a window slot ahead of a non-green one.
+    first_green_pos = min(
+        (i for i, n in enumerate(ordered) if n in green), default=len(ordered)
+    )
+    last_nongreen_pos = max(
+        (i for i, n in enumerate(ordered) if n not in green), default=-1
+    )
+    assert last_nongreen_pos < first_green_pos, (
+        "driver-green queries must all sort after unverified ones"
+    )
+    # The curated window fills the front, minus any entries that have since
+    # earned a green row (they rotate out automatically).
+    expected_front = [n for n in _DRIVER_WINDOW if n not in green]
+    assert ordered[: len(expected_front)] == expected_front
