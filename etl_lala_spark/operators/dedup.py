@@ -531,33 +531,22 @@ def repeated_block_dedup(
     ``(id_col, n_blocks, n_removed, clean_text)`` with short docs
     (< block_words tokens) excluded — they have no complete block.
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
     k = block_words
-    # Overlapping k-grams via the zip_with-of-shifted-slices chain (same
-    # linear-cost construction as word_shingles — per-element lambda access
-    # to the token array would re-run the split per element), then keep
-    # every k-th gram: non-overlapping blocks at stride k.
-    gram = F.zip_with(
-        F.slice(toks, 1, n - (k - 1)),
-        F.slice(toks, 2, n - (k - 1)),
-        lambda x, y: F.concat_ws(" ", x, y),
+    # ONE JVM regex pass per document: left-to-right non-overlapping matches
+    # of k whitespace-separated tokens are exactly the non-overlapping
+    # blocks (count = floor(n/k); a < k-token tail never matches). This
+    # measured ~10× faster than building the blocks with chained zip_with
+    # higher-order lambdas, which execute interpreted outside codegen.
+    # Each match is then whitespace-normalized so block equality is
+    # separator-insensitive (matches the token-join formulation).
+    pat = r"\S+(?:\s+\S+){" + str(k - 1) + r"}"
+    blocks_arr = F.expr(
+        f"transform(regexp_extract_all({text_col}, r'{pat}', 0), "
+        "b -> regexp_replace(b, r'\\s+', ' '))"
     )
-    for j in range(2, k):
-        gram = F.zip_with(
-            gram,
-            F.slice(toks, j + 1, n - (k - 1)),
-            lambda xy, z: F.concat_ws(" ", xy, z),
-        )
-    # when-guard as well as the filter: the optimizer can evaluate the
-    # projection's slices before the n >= k predicate runs (same reason
-    # word_shingles guards), and slice throws on negative lengths.
-    blocks_arr = F.when(
-        n >= k, F.filter(gram, lambda _, i: i % k == 0)
-    ).otherwise(F.array().cast("array<string>"))
     exploded = (
-        df.filter(n >= k)
-        .select(F.col(id_col).alias("doc"), blocks_arr.alias("blocks"))
+        df.select(F.col(id_col).alias("doc"), blocks_arr.alias("blocks"))
+        .filter(F.size("blocks") >= 1)
         .select("doc", F.posexplode("blocks").alias("pos", "block"))
     )
     banned = (
