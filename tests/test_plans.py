@@ -284,3 +284,22 @@ def test_driver_rotation_window_is_valid():
     # earned a green row (they rotate out automatically).
     expected_front = [n for n in _DRIVER_WINDOW if n not in green]
     assert ordered[: len(expected_front)] == expected_front
+
+
+def test_new_curation_operators_plan_shapes(spark, sf_dir):
+    # Repetition signals: pure within-row folds — one pruned 2-column scan,
+    # a single partial+final aggregate, no join and no explode.
+    plan = plan_of(spark, "text_dup_ngram_coverage", sf_dir)
+    assert "Join" not in plan and "Generate" not in plan
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "doc_id" not in read_schema and "n_chars" not in read_schema
+
+    # Repeated-block dedup: the banned set must come back as a BROADCAST
+    # join (heavy-hitters-only side), never a shuffle join on block text.
+    plan = plan_of(spark, "dedup_repeated_blocks", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # Bigram LM: no nested-loop anywhere; LM joins are hash joins.
+    plan = plan_of(spark, "text_bigram_lm_perplexity", sf_dir)
+    assert "NestedLoop" not in plan
