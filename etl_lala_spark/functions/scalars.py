@@ -41,3 +41,13 @@ def extract_zip_url(resp: Column) -> Column:
 def bytes_to_mb(n: Column, digits: int = 2) -> Column:
     """Bytes → MB with fixed decimals (reference toFixed(2) MB logging, :267)."""
     return F.round(n / F.lit(1048576), digits)
+
+
+def pseudonymize(col: Column, pepper: str) -> Column:
+    """Deterministic keyed pseudonymization of a PII column: sha2-256 over a
+    peppered value. Same input → same token, so equality joins, groupBys,
+    and distinct-counts over the pseudonymized column still work (the
+    GDPR-pipeline property that plain redaction destroys); without the
+    pepper the token is not reversible by rainbow lookup. Pure codegen —
+    pseudonymizing 100 TB costs one scan."""
+    return F.sha2(F.concat(F.lit(pepper + "::"), col.cast("string")), 256)

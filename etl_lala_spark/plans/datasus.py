@@ -501,3 +501,49 @@ def datasus_dbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("condic")
     )
+
+
+@register(
+    "pseudonymize_customers",
+    oracle="""
+WITH tok AS (
+  SELECT c_custkey, c_nationkey,
+         sha256('pepper::' || c_name) AS name_token,
+         sha256('pepper::' || c_mktsegment) AS segment_token
+  FROM customer
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT name_token) AS BIGINT) AS n_name_tokens,
+       CAST(count(DISTINCT segment_token) AS BIGINT) AS n_segment_tokens,
+       min(name_token) AS sample_token
+FROM tok
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR-pipeline pseudonymization (`functions/scalars.py:pseudonymize`,
+    the load-path companion to the writer's targeted delete): PII columns
+    replaced by deterministic keyed sha2-256 tokens, so analytic joins /
+    distinct-counts still work on the pseudonymized table. The per-nation
+    distinct-token counts equaling the distinct raw counts IS the
+    join-preservation property, cross-checked exactly by the oracle."""
+    from etl_lala_spark.functions.scalars import pseudonymize
+
+    c = load_table(spark, sf_dir, "customer")
+    tok = c.select(
+        "c_nationkey",
+        pseudonymize(F.col("c_name"), "pepper").alias("name_token"),
+        pseudonymize(F.col("c_mktsegment"), "pepper").alias("segment_token"),
+    )
+    return (
+        tok.groupBy("c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.countDistinct("name_token").cast("bigint").alias("n_name_tokens"),
+            F.countDistinct("segment_token").cast("bigint").alias("n_segment_tokens"),
+            F.min("name_token").alias("sample_token"),
+        )
+        .orderBy("c_nationkey")
+    )
