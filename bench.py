@@ -54,6 +54,9 @@ HEADLINE = [
     "text_dup_ngram_coverage",
     "dedup_repeated_blocks",
     "text_bigram_lm_perplexity",
+    "curate_kcenter_coreset",
+    "embedding_random_projection",
+    "graph_triangle_count",
 ]
 
 

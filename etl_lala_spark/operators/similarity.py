@@ -592,3 +592,74 @@ def top_pc_projection(
             "resid_sq"
         ),
     )
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez'
+    2-approximation) over an embedding column — the diversity-sampling
+    stage of training-data curation: pick the k most mutually-distant
+    documents so a budgeted subset covers the embedding space instead of
+    oversampling its dense core.
+
+    Fully deterministic (seed = the minimum id; ties on the farthest
+    point break to the smaller id), which is what makes an EXACT oracle
+    possible for an iterative geometric algorithm — the DuckDB twin runs
+    the same greedy loop as a recursive CTE.
+
+    Plan shape per round: ONE corpus scan computing min-Euclidean-distance
+    to the ≤k already-selected centers (a codegen'd ``least`` over
+    broadcast literal vectors — the corpus never shuffles), then a
+    ``TakeOrderedAndProject`` argmax collecting exactly one row. Driver
+    state is k × dim floats, the same metadata-size discipline as
+    ``kmeans_fit``'s codebook. Total cost k scans; at 100 TB the knob is
+    the same as k-means': recomputing ≤k distances per scan beats
+    materializing an incremental min-distance column, because the latter
+    writes a corpus-sized intermediate per round.
+
+    Returns a k-row DataFrame (pick_order, id, dist_to_selected) where
+    dist_to_selected is the point's distance to the previously-selected
+    set at pick time — the non-increasing coverage-radius sequence.
+    """
+    spark = corpus.sparkSession
+    vecs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+    def dist_to(center: list[float]) -> Column:
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in center]),
+                lambda p, c: (p - c) * (p - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.sqrt(sq)
+
+    first = vecs.orderBy("vid").limit(1).collect()[0]
+    picks: list[tuple[int, int, float]] = [(1, first.vid, 0.0)]
+    centers: list[list[float]] = [list(first.v)]
+    for step in range(2, k + 1):
+        mind = F.least(*[dist_to(c) for c in centers]) if len(centers) > 1 else dist_to(centers[0])
+        far = (
+            vecs.select("vid", "v", mind.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        picks.append((step, far.vid, float(far.d)))
+        centers.append(list(far.v))
+
+    out = spark.createDataFrame(
+        picks, schema=f"pick_order INT, {id_col} BIGINT, d DOUBLE"
+    )
+    return out.select(
+        "pick_order", id_col, F.round("d", 6).alias("dist_to_selected")
+    ).orderBy("pick_order")

@@ -379,3 +379,232 @@ def embedding_top_pc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("eigval", F.round(F.lit(pc["eigval"]), 4))
         .orderBy("label")
     )
+
+
+_KCENTER_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sel AS (
+  SELECT 1 AS step, (SELECT min(vec_id) FROM e) AS picked,
+         CAST(0.0 AS DOUBLE) AS radius, [(SELECT min(vec_id) FROM e)] AS ids
+  UNION ALL
+  SELECT step + 1, f.nxt, f.d, list_append(sel.ids, f.nxt)
+  FROM sel, LATERAL (
+    SELECT p.vec_id AS nxt, mind.d AS d
+    FROM e p, LATERAL (
+      SELECT min(list_distance(p.v, s.v)) AS d
+      FROM e s WHERE list_contains(sel.ids, s.vec_id)
+    ) mind
+    ORDER BY mind.d DESC, p.vec_id ASC
+    LIMIT 1
+  ) f
+  WHERE sel.step < 10
+)
+SELECT CAST(step AS INT) AS pick_order, CAST(picked AS BIGINT) AS vec_id,
+       round(radius, 6) AS dist_to_selected
+FROM sel ORDER BY pick_order
+"""
+
+
+@register("curate_kcenter_coreset", oracle=_KCENTER_ORACLE)
+def curate_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-driven coreset selection: greedy k-center (farthest-point
+    traversal, k=10) over the embedding corpus — the curation stage that
+    picks a maximally-spread document subset instead of letting a budget
+    sampler oversample the dense regions (coreset selection for data-
+    efficient training). Deterministic seed + tie-breaks make the
+    iterative geometry exactly reproducible, so this is oracle-backed —
+    the DuckDB twin replays the same greedy loop as a recursive CTE with
+    LATERAL argmax steps.
+
+    Scale: `operators/similarity.py:kcenter_select` — per pick, one
+    corpus scan (codegen'd least-of-distances against broadcast literal
+    centers) ending in a TakeOrderedAndProject of exactly one row; driver
+    state is k × dim floats. The emitted distance sequence is the
+    non-increasing coverage radius — the quality certificate (Gonzalez
+    2-approximation) a curation pipeline records with the selected ids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.kcenter_select(emb, k=10)
+
+
+_D_OUT = 16
+
+
+def _jl_signs() -> list[list[float]]:
+    """Deterministic ±1 Rademacher projection matrix: sign(j,k) from the
+    parity of the first md5 hex digit of "j:k" — reproducible everywhere,
+    including inside the DuckDB oracle (md5 is md5)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{j}:{k}".encode()).hexdigest()[0] in "02468ace"
+            else -1.0
+            for j in range(DIM)
+        ]
+        for k in range(_D_OUT)
+    ]
+
+
+_JL_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT j.j AS j, k.k AS k,
+         CASE WHEN strpos('02468ace', substr(md5(j.j || ':' || k.k), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM generate_series(0, 63) j(j) CROSS JOIN generate_series(0, 15) k(k)
+),
+un AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS j FROM e),
+p AS (
+  SELECT un.vec_id, s.k, sum(un.x * s.sgn) AS val
+  FROM un JOIN s ON s.j = un.j
+  GROUP BY un.vec_id, s.k
+)
+SELECT vec_id, list(round(val / 4, 6) ORDER BY k) AS proj
+FROM p GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+@register("embedding_random_projection", oracle=_JL_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    deterministic Rademacher (±1) matrix, scaled by 1/√d_out — the standard
+    cheap dimensionality reduction in front of ANN indexing and clustering
+    (Achlioptas' database-friendly JL): distances are preserved within
+    (1±ε) whp while index width shrinks 4×.
+
+    Spark side: the sign matrix is a broadcast literal; each output
+    coordinate is a codegen'd zip_with/aggregate dot product — a pure
+    per-row map with ZERO shuffle at any corpus size (the whole transform
+    pipelines into the scan). The oracle derives the same matrix from
+    md5 parity in SQL and recomputes the projection by unnest + join.
+    `audit_jl_distortion` pins the geometry claim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    proj = F.array(
+        *[
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"),
+                        F.array(*[F.lit(s) for s in signs[k]]),
+                        lambda p, c: p * c,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / 4.0,
+                6,
+            )
+            for k in range(_D_OUT)
+        ]
+    )
+    return (
+        emb.select("vec_id", v.alias("v"))
+        .select("vec_id", proj.alias("proj"))
+        .orderBy("vec_id")
+    )
+
+
+_JL_AUDIT_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT j.j AS j, k.k AS k,
+         CASE WHEN strpos('02468ace', substr(md5(j.j || ':' || k.k), 1, 1)) > 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM generate_series(0, 63) j(j) CROSS JOIN generate_series(0, 15) k(k)
+),
+ids AS (SELECT vec_id FROM e WHERE vec_id % 25 = 0),
+pairs AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM ids a JOIN ids b ON b.vec_id > a.vec_id
+),
+un AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS j FROM e
+       WHERE vec_id % 25 = 0),
+p AS (
+  SELECT un.vec_id, s.k, sum(un.x * s.sgn) / 4 AS val
+  FROM un JOIN s ON s.j = un.j
+  GROUP BY un.vec_id, s.k
+),
+proj AS (SELECT vec_id, list(val ORDER BY k) AS pv FROM p GROUP BY vec_id),
+d AS (
+  SELECT pr.ia, pr.ib,
+         list_distance(ea.v, eb.v) AS orig,
+         list_distance(CAST(pa.pv AS DOUBLE[]), CAST(pb.pv AS DOUBLE[])) AS prj
+  FROM pairs pr
+  JOIN e ea ON ea.vec_id = pr.ia JOIN e eb ON eb.vec_id = pr.ib
+  JOIN proj pa ON pa.vec_id = pr.ia JOIN proj pb ON pb.vec_id = pr.ib
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       round(min(prj / orig), 3) AS min_ratio,
+       round(max(prj / orig), 3) AS max_ratio,
+       round(avg(prj / orig), 3) AS avg_ratio
+FROM d
+"""
+
+
+@register("audit_jl_distortion", oracle=_JL_AUDIT_ORACLE)
+def audit_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit for ``embedding_random_projection``: the JL distance-
+    preservation contract, measured exactly. Over all pairs of a
+    deterministic probe subset (vec_id % 25 = 0), compares projected vs
+    original Euclidean distance; emits the pair count and the min/max/avg
+    distortion ratio. E[ratio²] = 1 under the Rademacher construction, so
+    avg_ratio ≈ 1 with spread ~1/√d_out certifies the projection carries
+    geometry, not noise — checked value-exactly against the oracle's
+    independent recomputation.
+
+    Scale: probe pairs are |probe|² with probe ≪ corpus (a fixed audit
+    panel); both distance evaluations are codegen'd array folds on a
+    broadcast-joined pair frame — no corpus-sized shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    signs = _jl_signs()
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    proj_unrounded = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"),
+                    F.array(*[F.lit(s) for s in signs[k]]),
+                    lambda p, c: p * c,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / 4.0
+            for k in range(_D_OUT)
+        ]
+    )
+    probe = (
+        emb.filter(F.col("vec_id") % 25 == 0)
+        .select("vec_id", v.alias("v"))
+        .select("vec_id", "v", proj_unrounded.alias("pv"))
+    )
+    a = probe.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("pv").alias("pa")
+    )
+    b = probe.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("pv").alias("pb")
+    )
+
+    def edist(x: str, y: str):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col(x), F.col(y), lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    pairs = a.join(F.broadcast(b), F.col("ib") > F.col("ia")).select(
+        (edist("pa", "pb") / edist("va", "vb")).alias("ratio")
+    )
+    return pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.min("ratio"), 3).alias("min_ratio"),
+        F.round(F.max("ratio"), 3).alias("max_ratio"),
+        F.round(F.avg("ratio"), 3).alias("avg_ratio"),
+    )

@@ -1073,3 +1073,80 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") >= 2)
         .orderBy(F.desc("n_orders"), "part_a", "part_b")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+edges AS (
+  SELECT pa, pb FROM pairs GROUP BY pa, pb HAVING count(*) >= 2
+),
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT pa AS node FROM edges UNION ALL SELECT pb AS node FROM edges
+  ) GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.pa = e1.pb
+  JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       round(CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) = 0 THEN 0.0
+                  ELSE 3.0 * tri.n_triangles
+                       / (SELECT sum(d * (d - 1) // 2) FROM deg) END,
+             6) AS clustering_coeff
+FROM tri
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the co-purchase graph (edges =
+    `market_basket_pairs`' part pairs bought together in ≥2 orders):
+    node/edge/wedge counts, triangle count, and the global clustering
+    coefficient — the structural summary used to characterize product- or
+    link-graph density.
+
+    Scale: `operators/graph.py:triangle_stats` uses degree orientation
+    (each edge directed toward its higher-(degree, id) endpoint), so
+    wedge generation fans out by out-degree bounded O(√m) even at hub
+    nodes — the plain id-orientation the oracle states would square hub
+    degrees instead. Three bounded shuffles; triangle closure is an
+    equi-join of wedges against oriented edges. The oracle's naive
+    3-way self-join states the same count (each triangle once) without
+    the orientation trick."""
+    from etl_lala_spark.operators.graph import triangle_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .where(F.size("ps") >= 2)
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("p")
+    )
+    edges = (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") >= 2)
+        .select("a", "b")
+    )
+    return triangle_stats(edges)

@@ -538,3 +538,76 @@ def test_logistic_train_monotone_and_separates(spark):
 
     acc = out.agg(F.avg((F.col("pred") == F.col("y")).cast("double"))).first()[0]
     assert acc >= 0.9
+
+
+def test_kcenter_radius_monotone_and_covers(spark, sf_dir):
+    """Greedy k-center: the pick-time distance sequence is the coverage
+    radius — non-increasing, distinct picks, seeded at the min id; and
+    after k picks every corpus point is within the would-be (k+1)-th
+    radius of the selected set (2-approximation certificate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    picks = sim.kcenter_select(emb, k=6).collect()
+    assert [p.pick_order for p in picks] == list(range(1, 7))
+    ids = [p.vec_id for p in picks]
+    assert len(set(ids)) == 6
+    assert ids[0] == emb.agg(F.min("vec_id")).collect()[0][0]
+    radii = [p.dist_to_selected for p in picks[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    # coverage: max over corpus of min-distance to the 6 selected centers
+    centers = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in emb.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    dist_cols = [
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.array(*[F.lit(x) for x in centers[i]]),
+                    lambda p, c: (p - c) * (p - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        for i in ids
+    ]
+    cover = emb.select(F.least(*dist_cols).alias("d")).agg(F.max("d")).collect()[0][0]
+    # the farthest remaining point defines the next pick; monotonicity
+    # bounds it by the last accepted radius
+    assert cover <= radii[-1] + 1e-9, (cover, radii[-1])
+
+
+def test_triangle_stats_known_graphs(spark):
+    from etl_lala_spark.operators.graph import triangle_stats
+
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], "a INT, b INT"
+    )
+    row = triangle_stats(k4).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (4, 6, 12, 4)
+    assert row.clustering_coeff == 1.0
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "a INT, b INT")
+    row = triangle_stats(path).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (3, 2, 1, 0)
+    assert row.clustering_coeff == 0.0
+
+    # hub star + one closing edge: orientation must not double-count
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)], "a INT, b INT"
+    )
+    row = triangle_stats(star).collect()[0]
+    assert row.n_triangles == 1
+
+
+def test_jl_projection_preserves_geometry(spark, sf_dir):
+    """JL distortion panel: ratios bounded and centered near 1 — the
+    projection carries geometry. (The exact values are oracle-checked by
+    audit_jl_distortion; this asserts the statistical contract.)"""
+    from etl_lala_spark.plans import all_queries
+
+    row = all_queries()["audit_jl_distortion"].fn(spark, sf_dir).collect()[0]
+    assert row.n_pairs >= 100
+    assert 0.3 < row.min_ratio <= row.avg_ratio <= row.max_ratio < 2.5
+    assert 0.8 < row.avg_ratio < 1.2
