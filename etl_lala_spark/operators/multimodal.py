@@ -206,6 +206,62 @@ def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> byt
     )
 
 
+def encode_wav(
+    sample_rate: int, samples: list[int], channels: int = 1, junk_chunk: bool = False
+) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit PCM: fmt + data chunks, correct
+    sizes, little-endian samples (interleaved when ``channels > 1``). With
+    ``junk_chunk`` a LIST chunk of odd length precedes ``data`` — real WAV
+    files carry such metadata chunks, and a correct reader must skip them
+    with even-byte padding (exercised in tests and the oracle query)."""
+    import struct as _struct
+
+    pcm = b"".join(_struct.pack("<h", s) for s in samples)
+    block_align = channels * 2
+    fmt = _struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, 16
+    )
+    chunks = b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+    if junk_chunk:
+        payload = b"INFOjunk!"  # odd length: exercises the pad byte
+        chunks += b"LIST" + _struct.pack("<I", len(payload)) + payload + b"\x00"
+    chunks += b"data" + _struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL stdlib-only WAV PCM decode: walks the RIFF chunk list (skipping
+    unknown chunks with odd-size padding, as the spec requires), parses the
+    fmt chunk, and unpacks the 16-bit little-endian samples. Returns
+    (sample_rate, n_channels, bits_per_sample, samples) with samples
+    interleaved. Together with ``encode_wav`` this closes the audio half of
+    the multimodal seam the same way ``decode_png`` closed the image half —
+    only lossy codecs (JPEG DCT, MP3) remain pluggable."""
+    import struct as _struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, end = 12, 8 + _struct.unpack("<I", data[4:8])[0]
+    rate = nch = bits = None
+    pcm = None
+    while pos + 8 <= min(end, len(data)):
+        cid = data[pos : pos + 4]
+        size = _struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, nch, rate = _struct.unpack("<HHI", body[:8])
+            bits = _struct.unpack("<H", body[14:16])[0]
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(f"only 16-bit PCM supported, got fmt={audio_fmt} bits={bits}")
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    samples = list(_struct.unpack(f"<{len(pcm) // 2}h", pcm[: len(pcm) // 2 * 2]))
+    return (rate, nch, bits, samples)
+
+
 def sniff_media(data: bytes) -> tuple[str, int, int, int]:
     """Pure-Python media header sniffing: (kind, width, height, channels)
     for PNG / JPEG / GIF images and (kind, sample_rate, n_channels,

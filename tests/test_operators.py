@@ -611,3 +611,25 @@ def test_jl_projection_preserves_geometry(spark, sf_dir):
     assert row.n_pairs >= 100
     assert 0.3 < row.min_ratio <= row.avg_ratio <= row.max_ratio < 2.5
     assert 0.8 < row.avg_ratio < 1.2
+
+
+def test_wav_codec_roundtrip_chunk_walk(spark):
+    """WAV codec: 16-bit PCM round trip survives interleaved stereo, an
+    odd-length metadata chunk (word-alignment padding), and rejects
+    non-PCM input."""
+    samples = [((7 * 3 + 13 * i) % 4097) - 2048 for i in range(41)]
+    for ch, junk in [(1, False), (2, False), (1, True), (2, True)]:
+        n = len(samples) - (len(samples) % ch)
+        wav = mm.encode_wav(22050, samples[:n], channels=ch, junk_chunk=junk)
+        rate, nch, bits, dec = mm.decode_wav(wav)
+        assert (rate, nch, bits) == (22050, ch, 16)
+        assert dec == samples[:n]
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"RIFF\x00\x00\x00\x00AVI ")
+    with pytest.raises(ValueError):
+        # fmt chunk claiming 8-bit PCM must be refused, not mis-unpacked
+        import struct
+
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
+        mm.decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
