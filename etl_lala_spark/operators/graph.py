@@ -98,12 +98,21 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     independent: Σ d(d−1)/2), n_triangles, clustering_coeff
     (= 3·triangles / wedges, the standard global transitivity ratio).
     """
-    e = edges.select(F.col(a).alias("pa"), F.col(b).alias("pb"))
+    # The edge list feeds five consumers (two degree legs, two orientation
+    # joins, the edge count) and is usually derived from an expensive
+    # upstream (co-occurrence mining); materialize it ONCE — without this
+    # the whole upstream pipeline re-executes per consumer (measured: an
+    # 18× lineitem re-scan on the co-purchase graph). Same discipline as
+    # `pagerank`; on a cluster `checkpoint()` drops in.
+    e = edges.select(F.col(a).alias("pa"), F.col(b).alias("pb")).localCheckpoint(
+        eager=True
+    )
     deg = (
         e.select(F.col("pa").alias("node"))
         .unionByName(e.select(F.col("pb").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=True)
     )
     da, db_ = deg.alias("da"), deg.alias("db")
     withdeg = (
@@ -121,7 +130,7 @@ def triangle_stats(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.when(lo_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
         F.when(lo_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         F.when(lo_first, F.col("dpb")).otherwise(F.col("dpa")).alias("ddeg"),
-    )
+    ).localCheckpoint(eager=True)
     o1, o2 = oriented.alias("o1"), oriented.alias("o2")
     wedges = o1.join(o2, "src").where(
         (F.col("o1.ddeg") < F.col("o2.ddeg"))

@@ -303,3 +303,30 @@ def test_new_curation_operators_plan_shapes(spark, sf_dir):
     # Bigram LM: no nested-loop anywhere; LM joins are hash joins.
     plan = plan_of(spark, "text_bigram_lm_perplexity", sf_dir)
     assert "NestedLoop" not in plan
+
+
+def test_triangle_count_materializes_edges_once(spark, sf_dir):
+    """The co-purchase edge list feeds five consumers; without the
+    checkpoint the whole mining pipeline re-executes per consumer
+    (observed: 18 lineitem scans). Checkpointed, the plan contains no
+    parquet scan at all and single-digit exchanges."""
+    plan = plan_of(spark, "graph_triangle_count", sf_dir)
+    assert "FileScan parquet" not in plan
+    assert plan.count("Exchange") <= 12
+    # wedge + closing joins are equi-joins, never a nested loop over edges
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            # only the final 1-row stat assembly may nested-loop
+            assert "Cross" in line or "Inner" in line
+
+
+def test_jl_projection_is_single_narrow_map(spark, sf_dir):
+    """All 16 output coordinates are codegen folds in one projection over
+    one scan — no Generate (explode), no Python, and only the final
+    orderBy's range exchange."""
+    plan = plan_of(spark, "embedding_random_projection", sf_dir)
+    assert "FileScan parquet" in plan
+    assert "Generate" not in plan and "Python" not in plan
+    assert plan.count("Exchange") <= 1
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "label" not in read_schema  # column pruning holds
