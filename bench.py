@@ -57,6 +57,7 @@ HEADLINE = [
     "curate_kcenter_coreset",
     "embedding_random_projection",
     "graph_triangle_count",
+    "corpus_source_overlap",
 ]
 
 

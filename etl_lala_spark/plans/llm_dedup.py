@@ -306,3 +306,87 @@ def dedup_repeated_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 500)
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_source_overlap",
+    oracle="""
+WITH tok AS (
+  SELECT source, regexp_split_to_array(text, '\\s+') AS t, text FROM documents
+),
+sh0 AS (
+  SELECT source,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+              ELSE [text] END AS shingles
+  FROM tok
+),
+ex AS (SELECT DISTINCT source, unnest(shingles) AS shingle FROM sh0),
+per AS (SELECT source, count(*) AS n FROM ex GROUP BY source),
+inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS c
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(pa.n AS BIGINT) AS n_shingles_a, CAST(pb.n AS BIGINT) AS n_shingles_b,
+       CAST(c AS BIGINT) AS n_common,
+       round(CAST(c AS DOUBLE) / CAST(pa.n + pb.n - c AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN per pa ON pa.source = sa
+JOIN per pb ON pb.source = sb
+ORDER BY source_a, source_b
+""",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: exact 3-gram-shingle Jaccard between
+    every pair of corpus sources — the signal a mixing pipeline checks
+    BEFORE weighting sources (two crawls of the same sites look like
+    independent data to `curate_source_mixing` but aren't; high pairwise
+    overlap means their budgets double-count). Same shingle normalization
+    as `dedup_ngram_jaccard`, aggregated at source grain instead of doc
+    grain.
+
+    Scale: shingles collapse to distinct (source, shingle-hash) rows FIRST
+    (one shuffle on the uniform hash — corpus text never moves again), so
+    the pairwise join is inverted-index-shaped: fan-out per shingle equals
+    the number of sources containing it (≤ #sources, a small constant),
+    never document-quadratic. Per-source totals and the intersection join
+    reuse the same collapsed table. At 100 TB this is the MinHash-sketch
+    shape without the approximation — exact because source-pair
+    cardinality (not doc-pair) bounds the output."""
+    d = load_table(spark, sf_dir, "documents")
+    ex = (
+        d.select(
+            "source", F.explode(dd.word_shingles(F.col("text"))).alias("sh")
+        )
+        .select("source", F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
+    per = ex.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count("*").alias("c"))
+    )
+    pa = per.select(F.col("source").alias("sa"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("sb"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(pa), "sa")
+        .join(F.broadcast(pb), "sb")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            F.col("n_a").cast("bigint").alias("n_shingles_a"),
+            F.col("n_b").cast("bigint").alias("n_shingles_b"),
+            F.col("c").cast("bigint").alias("n_common"),
+            F.round(
+                F.col("c").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("c")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
