@@ -759,3 +759,132 @@ def write_dataset_card(
     with open(os.path.join(out_dir, name), "w") as fh:
         json.dump(card, fh, indent=2)
     return card
+
+
+def stream_neardup_ingest(
+    stream_df: DataFrame,
+    table_path: str,
+    band_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+    checkpoint: str | None = None,
+):
+    """NEAR-dup-on-ingest: the incremental form of MinHash-LSH dedup — each
+    micro-batch is checked against the persistent band index accumulated
+    from every previously ingested document, so continuous crawling dedups
+    against the full corpus history without ever re-scanning it. This is
+    the production companion to `minhash_lsh_pairs` (batch) the same way
+    `stream_ivf_index` productionizes `ann_cosine_ivf`.
+
+    Per batch: (1) replay filter — anti-join batch ids against the data
+    table; (2) within-batch LSH dedup — band-bucket self-collisions keep
+    the smallest id; (3) history check — a LEFT SEMI join of the batch's
+    (band, bucket) rows against the stored index, excluding a doc's own
+    rows, flags near-dups of ANY prior document from band equality alone
+    (the index stores 8 longs per doc, never shingles or text); (4) the
+    survivors' bands are appended to the index (skipping docs whose bands
+    already landed), then their rows to the table — this write ORDER plus
+    the own-doc exclusion makes every crash window replay-safe: bands
+    written but table missed → the replay is not self-flagged, skips the
+    band re-write, and lands the row; table written → step (1) drops it.
+
+    Scale: the index is (doc, band, bucket) — bands × 8 bytes per corpus
+    document, shuffled on uniform hash buckets; at 100 TB the semi-join is
+    the only cost that grows, and it moves band keys, not content. Returns
+    the started StreamingQuery.
+    """
+    from etl_lala_spark.operators.dedup import minhash_signatures, word_shingles
+
+    rows = n_hashes // bands
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        base = (
+            batch_df.dropDuplicates([id_col])
+            .select(
+                F.col(id_col).alias("doc"),
+                F.col(text_col).alias("_text"),
+                word_shingles(F.col(text_col), k).alias("shingles"),
+            )
+            .select(
+                "doc",
+                "_text",
+                F.size("shingles").alias("n_shingles"),
+                F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
+            )
+        )
+        # (1) replay filter against the data table.
+        if os.path.isdir(table_path) and any(
+            f.endswith(".parquet") for f in os.listdir(table_path)
+        ):
+            seen_ids = spark.read.parquet(table_path).select(
+                F.col(id_col).alias("doc")
+            )
+            base = base.join(seen_ids, "doc", "left_anti")
+        base = base.cache()
+        sig = minhash_signatures(base, n_hashes)
+        band_rows = (
+            sig.select(
+                "doc",
+                F.expr(
+                    f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
+                    f"'band', b, "
+                    f"'bucket', xxhash64(slice(sig, b * {rows} + 1, {rows})))))"
+                ).alias("bb"),
+            )
+            .select("doc", "bb.band", "bb.bucket")
+            .cache()
+        )
+        # (2) within-batch: band collision → keep the smallest colliding id.
+        x, y = band_rows.alias("x"), band_rows.alias("y")
+        batch_dups = (
+            x.join(
+                y,
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc") > F.col("y.doc")),
+                "left_semi",
+            )
+            .select(F.col("x.doc").alias("doc"))
+            .distinct()
+        )
+        keep_bands = band_rows.join(batch_dups, "doc", "left_anti")
+        # (3) history check, excluding the doc's own previously-landed rows.
+        have_index = os.path.isdir(band_path) and any(
+            f.endswith(".parquet") for f in os.listdir(band_path)
+        )
+        if have_index:
+            idx = spark.read.parquet(band_path)
+            hist_dups = (
+                keep_bands.alias("n")
+                .join(
+                    idx.alias("i"),
+                    (F.col("n.band") == F.col("i.band"))
+                    & (F.col("n.bucket") == F.col("i.bucket"))
+                    & (F.col("n.doc") != F.col("i.doc")),
+                    "left_semi",
+                )
+                .select("doc")
+                .distinct()
+            )
+            keep_bands = keep_bands.join(hist_dups, "doc", "left_anti")
+        novel = base.join(keep_bands.select("doc").distinct(), "doc", "left_semi")
+        # (4) bands first (skip docs already indexed), then rows.
+        new_bands = keep_bands
+        if have_index:
+            indexed_docs = spark.read.parquet(band_path).select("doc").distinct()
+            new_bands = new_bands.join(indexed_docs, "doc", "left_anti")
+        new_bands.write.mode("append").parquet(band_path)
+        novel.select(
+            F.col("doc").alias(id_col), F.col("_text").alias(text_col)
+        ).write.mode("append").parquet(table_path)
+        base.unpersist()
+        band_rows.unpersist()
+
+    w = stream_df.writeStream.foreachBatch(ingest).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

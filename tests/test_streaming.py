@@ -712,3 +712,58 @@ def test_dbc_stream_permissive_corrupt_arrival(spark, tmp_path):
     bad = [r for r in rows if r["_error"] is not None]
     assert good == ["1", "2", "3"]
     assert len(bad) == 1 and bad[0]["arquivo_origem"] == "ZBAD"
+
+
+def test_stream_neardup_ingest_blocks_history_dups_and_replay(spark, sf_dir, tmp_path):
+    """Near-dup-on-ingest: batch 2's disguised copies of batch-1 documents
+    (text + 3 appended tokens, jaccard ≈ 0.95) are blocked by band
+    collisions against the persistent index — without re-scanning batch 1's
+    text — while genuinely novel documents land; a full replay inserts
+    nothing."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.sinks import writer as w
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    band_idx = str(tmp_path / "bands")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") < 60)
+    b1.write.mode("overwrite").parquet(src)
+
+    def run():
+        q = w.stream_neardup_ingest(
+            spark.readStream.schema(docs.schema).parquet(src), table, band_idx
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run()
+    n1 = spark.read.parquet(table).count()
+    assert 0 < n1 <= 60  # within-batch LSH dedup may trim exact dups
+
+    # batch 2: novel docs 60..99 + near-dup copies of docs < 50
+    novel = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 100))
+    copies = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xq zz qq")).alias("text"),
+        )
+    )
+    n_copies = copies.count()
+    novel.unionByName(copies).write.mode("append").parquet(src)
+    run()
+    got = spark.read.parquet(table)
+    landed_copies = got.filter(F.col("doc_id") >= 100000).count()
+    # ≈0.9999 per-pair recall at j≈0.95 with 8×4 banding
+    assert landed_copies <= 0.1 * n_copies, (landed_copies, n_copies)
+    # genuinely novel docs land (minus any true near-dups among them)
+    landed_novel = got.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 100)).count()
+    assert landed_novel >= 35
+    n2 = got.count()
+
+    # replay: nothing new, no duplicate band rows
+    run()
+    assert spark.read.parquet(table).count() == n2
+    bands_df = spark.read.parquet(band_idx)
+    assert bands_df.count() == bands_df.dropDuplicates(["doc", "band"]).count()
