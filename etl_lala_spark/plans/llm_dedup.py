@@ -357,6 +357,11 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape without the approximation — exact because source-pair
     cardinality (not doc-pair) bounds the output."""
     d = load_table(spark, sf_dir, "documents")
+    # No cache: the collapsed (source, shingle-hash) table feeds three
+    # consumers, but its defining shuffle (the distinct) is an identical
+    # subtree on every side, so Spark plans ReusedExchange for all but the
+    # first — the corpus is shingled once. Caching instead was measured 2×
+    # SLOWER (InMemoryRelation materialization + read beats nothing here).
     ex = (
         d.select(
             "source", F.explode(dd.word_shingles(F.col("text"))).alias("sh")
