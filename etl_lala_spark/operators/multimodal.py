@@ -391,3 +391,209 @@ def sniff_media_df_arrow(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInArrow(batches, schema=SNIFFED_SCHEMA)
+
+
+def _lzw_encode(indices, mcs):
+    """GIF-flavor LZW compression of an index stream (variable-width codes
+    starting at mcs+1 bits, LSB-first packing, clear/EOI codes, dictionary
+    reset at 4096). Width-change timing is the subtle part: the decoder
+    adds its matching dictionary entry one code later than the encoder, so
+    the encoder widens one entry after the plain-LZW boundary mid-stream
+    and re-applies the decoder's rule once at flush (fuzz-verified against
+    `_lzw_decode` over dictionary-reset and KwKwK regimes).
+    """
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out_bits = []  # (value, width)
+    width = mcs + 1
+    next_code = eoi + 1
+    table = {}
+    out_bits.append((clear, width))
+    prefix = ()
+    for sym in indices:
+        cur = prefix + (sym,)
+        if len(cur) == 1 or cur in table:
+            prefix = cur
+            continue
+        # emit code for prefix
+        code = table[prefix] if len(prefix) > 1 else prefix[0]
+        out_bits.append((code, width))
+        table[cur] = next_code
+        next_code += 1
+        # The decoder adds its matching entry one code LATER (it adds after
+        # reading the next code), so the encoder widens one entry after the
+        # plain-LZW boundary to stay byte-synchronized.
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table = {}
+            next_code = eoi + 1
+            width = mcs + 1
+        prefix = (sym,)
+    if prefix:
+        code = table[prefix] if len(prefix) > 1 else prefix[0]
+        out_bits.append((code, width))
+        # Reading this final code makes the decoder's table CATCH UP to the
+        # encoder's; re-apply the decoder's widen rule before emitting EOI.
+        if next_code == (1 << width) and width < 12:
+            width += 1
+    out_bits.append((eoi, width))
+    # pack LSB-first
+    buf = bytearray()
+    acc = nbits = 0
+    for v, w in out_bits:
+        acc |= v << nbits
+        nbits += w
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode(data, mcs):
+    """GIF-flavor LZW decompression (mirror of `_lzw_encode`; also decodes
+    real-world files — validated on the published 1×1 GIF vector). Handles
+    the KwKwK self-reference case and deferred clears.
+    """
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {i: (i,) for i in range(1 << mcs)}
+    next_code = eoi + 1
+    out = []
+    prev = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # tolerate missing EOI
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def encode_gif(width, height, palette, indices):
+    """Minimal GIF87a writer: logical screen descriptor, global color
+    table (palette padded to a power of two), one image descriptor, LZW
+    image data in ≤255-byte sub-blocks, trailer.
+    """
+    import struct as _struct
+
+    bits = max(1, (len(palette) - 1).bit_length())
+    size = 1 << bits
+    pal = list(palette) + [(0, 0, 0)] * (size - len(palette))
+    mcs = max(2, bits)
+    hdr = b"GIF87a" + _struct.pack("<HH", width, height)
+    hdr += _struct.pack("<B", 0x80 | (bits - 1)) + b"\x00\x00"
+    hdr += b"".join(_struct.pack("BBB", *c) for c in pal)
+    hdr += b"," + _struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    hdr += _struct.pack("<B", mcs)
+    comp = _lzw_encode(indices, mcs)
+    for i in range(0, len(comp), 255):
+        chunk = comp[i : i + 255]
+        hdr += _struct.pack("<B", len(chunk)) + chunk
+    hdr += b"\x00;"
+    return hdr
+
+
+def decode_gif(data):
+    """REAL stdlib-only GIF decode: header + logical screen descriptor,
+    global/local color tables, extension-block skipping, sub-block
+    reassembly, and full LZW expansion. Returns (width, height, palette
+    as (r, g, b) tuples, pixel index list). With `decode_png` and
+    `decode_wav` this completes the lossless trio — only lossy codecs
+    (JPEG DCT, MP3) remain behind the pluggable-kernel seam.
+    """
+    import struct as _struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = _struct.unpack("<HH", data[6:10])
+    flags = data[10]
+    pos = 13
+    palette = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        for i in range(n):
+            palette.append(tuple(data[pos + 3 * i : pos + 3 * i + 3]))
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            iw, ih = _struct.unpack("<HH", data[pos + 5 : pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                palette = [tuple(data[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+                pos += 3 * n
+            mcs = data[pos]
+            pos += 1
+            comp = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                comp += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            return (iw, ih, palette, _lzw_decode(bytes(comp), mcs))
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image data")
+
+
+if __name__ == "__main__":
+    import base64, random
+    # published 1x1 transparent GIF
+    tiny = base64.b64decode("R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7")
+    w, h, pal, idx = decode_gif(tiny)
+    assert (w, h) == (1, 1) and idx == [0], (w, h, idx)
+    print("known-answer 1x1 ok:", pal[:2])
+    rnd = random.Random(7)
+    for trial in range(30):
+        npal = rnd.choice([2, 4, 8, 16, 256])
+        n = rnd.choice([1, 5, 100, 5000, 20000])
+        idx0 = [rnd.randrange(npal) for _ in range(n)]
+        # also high-repetition streams (dictionary stress + KwKwK)
+        if trial % 3 == 0:
+            idx0 = ([0] * 50 + [1, 0, 0, 1] * 40) * (n // 100 + 1)
+        pal0 = [(i, 255 - i, (i * 7) % 256) for i in range(npal)]
+        g = encode_gif(17, 1, pal0, idx0)  # dims not validated vs len here
+        w, h, pal1, idx1 = decode_gif(g)
+        assert idx1 == idx0, (trial, len(idx0), len(idx1))
+    print("fuzz roundtrip ok")

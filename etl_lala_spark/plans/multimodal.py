@@ -312,3 +312,80 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle="""
+SELECT doc_id,
+       CAST((doc_id % 21) + 1 AS INT) AS width,
+       CAST((doc_id % 13) + 1 AS INT) AS height,
+       8 AS n_palette,
+       CAST(((doc_id % 21) + 1) * ((doc_id % 13) + 1) AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(
+              range(0, ((doc_id % 21) + 1) * ((doc_id % 13) + 1)),
+              i -> (i % ((doc_id % 21) + 1) + i // ((doc_id % 21) + 1) + doc_id) % 8))
+            AS BIGINT) AS index_sum,
+       CAST(list_sum(list_transform(
+              range(0, ((doc_id % 21) + 1) * ((doc_id % 13) + 1)),
+              i -> (doc_id * 3 + ((i % ((doc_id % 21) + 1) + i // ((doc_id % 21) + 1) + doc_id) % 8) * 17) % 256
+                 + (doc_id * 5 + ((i % ((doc_id % 21) + 1) + i // ((doc_id % 21) + 1) + doc_id) % 8) * 29) % 256
+                 + (doc_id * 7 + ((i % ((doc_id % 21) + 1) + i // ((doc_id % 21) + 1) + doc_id) % 8) * 41) % 256))
+            AS BIGINT) AS rgb_sum
+FROM documents WHERE doc_id < 300
+ORDER BY doc_id
+""",
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode end to end, stdlib only: per row a valid GIF87a is
+    encoded from a deterministic 8-color palette (color c =
+    ((id·3+17c) mod 256, (id·5+29c) mod 256, (id·7+41c) mod 256)) and
+    index pattern ((x+y+id) mod 8), shipped through Arrow as binary, and
+    decoded back by `operators/multimodal.py:decode_gif` — a full LZW
+    expansion with variable code widths, dictionary growth, and sub-block
+    reassembly (the codec also reads real-world files: validated on the
+    published 1×1 GIF vector). The oracle recomputes the palette-resolved
+    RGB sum and index sum arithmetically, so any LZW width-timing or
+    palette-indexing bug hash-mismatches.
+
+    Scale shape: identical to the PNG/WAV paths — per-value kernels in one
+    mapInPandas pass, constant task memory."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "n_palette": [],
+                   "n_pixels": [], "index_sum": [], "rgb_sum": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = (doc_id % 21) + 1, (doc_id % 13) + 1
+                pal = [
+                    ((doc_id * 3 + c * 17) % 256,
+                     (doc_id * 5 + c * 29) % 256,
+                     (doc_id * 7 + c * 41) % 256)
+                    for c in range(8)
+                ]
+                idx = [(x + y + doc_id) % 8 for y in range(h) for x in range(w)]
+                gif = mm.encode_gif(w, h, pal, idx)
+                dw, dh, dpal, didx = mm.decode_gif(gif)
+                out["doc_id"].append(doc_id)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["n_palette"].append(len([p for p in dpal[:8]]))
+                out["n_pixels"].append(len(didx))
+                out["index_sum"].append(sum(didx))
+                out["rgb_sum"].append(sum(sum(dpal[i]) for i in didx))
+            yield pd.DataFrame(out)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, n_palette int, "
+            "n_pixels long, index_sum long, rgb_sum long",
+        )
+        .orderBy("doc_id")
+    )

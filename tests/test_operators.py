@@ -633,3 +633,31 @@ def test_wav_codec_roundtrip_chunk_walk(spark):
         fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
         body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", 0)
         mm.decode_wav(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+
+def test_gif_codec_roundtrip_and_known_vector(spark):
+    """GIF LZW codec: decodes the published 1×1 transparent-GIF vector
+    (external known answer — the decoder reads real files, not just its
+    own encoder), and round-trips through dictionary growth, width
+    transitions, a >4096-entry reset, and the KwKwK self-reference run."""
+    import base64
+
+    tiny = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, pal, idx = mm.decode_gif(tiny)
+    assert (w, h, idx) == (1, 1, [0])
+    assert pal[0] == (0, 0, 0) and pal[1] == (255, 255, 255)
+
+    pal8 = [(i, 255 - i, (i * 7) % 256) for i in range(8)]
+    cases = [
+        [0],
+        [3, 1, 3],                       # flush-time width catch-up
+        [0] * 9000,                      # KwKwK chain + dictionary reset
+        [(i * i) % 8 for i in range(5000)],
+    ]
+    for idx0 in cases:
+        g = mm.encode_gif(50, 180, pal8, idx0)
+        w, h, pal1, idx1 = mm.decode_gif(g)
+        assert idx1 == idx0
+        assert pal1[:8] == pal8
