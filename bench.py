@@ -73,6 +73,9 @@ def main() -> None:
         app_name="etl_lala_spark_bench",
         master=f"local[{cpus}]",
         shuffle_partitions=cpus,
+        # Console-progress \r spam interleaves with stdout and can blow the
+        # driver's stdout-tail budget, truncating the JSON metric line.
+        extra_confs={"spark.ui.showConsoleProgress": "false"},
     )
     fns = query_fns()
 
@@ -102,19 +105,39 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # The metric line must be the LAST line on stdout AND fit the driver's
+    # 2000-byte stdout-tail capture (r2's line overflowed it and parsed as
+    # null), so: stddev detail goes to stderr, the stdout line is compact.
     print(
-        json.dumps(
+        json.dumps({"stddev": spreads, "runs_per_query": n_runs}),
+        file=sys.stderr,
+        flush=True,
+    )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        },
+        separators=(",", ":"),
+    )
+    if len(line) > 1900:  # never let per-query detail overflow the capture
+        line = json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": timings,
-                "stddev": spreads,
-                "runs_per_query": n_runs,
+                "queries": {},
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+        print("# queries dict dropped from stdout line (2000-byte budget); "
+              "full detail on stderr", file=sys.stderr)
+        print(json.dumps({"queries": timings}), file=sys.stderr, flush=True)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -670,3 +670,54 @@ def kcenter_select(
     return out.select(
         "pick_order", id_col, F.round("d", 6).alias("dist_to_selected")
     ).orderBy("pick_order")
+
+
+def kcenter_radius(
+    corpus: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+) -> float:
+    """Coverage radius of a center set: max over the corpus of the min
+    Euclidean distance to any center — ONE scan, codegen'd array fold over a
+    single SQL-text literal of the centers, no shuffle (global max is a
+    driver-sized partial agg)."""
+    carr = (
+        "array("
+        + ",".join("array(" + ",".join(f"{x!r}D" for x in c) + ")" for c in centers)
+        + ")"
+    )
+    mind = F.expr(
+        f"sqrt(array_min(transform({carr}, c -> "
+        f"aggregate(zip_with(transform({vec_col}, x -> cast(x as double)), c, "
+        "(p, q) -> (p - q) * (p - q)), 0D, (a, x) -> a + x))))"
+    )
+    return float(corpus.select(F.max(mind).alias("r")).collect()[0].r)
+
+
+def kcenter_select_sampled(
+    corpus: DataFrame,
+    k: int = 10,
+    sample_n: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Presampled greedy k-center — the 100 TB path (SCALE.md): exact
+    ``kcenter_select`` is one corpus scan PER pick (k scans), fine for
+    coreset-sized k but not for k in the thousands over 100 TB. This variant
+    takes a deterministic uniform presample of ``sample_n`` points (the
+    smallest ``xxhash64(id)`` values — a ``TakeOrderedAndProject``, one scan,
+    no shuffle, no RNG state) and runs the exact greedy loop on the sample
+    only, so the k passes touch ``sample_n`` rows instead of the corpus.
+
+    Guarantee: Gonzalez on the full data is a 2-approximation of the optimal
+    radius; presampling adds at most the sample's covering slack — with
+    ``sample_n ≫ k`` uniform draws, every dense region of the corpus is
+    represented and the selected radius stays within a small factor of the
+    exact pick's (the planted-cluster test asserts equality of coverage to
+    within ε). Same deterministic tie-breaking, same output schema as
+    ``kcenter_select``; ``dist_to_selected`` is measured within the sample.
+    """
+    sampled = corpus.select(id_col, vec_col).orderBy(
+        F.xxhash64(F.col(id_col)), F.col(id_col)
+    ).limit(sample_n)
+    return kcenter_select(sampled, k=k, id_col=id_col, vec_col=vec_col)

@@ -87,38 +87,45 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 2 window: exactly 50 oracle-backed queries, priority per VERDICT.md —
-# north-star LLM-pipeline set, the approximate-operator audits, the real-PNG
-# decode, core window functions, and the complete datasus plane (incl. DBC).
+# Round 3 window: exactly 50 oracle-backed queries, priority per round-2
+# VERDICT — the full events family (event-time windows/watermark parity is a
+# §2.12 bar requirement with zero driver rows), the UDF/UDTF surface,
+# scalars-ext, multimodal GIF/WAV/sniff, the four remaining audits, the
+# embedding_centroids retry (canonicalizer-safe output this round), and the
+# remaining window/subquery/SCD2/DQ queries.
 _DRIVER_WINDOW = [
-    # dedup + decontamination
-    "dedup_exact", "dedup_exact_summary", "dedup_ngram_jaccard",
-    "dedup_embedding_cosine", "decontaminate_corpus",
-    # similarity / embeddings / retrieval
-    "ann_cosine_topk", "hybrid_retrieval_rerank", "embedding_centroids",
-    "embedding_quantize_int8",
-    # curation pipeline
-    "pipeline_training_data", "curate_token_budget", "curate_sequence_packing",
-    "curate_source_mixing", "curate_weighted_sample",
-    # text analysis
-    "text_stats", "text_quality_score", "text_lang_id", "text_fingerprint",
-    "text_token_counts", "text_pii_scrub", "text_term_frequencies",
-    "text_bm25_retrieval", "text_model_inference", "text_winsorized_lengths",
-    "text_repetition_ratio",
-    # audits pairing every rows-only approximate/iterative operator
-    "audit_ann_lsh", "audit_ann_ivf", "audit_kmeans", "audit_minhash_planted",
-    "audit_simhash_planted", "audit_components_planted",
-    "audit_semdedup_planted", "audit_pagerank_mass", "audit_hll_error",
-    "audit_approx_aggs", "audit_stratified_sample",
-    # real stdlib PNG pixel decode
-    "multimodal_decode_png",
-    # window-function core
-    "window_rank_ntile", "window_lag_lead", "window_range_frame",
-    "window_interval_range_frame",
-    # datasus ingestion plane (S1-S4, S8, S11 parity)
-    "datasus_competence_dim", "datasus_catalog_manifest", "datasus_pa_summary",
-    "datasus_incremental_insert", "datasus_run_summary", "datasus_run_by_table",
-    "datasus_filename_parse", "datasus_dbc_roundtrip", "datasus_dbc_source",
+    # retry: only red row of r2, now emits a flat string centroid
+    "embedding_centroids",
+    # events family — tumbling/sliding/session windows, watermark parity,
+    # enrichment, anomaly/trend analytics (24 queries incl. behavior topk)
+    "events_tumbling_window", "events_sliding_window", "events_sessionization",
+    "events_json_props", "events_dedup_exact", "events_tagged_union",
+    "events_user_enrichment", "events_gap_detection", "events_resample_minutes",
+    "events_session_ids", "events_funnel_conversion", "events_variant_props",
+    "events_trending_topk", "events_rate_anomaly", "events_heavy_hitters",
+    "events_hourly_active_users", "events_ewma_smoothing",
+    "events_seasonal_baseline", "events_peak_concurrency",
+    "behavior_similarity_topk",
+    # subqueries / advanced relational
+    "subquery_scalar_avg", "subquery_correlated", "recursive_cte_chain",
+    "join_lateral_topn", "asof_join_cogrouped", "scd2_customer_history",
+    "dq_lineitem_expectations", "pseudonymize_customers",
+    # UDF / UDAF / UDTF surface
+    "udf_pandas_charge", "udaf_pandas_geomean", "udtf_token_positions",
+    "udtf_polymorphic_split",
+    # scalar-function families still without a driver row
+    "date_arithmetic", "encoding_functions", "null_semantics",
+    "higher_order_arrays",
+    # window-function remainder
+    "window_topk_per_customer", "window_running_sum", "window_analytics_ext",
+    "window_percent_of_total",
+    # multimodal lossless codecs + sniffing
+    "multimodal_decode_gif", "multimodal_decode_wav", "multimodal_sniff",
+    # audits pairing the remaining iterative/approximate operators
+    "audit_bpe_conservation", "audit_jl_distortion", "audit_power_iteration",
+    "audit_logistic_training",
+    # graph + coreset (plan-audited headline queries without driver rows)
+    "graph_triangle_count", "curate_kcenter_coreset",
 ]
 
 

@@ -850,28 +850,28 @@ def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quiet 3am hour isn't flagged just for being quieter than noon) — the
     complement of the trailing-window z-score in events_rate_anomaly.
 
-    Shape: one event scan → hourly pre-agg; the 24-row baseline derives
-    from those aggregates and broadcasts back. Everything after the first
-    agg operates on #hours rows, never events."""
+    Shape: ONE event scan (plan-asserted) → hourly pre-agg; the hour-of-day
+    baseline is an unbounded window over the #hours-row aggregate
+    (`avg/stddev over (partition by hod)`), so nothing re-derives from
+    events — a groupBy-then-join-back would execute the hourly agg twice
+    and scan events twice (r2's shape). Everything after the first agg
+    operates on #hours rows, never events."""
     ev = load_events(spark, sf_dir)
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("h"),
         F.hour("ts").cast("int").alias("hod"),
     ).agg(F.count("*").alias("n"))
-    base = hourly.groupBy("hod").agg(
-        F.avg("n").alias("base_mean"), F.stddev_samp("n").alias("base_sd")
-    )
+    wb = W.partitionBy("hod")
+    base_mean = F.avg("n").over(wb)
+    base_sd = F.stddev_samp("n").over(wb)
     return (
-        hourly.join(F.broadcast(base), "hod")
-        .select(
+        hourly.select(
             F.col("h").alias("hour_ts"),
             "hod",
             F.col("n").alias("n_events"),
-            F.round("base_mean", 4).alias("base_mean"),
+            F.round(base_mean, 4).alias("base_mean"),
             F.round(
-                (F.col("n") - F.col("base_mean"))
-                / F.nullif(F.col("base_sd"), F.lit(0)),
-                4,
+                (F.col("n") - base_mean) / F.nullif(base_sd, F.lit(0)), 4
             ).alias("seasonal_z"),
         )
         .orderBy("hour_ts")
@@ -928,9 +928,15 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     live-session count.
 
     Scale: the sweep's global window runs over 2×#sessions points (never
-    events); at 100 TB concurrency is computed per shard/day first and
-    the final sweep merges per-shard boundary points — same plan shape
-    one level up."""
+    events) — and events itself is scanned exactly ONCE (plan-asserted):
+    the ±1 boundary points come from ONE `explode` over the session rows
+    (a union of two selects would duplicate the whole sessionization
+    subtree → two scans), and the argmin-timestamp-at-max-live is a
+    lexicographic `max(struct(live, -µs))` in the SAME aggregate (a
+    broadcast self-join on max(live) would re-execute the sweep → two
+    more scans; r2's shape cost 4 full scans this way). At 100 TB
+    concurrency is computed per shard/day first and the final sweep
+    merges per-shard boundary points — same plan shape one level up."""
     ev = load_events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_ok = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) <= 1800
@@ -944,21 +950,26 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
     points = sessions.select(
-        F.col("s").alias("pt"), F.lit(1).alias("delta"), "user_id", "session_id"
-    ).unionByName(
-        sessions.select(
-            F.col("e").alias("pt"), F.lit(-1).alias("delta"), "user_id", "session_id"
-        )
-    )
+        "user_id",
+        "session_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("pt"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("pt"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("user_id", "session_id", "p.pt", "p.delta")
     sweep = W.orderBy(
         F.col("pt"), F.col("delta").desc(), F.col("user_id"), F.col("session_id")
     ).rowsBetween(W.unboundedPreceding, W.currentRow)
     swept = points.withColumn("live", F.sum("delta").over(sweep))
-    peak = swept.agg(F.max("live").alias("m"))
-    return (
-        swept.join(F.broadcast(peak), swept.live == peak.m)
-        .agg(
-            F.max("live").cast("int").alias("peak_concurrency"),
-            F.min("pt").alias("peak_ts"),
-        )
+    # peak_ts = min(pt) among rows with live = max(live): lexicographic max of
+    # (live, -unix_micros(pt)) — integer µs negation is exact, so no precision
+    # loss — folded into the single final aggregate.
+    peak_struct = F.max(
+        F.struct(F.col("live").alias("l"), (-F.unix_micros("pt")).alias("n"))
+    )
+    return swept.agg(
+        F.max("live").cast("int").alias("peak_concurrency"),
+        F.timestamp_micros(-peak_struct["n"]).alias("peak_ts"),
     )

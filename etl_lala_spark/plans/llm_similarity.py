@@ -99,9 +99,12 @@ def ann_self_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-# `+ 0` collapses IEEE -0.0 to 0.0 so both engines repr identically.
+# `+ 0` collapses IEEE -0.0 to 0.0 so both engines format identically; the
+# fixed %.4f rendering makes the row a flat string the comparison harness can
+# sort and hash (ARRAY-typed result columns are not canonicalizer-safe).
 _CENTROID_TERMS = ", ".join(
-    f"round(avg(embedding[{i + 1}]::DOUBLE), 4) + 0" for i in range(DIM)
+    f"printf('%.4f', round(avg(embedding[{i + 1}]::DOUBLE), 4) + 0)"
+    for i in range(DIM)
 )
 
 
@@ -110,7 +113,7 @@ _CENTROID_TERMS = ", ".join(
     oracle=f"""
 SELECT label,
        count(*) AS n_vectors,
-       [{_CENTROID_TERMS}] AS centroid
+       concat_ws(',', {_CENTROID_TERMS}) AS centroid
 FROM embeddings
 GROUP BY label
 ORDER BY label
@@ -121,16 +124,24 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reduce step of IVF codebook training / per-cluster summaries).
 
     Spark-first plan: 64 columnar ``avg(embedding[i])`` aggregates in ONE
-    hash aggregate, reassembled with ``F.array`` — a single shuffle of
-    (labels × 64) partial sums with map-side combine, instead of the naive
-    ``posexplode`` which would inflate the fact table 64× before shuffling.
+    hash aggregate — a single shuffle of (labels × 64) partial sums with
+    map-side combine, instead of the naive ``posexplode`` which would inflate
+    the fact table 64× before shuffling. The registered query serializes the
+    centroid as a comma-joined "%.4f" string so the result is flat-typed
+    (hashable/sortable) on both engines; `kmeans_codebook` keeps the
+    array-returning form for in-engine use.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    centroid = F.array(
+    centroid = F.concat_ws(
+        ",",
         *[
-            F.round(F.avg(F.col("embedding")[i].cast("double")), 4) + F.lit(0.0)
+            F.format_string(
+                "%.4f",
+                F.round(F.avg(F.col("embedding")[i].cast("double")), 4)
+                + F.lit(0.0),
+            )
             for i in range(DIM)
-        ]
+        ],
     ).alias("centroid")
     return (
         emb.groupBy("label")

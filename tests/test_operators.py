@@ -661,3 +661,38 @@ def test_gif_codec_roundtrip_and_known_vector(spark):
         w, h, pal1, idx1 = mm.decode_gif(g)
         assert idx1 == idx0
         assert pal1[:8] == pal8
+
+
+def test_kcenter_sampled_matches_exact_on_planted_clusters(spark):
+    """Sampled k-center (the 100 TB path, SCALE.md): on 5 planted clusters
+    100× farther apart than their internal spread, the presampled greedy
+    pick covers the corpus with a radius within ε of the exact greedy's —
+    both must have picked one point per cluster."""
+    dim, n_clusters, per = 8, 5, 100
+    rows = []
+    for c in range(n_clusters):
+        center = [100.0 * c if d == c % dim else 0.0 for d in range(dim)]
+        for j in range(per):
+            noise = [((j * 37 + d * 11) % 7 - 3) / 10.0 for d in range(dim)]
+            rows.append((c * per + j, [center[d] + noise[d] for d in range(dim)]))
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+    def centers_of(picks_df):
+        ids = [r.vec_id for r in picks_df.collect()]
+        return [
+            [float(x) for x in r.embedding]
+            for r in corpus.filter(F.col("vec_id").isin(ids)).collect()
+        ]
+
+    exact_r = sim.kcenter_radius(
+        corpus, centers_of(sim.kcenter_select(corpus, k=n_clusters))
+    )
+    sampled_r = sim.kcenter_radius(
+        corpus,
+        centers_of(sim.kcenter_select_sampled(corpus, k=n_clusters, sample_n=60)),
+    )
+    # one pick per planted cluster ⇒ radius is intra-cluster (≤ ~1), never
+    # inter-cluster (≥ ~70); sampled within ε of exact.
+    assert exact_r < 2.0, exact_r
+    assert sampled_r < 2.0, sampled_r
+    assert sampled_r <= exact_r + 1.0, (sampled_r, exact_r)

@@ -330,3 +330,75 @@ def test_jl_projection_is_single_narrow_map(spark, sf_dir):
     assert plan.count("Exchange") <= 1
     read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "label" not in read_schema  # column pruning holds
+
+
+def test_events_funnel_single_fact_shuffle(spark, sf_dir):
+    """Funnel: both cumulative-flag windows share the (user_id; ts, event_id)
+    partitioning — ONE events shuffle feeds two Window nodes, no self-joins
+    (the textbook 3-CTE funnel re-scans events per stage)."""
+    plan = plan_of(spark, "events_funnel_conversion", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert plan.count("Window") == 2
+    assert "Join" not in plan
+
+
+def test_events_peak_concurrency_single_scan(spark, sf_dir):
+    """Sweep-line peak concurrency: the ±1 boundary points come from one
+    explode (not a subtree-duplicating union) and the argmin-at-peak is
+    folded into the final aggregate (not a broadcast self-join) — events is
+    scanned exactly once. r2's shape scanned it 4×."""
+    plan = plan_of(spark, "events_peak_concurrency", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "Generate explode" in plan
+
+
+def test_events_seasonal_baseline_single_scan(spark, sf_dir):
+    """Hour-of-day baseline: derived from the hourly pre-agg via an unbounded
+    window, never by re-aggregating events and joining back — one scan."""
+    plan = plan_of(spark, "events_seasonal_baseline", sf_dir)
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_events_sessionization_single_user_shuffle(spark, sf_dir):
+    """Gap-rule sessionization (and its session_ids twin): the lag flag and
+    the running session counter share one (user_id) partitioning — a single
+    events shuffle, two stacked Window nodes, no join."""
+    for name in ("events_sessionization", "events_session_ids"):
+        plan = plan_of(spark, name, sf_dir)
+        assert plan.count("Scan parquet") == 1, name
+        assert plan.count("Exchange hashpartitioning(user_id") == 1, name
+        assert "Join" not in plan, name
+
+
+def test_events_enrichment_broadcasts_user_dim(spark, sf_dir):
+    """Fact-events × customer-dim enrichment must broadcast the dimension —
+    never shuffle events on the join key."""
+    plan = plan_of(spark, "events_user_enrichment", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_events_trending_topk_uses_window_group_limit(spark, sf_dir):
+    """Per-window trending top-k: rank-filter must plan as WindowGroupLimit
+    (partial top-k on both shuffle sides), not a full sort + filter."""
+    plan = plan_of(spark, "events_trending_topk", sf_dir)
+    assert "WindowGroupLimit" in plan
+
+
+def test_events_rollups_scan_once_no_python(spark, sf_dir):
+    """The grouped-rollup family (tumbling/sliding/hourly-active/tagged-union/
+    json-props/variant-props/dedup/gap-detection/rate-anomaly): one events
+    scan, JVM-only expressions (no Python eval in the plan)."""
+    for name in (
+        "events_tumbling_window", "events_sliding_window",
+        "events_hourly_active_users", "events_tagged_union",
+        "events_json_props", "events_variant_props", "events_dedup_exact",
+        "events_gap_detection", "events_rate_anomaly",
+    ):
+        plan = plan_of(spark, name, sf_dir)
+        assert plan.count("Scan parquet") == 1, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name

@@ -445,3 +445,48 @@ def test_delete_rows_staging_invisible_to_readers(spark, sf_dir, tmp_path):
     got = spark.read.parquet(table)
     assert got.count() == n_total - res["rows_deleted"]
     assert got.where(F.col("competencia") == "999901").count() == 0
+
+
+def test_jdbc_incremental_load_mocked(spark, monkeypatch):
+    """JDBC pass-through (reference Postgres sink S11): no database server in
+    the sandbox, so exercise the probe/append seams — first load creates the
+    table and inserts everything; replay with an overlapping month inserts
+    only the new month's rows."""
+    store: dict[str, list] = {}
+
+    def fake_probe(spark_, url, table, part_col, properties):
+        rows = store.get(table)
+        if rows is None:
+            return [], False
+        return sorted({r["competencia"] for r in rows}), True
+
+    def fake_append(df, url, table, properties):
+        store.setdefault(table, []).extend(r.asDict() for r in df.collect())
+
+    monkeypatch.setattr(writer, "_jdbc_existing_partitions", fake_probe)
+    monkeypatch.setattr(writer, "_jdbc_append", fake_append)
+
+    url = "jdbc:postgresql://db:5432/datasus"
+    r1 = writer.load_incremental_jdbc(
+        spark, _batch(spark, ["202501", "202502"]), url, "sia_pa"
+    )
+    assert r1["tabela"] == {"nome": "sia_pa", "criada_agora": True}
+    assert r1["registros_inseridos"] == 10
+    assert r1["competencias_existentes"] == []
+    assert len(store["sia_pa"]) == 10
+
+    # replay with one overlapping + one new month: skip-list drops the overlap
+    r2 = writer.load_incremental_jdbc(
+        spark, _batch(spark, ["202502", "202503"]), url, "sia_pa"
+    )
+    assert r2["tabela"]["criada_agora"] is False
+    assert r2["registros_inseridos"] == 5
+    assert sorted(r2["competencias_existentes"]) == ["202501", "202502"]
+    assert len(store["sia_pa"]) == 15
+
+    # exact replay: pure no-op
+    r3 = writer.load_incremental_jdbc(
+        spark, _batch(spark, ["202501", "202503"]), url, "sia_pa"
+    )
+    assert r3["registros_inseridos"] == 0
+    assert len(store["sia_pa"]) == 15
