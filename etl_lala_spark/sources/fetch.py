@@ -1,0 +1,104 @@
+"""In-engine fetch-to-staging (reference S5 + R2/R5).
+
+The reference downloads each month's archive over HTTP into memory with a
+500 MB cap, retries with backoff, and spills to /tmp before extraction
+(src/datasus/datasus.service.ts:251-275; queue/backoff R2). Spark-first:
+the download manifest IS a DataFrame, and the fetch runs executor-side via
+``mapInPandas`` — one task per manifest partition, so a 10k-file catalog
+fetches with cluster parallelism and no driver byte ever moves. The staging
+directory is shared storage (NFS/object store via local mount); downstream
+reads go through ``read_binary_files`` → ``extract_archive_members`` →
+the DBC DataSource, completing the ingest chain without leaving the engine.
+
+Semantics carried over from the reference:
+- size cap (default 500 MB): oversized bodies become structured error rows,
+  never OOM (reference's in-memory cap);
+- retry with exponential backoff per URL (R2), attempts recorded;
+- idempotent re-run: a file already staged with bytes on disk is skipped
+  (status ``skipped``), so replaying a manifest is a no-op — same contract
+  as the competência skip-list in ``sinks/writer.load_incremental``;
+- structured error payloads (R5): failures are (status, error) COLUMNS, not
+  exceptions — one bad URL cannot kill a 10k-file job.
+
+``urllib`` handles ``file://`` URLs natively, so the unit tests exercise the
+full path with zero network; the sandbox has no egress, which is why no
+registered driver query covers this module (unit-tested only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FETCH_SCHEMA = (
+    "url string, dest string, n_bytes long, status string, attempts int, error string"
+)
+
+
+def fetch_to_staging(
+    manifest: DataFrame,
+    staging_dir: str,
+    url_col: str = "url",
+    name_col: str | None = None,
+    max_bytes: int = 500 * 1024 * 1024,
+    retries: int = 2,
+    backoff_s: float = 0.5,
+) -> DataFrame:
+    """Fetch every URL in ``manifest`` into ``staging_dir``, executor-side.
+
+    Returns one row per manifest entry: (url, dest, n_bytes, status,
+    attempts, error) with status in {ok, skipped, error}. Destination name
+    defaults to the URL basename; pass ``name_col`` to control it (e.g. the
+    parsed DATASUS filename). Control fetch concurrency by partitioning the
+    manifest (``manifest.repartition(n)`` → n concurrent fetch tasks).
+    """
+
+    def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import time
+        import urllib.request
+
+        os.makedirs(staging_dir, exist_ok=True)
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "url", "dest", "n_bytes", "status", "attempts", "error")}
+            names = pdf[name_col] if name_col else [
+                u.rstrip("/").rsplit("/", 1)[-1] or "index" for u in pdf[url_col]
+            ]
+            for url, name in zip(pdf[url_col], names):
+                dest = os.path.join(staging_dir, str(name))
+                row = dict(url=url, dest=dest, n_bytes=0, status="error",
+                           attempts=0, error=None)
+                if os.path.isfile(dest) and os.path.getsize(dest) > 0:
+                    row.update(n_bytes=os.path.getsize(dest), status="skipped")
+                else:
+                    for attempt in range(1, retries + 2):
+                        row["attempts"] = attempt
+                        try:
+                            with urllib.request.urlopen(url) as resp:
+                                data = resp.read(max_bytes + 1)
+                            if len(data) > max_bytes:
+                                raise ValueError(
+                                    f"body exceeds max_bytes={max_bytes}"
+                                )
+                            # write-then-rename so a killed task never leaves
+                            # a half-written file that a replay would skip
+                            tmp = f"{dest}.part"
+                            with open(tmp, "wb") as fh:
+                                fh.write(data)
+                            os.replace(tmp, dest)
+                            row.update(n_bytes=len(data), status="ok",
+                                       error=None)
+                            break
+                        except Exception as exc:  # noqa: BLE001 — R5 contract
+                            row["error"] = f"{type(exc).__name__}: {exc}"[:500]
+                            if attempt <= retries:
+                                time.sleep(backoff_s * (2 ** (attempt - 1)))
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    cols = [url_col] + ([name_col] if name_col else [])
+    return manifest.select(*cols).mapInPandas(fetch_batch, schema=FETCH_SCHEMA)

@@ -410,3 +410,51 @@ def test_dbc_corrupt_column_collision_rejected(spark, tmp_path):
             spark.read.format("dbc").option("corruptColumn", bad).load(d).schema
     ok = spark.read.format("dbc").option("corruptColumn", "_err").load(d)
     assert ok.count() == 1
+
+
+def test_fetch_to_staging_file_urls(spark, tmp_path):
+    """Distributed fetch-to-staging (reference S5/R2/R5) over file:// URLs:
+    ok on first pass, idempotent skip on replay, structured error rows for
+    missing and oversized sources — no exceptions escape the job."""
+    from etl_lala_spark.sources.fetch import fetch_to_staging
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    (src / "a.zip").write_bytes(b"A" * 100)
+    (src / "b.zip").write_bytes(b"B" * 2048)
+    staging = str(tmp_path / "staging")
+
+    urls = [
+        (f"file://{src}/a.zip",),
+        (f"file://{src}/b.zip",),
+        (f"file://{src}/missing.zip",),
+    ]
+    mf = spark.createDataFrame(urls, "url string")
+
+    r1 = {r.url.rsplit("/", 1)[-1]: r for r in
+          fetch_to_staging(mf, staging, retries=1, backoff_s=0.0).collect()}
+    assert r1["a.zip"].status == "ok" and r1["a.zip"].n_bytes == 100
+    assert r1["b.zip"].status == "ok" and r1["b.zip"].n_bytes == 2048
+    assert r1["missing.zip"].status == "error"
+    assert r1["missing.zip"].attempts == 2  # initial + 1 retry
+    assert "Error" in r1["missing.zip"].error or "error" in r1["missing.zip"].error.lower()
+    assert os.path.getsize(os.path.join(staging, "a.zip")) == 100
+
+    # replay: already-staged files are skipped, the missing one retried
+    r2 = {r.url.rsplit("/", 1)[-1]: r for r in
+          fetch_to_staging(mf, staging, retries=0, backoff_s=0.0).collect()}
+    assert r2["a.zip"].status == "skipped"
+    assert r2["b.zip"].status == "skipped"
+    assert r2["missing.zip"].status == "error"
+
+    # size cap: body larger than max_bytes is an error row, file not staged
+    r3 = fetch_to_staging(
+        mf.filter("url like '%b.zip'"), str(tmp_path / "s2"),
+        max_bytes=1024, retries=0, backoff_s=0.0,
+    ).collect()[0]
+    assert r3.status == "error" and "max_bytes" in r3.error
+    assert not os.path.exists(os.path.join(str(tmp_path / "s2"), "b.zip"))
+
+    # staged output chains into the binaryFile reader (S5 -> S6 path)
+    scanned = arc.read_binary_files(spark, staging, glob="*.zip")
+    assert scanned.count() == 2
