@@ -458,3 +458,60 @@ def test_fetch_to_staging_file_urls(spark, tmp_path):
     # staged output chains into the binaryFile reader (S5 -> S6 path)
     scanned = arc.read_binary_files(spark, staging, glob="*.zip")
     assert scanned.count() == 2
+
+
+def test_reference_pipeline_full_chain(spark, tmp_path):
+    """The reference's complete monthly ETL, composed end-to-end in-engine:
+    fetch the month's archive (S5, file:// stand-in) -> expand zip members
+    (S6) -> DBC decode to string records (S8) -> idempotent partitioned load
+    (S11/T5). Replaying the same manifest inserts zero rows."""
+    from etl_lala_spark.sinks import writer
+    from etl_lala_spark.sources.fetch import fetch_to_staging
+
+    # "remote" archives: one zip per competencia, each with one .dbc member
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    cols = ["AP_MVM", "AP_CONDIC", "AP_VL_TOTAL"]
+    for mvm, rows in {
+        "202501": [["202501", "EP", "10.00"], ["202501", "PG", "20.00"]],
+        "202502": [["202502", "EP", "30.00"]],
+    }.items():
+        blob = dbc.dbf_to_dbc(dbc.write_dbf(cols, rows))
+        (remote / f"PA{mvm}.zip").write_bytes(
+            _zip_bytes({f"PAPE{mvm[2:]}.dbc": blob})
+        )
+
+    staging = str(tmp_path / "staging")
+    mf = spark.createDataFrame(
+        [(f"file://{remote}/PA{m}.zip",) for m in ("202501", "202502")],
+        "url string",
+    )
+    fetched = fetch_to_staging(mf, staging, retries=0).collect()
+    assert all(r.status == "ok" for r in fetched)
+
+    def decode_month_records():
+        members = arc.extract_archive_members(
+            arc.read_binary_files(spark, staging, glob="*.zip"), suffix=".dbc"
+        )
+        rec = dbc.read_dbc(members)
+        return rec.withColumnRenamed("AP_MVM", "competencia")
+
+    table = str(tmp_path / "warehouse" / "sia_pa")
+    r1 = writer.load_incremental(spark, decode_month_records(), table)
+    assert r1["tabela"]["criada_agora"] is True
+    assert r1["registros_inseridos"] == 3
+
+    # replay the whole chain: fetch skips staged files, load skips months
+    assert all(
+        r.status == "skipped"
+        for r in fetch_to_staging(mf, staging, retries=0).collect()
+    )
+    r2 = writer.load_incremental(spark, decode_month_records(), table)
+    assert r2["registros_inseridos"] == 0
+    assert sorted(r2["competencias_existentes"]) == ["202501", "202502"]
+
+    loaded = spark.read.parquet(table)
+    assert loaded.count() == 3
+    assert {r.competencia for r in loaded.select("competencia").collect()} == {
+        "202501", "202502",
+    }
