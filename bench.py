@@ -58,6 +58,9 @@ HEADLINE = [
     "embedding_random_projection",
     "graph_triangle_count",
     "corpus_source_overlap",
+    # round 3: single-scan rewrites of the sweep-line and seasonal queries
+    "events_peak_concurrency",
+    "events_seasonal_baseline",
 ]
 
 
