@@ -402,3 +402,27 @@ def test_events_rollups_scan_once_no_python(spark, sf_dir):
         plan = plan_of(spark, name, sf_dir)
         assert plan.count("Scan parquet") == 1, name
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_executed_plan_single_scan_ground_truth(spark, sf_dir):
+    """Ground-truth complement to the text asserts above: walk the FINAL
+    adaptive plan after execution (plan_audit.executed_scan_counts) and pin
+    the per-evaluation scan counts — text grep can overcount (cached
+    subtrees, AQE initial plan) or undercount (reused stages)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from plan_audit import executed_scan_counts
+
+    expected = {
+        "events_peak_concurrency": 1,
+        "events_seasonal_baseline": 1,
+        "events_funnel_conversion": 1,
+        "q1_pricing_summary": 1,
+    }
+    fns = query_fns()
+    for name, n_scans in expected.items():
+        df = fns[name](spark, sf_dir)
+        df.collect()
+        c = executed_scan_counts(df)
+        assert c["scan"] == n_scans, (name, c)
+        assert c["python_eval"] == 0, (name, c)
