@@ -700,6 +700,7 @@ def kcenter_select_sampled(
     sample_n: int = 4096,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sampler: str = "xxhash64",
 ) -> DataFrame:
     """Presampled greedy k-center — the 100 TB path (SCALE.md): exact
     ``kcenter_select`` is one corpus scan PER pick (k scans), fine for
@@ -714,10 +715,20 @@ def kcenter_select_sampled(
     ``sample_n ≫ k`` uniform draws, every dense region of the corpus is
     represented and the selected radius stays within a small factor of the
     exact pick's (the planted-cluster test asserts equality of coverage to
-    within ε). Same deterministic tie-breaking, same output schema as
+    within ε; ``audit_kcenter_sampled`` pins the radius bound against the
+    DuckDB oracle). Same deterministic tie-breaking, same output schema as
     ``kcenter_select``; ``dist_to_selected`` is measured within the sample.
+
+    ``sampler``: ``"xxhash64"`` (default, cheapest JVM hash) or ``"md5"``
+    (hex-string order — identical in DuckDB, so the sampled pick itself is
+    oracle-reproducible).
     """
+    key = (
+        F.md5(F.col(id_col).cast("string"))
+        if sampler == "md5"
+        else F.xxhash64(F.col(id_col))
+    )
     sampled = corpus.select(id_col, vec_col).orderBy(
-        F.xxhash64(F.col(id_col)), F.col(id_col)
+        key, F.col(id_col)
     ).limit(sample_n)
     return kcenter_select(sampled, k=k, id_col=id_col, vec_col=vec_col)

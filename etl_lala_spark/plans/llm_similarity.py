@@ -439,6 +439,101 @@ def curate_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kcenter_select(emb, k=10)
 
 
+_KC_SAMPLED_K = 6
+_KC_SAMPLE_N = 64
+
+
+def _kc_greedy_cte(src: str, name: str, k: int) -> str:
+    """Recursive-CTE greedy k-center over relation ``src`` (vec_id, v),
+    accumulating the selected id list — shared by the exact and sampled
+    branches of the audit oracle."""
+    return f"""
+{name} AS (
+  SELECT 1 AS step, [(SELECT min(vec_id) FROM {src})] AS ids
+  UNION ALL
+  SELECT step + 1, list_append({name}.ids, f.nxt)
+  FROM {name}, LATERAL (
+    SELECT p.vec_id AS nxt
+    FROM {src} p, LATERAL (
+      SELECT min(list_distance(p.v, s.v)) AS d
+      FROM {src} s WHERE list_contains({name}.ids, s.vec_id)
+    ) mind
+    ORDER BY mind.d DESC, p.vec_id ASC
+    LIMIT 1
+  ) f
+  WHERE {name}.step < {k}
+)"""
+
+
+_KC_SAMPLED_ORACLE = f"""
+WITH RECURSIVE e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+es AS (
+  SELECT vec_id, v FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {_KC_SAMPLE_N}
+),
+{_kc_greedy_cte("e", "sel_exact", _KC_SAMPLED_K)},
+{_kc_greedy_cte("es", "sel_samp", _KC_SAMPLED_K)},
+fin AS (SELECT ids FROM sel_exact WHERE step = {_KC_SAMPLED_K}),
+fins AS (SELECT ids FROM sel_samp WHERE step = {_KC_SAMPLED_K}),
+rad AS (
+  SELECT max(m.d) AS r FROM e p, LATERAL (
+    SELECT min(list_distance(p.v, s.v)) AS d
+    FROM e s WHERE list_contains((SELECT ids FROM fin), s.vec_id)
+  ) m
+),
+rads AS (
+  SELECT max(m.d) AS r FROM e p, LATERAL (
+    SELECT min(list_distance(p.v, s.v)) AS d
+    FROM e s WHERE list_contains((SELECT ids FROM fins), s.vec_id)
+  ) m
+)
+SELECT CAST({_KC_SAMPLED_K} AS INT) AS k,
+       CAST({_KC_SAMPLE_N} AS INT) AS sample_n,
+       round((SELECT r FROM rad), 6) AS exact_radius,
+       round((SELECT r FROM rads), 6) AS sampled_radius,
+       (SELECT r FROM rads) <= 2 * (SELECT r FROM rad) + 1e-9 AS within_2x
+"""
+
+
+@register("audit_kcenter_sampled", oracle=_KC_SAMPLED_ORACLE)
+def audit_kcenter_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit pairing `kcenter_select_sampled` (the 100 TB presampled
+    variant, SCALE.md): both engines replay the exact greedy AND the
+    md5-presampled greedy, measure each pick's coverage radius over the
+    FULL corpus, and check the sampled radius stays within 2× of the exact
+    one — the covering-slack bound presampling is allowed to add. The
+    md5-hex sample order exists identically in DuckDB, so the sampled pick
+    itself (not just the bound) is oracle-reproduced."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = sim.kcenter_select(emb, k=_KC_SAMPLED_K)
+    sampled = sim.kcenter_select_sampled(
+        emb, k=_KC_SAMPLED_K, sample_n=_KC_SAMPLE_N, sampler="md5"
+    )
+
+    def centers(picks: DataFrame) -> list[list[float]]:
+        ids = [r.vec_id for r in picks.collect()]  # k rows — driver-sized
+        return [
+            [float(x) for x in r.embedding]
+            for r in emb.filter(F.col("vec_id").isin(ids))
+            .select("embedding")
+            .collect()
+        ]
+
+    r_exact = sim.kcenter_radius(emb, centers(exact))
+    r_samp = sim.kcenter_radius(emb, centers(sampled))
+    return spark.range(1).select(
+        F.lit(_KC_SAMPLED_K).cast("int").alias("k"),
+        F.lit(_KC_SAMPLE_N).cast("int").alias("sample_n"),
+        F.round(F.lit(r_exact), 6).alias("exact_radius"),
+        F.round(F.lit(r_samp), 6).alias("sampled_radius"),
+        (F.lit(r_samp) <= F.lit(2.0) * F.lit(r_exact) + F.lit(1e-9)).alias(
+            "within_2x"
+        ),
+    )
+
+
 _D_OUT = 16
 
 
