@@ -51,6 +51,78 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(text)))
 
 
+def word_spans(text: Column, k: int) -> Column:
+    """ALL overlapping word k-grams in order (positions + multiplicity kept —
+    unlike ``word_shingles`` there is no array_distinct): the unit of
+    cross-document exact-substring dedup. Same one-pass lookahead regex and
+    whitespace normalization, so a span equals the matching shingle."""
+    pat = r"(?=(\S+(?:\s+\S+){" + str(k - 1) + r"}))\S+"
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(pat), F.lit(1)),
+        lambda b: F.regexp_replace(b, r"\s+", " "),
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Cross-document exact-substring dedup signal (the train-data dedup of
+    Lee et al., "Deduplicating Training Data Makes Language Models Better",
+    at word-k-gram granularity): for every document, how many of its k-token
+    spans also occur in at least one OTHER document — the per-doc removal
+    mask a substring-dedup pass would act on.
+
+    Plan: spans explode to (doc, span-hash) rows; one shuffle on the hash
+    aggregates per-(doc, span) occurrence counts; the cross-doc document
+    frequency derives from THAT aggregate (map-side combined, same
+    partitioning → AQE reuses the exchange), and the df≥2 span set joins
+    straight back — the span strings never shuffle, only 8-byte hashes
+    (same discipline as ``shingle_table``). Returns
+    (doc_id, n_spans, n_dup_spans, dup_frac) for affected docs.
+    """
+    from etl_lala_spark.io import spread
+
+    base = spread(df.select(id_col, text_col), by=id_col).select(
+        F.col(id_col).alias("doc_id"),
+        word_spans(F.col(text_col), k).alias("spans"),
+    )
+    spans = (
+        base.filter(F.size("spans") >= 1)
+        .select(
+            "doc_id",
+            F.size("spans").alias("n_spans"),
+            F.explode("spans").alias("span_str"),
+        )
+        .select("doc_id", "n_spans", F.xxhash64("span_str").alias("span"))
+    )
+    per_doc_span = spans.groupBy("span", "doc_id").agg(
+        F.count("*").alias("occ"), F.first("n_spans").alias("n_spans")
+    )
+    dup_spans = (
+        per_doc_span.groupBy("span")
+        .agg(F.count("*").alias("df"))  # rows are unique per (span, doc)
+        .filter(F.col("df") >= 2)
+        .select("span")
+    )
+    return (
+        per_doc_span.join(dup_spans, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_spans").alias("n_spans"),
+            F.sum("occ").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias("dup_frac"),
+        )
+    )
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup keeping the smallest id per identical (case-sensitive)
     text. Returns (hash, keeper_id, n_copies)."""

@@ -395,3 +395,56 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+_SUBSTR_K = 5
+
+_SUBSTR_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+positions AS (
+  SELECT doc_id, toks, len(toks) - {_SUBSTR_K} + 1 AS n_spans,
+         unnest(generate_series(1, len(toks) - {_SUBSTR_K} + 1)) AS i
+  FROM w WHERE len(toks) >= {_SUBSTR_K}
+),
+spans AS (
+  SELECT doc_id, n_spans,
+         array_to_string(toks[i : i + {_SUBSTR_K} - 1], ' ') AS span
+  FROM positions
+),
+per_doc_span AS (
+  SELECT span, doc_id, count(*) AS occ, any_value(n_spans) AS n_spans
+  FROM spans GROUP BY span, doc_id
+),
+dup AS (
+  SELECT span FROM per_doc_span GROUP BY span HAVING count(*) >= 2
+)
+SELECT p.doc_id,
+       CAST(any_value(p.n_spans) AS BIGINT) AS n_spans,
+       CAST(sum(p.occ) AS BIGINT) AS n_dup_spans,
+       round(sum(p.occ) / any_value(p.n_spans), 4) AS dup_frac
+FROM per_doc_span p JOIN dup USING (span)
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@register("dedup_exact_substrings", oracle=_SUBSTR_ORACLE)
+def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", word-5-gram
+    granularity): per document, the count and fraction of its k-token spans
+    that also occur in at least one OTHER document — the removal mask of a
+    substring-dedup pass, complementing doc-level exact/MinHash dedup
+    (different docs sharing long verbatim passages) and within-doc
+    repetition (`text_dup_ngram_coverage`).
+
+    Scale (`operators/dedup.py:duplicate_spans`): spans shuffle as 8-byte
+    xxhash64 keys, never strings; the cross-doc document frequency is
+    derived from the per-(doc, span) aggregate on the SAME partitioning, so
+    AQE reuses the exchange — two logical aggregates, one physical shuffle
+    of the span stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.duplicate_spans(docs, k=_SUBSTR_K).orderBy("doc_id")

@@ -696,3 +696,26 @@ def test_kcenter_sampled_matches_exact_on_planted_clusters(spark):
     assert exact_r < 2.0, exact_r
     assert sampled_r < 2.0, sampled_r
     assert sampled_r <= exact_r + 1.0, (sampled_r, exact_r)
+
+
+def test_duplicate_spans_planted_passage(spark):
+    """Exact-substring dedup (Lee et al. shape): two docs share a verbatim
+    7-token passage; spans inside it (3 per doc at k=5) are flagged in BOTH
+    docs, a unique doc is untouched, and a doc repeating its own phrase
+    twice is NOT flagged (within-doc repetition is text_dup_ngram_coverage's
+    job, not cross-doc dedup)."""
+    passage = "the quick brown fox jumps over fences"
+    docs = [
+        (1, f"alpha beta {passage} gamma delta"),
+        (2, f"{passage} unrelated tail words here"),
+        (3, "completely unique words never repeated anywhere else at all"),
+        (4, "self repeat phrase one two self repeat phrase one two"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dd.duplicate_spans(df, k=5).collect()}
+
+    assert set(out) == {1, 2}          # only the passage-sharing pair
+    # 7-token passage -> 3 interior 5-gram spans; doc 1 has 11 tokens -> 7 spans
+    assert out[1].n_spans == 7 and out[1].n_dup_spans == 3
+    assert out[2].n_spans == 7 and out[2].n_dup_spans == 3
+    assert abs(out[1].dup_frac - round(3 / 7, 4)) < 1e-9
