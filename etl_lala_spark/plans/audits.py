@@ -119,6 +119,55 @@ def audit_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_audit(spark, sf_dir, approx)
 
 
+_PQ_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0) AS BIGINT)
+         AS n_queries,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_encoded,
+       5 AS k, 1 AS codes_ok, 1 AS recall_ok
+"""
+
+
+@register("audit_ann_pq", oracle=_PQ_ORACLE)
+def audit_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``ann_cosine_pq`` (rows-only there).
+
+    ``n_encoded``: every corpus vector gets a code row — hash-matched
+    against the oracle's corpus count. ``codes_ok``: all m codes of every
+    row lie in [0, ksub). ``recall_ok``: ADC top-5 pair recall vs the exact
+    brute-force top-5 stays above the same conservative 0.10 floor the
+    LSH/IVF audits pin (measured ≈0.24 on the isotropic synthetic corpus;
+    pytest pins ≥0.15). ADC scores are approximations by construction, so
+    unlike ``scores_exact`` in the LSH/IVF audits there is no exactness
+    flag — recall and code integrity are the contract."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
+    enc = sim.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = sim.pq_adc_topk(enc, queries, books, k=5)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    n_bad_codes = enc.filter(
+        F.expr("exists(codes, c -> c < 0 or c >= 16)")
+    ).count()
+    return (
+        queries.agg(F.count("*").alias("n_queries"))
+        .crossJoin(enc.agg(F.count("*").alias("n_encoded")))
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_queries",
+            "n_encoded",
+            F.lit(5).alias("k"),
+            _flag(F.lit(n_bad_codes) == 0).alias("codes_ok"),
+            _flag(F.col("n_hit") >= 0.10 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-means Lloyd invariants (audits semantic_kmeans_clusters)
 # ---------------------------------------------------------------------------

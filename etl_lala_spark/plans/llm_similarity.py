@@ -77,6 +77,23 @@ def ann_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("ann_cosine_pq", doc="rows-only: compressed-domain ANN via PQ codes")
+def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-5 (Jégou et al. 2011): the 64-dim corpus is
+    compressed to 8 four-bit codes + a reconstruction norm (64× smaller than
+    the floats), and queries score rows by m table lookups against a
+    broadcast per-query LUT — query time reads ONLY the code column, the
+    float corpus is never rescanned. Deterministic codebooks (hash-ordered
+    seed sample, fixed Lloyd iterations), no RNG. Approximate → rows-only
+    driver check; ``audit_ann_pq`` pins code validity + recall-vs-exact
+    through the oracle gate, pytest pins a tighter recall floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
+    enc = sim.pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.pq_adc_topk(enc, queries, books, k=5).orderBy("query_id", "rank")
+
+
 @register(
     "ann_self_similarity",
     oracle=f"""

@@ -92,6 +92,38 @@ def test_ivf_ann_recall_vs_bruteforce(spark, sf_dir):
     assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
 
 
+def test_pq_adc_recall_and_code_integrity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, dim=64, m=8, ksub=16, iters=2)
+    # deterministic training: same corpus -> bit-identical codebooks
+    assert books == sim.pq_train(emb, dim=64, m=8, ksub=16, iters=2)
+    assert len(books) == 8 and all(len(bk) == 16 for bk in books)
+    assert all(len(c) == 8 for bk in books for c in bk)
+
+    enc = sim.pq_encode(emb, books).cache()
+    assert enc.count() == emb.count()  # every vector gets a code row
+    assert enc.filter(F.expr("exists(codes, c -> c < 0 or c >= 16)")).count() == 0
+    assert enc.filter(F.expr("size(codes) <> 8")).count() == 0
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx_rows = sim.pq_adc_topk(enc, queries, books, k=5).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # ADC keeps full subspace resolution (unlike IVF's coarse cells) so on
+    # the uniform-random fixture it must beat the coarse-index floor too.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, recall
+    assert all(r["query_id"] != r["neighbor_id"] for r in approx_rows)
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in by_q.values())
+    enc.unpersist()
+
+
 def test_cosine_self_similarity_is_one(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     e = F.col("embedding")
