@@ -365,3 +365,44 @@ def table_diff(
     return joined.select(key, status.alias("diff_status"), "l_hash", "r_hash").where(
         F.col("diff_status") != "unchanged"
     )
+
+
+def merge_changelog(
+    base: DataFrame,
+    changelog: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """CDC merge-apply: roll a changelog of upserts/deletes into a snapshot
+    (the MERGE INTO / apply-changes primitive behind every incremental load;
+    reference behavior: the monthly reprocessing loop DELETEs a competence
+    and re-INSERTs it — src/datasus/datasus.service.ts:15-39 — which is the
+    degenerate whole-partition form of this per-key merge).
+
+    Semantics: per key, the changelog row with the highest ``seq_col`` wins
+    ('latest wins'); a winning op of ``'D'`` removes the key, any other op
+    replaces the base row with the changelog payload; base rows without
+    changelog entries pass through. Payload columns are taken positionally
+    from the base schema (minus seq/op).
+
+    Scale: the latest-wins reduction is ONE shuffle of the changelog on the
+    key (a max_by struct agg — partial map-side, never a row_number sort),
+    and the apply is one co-partitioned left-anti join of base against the
+    (thin) winning-key set plus a union — base never shuffles more than the
+    join requires, and is exchange-free when bucketed on the key. Changelogs
+    are typically ≪ base, so AQE usually broadcasts the anti side.
+    """
+    payload = [c for c in base.columns if c != key]
+    # max_by over a (seq, payload-struct): one hash agg replaces the
+    # window-sort form (same shuffle, no per-partition sort buffer).
+    winner = changelog.groupBy(key).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("__op"), *payload), F.col(seq_col)
+        ).alias("w")
+    )
+    survivors = winner.filter(F.col("w.__op") != "D").select(
+        key, *[F.col(f"w.{c}").alias(c) for c in payload]
+    )
+    untouched = base.join(winner.select(key), key, "left_anti")
+    return untouched.unionByName(survivors)

@@ -208,3 +208,78 @@ def bpe_apply(df, merges: list[dict], text_col: str = "text", sep: str = "\x01")
             ),
         )
     return out
+
+
+def importance_weights(
+    docs,
+    target_pred,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """DSIR-style importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 — public
+    literature): score every document by how much more likely its hashed
+    token features are under a target domain than under the raw corpus,
+    so sampling by the weight shifts the corpus mixture toward the target.
+
+    Features are unigrams hashed into ``n_buckets`` buckets (md5-derived so
+    DuckDB reproduces the bucketing bit-exactly); the target and corpus
+    unigram distributions are estimated with add-one smoothing in ONE
+    shared hash agg (the target is a predicate over the same corpus, so
+    both counts come from a single scan); a doc's weight is the mean
+    log-likelihood ratio of its tokens. Returns (id_col, n_tokens, weight).
+
+    Scale: the bucket table is ``n_buckets`` rows — a broadcast — and the
+    per-doc mean is map-side combinable (tokens of a doc are co-located by
+    construction, so partial agg collapses to one row per doc before any
+    shuffle). Two corpus scans total (distribution + scoring), zero
+    corpus-sized shuffles. Per-token log-ratios are rounded to 9 digits
+    before averaging so libm last-ulp differences cannot leak into the
+    rounded weight.
+    """
+    tok = docs.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    ).filter(F.col("t") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    ).alias("b")
+
+    stats = (
+        tok.select(bucket, "is_target")
+        .groupBy("b")
+        .agg(
+            F.count("*").alias("c_n"),
+            F.count(F.when(F.col("is_target"), True)).alias("t_n"),
+        )
+    )
+    # Add-one smoothing over the bucket vocabulary; totals ride along via a
+    # window-free crossJoin of the 1-row grand total (broadcast).
+    totals = stats.agg(
+        F.sum("c_n").alias("c_tot"), F.sum("t_n").alias("t_tot")
+    )
+    lr = (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    ((F.col("t_n") + 1) / (F.col("t_tot") + n_buckets))
+                    / ((F.col("c_n") + 1) / (F.col("c_tot") + n_buckets))
+                ),
+                9,
+            ).alias("logratio"),
+        )
+    )
+    return (
+        tok.select(id_col, bucket)
+        .join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("logratio"), 6).alias("weight"),
+        )
+    )

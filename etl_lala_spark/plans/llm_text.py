@@ -1249,3 +1249,66 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, round(l, 6)) for i, l in enumerate(fit["losses"])],
         "iteration int, log_loss double",
     ).orderBy("iteration")
+
+
+@register(
+    "curate_importance_resampling",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+  FROM documents
+),
+b AS (
+  SELECT doc_id, is_target,
+         (('0x' || substr(md5(t), 1, 8))::BIGINT) % 64 AS b
+  FROM tok WHERE t <> ''
+),
+stats AS (
+  SELECT b, count(*) AS c_n, count(*) FILTER (is_target) AS t_n
+  FROM b GROUP BY b
+),
+tot AS (SELECT sum(c_n) AS c_tot, sum(t_n) AS t_tot FROM stats),
+lr AS (
+  SELECT b, round(ln(((t_n + 1.0) / (t_tot + 64.0))
+                   / ((c_n + 1.0) / (c_tot + 64.0))), 9) AS logratio
+  FROM stats, tot
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(avg(logratio), 6) AS weight
+  FROM b JOIN lr USING (b)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, weight,
+       CAST(row_number() OVER (ORDER BY weight DESC, doc_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 25
+ORDER BY rank
+""",
+)
+def curate_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (`operators/text.py:importance_weights`):
+    rank the corpus by the mean log-likelihood ratio of each document's
+    hashed unigram features under the target domain (here: the English
+    slice) vs the raw corpus, and keep the top-25 — the importance-
+    resampling step that shifts a pretraining mixture toward a target
+    domain without training a classifier. Deterministic end-to-end
+    (md5 feature hashing, add-one smoothing, 9-digit log rounding before
+    the mean), so the selection is oracle-replayable.
+
+    Scale: the 64-bucket distribution table broadcasts; per-doc means are
+    map-side combinable (a doc's tokens are co-located by construction);
+    the top-25 is a TakeOrderedAndProject. Two corpus scans, zero
+    corpus-sized shuffles."""
+    from pyspark.sql import Window as W
+
+    from etl_lala_spark.operators.text import importance_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    w = importance_weights(d, F.col("lang") == "en", n_buckets=64)
+    top = w.orderBy(F.col("weight").desc(), "doc_id").limit(25)
+    rank = F.row_number().over(W.orderBy(F.col("weight").desc(), "doc_id"))
+    return top.select("doc_id", "n_tokens", "weight").withColumn(
+        "rank", rank.cast("int")
+    ).orderBy("rank")

@@ -830,6 +830,100 @@ def reconcile_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_merge_apply",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+log AS (
+  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_orderstatus,
+         CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+  UNION ALL
+  SELECT o_orderkey, 2, 'D', o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 7 = 3
+  UNION ALL
+  SELECT o_orderkey, 3, 'I', o_orderstatus,
+         CAST(o_totalprice AS DECIMAL(18,2))
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+winner AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_orderstatus, b.price
+  FROM base b LEFT JOIN winner w USING (o_orderkey)
+  WHERE w.o_orderkey IS NULL
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, price FROM winner WHERE op <> 'D'
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       CAST(sum(price) AS DECIMAL(28,2)) AS total_price
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge-apply (`operators/relational.py:merge_changelog`): roll a
+    changelog of upserts/deletes into a snapshot with latest-wins-per-key
+    semantics — the MERGE INTO primitive behind incremental loads (the
+    reference's delete-competence-then-reinsert loop,
+    src/datasus/datasus.service.ts:15-39, is its whole-partition special
+    case). Base and changelog are derived deterministically from `orders`:
+    the base misses every mod-10 key; the log updates every mod-5 key
+    (seq 1, price doubled), deletes every 7th-mod-3 key (seq 2), and
+    re-inserts the mod-10 keys (seq 3) — overlapping keys exercise the
+    latest-wins reduction (e.g. a key that is both updated and deleted must
+    end up deleted). The merged snapshot is summarized per order status so
+    the driver hashes a small exact-decimal result.
+
+    Scale: latest-wins is one map-side-combinable max_by agg on the key
+    (changelog-sized shuffle), the apply is a co-partitioned left-anti join
+    plus union — the base shuffles once, and not at all when bucketed on
+    the key. Prices stay DECIMAL(18,2) end-to-end so both engines sum
+    exactly — no float-order sensitivity in the hash."""
+    from etl_lala_spark.operators.relational import merge_changelog
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", "o_orderstatus", price.alias("price")
+    )
+
+    def log_slice(pred, seq: int, op: str, p) -> DataFrame:
+        return o.where(pred).select(
+            "o_orderkey",
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+            "o_orderstatus",
+            p.alias("price"),
+        )
+
+    changelog = (
+        log_slice(F.col("o_orderkey") % 5 == 0, 1, "U",
+                  (F.col("o_totalprice") * 2).cast("decimal(18,2)"))
+        .unionByName(log_slice(F.col("o_orderkey") % 7 == 3, 2, "D", price))
+        .unionByName(log_slice(F.col("o_orderkey") % 10 == 0, 3, "I", price))
+    )
+    merged = merge_changelog(base, changelog, key="o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+            F.sum("price").cast("decimal(28,2)").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "rfm_customer_segments",
     oracle="""
 WITH rfm AS (

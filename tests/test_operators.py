@@ -751,3 +751,27 @@ def test_duplicate_spans_planted_passage(spark):
     assert out[1].n_spans == 7 and out[1].n_dup_spans == 3
     assert out[2].n_spans == 7 and out[2].n_dup_spans == 3
     assert abs(out[1].dup_frac - round(3 / 7, 4)) < 1e-9
+
+
+def test_merge_changelog_latest_wins(spark):
+    from etl_lala_spark.operators.relational import merge_changelog
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, v string"
+    )
+    log = spark.createDataFrame(
+        [
+            (2, 1, "U", "b2"),   # update
+            (3, 1, "U", "c2"),   # update then delete: delete wins
+            (3, 2, "D", "c2"),
+            (4, 1, "I", "d"),    # insert of a new key
+            (5, 1, "I", "e"),    # insert then update: update wins
+            (5, 2, "U", "e2"),
+        ],
+        "k int, seq int, op string, v string",
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in merge_changelog(base, log, key="k").collect()
+    }
+    assert got == {(1, "a"), (2, "b2"), (4, "d"), (5, "e2")}
