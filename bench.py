@@ -61,6 +61,10 @@ HEADLINE = [
     # round 3: single-scan rewrites of the sweep-line and seasonal queries
     "events_peak_concurrency",
     "events_seasonal_baseline",
+    # round 3: PQ compressed-domain ANN, CDC merge-apply, DSIR selection
+    "ann_cosine_pq",
+    "cdc_merge_apply",
+    "curate_importance_resampling",
 ]
 
 

@@ -256,23 +256,26 @@ def importance_weights(
             F.count(F.when(F.col("is_target"), True)).alias("t_n"),
         )
     )
-    # Add-one smoothing over the bucket vocabulary; totals ride along via a
-    # window-free crossJoin of the 1-row grand total (broadcast).
-    totals = stats.agg(
-        F.sum("c_n").alias("c_tot"), F.sum("t_n").alias("t_tot")
+    # Add-one smoothing over the bucket vocabulary. Totals come from an
+    # unpartitioned window over the (n_buckets-row) stats — NOT a crossJoin
+    # of stats.agg(...), which would duplicate the stats subtree in the plan
+    # and re-tokenize the corpus a second time; the single-partition window
+    # is over n_buckets rows, so it costs nothing and keeps the whole
+    # pipeline at exactly two corpus scans (plan-audited).
+    from pyspark.sql import Window as W
+
+    everything = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    lr = (
-        stats.crossJoin(F.broadcast(totals))
-        .select(
-            "b",
-            F.round(
-                F.log(
-                    ((F.col("t_n") + 1) / (F.col("t_tot") + n_buckets))
-                    / ((F.col("c_n") + 1) / (F.col("c_tot") + n_buckets))
-                ),
-                9,
-            ).alias("logratio"),
-        )
+    lr = stats.select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("t_n") + 1) / (F.sum("t_n").over(everything) + n_buckets))
+                / ((F.col("c_n") + 1) / (F.sum("c_n").over(everything) + n_buckets))
+            ),
+            9,
+        ).alias("logratio"),
     )
     return (
         tok.select(id_col, bucket)
