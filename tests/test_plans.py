@@ -418,6 +418,12 @@ def test_executed_plan_single_scan_ground_truth(spark, sf_dir):
         "events_seasonal_baseline": 1,
         "events_funnel_conversion": 1,
         "q1_pricing_summary": 1,
+        # base + the single-scan changelog's two consumers (winner agg,
+        # anti-join broadcast) — the naive 3-slice union form costs 7
+        "cdc_merge_apply": 3,
+        # distribution scan + scoring scan; bucket totals ride a window
+        # over the 64-row stats, never a second tokenize of the corpus
+        "curate_importance_resampling": 2,
     }
     fns = query_fns()
     for name, n_scans in expected.items():
