@@ -87,45 +87,48 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 3 window: exactly 50 oracle-backed queries, priority per round-2
-# VERDICT — the full events family (event-time windows/watermark parity is a
-# §2.12 bar requirement with zero driver rows), the UDF/UDTF surface,
-# scalars-ext, multimodal GIF/WAV/sniff, the four remaining audits, the
-# embedding_centroids retry (canonicalizer-safe output this round), and the
-# remaining window/subquery/SCD2/DQ queries.
+# Round 4 window: the FINAL rotation — all 41 queries that have never had a
+# driver CORRECTNESS row (26 oracle-backed stragglers + the 15 rows-only
+# queries whose audit twins are already green), the dq_lineitem_expectations
+# retry (r3 red was a DuckDB HUGEINT hash artifact; oracle now CASTs to
+# BIGINT), four slots for new-in-r4 queries (IVF×PQ ANN + streaming batch
+# twins), and four high-value re-checks spanning the TPC-H / sink / dedup /
+# text families. Green rows across r1-r4 then cover all 190 registered
+# queries.
 _DRIVER_WINDOW = [
-    # retry: only red row of r2, now emits a flat string centroid
-    "embedding_centroids",
-    # events family — tumbling/sliding/session windows, watermark parity,
-    # enrichment, anomaly/trend analytics (24 queries incl. behavior topk)
-    "events_tumbling_window", "events_sliding_window", "events_sessionization",
-    "events_json_props", "events_dedup_exact", "events_tagged_union",
-    "events_user_enrichment", "events_gap_detection", "events_resample_minutes",
-    "events_session_ids", "events_funnel_conversion", "events_variant_props",
-    "events_trending_topk", "events_rate_anomaly", "events_heavy_hitters",
-    "events_hourly_active_users", "events_ewma_smoothing",
-    "events_seasonal_baseline", "events_peak_concurrency",
-    "behavior_similarity_topk",
-    # subqueries / advanced relational
-    "subquery_scalar_avg", "subquery_correlated", "recursive_cte_chain",
-    "join_lateral_topn", "asof_join_cogrouped", "scd2_customer_history",
-    "dq_lineitem_expectations", "pseudonymize_customers",
-    # UDF / UDAF / UDTF surface
-    "udf_pandas_charge", "udaf_pandas_geomean", "udtf_token_positions",
-    "udtf_polymorphic_split",
-    # scalar-function families still without a driver row
-    "date_arithmetic", "encoding_functions", "null_semantics",
-    "higher_order_arrays",
-    # window-function remainder
-    "window_topk_per_customer", "window_running_sum", "window_analytics_ext",
-    "window_percent_of_total",
-    # multimodal lossless codecs + sniffing
-    "multimodal_decode_gif", "multimodal_decode_wav", "multimodal_sniff",
-    # audits pairing the remaining iterative/approximate operators
-    "audit_bpe_conservation", "audit_jl_distortion", "audit_power_iteration",
-    "audit_logistic_training",
-    # graph + coreset (plan-audited headline queries without driver rows)
-    "graph_triangle_count", "curate_kcenter_coreset",
+    # retry: only red row of r3 (HUGEINT-vs-BIGINT value-hash artifact)
+    "dq_lineitem_expectations",
+    # CDC + curation + dedup new-in-r3 (bench-headlined, no driver row yet)
+    "cdc_merge_apply", "curate_importance_resampling", "dedup_exact_substrings",
+    "audit_kcenter_sampled", "audit_ann_pq",
+    # relational / scalar / stats stragglers
+    "er_fuzzy_part_names", "sql_udf_charge_summary", "sql_scripting_threshold",
+    "array_functions", "map_functions", "exact_percentiles", "stats_aggs",
+    "ansi_safe_arithmetic", "text_edit_distance",
+    # curation / sampling
+    "split_train_holdout", "sample_stratified",
+    # text-analysis stragglers
+    "profile_documents", "rag_chunk_documents", "text_dup_ngram_coverage",
+    "text_bigram_lm_perplexity", "tokenizer_bpe_merges",
+    "train_quality_classifier",
+    # dedup family rows-only (audit twins green r2; the row itself is the bar)
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_canonical_clusters",
+    "dedup_repeated_blocks", "dedup_semdedup", "corpus_source_overlap",
+    # ANN / embedding rows-only + stragglers
+    "ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_pq", "ann_self_similarity",
+    "semantic_kmeans_clusters", "embedding_top_pc_profile",
+    "embedding_random_projection",
+    # graph / sketch rows-only
+    "graph_supplier_pagerank", "approx_aggs", "events_distinct_rollup_hll",
+    # multimodal stragglers
+    "multimodal_binary_stats", "multimodal_decode", "multimodal_frame_sample",
+    # new-in-r4: IVFADC composition + streaming batch-twin gates
+    "ann_cosine_ivfpq", "audit_ann_ivfpq",
+    "stream_twin_scd2_final", "stream_twin_running_summary",
+    # high-value re-checks of earlier greens (flagship, heaviest join,
+    # incremental-sink semantics, exact dedup)
+    "q1_pricing_summary", "q9_product_profit", "datasus_incremental_insert",
+    "dedup_exact",
 ]
 
 
@@ -162,10 +165,12 @@ def all_queries() -> dict[str, Query]:
     reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
 
     def key(name: str):
-        if name in green:
-            return (2, reg_pos[name])
+        # Explicit window membership wins over prior-green demotion so a
+        # round can pin re-checks of already-green queries into its window.
         if name in pri:
             return (0, pri[name])
+        if name in green:
+            return (2, reg_pos[name])
         return (1, reg_pos[name])
 
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}

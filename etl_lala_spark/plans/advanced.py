@@ -404,7 +404,9 @@ WITH s AS (
          sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price
   FROM lineitem
 )
-SELECT rule, n_rows, n_violations,
+SELECT rule,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS BIGINT) AS n_violations,
        round(n_violations / n_rows, 6) AS violation_rate
 FROM (
   SELECT 'discount_le_5pct' AS rule, n_rows, v_disc AS n_violations FROM s

@@ -585,7 +585,8 @@ p AS (
   FROM un JOIN s ON s.j = un.j
   GROUP BY un.vec_id, s.k
 )
-SELECT vec_id, list(round(val / 4, 6) ORDER BY k) AS proj
+SELECT vec_id,
+       string_agg(printf('%.6f', round(val / 4, 6) + 0), ',' ORDER BY k) AS proj
 FROM p GROUP BY vec_id ORDER BY vec_id
 """
 
@@ -607,20 +608,28 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     signs = _jl_signs()
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    proj = F.array(
+    # Flat %.6f string encoding (the embedding_centroids convention): the
+    # driver's value-hash is not stable across engines for ARRAY-typed
+    # output columns; `+ 0.0` collapses IEEE -0.0.
+    proj = F.concat_ws(
+        ",",
         *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"),
-                        F.array(*[F.lit(s) for s in signs[k]]),
-                        lambda p, c: p * c,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
+            F.format_string(
+                "%.6f",
+                F.round(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("v"),
+                            F.array(*[F.lit(s) for s in signs[k]]),
+                            lambda p, c: p * c,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / 4.0,
+                    6,
                 )
-                / 4.0,
-                6,
+                + F.lit(0.0),
             )
             for k in range(_D_OUT)
         ]

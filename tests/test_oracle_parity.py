@@ -45,6 +45,40 @@ def normalize(rows, cols):
     return sorted(out)
 
 
+# DuckDB output types whose value encoding diverges from Spark's even when
+# the values are numerically identical — each burned a driver round before
+# this gate existed: HUGEINT (r3 `dq_lineitem_expectations`: DuckDB
+# sum(CASE) is int128, Spark's is int64 — same values, different hash) and
+# list/struct/map columns (r2 `embedding_centroids`: array column hashed
+# differently; flat string encodings are the convention now). The driver's
+# value-hash is encoding-sensitive, so registered oracles must only emit
+# types both engines encode identically.
+def assert_driver_safe_types(con, sql: str, name: str) -> None:
+    types = [str(t).upper() for t in con.sql(sql).types]
+    for t in types:
+        assert "HUGEINT" not in t, (
+            f"{name}: oracle emits {t}; wrap in CAST(... AS BIGINT) — "
+            "DuckDB int128 hash-mismatches Spark's int64 in the driver"
+        )
+        assert "[]" not in t and not t.startswith(("STRUCT", "MAP", "UNION")), (
+            f"{name}: oracle emits nested type {t}; encode as a flat string "
+            "(the embedding_centroids convention) for driver hash stability"
+        )
+
+
+def test_type_gate_rejects_hugeint():
+    """The gate itself must fail on a deliberately-HUGEINT oracle."""
+    con = duckdb.connect()
+    with pytest.raises(AssertionError, match="HUGEINT"):
+        assert_driver_safe_types(con, "SELECT sum(i) AS s FROM range(10) t(i)", "demo")
+    with pytest.raises(AssertionError, match="nested"):
+        assert_driver_safe_types(con, "SELECT [1, 2] AS a", "demo")
+    # and pass on the CAST-disciplined form
+    assert_driver_safe_types(
+        con, "SELECT CAST(sum(i) AS BIGINT) AS s FROM range(10) t(i)", "demo"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     q = QUERIES[name]
@@ -58,6 +92,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
         return
 
     con = duck_con(sf_dir)
+    assert_driver_safe_types(con, q.oracle, name)
     res = con.execute(q.oracle)
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()
