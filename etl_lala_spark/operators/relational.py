@@ -381,10 +381,14 @@ def merge_changelog(
     degenerate whole-partition form of this per-key merge).
 
     Semantics: per key, the changelog row with the highest ``seq_col`` wins
-    ('latest wins'); a winning op of ``'D'`` removes the key, any other op
-    replaces the base row with the changelog payload; base rows without
-    changelog entries pass through. Payload columns are taken positionally
-    from the base schema (minus seq/op).
+    ('latest wins'); ties on ``seq_col`` — common inside a single source
+    transaction — break deterministically by the lexicographically greatest
+    ``(op, payload)`` (so the same feed always yields the same snapshot; a
+    'U' beats a 'D' at equal seq since 'U' > 'D'). A winning op of ``'D'``
+    removes the key, any other op — including NULL — replaces the base row
+    with the changelog payload; base rows without changelog entries pass
+    through. Payload columns are taken positionally from the base schema
+    (minus seq/op).
 
     Scale: the latest-wins reduction is ONE shuffle of the changelog on the
     key (a max_by struct agg — partial map-side, never a row_number sort),
@@ -395,13 +399,21 @@ def merge_changelog(
     """
     payload = [c for c in base.columns if c != key]
     # max_by over a (seq, payload-struct): one hash agg replaces the
-    # window-sort form (same shuffle, no per-partition sort buffer).
-    winner = changelog.groupBy(key).agg(
-        F.max_by(
-            F.struct(F.col(op_col).alias("__op"), *payload), F.col(seq_col)
-        ).alias("w")
+    # window-sort form (same shuffle, no per-partition sort buffer). The
+    # ordering key is a struct so equal seqs compare on (op, payload) —
+    # Spark's max_by alone gives no tie guarantee.
+    ord_key = F.struct(
+        F.col(seq_col).alias("__seq"),
+        F.col(op_col).alias("__tie_op"),
+        *[F.col(c).alias(f"__tie_{c}") for c in payload],
     )
-    survivors = winner.filter(F.col("w.__op") != "D").select(
+    winner = changelog.groupBy(key).agg(
+        F.max_by(F.struct(F.col(op_col).alias("__op"), *payload), ord_key).alias("w")
+    )
+    # eqNullSafe: a NULL op must not silently delete (plain != is NULL on
+    # NULL input, which would drop the row from survivors after the
+    # anti-join already removed its base row).
+    survivors = winner.filter(~F.col("w.__op").eqNullSafe("D")).select(
         key, *[F.col(f"w.{c}").alias(c) for c in payload]
     )
     untouched = base.join(winner.select(key), key, "left_anti")

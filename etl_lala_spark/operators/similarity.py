@@ -17,6 +17,7 @@ import math
 
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -767,6 +768,12 @@ def pq_train(
     centroids are a deterministic hash-ordered sample; no RNG anywhere, so
     codebooks are reproducible and resumable.
     """
+    if dim % m != 0:
+        raise ValueError(
+            f"pq_train: dim={dim} is not divisible by m={m}; the contiguous "
+            "subvector split would silently drop the trailing "
+            f"{dim % m} dimensions (pad the vectors or pick m | dim)"
+        )
     dsub = dim // m
     spark = corpus.sparkSession
     dvec = F.transform(F.col(vec_col), lambda a: a.cast("double"))
@@ -910,8 +917,20 @@ def pq_adc_topk(
         ]
         qn = math.sqrt(sum(x * x for x in qv))
         qdata.append((r["qid"], lut, qn))
+    # query_id keeps the caller's id type (string doc ids included) so the
+    # self-pair filter compares like with like, as in brute_force_topk.
+    qid_type = queries.schema[id_col].dataType
     qdf = spark.createDataFrame(
-        qdata, schema="query_id long, lut array<array<double>>, q_n double"
+        qdata,
+        schema=T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField(
+                    "lut", T.ArrayType(T.ArrayType(T.DoubleType()))
+                ),
+                T.StructField("q_n", T.DoubleType()),
+            ]
+        ),
     )
     num = F.expr(
         "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), 0D, "

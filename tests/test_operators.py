@@ -775,3 +775,55 @@ def test_merge_changelog_latest_wins(spark):
         for r in merge_changelog(base, log, key="k").collect()
     }
     assert got == {(1, "a"), (2, "b2"), (4, "d"), (5, "e2")}
+
+
+def test_merge_changelog_null_op_and_seq_ties(spark):
+    """A NULL op must replace (not silently delete), and equal seqs must
+    break deterministically by lexicographically greatest (op, payload):
+    at equal seq 'U' > 'D' so the upsert survives."""
+    from etl_lala_spark.operators.relational import merge_changelog
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    log = spark.createDataFrame(
+        [
+            (1, 1, None, "a2"),  # NULL op: treated as upsert, not delete
+            (2, 7, "D", "x"),    # tie on seq: 'U' > 'D' lexicographically
+            (2, 7, "U", "b2"),
+            (3, 5, "U", "c1"),   # tie on (seq, op): larger payload wins
+            (3, 5, "U", "c2"),
+        ],
+        "k int, seq int, op string, v string",
+    )
+    expect = {(1, "a2"), (2, "b2"), (3, "c2")}
+    for _ in range(3):  # deterministic across repeated evaluations
+        got = {
+            (r["k"], r["v"])
+            for r in merge_changelog(base, log, key="k").collect()
+        }
+        assert got == expect
+
+
+def test_pq_train_rejects_indivisible_dim():
+    import pytest as _pytest
+
+    # raises before touching the corpus, so no DataFrame is needed
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.pq_train(None, dim=65, m=8)
+
+
+def test_pq_adc_topk_preserves_string_ids(spark):
+    """pq_adc_topk must carry a non-bigint id type through the LUT frame so
+    the self-pair filter compares like with like."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"doc-{i}", [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    books = sim.pq_train(df, dim=8, m=2, ksub=4, iters=1)
+    enc = sim.pq_encode(df, books)
+    queries = df.limit(3)
+    out = sim.pq_adc_topk(enc, queries, books, k=3).collect()
+    assert out and all(isinstance(r["query_id"], str) for r in out)
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
