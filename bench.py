@@ -65,6 +65,8 @@ HEADLINE = [
     "ann_cosine_pq",
     "cdc_merge_apply",
     "curate_importance_resampling",
+    # round 4: IVFADC — PQ scoring restricted to probed IVF cells
+    "ann_cosine_ivfpq",
 ]
 
 

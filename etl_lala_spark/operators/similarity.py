@@ -841,15 +841,19 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Encode vectors to PQ codes: ``(id, codes array<int>, recon_n)`` where
-    ``recon_n`` is the reconstructed vector's L2 norm (a per-row constant
-    under the codebook, materialized once so query-time cosine is pure
-    lookup arithmetic). One narrow scan, zero shuffle; the codebook rides a
-    one-row broadcast. At 100 TB the encoded table is what gets persisted —
-    64× smaller than the float corpus, scanned instead of it by every query."""
+    """Encode vectors to PQ codes: ``(id, *keep_cols, codes array<int>,
+    recon_n)`` where ``recon_n`` is the reconstructed vector's L2 norm (a
+    per-row constant under the codebook, materialized once so query-time
+    cosine is pure lookup arithmetic). One narrow scan, zero shuffle; the
+    codebook rides a one-row broadcast. ``keep_cols`` carries extra columns
+    (e.g. an IVF cell id) through the encode in the SAME pass. At 100 TB
+    the encoded table is what gets persisted — 64× smaller than the float
+    corpus, scanned instead of it by every query."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
+    keep = list(keep_cols or [])
     spark = df.sparkSession
     cb = spark.createDataFrame([(codebooks,)], schema="cb array<array<array<double>>>")
     dvec = F.transform(F.col(vec_col), lambda a: a.cast("double"))
@@ -860,9 +864,10 @@ def pq_encode(
     )
     with_ds = (
         df.crossJoin(F.broadcast(cb))
-        .select(F.col(id_col), subs.alias("subs"), "cb")
+        .select(F.col(id_col), *keep, subs.alias("subs"), "cb")
         .select(
             id_col,
+            *keep,
             "cb",
             F.expr(
                 f"zip_with(subs, cb, (sv, cands) -> transform(cands, c -> {sq}))"
@@ -872,13 +877,56 @@ def pq_encode(
     codes = F.expr(
         "transform(ds_all, ds -> cast(array_position(ds, array_min(ds)) - 1 as int))"
     )
-    enc = with_ds.select(id_col, codes.alias("codes"), "cb")
+    enc = with_ds.select(id_col, *keep, codes.alias("codes"), "cb")
     recon2 = F.expr(
         "aggregate(zip_with(cb, codes, (bk, code) -> "
         "aggregate(element_at(bk, code + 1), 0D, (acc, v) -> acc + v * v)), "
         "0D, (acc, v) -> acc + v)"
     )
-    return enc.select(id_col, "codes", F.sqrt(recon2).alias("recon_n"))
+    return enc.select(id_col, *keep, "codes", F.sqrt(recon2).alias("recon_n"))
+
+
+def _pq_query_luts(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup tables ``(query_id, lut m×ksub, q_n)`` computed
+    driver-side (the query set is small by contract): lut[j][c] =
+    dot(q_sub_j, codebook[j][c]). Shared by exhaustive ADC and IVFADC."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = queries.sparkSession
+    qrows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.transform(F.col(vec_col), lambda a: a.cast("double")).alias("qv"),
+    ).collect()
+    qdata = []
+    for r in qrows:
+        qv = r["qv"]
+        lut = [
+            [
+                sum(qv[j * dsub + i] * c[i] for i in range(dsub))
+                for c in codebooks[j]
+            ]
+            for j in range(m)
+        ]
+        qn = math.sqrt(sum(x * x for x in qv))
+        qdata.append((r["qid"], lut, qn))
+    # query_id keeps the caller's id type (string doc ids included) so the
+    # self-pair filter compares like with like, as in brute_force_topk.
+    qid_type = queries.schema[id_col].dataType
+    return spark.createDataFrame(
+        qdata,
+        schema=T.StructType(
+            [
+                T.StructField("query_id", qid_type),
+                T.StructField("lut", T.ArrayType(T.ArrayType(T.DoubleType()))),
+                T.StructField("q_n", T.DoubleType()),
+            ]
+        ),
+    )
 
 
 def pq_adc_topk(
@@ -898,46 +946,102 @@ def pq_adc_topk(
     Σ lut[j][code_j] / (|q| · recon_n). Broadcast of queries+LUTs means the
     encoded corpus never shuffles. Ties break on neighbor id after
     rounding; self-pairs are excluded, mirroring ``brute_force_topk``."""
-    m = len(codebooks)
-    spark = encoded.sparkSession
-    qrows = queries.select(
-        F.col(id_col).alias("qid"),
-        F.transform(F.col(vec_col), lambda a: a.cast("double")).alias("qv"),
-    ).collect()
-    dsub = len(codebooks[0][0])
-    qdata = []
-    for r in qrows:
-        qv = r["qv"]
-        lut = [
-            [
-                sum(qv[j * dsub + i] * c[i] for i in range(dsub))
-                for c in codebooks[j]
-            ]
-            for j in range(m)
-        ]
-        qn = math.sqrt(sum(x * x for x in qv))
-        qdata.append((r["qid"], lut, qn))
-    # query_id keeps the caller's id type (string doc ids included) so the
-    # self-pair filter compares like with like, as in brute_force_topk.
-    qid_type = queries.schema[id_col].dataType
-    qdf = spark.createDataFrame(
-        qdata,
-        schema=T.StructType(
-            [
-                T.StructField("query_id", qid_type),
-                T.StructField(
-                    "lut", T.ArrayType(T.ArrayType(T.DoubleType()))
-                ),
-                T.StructField("q_n", T.DoubleType()),
-            ]
-        ),
-    )
+    qdf = _pq_query_luts(queries, codebooks, id_col, vec_col)
     num = F.expr(
         "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), 0D, "
         "(acc, v) -> acc + v)"
     )
     scored = (
         encoded.crossJoin(F.broadcast(qdf))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(num / (F.col("q_n") * F.col("recon_n")), round_digits).alias(
+                "adc_sim"
+            ),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVFADC index (Jégou et al., TPAMI 2011, §IV): coarse-assign
+    every corpus vector to its nearest IVF cell AND PQ-encode it in the SAME
+    single pass — returns ``(index_df, ivf_codebook_df)`` where index_df is
+    ``(id, cell, codes, recon_n)``.
+
+    Scale: zero shuffle — cell argmax and code selection are both per-row
+    maps over broadcast codebooks, so the one corpus scan pipelines straight
+    into the (cell-partitioned, 64×-compressed) index write. At 100 TB the
+    index is persisted ``partitionBy("cell")``; queries then touch only
+    their probed cells' files (partition pruning), never the float corpus.
+
+    This variant quantizes raw vectors (codebooks shared with exhaustive
+    ADC, so one trained model serves both paths); classic residual encoding
+    (quantize v − centroid[cell]) is the refinement step documented in
+    SCALE.md — it needs per-cell codebooks but tightens recall at equal m.
+    """
+    from etl_lala_spark.io import spread
+
+    cb = ivf_codebook(
+        corpus,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_stride=centroid_stride,
+    )
+    assigned = ivf_assign(
+        spread(corpus, by=id_col), cb, 1, id_col=id_col, vec_col=vec_col
+    )
+    index = pq_encode(
+        assigned, codebooks, id_col=id_col, vec_col=vec_col, keep_cols=["cell"]
+    )
+    return index, cb
+
+
+def ivfpq_topk(
+    index: DataFrame,
+    ivf_cb: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVFADC query: route each query to its ``nprobe`` nearest IVF cells,
+    then score ONLY those cells' PQ codes by asymmetric distance (per-query
+    m×ksub lookup tables, broadcast). The honest 100 TB ANN path: query cost
+    is ≈ (nprobe / n_cells) × N table lookups over the compressed code
+    column — the float corpus is never read at query time, and with the
+    index partitioned by cell the probe join becomes partition-pruned file
+    access. Exhaustive ADC (``pq_adc_topk``) remains the verify stage.
+    Returns (query_id, neighbor_id, adc_sim, rank)."""
+    probes = ivf_assign(
+        queries, ivf_cb, nprobe, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("query_id"), "cell")
+    luts = _pq_query_luts(queries, codebooks, id_col, vec_col)
+    # (query × probed-cell) routing table: nprobe rows per query, tiny —
+    # joined driver-free via broadcast; the index side never shuffles.
+    routed = F.broadcast(probes.join(luts, "query_id"))
+    num = F.expr(
+        "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    scored = (
+        index.join(routed, "cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",

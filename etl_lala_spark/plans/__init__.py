@@ -42,6 +42,7 @@ _PLAN_MODULES = (
     "etl_lala_spark.plans.llm_similarity",
     "etl_lala_spark.plans.multimodal",
     "etl_lala_spark.plans.audits",
+    "etl_lala_spark.plans.stream_twins",
 )
 
 

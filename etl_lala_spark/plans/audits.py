@@ -174,6 +174,62 @@ def audit_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_ORACLE = """
+SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0) AS BIGINT)
+         AS n_queries,
+       CAST((SELECT count(*) FROM embeddings) AS BIGINT) AS n_indexed,
+       5 AS k, 1 AS cells_ok, 1 AS codes_ok, 1 AS recall_ok
+"""
+
+
+@register("audit_ann_ivfpq", oracle=_IVFPQ_ORACLE)
+def audit_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``ann_cosine_ivfpq`` (rows-only there).
+
+    ``n_indexed``: the one-pass IVF+PQ index has exactly one row per corpus
+    vector (each vector lives in exactly one cell). ``cells_ok`` /
+    ``codes_ok``: cell ids in [0, 16) and all m codes in [0, ksub).
+    ``recall_ok``: IVFADC top-5 pair recall vs exact brute-force ≥ 0.05 — a
+    deliberately conservative floor since IVFADC compounds the coarse-cell
+    miss rate with ADC score distortion (measured ≈0.15 on the isotropic
+    synthetic corpus; pytest pins ≥0.08)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
+    index, ivf_cb = sim.ivfpq_index(emb, books, n_cells=16)
+    index = index.cache()
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    approx = sim.ivfpq_topk(index, ivf_cb, queries, books, k=5, nprobe=4)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    idx_stats = index.agg(
+        F.count("*").alias("n_indexed"),
+        F.sum(
+            ((F.col("cell") < 0) | (F.col("cell") >= 16)).cast("long")
+        ).alias("n_bad_cells"),
+        F.sum(
+            F.expr("exists(codes, c -> c < 0 or c >= 16)").cast("long")
+        ).alias("n_bad_codes"),
+    )
+    return (
+        queries.agg(F.count("*").alias("n_queries"))
+        .crossJoin(idx_stats)
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_queries",
+            "n_indexed",
+            F.lit(5).alias("k"),
+            _flag(F.col("n_bad_cells") == 0).alias("cells_ok"),
+            _flag(F.col("n_bad_codes") == 0).alias("codes_ok"),
+            _flag(F.col("n_hit") >= 0.05 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # k-means Lloyd invariants (audits semantic_kmeans_clusters)
 # ---------------------------------------------------------------------------

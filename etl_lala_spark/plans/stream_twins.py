@@ -1,0 +1,171 @@
+"""Streaming operators driven through the driver's batch-oracle gate.
+
+The stateful streaming surface (reference T1-T4/T6; SURVEY §2.9) is
+pytest-only by nature — a running stream has no DuckDB oracle. These twins
+close that gap the way the r3 verdict prescribed: each registered query RUNS
+the real Structured Streaming operator (``sinks.writer.stream_scd2`` /
+``maintain_summary`` — foreachBatch merges, availableNow triggers, atomic
+table swaps, replay guards) over a deterministic file-source stream derived
+from the driver's own parquet tables, then returns the FINAL on-disk state,
+which ANSI SQL over the same inputs can predict exactly. A green driver row
+here certifies the streaming merge semantics end-to-end, not a batch
+re-implementation.
+
+Reference behavior twinned: the competência reprocessing loop's
+delete-then-reinsert (src/datasus/datasus.service.ts:15-39) is the
+whole-partition form of the per-key versioned merge; the run summary
+(src/scripts/run-etl.ts:26-54) is the incremental aggregate.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_events, load_table
+from etl_lala_spark.plans import register
+
+_SCD2_ORACLE = """
+WITH c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(CASE WHEN c_custkey % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_moved
+  FROM customer
+)
+SELECT CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to_filled AS BIGINT) AS valid_to_filled,
+       is_current,
+       n_rows
+FROM (
+  SELECT 1 AS valid_from, -1 AS valid_to_filled, TRUE AS is_current,
+         n_total - n_moved AS n_rows FROM c
+  UNION ALL
+  SELECT 1, 2, FALSE, n_moved FROM c
+  UNION ALL
+  SELECT 2, -1, TRUE, n_moved FROM c
+)
+WHERE n_rows > 0
+ORDER BY valid_from, valid_to_filled
+"""
+
+
+@register("stream_twin_scd2_final", oracle=_SCD2_ORACLE)
+def stream_twin_scd2_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD2 final-state twin: run ``stream_scd2`` (the real
+    foreachBatch merge-and-swap sink) over two sequential availableNow
+    update streams built from the customer table — batch 1 loads every
+    customer's market segment, batch 2 re-delivers every 5th customer with
+    every 10th customer's segment changed (so half of batch 2 is a
+    pass-through no-op, exercising the unchanged-row path). The final
+    history must hold exactly: one open v1 row per never-changed key, and a
+    closed v1 + open v2 pair per changed key — which the oracle derives in
+    closed form from customer. Version counts are summarized by
+    (valid_from, valid_to, is_current); -1 encodes the open (NULL) end."""
+    from etl_lala_spark.sinks import writer as w
+
+    work = tempfile.mkdtemp(prefix="scd2twin_")
+    try:
+        cust = load_table(spark, sf_dir, "customer")
+        b1 = cust.select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(1).cast("long").alias("effective_batch"),
+        )
+        b2 = (
+            cust.filter(F.col("c_custkey") % 5 == 0)
+            .select(
+                F.col("c_custkey").alias("k"),
+                F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED"))
+                .otherwise(F.col("c_mktsegment"))
+                .alias("seg"),
+                F.lit(2).cast("long").alias("effective_batch"),
+            )
+        )
+        table = os.path.join(work, "dim")
+
+        def run(df: DataFrame, src: str) -> None:
+            df.coalesce(1).write.mode("overwrite").parquet(src)
+            stream = spark.readStream.schema(df.schema).parquet(src)
+            q = w.stream_scd2(stream, table, key="k", tracked=["seg"])
+            q.awaitTermination(300)
+            q.stop()
+
+        run(b1, os.path.join(work, "src1"))
+        run(b2, os.path.join(work, "src2"))
+
+        final = spark.read.parquet(table)
+        out = (
+            final.groupBy(
+                F.col("valid_from"),
+                F.coalesce(F.col("valid_to"), F.lit(-1).cast("long")).alias(
+                    "valid_to_filled"
+                ),
+                F.col("is_current"),
+            )
+            .agg(F.count("*").alias("n_rows"))
+            .orderBy("valid_from", "valid_to_filled")
+        )
+        # The streamed table is gone after cleanup; materialize the summary
+        # (3 rows) before the temp dir is removed.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_MV_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 2) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("stream_twin_running_summary", oracle=_MV_ORACLE)
+def stream_twin_running_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view twin: stream the events table file by
+    file (``maxFilesPerTrigger=1`` — four micro-batches) through
+    ``maintain_summary``'s delta-merge sink, then read the final summary
+    table. The invariant a green row certifies: incrementally folded
+    (count, sum) deltas equal the one-shot batch aggregate the oracle
+    computes — i.e. the MV maintenance is exactly-once under the replay
+    guard. Sums are rounded to 2 decimals on both sides (the established
+    float discipline; merge order differs between engines)."""
+    from etl_lala_spark.sinks import writer as w
+    from etl_lala_spark.streaming import windows as sw
+
+    work = tempfile.mkdtemp(prefix="mvtwin_")
+    try:
+        src = os.path.join(work, "src")
+        summary = os.path.join(work, "summary")
+        ev = load_events(spark, sf_dir).select("event_type", "value")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = w.maintain_summary(
+            stream, summary, keys=["event_type"], value_col="value"
+        )
+        q.awaitTermination(300)
+        q.stop()
+        out = (
+            spark.read.parquet(summary)
+            .select(
+                "event_type",
+                "n_rows",
+                F.round(F.col("value_sum"), 2).alias("value_sum"),
+            )
+            .orderBy("event_type")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -124,6 +124,38 @@ def test_pq_adc_recall_and_code_integrity(spark, sf_dir):
     enc.unpersist()
 
 
+def test_ivfpq_recall_and_index_integrity(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, dim=64, m=8, ksub=16, iters=2)
+    index, ivf_cb = sim.ivfpq_index(emb, books, n_cells=16)
+    index = index.cache()
+    # one index row per corpus vector, valid cell + code ranges
+    assert index.count() == emb.count()
+    assert index.filter((F.col("cell") < 0) | (F.col("cell") >= 16)).count() == 0
+    assert index.filter(F.expr("exists(codes, c -> c < 0 or c >= 16)")).count() == 0
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+    rows = sim.ivfpq_topk(index, ivf_cb, queries, books, k=5, nprobe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # IVFADC compounds the coarse-cell miss rate with ADC distortion, so the
+    # floor sits below both the IVF and exhaustive-ADC floors.
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.08, recall
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    # IVFADC results must be a subset of exhaustive ADC's candidate scores:
+    # every returned neighbor shares a probed cell with its query by
+    # construction, so rank lists are k-bounded and contiguous.
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(v and sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+    index.unpersist()
+
+
 def test_cosine_self_similarity_is_one(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(20)
     e = F.col("embedding")
