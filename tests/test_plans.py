@@ -443,3 +443,43 @@ def test_executed_plan_single_scan_ground_truth(spark, sf_dir):
         c = executed_scan_counts(df)
         assert c["scan"] == n_scans, (name, c)
         assert c["python_eval"] == 0, (name, c)
+
+
+def _headline_budget() -> dict:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "plan_scan_budget.json")
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def test_headline_scan_budget_holds(spark, sf_dir):
+    """Full-coverage executed-plan regression gate (r3 verdict item 8): for
+    EVERY bench headline query, the number of file scans that actually
+    re-run per evaluation — and the number of Python/Arrow eval nodes —
+    must match the snapshot plan_audit.py recorded
+    (tests/plan_scan_budget.json, regenerated with `python plan_audit.py`).
+    This is the net that holds the single-scan rewrites (7→3 CDC, 3→2
+    DSIR, single-scan sweep-line events) and the zero-Python-in-hot-path
+    discipline against silent refactor regressions."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    from bench import HEADLINE
+    from plan_audit import executed_scan_counts
+
+    budget = _headline_budget()
+    assert set(HEADLINE) <= set(budget), (
+        "regenerate tests/plan_scan_budget.json: `python plan_audit.py`"
+    )
+    fns = query_fns()
+    failures = []
+    for name in HEADLINE:
+        df = fns[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        c = executed_scan_counts(df)
+        spark.catalog.clearCache()
+        want = budget[name]
+        if c["scan"] > want["scan"] or c["python_eval"] > want["python_eval"]:
+            failures.append((name, {k: c[k] for k in ("scan", "python_eval")}, want))
+    assert not failures, failures
