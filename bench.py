@@ -67,6 +67,9 @@ HEADLINE = [
     "curate_importance_resampling",
     # round 4: IVFADC — PQ scoring restricted to probed IVF cells
     "ann_cosine_ivfpq",
+    # round 4: TPC-H shapes measured at the true partsupp grain (4/part)
+    "q11_true_grain",
+    "q16_true_grain",
 ]
 
 

@@ -1150,3 +1150,160 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
     )
     return triangle_stats(edges)
+
+
+# --- True-grain partsupp (r3 verdict item 7) --------------------------------
+#
+# The driver testdata ships no partsupp table, so Q2/Q11/Q16/Q20 run over the
+# lineitem-derived relation above. The testdata dirs are read-only for the
+# repo, so a parquet partsupp cannot be generated there; instead this
+# synthesizes the TRUE TPC-H grain in-plan — exactly 4 suppliers per part via
+# the dbgen supplier-assignment formula (TPC-H spec §4.2.3:
+# ps_suppkey = (p + i·(S/4 + (p−1)/S)) mod S + 1, i ∈ 0..3) with
+# deterministic integer-arithmetic availqty/supplycost. The identical
+# expression runs as the DuckDB oracle CTE, so the true-grain variants are
+# driver-verifiable. Cost shape at 100 TB: a 4× narrow fan-out of the part
+# dimension (explode, zero shuffle) — partsupp is dimension-sized, never
+# fact-sized, exactly like real TPC-H.
+
+_TRUE_PARTSUPP_SQL = """
+  SELECT p.p_partkey AS ps_partkey,
+         ((p.p_partkey + i.i * (CAST(floor(s.s_cnt / 4.0) AS BIGINT)
+             + CAST(floor((p.p_partkey - 1) / CAST(s.s_cnt AS DOUBLE))
+                    AS BIGINT)))
+          % s.s_cnt) + 1 AS ps_suppkey,
+         ((p.p_partkey * 37 + i.i * 101) % 9999) + 1 AS ps_availqty,
+         CAST((p.p_partkey * 13 + i.i * 7) % 100000 AS DOUBLE) / 100.0 + 1.0
+           AS ps_supplycost
+  FROM part p
+  CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS s_cnt FROM supplier) s
+  CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+"""
+
+
+def _true_grain_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic partsupp at the true TPC-H grain (4 rows per part)."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    scnt = (
+        load_table(spark, sf_dir, "supplier")
+        .agg(F.count("*").cast("long").alias("s_cnt"))
+    )
+    fan = part.crossJoin(F.broadcast(scnt)).select(
+        "p_partkey",
+        "s_cnt",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(3).cast("long"))).alias(
+            "i"
+        ),
+    )
+    stride = F.floor(F.col("s_cnt") / 4.0).cast("long") + F.floor(
+        (F.col("p_partkey") - 1) / F.col("s_cnt").cast("double")
+    ).cast("long")
+    return fan.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        (((F.col("p_partkey") + F.col("i") * stride) % F.col("s_cnt")) + 1).alias(
+            "ps_suppkey"
+        ),
+        (((F.col("p_partkey") * 37 + F.col("i") * 101) % 9999) + 1).alias(
+            "ps_availqty"
+        ),
+        (
+            ((F.col("p_partkey") * 13 + F.col("i") * 7) % 100000).cast("double")
+            / 100.0
+            + 1.0
+        ).alias("ps_supplycost"),
+    )
+
+
+@register(
+    "q11_true_grain",
+    oracle=f"""
+WITH partsupp AS ({_TRUE_PARTSUPP_SQL}),
+natps AS (
+  SELECT ps.ps_partkey,
+         CAST(floor(ps.ps_supplycost * ps.ps_availqty * 1000 + 0.5) AS BIGINT)
+           AS value_mil
+  FROM partsupp ps
+  JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+)
+SELECT ps_partkey, CAST(sum(value_mil) AS BIGINT) AS value_mil
+FROM natps
+GROUP BY ps_partkey
+HAVING sum(value_mil) * 1000 > (SELECT sum(value_mil) FROM natps)
+ORDER BY value_mil DESC, ps_partkey
+""",
+)
+def q11_true_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 on the TRUE partsupp grain (4 suppliers per part via the dbgen
+    assignment formula) instead of the lineitem-observed pairs — same plan
+    shape as ``q11_important_stock`` (broadcast dims, integer-quantized
+    value sums, scalar-threshold broadcast), measured at the grain the
+    benchmark defines."""
+    ps = _true_grain_partsupp(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natps = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "ps_partkey",
+            F.floor(
+                F.col("ps_supplycost") * F.col("ps_availqty") * 1000 + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("value_mil"),
+        )
+    )
+    per_part = natps.groupBy("ps_partkey").agg(F.sum("value_mil").alias("value_mil"))
+    threshold = natps.agg(F.sum("value_mil").alias("total_mil"))
+    return (
+        per_part.join(F.broadcast(threshold))
+        .filter(F.col("value_mil") * 1000 > F.col("total_mil"))
+        .select("ps_partkey", "value_mil")
+        .orderBy(F.col("value_mil").desc(), "ps_partkey")
+    )
+
+
+@register(
+    "q16_true_grain",
+    oracle=f"""
+WITH partsupp AS ({_TRUE_PARTSUPP_SQL})
+SELECT p.p_brand, p.p_type, p.p_size,
+       count(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON p.p_partkey = ps.ps_partkey
+WHERE p.p_brand <> 'Brand#2'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+""",
+)
+def q16_true_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 on the TRUE partsupp grain — supplier counts per (brand, type,
+    size) reflect the fixed 4-suppliers-per-part assignment rather than
+    lineitem observation; same anti-join + distinct-count plan as
+    ``q16_parts_supplier_relationship``."""
+    ps = _true_grain_partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#2")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(F.broadcast(flagged), ps.ps_suppkey == flagged.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
