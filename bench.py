@@ -97,7 +97,11 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Min-of-5 by default since round 4: the r3 round burned a verdict cycle
+    # on steal-noise deltas that min-of-3 failed to filter (SCALE.md
+    # methodology note); 5 samples on this host reliably catch a quiet
+    # window per query.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     total = 0.0

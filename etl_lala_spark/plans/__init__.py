@@ -123,13 +123,13 @@ _DRIVER_WINDOW = [
     "graph_supplier_pagerank", "approx_aggs", "events_distinct_rollup_hll",
     # multimodal stragglers
     "multimodal_binary_stats", "multimodal_decode", "multimodal_frame_sample",
-    # new-in-r4: IVFADC composition + streaming batch-twin gates
+    # new-in-r4: IVFADC composition, streaming batch-twin gates, and the
+    # true-partsupp-grain TPC-H shapes
     "ann_cosine_ivfpq", "audit_ann_ivfpq",
     "stream_twin_scd2_final", "stream_twin_running_summary",
-    # high-value re-checks of earlier greens (flagship, heaviest join,
-    # incremental-sink semantics, exact dedup)
-    "q1_pricing_summary", "q9_product_profit", "datasus_incremental_insert",
-    "dedup_exact",
+    "q11_true_grain", "q16_true_grain",
+    # high-value re-checks of earlier greens (flagship + incremental sink)
+    "q1_pricing_summary", "datasus_incremental_insert",
 ]
 
 

@@ -889,7 +889,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = natps.groupBy("ps_partkey").agg(F.sum("value_mil").alias("value_mil"))
-    threshold = natps.agg(F.sum("value_mil").alias("total_mil"))
+    # Global total = sum of the per-part sums, so the threshold aggregates
+    # per_part's OWN shuffle output instead of re-evaluating natps — the two
+    # identical partial-agg subtrees dedupe into one ReusedExchange and the
+    # base relation is scanned once per evaluation, not twice.
+    threshold = per_part.agg(F.sum("value_mil").alias("total_mil"))
     return (
         per_part.join(F.broadcast(threshold))
         .filter(F.col("value_mil") * 1000 > F.col("total_mil"))
@@ -1255,7 +1259,11 @@ def q11_true_grain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_part = natps.groupBy("ps_partkey").agg(F.sum("value_mil").alias("value_mil"))
-    threshold = natps.agg(F.sum("value_mil").alias("total_mil"))
+    # Global total = sum of the per-part sums, so the threshold aggregates
+    # per_part's OWN shuffle output instead of re-evaluating natps — the two
+    # identical partial-agg subtrees dedupe into one ReusedExchange and the
+    # base relation is scanned once per evaluation, not twice.
+    threshold = per_part.agg(F.sum("value_mil").alias("total_mil"))
     return (
         per_part.join(F.broadcast(threshold))
         .filter(F.col("value_mil") * 1000 > F.col("total_mil"))

@@ -476,7 +476,9 @@ def test_headline_scan_budget_holds(spark, sf_dir):
     failures = []
     for name in HEADLINE:
         df = fns[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        # collect() finalizes df's OWN adaptive plan (a noop write executes
+        # a separate QueryExecution, hiding runtime exchange reuse)
+        df.collect()
         c = executed_scan_counts(df)
         spark.catalog.clearCache()
         want = budget[name]
