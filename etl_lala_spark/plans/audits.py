@@ -248,7 +248,7 @@ def audit_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audit for ``semantic_kmeans_clusters``: every point assigned exactly
     once, cell count within k, cosine-to-centroid inside [-1, 1]."""
     emb = load_table(spark, sf_dir, "embeddings")
-    asg = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2)
+    asg = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2, train_sample_mod=4)
     return (
         emb.agg(F.count("*").alias("n_points"))
         .crossJoin(
@@ -389,7 +389,9 @@ def audit_semdedup_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 100000
     )
     corpus = base.unionByName(dups)
-    assigned = sim.kmeans_fit(corpus, dim=DIM, k=16, iters=2).select("vec_id", "cell")
+    assigned = sim.kmeans_fit(
+        corpus, dim=DIM, k=16, iters=2, train_sample_mod=4
+    ).select("vec_id", "cell")
     blocked = corpus.join(assigned, "vec_id")
     pairs = sim.cosine_near_dup_pairs(blocked, threshold=0.97, block_col="cell")
     planted = base.filter(F.col("vec_id") % 50 == 0).select(

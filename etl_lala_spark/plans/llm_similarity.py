@@ -266,7 +266,7 @@ def semantic_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     — vectors themselves never shuffle, so iteration cost is O(scan), not
     O(shuffle of 100 TB)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2)
+    assigned = sim.kmeans_fit(emb, dim=DIM, k=8, iters=2, train_sample_mod=4)
     labeled = assigned.join(emb.select("vec_id", "label"), "vec_id")
     per_cell = labeled.groupBy("cell").agg(
         F.count("*").alias("n_members"),
@@ -316,7 +316,9 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("vec_id") + 100000
     )
     emb = base.unionByName(dups)
-    assigned = sim.kmeans_fit(emb, dim=DIM, k=16, iters=2).select("vec_id", "cell")
+    assigned = sim.kmeans_fit(
+        emb, dim=DIM, k=16, iters=2, train_sample_mod=4
+    ).select("vec_id", "cell")
     blocked = emb.join(assigned, "vec_id")
     pairs = sim.cosine_near_dup_pairs(
         blocked, threshold=0.97, block_col="cell"
