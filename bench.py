@@ -65,8 +65,10 @@ HEADLINE = [
     "ann_cosine_pq",
     "cdc_merge_apply",
     "curate_importance_resampling",
-    # round 4: IVFADC — PQ scoring restricted to probed IVF cells
+    # round 4: IVFADC — PQ scoring restricted to probed IVF cells (raw +
+    # residual-encoded variants)
     "ann_cosine_ivfpq",
+    "ann_cosine_ivfpq_residual",
     # round 4: TPC-H shapes measured at the true partsupp grain (4/part)
     "q11_true_grain",
     "q16_true_grain",

@@ -1079,3 +1079,164 @@ def ivfpq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivfpq_residual_index(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    train_sample_mod: int | None = None,
+) -> tuple[DataFrame, DataFrame, list[list[list[float]]]]:
+    """Residual-encoded IVFADC index (Jégou et al., TPAMI 2011, §IV-A —
+    "encoding the residual vector instead of the vector itself"): each
+    corpus vector is coarse-assigned to a cell, then the PQ codebooks are
+    trained on — and the codes quantize — the RESIDUAL ``v − c(cell)``.
+    Residuals concentrate near the origin (their norm is the within-cell
+    spread, not the full vector norm), so the same m×ksub code budget
+    spends its resolution on a tighter distribution — lower quantization
+    error, higher recall at identical compression than raw-vector PQ.
+
+    Returns ``(index_df, ivf_codebook_df, pq_codebooks)`` with index rows
+    ``(id, cell, codes, recon_n)`` where ``recon_n = |c(cell) + recon(r)|``
+    — the reconstructed-vector norm needed by cosine ADC.
+
+    Scale: the assigned+residual frame is materialized once (``.cache()``
+    here; persisted as the index-build staging table at 100 TB) and feeds
+    codebook training (``iters`` sample-bounded scans when
+    ``train_sample_mod`` is set) and the single encode pass. Query cost is
+    unchanged vs raw IVFADC — same broadcast LUT lookups — plus one
+    per-(query, cell) ``dot(q, c)`` term computed on the nprobe-row routing
+    table.
+    """
+    cb = ivf_codebook(
+        corpus,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_stride=centroid_stride,
+    )
+    from etl_lala_spark.io import spread
+
+    assigned = ivf_assign(
+        spread(corpus, by=id_col), cb, 1, id_col=id_col, vec_col=vec_col
+    )
+    # Residual r = v − c(cell); centroid lookup by cell id from the one-row
+    # broadcast codebook (collect_list order is arbitrary → map lookup).
+    cmap = (
+        "map_from_arrays(transform(cells, x -> x.cell), "
+        "transform(cells, x -> x.cvec))"
+    )
+    resid = (
+        assigned.crossJoin(F.broadcast(cb))
+        .select(
+            F.col(id_col),
+            "cell",
+            F.expr(
+                f"zip_with({vec_col}, element_at({cmap}, cell), "
+                f"(a, b) -> cast(a as double) - b)"
+            ).alias("rvec"),
+            F.expr(f"element_at({cmap}, cell)").alias("cvec"),
+        )
+        .cache()
+    )
+    books = pq_train(
+        resid,
+        dim=dim,
+        m=m,
+        ksub=ksub,
+        iters=iters,
+        id_col=id_col,
+        vec_col="rvec",
+        train_sample_mod=train_sample_mod,
+    )
+    # Encode residual codes; recon_n must be |c + recon(r)|, so recompute it
+    # here from the row's own centroid instead of pq_encode's |recon(r)|.
+    enc = pq_encode(
+        resid, books, id_col=id_col, vec_col="rvec", keep_cols=["cell", "cvec"]
+    )
+    spark = corpus.sparkSession
+    cbdf = spark.createDataFrame([(books,)], schema="cb array<array<array<double>>>")
+    recon_full = (
+        "zip_with(cvec, flatten(zip_with(cb, codes, "
+        "(bk, code) -> element_at(bk, code + 1))), (c, r) -> c + r)"
+    )
+    index = (
+        enc.drop("recon_n")
+        .crossJoin(F.broadcast(cbdf))
+        .select(
+            F.col(id_col),
+            "cell",
+            "codes",
+            F.sqrt(
+                F.expr(
+                    f"aggregate({recon_full}, 0D, (acc, v) -> acc + v * v)"
+                )
+            ).alias("recon_n"),
+        )
+    )
+    return index, cb, books
+
+
+def ivfpq_residual_topk(
+    index: DataFrame,
+    ivf_cb: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Query the residual IVFADC index: approximate
+    ``dot(q, v) ≈ dot(q, c(cell)) + Σ_j lut[j][code_j]`` where the LUT is
+    ``dot(q_sub, residual-codebook centroid)`` — the cell term rides the
+    (query × probed cell) routing table (nprobe rows per query, broadcast),
+    the residual term is the same m-lookup sum as raw ADC. Cosine divides
+    by ``|q| · |c + recon(r)|`` (stored per row at encode). The corpus-side
+    cost is identical to raw IVFADC: probed cells' code column only."""
+    cmap = (
+        "map_from_arrays(transform(cells, x -> x.cell), "
+        "transform(cells, x -> x.cvec))"
+    )
+    probes = (
+        ivf_assign(queries, ivf_cb, nprobe, id_col=id_col, vec_col=vec_col)
+        .crossJoin(F.broadcast(ivf_cb))
+        .select(
+            F.col(id_col).alias("query_id"),
+            "cell",
+            F.expr(
+                f"aggregate(zip_with({vec_col}, element_at({cmap}, cell), "
+                f"(a, b) -> cast(a as double) * b), 0D, (acc, v) -> acc + v)"
+            ).alias("q_dot_cent"),
+        )
+    )
+    luts = _pq_query_luts(queries, codebooks, id_col, vec_col)
+    routed = F.broadcast(probes.join(luts, "query_id"))
+    resid_dot = F.expr(
+        "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), 0D, "
+        "(acc, v) -> acc + v)"
+    )
+    scored = (
+        index.join(routed, "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(
+                (F.col("q_dot_cent") + resid_dot)
+                / (F.col("q_n") * F.col("recon_n")),
+                round_digits,
+            ).alias("adc_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -123,13 +123,14 @@ _DRIVER_WINDOW = [
     "graph_supplier_pagerank", "approx_aggs", "events_distinct_rollup_hll",
     # multimodal stragglers
     "multimodal_binary_stats", "multimodal_decode", "multimodal_frame_sample",
-    # new-in-r4: IVFADC composition, streaming batch-twin gates, and the
-    # true-partsupp-grain TPC-H shapes
+    # new-in-r4: IVFADC composition (raw + residual encoding), streaming
+    # batch-twin gates, and the true-partsupp-grain TPC-H shapes — these
+    # fill the window exactly, so every registered query has a driver row
+    # after this round.
     "ann_cosine_ivfpq", "audit_ann_ivfpq",
+    "ann_cosine_ivfpq_residual", "audit_ann_ivfpq_residual",
     "stream_twin_scd2_final", "stream_twin_running_summary",
     "q11_true_grain", "q16_true_grain",
-    # high-value re-checks of earlier greens (flagship + incremental sink)
-    "q1_pricing_summary", "datasus_incremental_insert",
 ]
 
 
