@@ -418,3 +418,71 @@ def merge_changelog(
     )
     untouched = base.join(winner.select(key), key, "left_anti")
     return untouched.unionByName(survivors)
+
+
+def drift_psi(
+    df: DataFrame,
+    value_col: str,
+    split_pred: Column,
+    n_buckets: int = 10,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Population-stability-index drift between two slices of one table —
+    the standard distribution monitor a continuously-loaded warehouse (the
+    reference reprocesses each month's slice: src/datasus/datasus.service.ts:15-39)
+    or a training-data pipeline runs between snapshots/months.
+
+    ``split_pred`` marks the BASE population (e.g. ``l_shipdate < D``);
+    everything else is CURRENT. The value range is fixed from the base
+    slice's min/max, split into ``n_buckets`` equal-width buckets (explicit
+    floor arithmetic, reproducible on any engine — no quantile estimation),
+    out-of-range current values clamp to the edge buckets. PSI per bucket =
+    (p − q)·ln((p+ε)/(q+ε)); Σ over buckets ≥ 0.25 conventionally flags a
+    shift.
+
+    Scale: exactly TWO scans at any size — one min/max aggregate over the
+    base slice (both its outputs ride a 1-row broadcast), then ONE shared
+    scan histograms BOTH populations via conditional aggregation (no
+    per-slice re-scan), shuffling only n_buckets partial rows. Returns
+    (bucket, base_n, cur_n, base_frac, cur_frac, psi_term) ordered by
+    bucket.
+    """
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.filter(split_pred)
+        .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
+    raw_bucket = F.floor((v - F.col("lo")) / width) + 1
+    bucket = F.least(
+        F.lit(n_buckets).cast("long"), F.greatest(F.lit(1).cast("long"), raw_bucket)
+    )
+    is_base = split_pred.cast("long")
+    hist = (
+        df.crossJoin(F.broadcast(stats))
+        .select(bucket.alias("bucket"), is_base.alias("is_base"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_base").alias("base_n"),
+            F.sum(F.lit(1) - F.col("is_base")).alias("cur_n"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("base_n").alias("base_t"), F.sum("cur_n").alias("cur_t")
+    )
+    p = F.col("base_n") / F.col("base_t")
+    q = F.col("cur_n") / F.col("cur_t")
+    term = (p - q) * F.log((p + F.lit(eps)) / (q + F.lit(eps)))
+    return (
+        hist.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            "base_n",
+            "cur_n",
+            F.round(p, round_digits).alias("base_frac"),
+            F.round(q, round_digits).alias("cur_frac"),
+            F.round(term, round_digits).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -887,3 +887,33 @@ def test_pq_adc_topk_preserves_string_ids(spark):
     out = sim.pq_adc_topk(enc, queries, books, k=3).collect()
     assert out and all(isinstance(r["query_id"], str) for r in out)
     assert all(r["query_id"] != r["neighbor_id"] for r in out)
+
+
+def test_drift_psi_detects_planted_shift(spark):
+    """PSI drift monitor: identical populations score ~0; a planted mean
+    shift scores large; bucket fractions each sum to 1; exactly two scans
+    (stats + shared conditional histogram) in the executed plan."""
+    from etl_lala_spark.operators.relational import drift_psi
+
+    rows = [(i, float(i % 100), "base") for i in range(2000)]
+    rows += [(10000 + i, float(i % 100), "cur_same") for i in range(2000)]
+    rows += [(20000 + i, 60.0 + float(i % 40), "cur_shift") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, x double, pop string")
+
+    same = drift_psi(
+        df.filter(F.col("pop") != "cur_shift"), "x", F.col("pop") == "base"
+    ).collect()
+    psi_same = sum(r["psi_term"] for r in same)
+    assert abs(psi_same) < 1e-6, psi_same  # identical distributions
+    assert abs(sum(r["base_frac"] for r in same) - 1.0) < 1e-3
+    assert abs(sum(r["cur_frac"] for r in same) - 1.0) < 1e-3
+
+    shifted = drift_psi(
+        df.filter(F.col("pop") != "cur_same"), "x", F.col("pop") == "base"
+    ).collect()
+    psi_shift = sum(r["psi_term"] for r in shifted)
+    assert psi_shift > 0.25, psi_shift  # conventional "significant shift" bar
+    assert [r["bucket"] for r in shifted] == sorted(r["bucket"] for r in shifted)
+    # current population lives only in the upper buckets
+    low = [r for r in shifted if r["bucket"] <= 5]
+    assert all(r["cur_n"] == 0 for r in low)
