@@ -1,0 +1,184 @@
+"""Versioned parquet tables: snapshot isolation, time travel, rollback,
+vacuum — the transaction-log layer (a minimal Delta/Iceberg-shaped design,
+built from public concepts: an append-only manifest log naming immutable
+data directories) that upgrades the reference's overwrite-in-place loading
+(src/datasus/datasus.service.ts:15-39 deletes a competência then re-inserts
+it — a reader racing that window sees half a table) to atomic commits.
+
+Layout::
+
+    table/
+      _versions/000001.json   # manifest: op, data dirs, row count, schema
+      _versions/000002.json
+      d000001/part-*.parquet  # immutable data directory per commit
+      d000002/part-*.parquet
+
+Every commit writes a NEW data directory plus a NEW manifest (tmp + atomic
+rename); nothing is ever modified in place. Readers resolve a manifest
+(latest or pinned ``version=``) and read exactly the directories it names —
+a reader holding version N is unaffected by any later commit (snapshot
+isolation), and time travel is just reading an older manifest. Rollback is
+an O(1) metadata commit that re-points at a previous version's directories.
+Vacuum deletes data directories no retained manifest references.
+
+Scale: manifests are O(commits) tiny JSON files and data directories are
+immutable parquet — at 100 TB the same design holds (the manifest read is a
+driver-side metadata fetch; executors only ever see concrete file paths, so
+partition pruning / pushdown work unchanged). Single writer by contract
+(matching the reference's one-runner loop); multi-writer CAS on the
+manifest id is the documented extension point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+_VERS = "_versions"
+
+
+def _versions_dir(table_path: str) -> str:
+    return os.path.join(table_path, _VERS)
+
+
+def _manifest_path(table_path: str, version: int) -> str:
+    return os.path.join(_versions_dir(table_path), f"{version:06d}.json")
+
+
+def table_versions(table_path: str) -> list[dict]:
+    """All committed manifests, oldest first. [] for a missing table."""
+    vdir = _versions_dir(table_path)
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(vdir)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(vdir, name)) as fh:
+                out.append(json.load(fh))
+        except (OSError, ValueError):
+            continue  # torn write of an in-flight manifest: not committed
+    return out
+
+
+def latest_version(table_path: str) -> int | None:
+    vs = table_versions(table_path)
+    return vs[-1]["version"] if vs else None
+
+
+def _commit(table_path: str, manifest: dict) -> int:
+    """Atomically publish a manifest: the rename IS the commit point."""
+    vdir = _versions_dir(table_path)
+    os.makedirs(vdir, exist_ok=True)
+    path = _manifest_path(table_path, manifest["version"])
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.rename(tmp, path)
+    return manifest["version"]
+
+
+def write_version(
+    df: DataFrame, table_path: str, mode: str = "overwrite"
+) -> int:
+    """Commit ``df`` as a new table version.
+
+    ``mode="overwrite"``: the new version consists of this commit's data
+    only. ``mode="append"``: the new version = previous version's
+    directories + this commit's directory (no data rewrite — append is a
+    metadata union of immutable dirs). Returns the committed version id.
+    """
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"write_version mode must be overwrite/append, got {mode}")
+    prev = table_versions(table_path)
+    version = (prev[-1]["version"] + 1) if prev else 1
+    ddir_name = f"d{version:06d}"
+    ddir = os.path.join(table_path, ddir_name)
+    staging = ddir + "._staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    df.write.mode("overwrite").parquet(staging)
+    os.rename(staging, ddir)
+    n_new = df.sparkSession.read.parquet(ddir).count()
+    if mode == "append" and prev:
+        dirs = list(prev[-1]["dirs"]) + [ddir_name]
+        n_rows = prev[-1]["n_rows"] + n_new
+    else:
+        dirs = [ddir_name]
+        n_rows = n_new
+    return _commit(
+        table_path,
+        {
+            "version": version,
+            "op": mode,
+            "dirs": dirs,
+            "n_rows": n_rows,
+            "schema": df.schema.simpleString(),
+            "ts": time.time(),
+        },
+    )
+
+
+def read_version(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a pinned snapshot (``version=``) or the latest committed one.
+    The returned plan references ONLY the manifest's directories, so later
+    commits — and even a subsequent latest-version change — cannot alter
+    what this reader sees."""
+    vs = table_versions(table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    by_id = {m["version"]: m for m in vs}
+    m = by_id[version] if version is not None else vs[-1]
+    paths = [os.path.join(table_path, d) for d in m["dirs"]]
+    return spark.read.parquet(*paths)
+
+
+def rollback(table_path: str, to_version: int) -> int:
+    """Restore a previous snapshot as a NEW version (history stays intact —
+    an audit can still read the bad versions). O(1): no data moves, the new
+    manifest just re-points at the old version's directories."""
+    vs = table_versions(table_path)
+    by_id = {m["version"]: m for m in vs}
+    if to_version not in by_id:
+        raise ValueError(f"version {to_version} not found at {table_path}")
+    target = by_id[to_version]
+    version = vs[-1]["version"] + 1
+    return _commit(
+        table_path,
+        {
+            "version": version,
+            "op": f"rollback:{to_version}",
+            "dirs": list(target["dirs"]),
+            "n_rows": target["n_rows"],
+            "schema": target["schema"],
+            "ts": time.time(),
+        },
+    )
+
+
+def vacuum(table_path: str, keep_last: int = 2) -> list[str]:
+    """Retention: keep the last ``keep_last`` manifests, delete every data
+    directory none of them references (and the expired manifests). Readers
+    pinned to a vacuumed version break by design — that is the retention
+    contract; size ``keep_last`` to the longest reader/time-travel window.
+    Returns the deleted directory names."""
+    vs = table_versions(table_path)
+    if len(vs) <= keep_last:
+        return []
+    kept, expired = vs[-keep_last:], vs[:-keep_last]
+    live = {d for m in kept for d in m["dirs"]}
+    removed = []
+    for m in expired:
+        os.remove(_manifest_path(table_path, m["version"]))
+    for m in expired:
+        for d in m["dirs"]:
+            if d not in live and os.path.isdir(os.path.join(table_path, d)):
+                shutil.rmtree(os.path.join(table_path, d))
+                removed.append(d)
+    return sorted(set(removed))

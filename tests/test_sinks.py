@@ -490,3 +490,45 @@ def test_jdbc_incremental_load_mocked(spark, monkeypatch):
     )
     assert r3["registros_inseridos"] == 0
     assert len(store["sia_pa"]) == 15
+
+
+def test_versioned_table_snapshot_isolation_and_rollback(spark, out_dir):
+    """Versioned tables: append is a metadata union; a reader pinned to an
+    old version is unaffected by later commits; rollback restores content
+    as a NEW auditable version; vacuum removes only unreferenced dirs."""
+    import os
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt")
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    d2 = spark.createDataFrame([(3, "c")], "k int, v string")
+    d3 = spark.createDataFrame([(9, "z")], "k int, v string")
+
+    assert vt.write_version(d1, table, mode="overwrite") == 1
+    assert vt.write_version(d2, table, mode="append") == 2
+    # pin a reader at v1 BEFORE the overwrite lands
+    pinned = vt.read_version(spark, table, version=1)
+    assert vt.write_version(d3, table, mode="overwrite") == 3
+
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {9}
+    assert {r.k for r in vt.read_version(spark, table, version=2).collect()} == {1, 2, 3}
+    # snapshot isolation: the pinned plan still reads v1's files
+    assert {r.k for r in pinned.collect()} == {1, 2}
+
+    # rollback to v2 = new version 4 with v2's content; history intact
+    assert vt.rollback(table, 2) == 4
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2, 3}
+    assert [m["version"] for m in vt.table_versions(table)] == [1, 2, 3, 4]
+    assert vt.table_versions(table)[-1]["op"] == "rollback:2"
+
+    # vacuum keeps the last 2 manifests (v3, v4); v4 references d1+d2, so
+    # only nothing-references-me dirs go — none here except none; then a
+    # deeper vacuum to 1 drops v3's d3 dir too
+    assert vt.vacuum(table, keep_last=2) == []
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2, 3}
+    removed = vt.vacuum(table, keep_last=1)
+    assert removed == ["d000003"]  # v3's overwrite dir: unreferenced by v4
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2, 3}
+    # expired manifests are gone; latest still readable
+    assert [m["version"] for m in vt.table_versions(table)] == [4]
