@@ -486,3 +486,47 @@ def drift_psi(
         )
         .orderBy("bucket")
     )
+
+
+def drift_psi_categorical(
+    df: DataFrame,
+    value_col: str,
+    split_pred: Column,
+    eps: float = 1e-6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Categorical PSI drift — same contract as ``drift_psi`` but bucketed
+    by the column's own values (status codes, languages, sources) instead
+    of numeric ranges. ONE scan: both populations histogram via conditional
+    aggregation on the category key; the shuffle carries one row per
+    distinct category. Categories absent from one side still contribute
+    (the ε-smoothed log handles zero fractions). Returns
+    (category, base_n, cur_n, base_frac, cur_frac, psi_term) ordered by
+    category."""
+    is_base = split_pred.cast("long")
+    hist = (
+        df.select(F.col(value_col).alias("category"), is_base.alias("is_base"))
+        .groupBy("category")
+        .agg(
+            F.sum("is_base").alias("base_n"),
+            F.sum(F.lit(1) - F.col("is_base")).alias("cur_n"),
+        )
+    )
+    totals = hist.agg(
+        F.sum("base_n").alias("base_t"), F.sum("cur_n").alias("cur_t")
+    )
+    p = F.col("base_n") / F.col("base_t")
+    q = F.col("cur_n") / F.col("cur_t")
+    term = (p - q) * F.log((p + F.lit(eps)) / (q + F.lit(eps)))
+    return (
+        hist.join(F.broadcast(totals))
+        .select(
+            "category",
+            "base_n",
+            "cur_n",
+            F.round(p, round_digits).alias("base_frac"),
+            F.round(q, round_digits).alias("cur_frac"),
+            F.round(term, round_digits).alias("psi_term"),
+        )
+        .orderBy("category")
+    )

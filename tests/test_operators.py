@@ -917,3 +917,26 @@ def test_drift_psi_detects_planted_shift(spark):
     # current population lives only in the upper buckets
     low = [r for r in shifted if r["bucket"] <= 5]
     assert all(r["cur_n"] == 0 for r in low)
+
+
+def test_drift_psi_categorical_detects_missing_category(spark):
+    """Categorical PSI: identical category mixes score ~0; a category that
+    disappears from the current population dominates the PSI sum."""
+    from etl_lala_spark.operators.relational import drift_psi_categorical
+
+    rows = [(i, ["en", "fr", "de"][i % 3], "base") for i in range(900)]
+    rows += [(1000 + i, ["en", "fr", "de"][i % 3], "same") for i in range(900)]
+    rows += [(2000 + i, ["en", "fr"][i % 2], "shift") for i in range(900)]
+    df = spark.createDataFrame(rows, "id long, lang string, pop string")
+
+    same = drift_psi_categorical(
+        df.filter(F.col("pop") != "shift"), "lang", F.col("pop") == "base"
+    ).collect()
+    assert abs(sum(r["psi_term"] for r in same)) < 1e-6
+
+    shift = drift_psi_categorical(
+        df.filter(F.col("pop") != "same"), "lang", F.col("pop") == "base"
+    ).collect()
+    by_cat = {r["category"]: r for r in shift}
+    assert by_cat["de"]["cur_n"] == 0  # vanished category present in output
+    assert sum(r["psi_term"] for r in shift) > 0.25
