@@ -940,3 +940,32 @@ def test_drift_psi_categorical_detects_missing_category(spark):
     by_cat = {r["category"]: r for r in shift}
     assert by_cat["de"]["cur_n"] == 0  # vanished category present in output
     assert sum(r["psi_term"] for r in shift) > 0.25
+
+
+def test_avi_container_roundtrip_and_frame_sampling(spark):
+    """AVI/RIFF container: encode MJPEG-framed fixture videos, read back
+    dimensions/frame-count/fps from headers, extract strided frame bytes
+    losslessly, and run the distributed frame sampler end to end."""
+    frames = [
+        b"\xff\xd8" + bytes([i]) * (20 + i) + b"\xff\xd9" for i in range(10)
+    ]
+    avi = mm.encode_avi_mjpeg(64, 48, 25, frames)
+    assert mm.decode_avi(avi) == (64, 48, 10, 25)
+    assert mm.sniff_media(avi) == ("avi", 64, 48, 10)
+
+    got = mm.avi_extract_frames(avi, stride=3)
+    assert [i for i, _ in got] == [0, 3, 6, 9]
+    assert all(fb == frames[i] for i, fb in got)  # byte-lossless extraction
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(mm.encode_avi_mjpeg(32, 32, 10, frames[:4])))],
+        "doc_id long, data binary",
+    )
+    out = mm.video_frame_sample(df, stride=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["frame_idx"] for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [0, 2, 4, 6, 8]
+    assert [r["frame_idx"] for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [0, 2]
+    assert all(r["width"] == 64 and r["height"] == 48 and r["fps"] == 25 for r in by_doc[1])
+    assert bytes(sorted(by_doc[1], key=lambda r: r["frame_idx"])[1]["frame_bytes"]) == frames[2]
