@@ -182,3 +182,29 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[str]:
                 shutil.rmtree(os.path.join(table_path, d))
                 removed.append(d)
     return sorted(set(removed))
+
+
+def merge_version(
+    spark: SparkSession,
+    table_path: str,
+    changelog: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> int:
+    """Apply a CDC changelog to the table's latest snapshot and commit the
+    result as a new version — MERGE INTO against the transaction log.
+    Composes ``operators.relational.merge_changelog`` (latest-wins per key,
+    deterministic tie-break, null-safe deletes) with an overwrite commit, so
+    every merge is atomic, time-travelable, and rollback-able; a bad feed is
+    undone by ``rollback(table, v-1)`` without data archaeology.
+
+    Scale: the merge shuffles only the changelog (max_by agg) plus the
+    anti-join; the commit rewrites the merged snapshot once — the same cost
+    the reference's delete-then-reinsert pays per month, with none of its
+    reader races."""
+    from etl_lala_spark.operators.relational import merge_changelog
+
+    base = read_version(spark, table_path)
+    merged = merge_changelog(base, changelog, key, seq_col=seq_col, op_col=op_col)
+    return write_version(merged, table_path, mode="overwrite")

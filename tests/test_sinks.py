@@ -532,3 +532,29 @@ def test_versioned_table_snapshot_isolation_and_rollback(spark, out_dir):
     assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2, 3}
     # expired manifests are gone; latest still readable
     assert [m["version"] for m in vt.table_versions(table)] == [4]
+
+
+def test_merge_version_applies_cdc_and_rolls_back(spark, out_dir):
+    """CDC merge as a versioned commit: upserts+deletes land atomically as
+    a new version; a bad feed is undone by rollback without data loss."""
+    import os
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_cdc")
+    base = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    vt.write_version(base, table)
+
+    log = spark.createDataFrame(
+        [(2, 1, "U", "b2"), (3, 1, "D", None), (4, 1, "I", "d")],
+        "k int, seq int, op string, v string",
+    )
+    v2 = vt.merge_version(spark, table, log.select("k", "v", "seq", "op"), key="k")
+    assert v2 == 2
+    got = {(r.k, r.v) for r in vt.read_version(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b2"), (4, "d")}
+
+    # the "bad feed" scenario: roll the merge back, original snapshot returns
+    vt.rollback(table, 1)
+    got = {(r.k, r.v) for r in vt.read_version(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
