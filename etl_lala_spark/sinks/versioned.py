@@ -24,9 +24,11 @@ Vacuum deletes data directories no retained manifest references.
 Scale: manifests are O(commits) tiny JSON files and data directories are
 immutable parquet — at 100 TB the same design holds (the manifest read is a
 driver-side metadata fetch; executors only ever see concrete file paths, so
-partition pruning / pushdown work unchanged). Single writer by contract
-(matching the reference's one-runner loop); multi-writer CAS on the
-manifest id is the documented extension point.
+partition pruning / pushdown work unchanged). Concurrent writers are safe:
+the manifest publish is a hard-link CAS on the version id (fsync'd temp +
+``os.link`` — atomic, EEXIST on conflict), and a loser re-reads the log and
+retries without recomputing its data. On object stores, swap the link CAS
+for the store's conditional-put (If-None-Match) — same protocol.
 """
 
 from __future__ import annotations
@@ -72,14 +74,29 @@ def latest_version(table_path: str) -> int | None:
 
 
 def _commit(table_path: str, manifest: dict) -> int:
-    """Atomically publish a manifest: the rename IS the commit point."""
+    """Atomically publish a manifest. The manifest file is created with
+    O_EXCL, so the create IS a compare-and-swap on the version id: two
+    writers racing to commit the same version see exactly one winner and
+    one ``FileExistsError`` — the loser re-reads the log and retries
+    against the new latest (``write_version`` does this automatically).
+    This is the same optimistic-concurrency protocol the real table
+    formats use on their log, minus multi-object transactions."""
     vdir = _versions_dir(table_path)
     os.makedirs(vdir, exist_ok=True)
     path = _manifest_path(table_path, manifest["version"])
-    tmp = path + ".tmp"
+    # Fully write + fsync a private temp, then hard-link it to the
+    # committed name: link(2) is atomic and fails with EEXIST if the
+    # version was taken, so the committed name can never hold torn JSON
+    # (crash before link = no commit; after = complete commit).
+    tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, path)
+        fh.flush()
+        os.fsync(fh.fileno())
+    try:
+        os.link(tmp, path)
+    finally:
+        os.remove(tmp)
     return manifest["version"]
 
 
@@ -95,31 +112,46 @@ def write_version(
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_version mode must be overwrite/append, got {mode}")
-    prev = table_versions(table_path)
-    version = (prev[-1]["version"] + 1) if prev else 1
-    ddir_name = f"d{version:06d}"
-    ddir = os.path.join(table_path, ddir_name)
-    staging = ddir + "._staging"
+    # Data first, commit second: the parquet write happens ONCE into a
+    # writer-private staging dir; the optimistic-concurrency loop below
+    # only renames it and retries the manifest CAS, so a lost race never
+    # recomputes the DataFrame.
+    os.makedirs(table_path, exist_ok=True)
+    staging = os.path.join(table_path, f".staging.{os.getpid()}")
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    os.rename(staging, ddir)
-    n_new = df.sparkSession.read.parquet(ddir).count()
-    if mode == "append" and prev:
-        dirs = list(prev[-1]["dirs"]) + [ddir_name]
-        n_rows = prev[-1]["n_rows"] + n_new
-    else:
-        dirs = [ddir_name]
-        n_rows = n_new
-    return _commit(
-        table_path,
-        {
-            "version": version,
-            "op": mode,
-            "dirs": dirs,
-            "n_rows": n_rows,
-            "schema": df.schema.simpleString(),
-            "ts": time.time(),
-        },
+    n_new = df.sparkSession.read.parquet(staging).count()
+    for _ in range(20):
+        prev = table_versions(table_path)
+        version = (prev[-1]["version"] + 1) if prev else 1
+        ddir_name = f"d{version:06d}"
+        ddir = os.path.join(table_path, ddir_name)
+        try:
+            os.rename(staging, ddir)  # claim the data-dir name
+        except OSError:
+            continue  # another writer took dN; recompute against new latest
+        if mode == "append" and prev:
+            dirs = list(prev[-1]["dirs"]) + [ddir_name]
+            n_rows = prev[-1]["n_rows"] + n_new
+        else:
+            dirs = [ddir_name]
+            n_rows = n_new
+        try:
+            return _commit(
+                table_path,
+                {
+                    "version": version,
+                    "op": mode,
+                    "dirs": dirs,
+                    "n_rows": n_rows,
+                    "schema": df.schema.simpleString(),
+                    "ts": time.time(),
+                },
+            )
+        except FileExistsError:
+            os.rename(ddir, staging)  # lost the manifest CAS: retry
+    raise RuntimeError(
+        f"write_version: lost the commit race 20 times at {table_path}"
     )
 
 
@@ -148,18 +180,23 @@ def rollback(table_path: str, to_version: int) -> int:
     if to_version not in by_id:
         raise ValueError(f"version {to_version} not found at {table_path}")
     target = by_id[to_version]
-    version = vs[-1]["version"] + 1
-    return _commit(
-        table_path,
-        {
-            "version": version,
-            "op": f"rollback:{to_version}",
-            "dirs": list(target["dirs"]),
-            "n_rows": target["n_rows"],
-            "schema": target["schema"],
-            "ts": time.time(),
-        },
-    )
+    for _ in range(20):
+        version = (latest_version(table_path) or 0) + 1
+        try:
+            return _commit(
+                table_path,
+                {
+                    "version": version,
+                    "op": f"rollback:{to_version}",
+                    "dirs": list(target["dirs"]),
+                    "n_rows": target["n_rows"],
+                    "schema": target["schema"],
+                    "ts": time.time(),
+                },
+            )
+        except FileExistsError:
+            continue  # lost the CAS to a concurrent commit: re-read, retry
+    raise RuntimeError(f"rollback: lost the commit race 20 times at {table_path}")
 
 
 def vacuum(table_path: str, keep_last: int = 2) -> list[str]:
