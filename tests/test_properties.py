@@ -109,3 +109,52 @@ def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
     assert set(approx) == set(exact)
     for t, est in approx.items():
         assert abs(est - exact[t]) <= max(2, 0.05 * exact[t]), (t, est, exact[t])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    base=st.dictionaries(
+        st.integers(0, 12), st.text("ab", min_size=1, max_size=2), max_size=8
+    ),
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 12),                      # key
+            st.integers(0, 3),                       # seq (ties likely)
+            st.sampled_from(["U", "I", "D", None]),  # op incl. NULL
+            st.text("xy", min_size=1, max_size=2),   # payload
+        ),
+        max_size=12,
+    ),
+)
+def test_merge_changelog_matches_reference_fold(spark, base, log):
+    """Property: merge_changelog == a pure-Python latest-wins fold with the
+    documented tie-break (lexicographically greatest (op, payload) at equal
+    seq; NULL op sorts lowest and never deletes)."""
+    from etl_lala_spark.operators.relational import merge_changelog
+
+    base_df = spark.createDataFrame(
+        list(base.items()) or [(None, None)], "k int, v string"
+    ).filter("k IS NOT NULL")
+    log_df = spark.createDataFrame(
+        log or [(None, None, None, None)], "k int, seq int, op string, v string"
+    ).filter("k IS NOT NULL")
+
+    # reference fold: winner per key by (seq, op, payload); None op sorts lowest
+    winners = {}
+    for k, seq, op, v in log:
+        cand = (seq, (op is not None, op or ""), v)
+        if k not in winners or cand > winners[k][0]:
+            winners[k] = (cand, op, v)
+    expect = {}
+    for k, v in base.items():
+        if k not in winners:
+            expect[k] = v
+    for k, (_, op, v) in winners.items():
+        if op != "D":
+            expect[k] = v
+
+    got = {
+        r["k"]: r["v"]
+        for r in merge_changelog(base_df, log_df, key="k").collect()
+    }
+    assert got == expect
