@@ -92,10 +92,18 @@ def _load_all() -> None:
 # driver CORRECTNESS row (26 oracle-backed stragglers + the 15 rows-only
 # queries whose audit twins are already green), the dq_lineitem_expectations
 # retry (r3 red was a DuckDB HUGEINT hash artifact; oracle now CASTs to
-# BIGINT), four slots for new-in-r4 queries (IVF×PQ ANN + streaming batch
-# twins), and four high-value re-checks spanning the TPC-H / sink / dedup /
-# text families. Green rows across r1-r4 then cover all 190 registered
-# queries.
+# BIGINT), and the 8 new-in-r4 queries (IVFADC raw + residual, streaming
+# batch twins, true-grain Q11/Q16). Green rows across r1-r4 then cover all
+# 199 registered queries.
+#
+# ROUND 5 TODO: replace this list — after CORRECTNESS_r04 lands, the prior
+# greens demote automatically, but names pinned here STILL outrank them
+# (pri beats green since r4), so a stale window wastes slots on re-checks.
+# Register + pin the queued operators that missed r4's full window:
+# drift_psi / drift_psi_categorical (operators/relational.py), a versioned-
+# table lifecycle twin (sinks/versioned.py), and an AVI frame-sample query
+# (operators/multimodal.py:video_frame_sample) — all implemented + pytest-
+# green, needing only @register plumbing and oracles.
 _DRIVER_WINDOW = [
     # retry: only red row of r3 (HUGEINT-vs-BIGINT value-hash artifact)
     "dq_lineitem_expectations",
