@@ -74,13 +74,13 @@ def latest_version(table_path: str) -> int | None:
 
 
 def _commit(table_path: str, manifest: dict) -> int:
-    """Atomically publish a manifest. The manifest file is created with
-    O_EXCL, so the create IS a compare-and-swap on the version id: two
-    writers racing to commit the same version see exactly one winner and
-    one ``FileExistsError`` — the loser re-reads the log and retries
-    against the new latest (``write_version`` does this automatically).
-    This is the same optimistic-concurrency protocol the real table
-    formats use on their log, minus multi-object transactions."""
+    """Atomically publish a manifest. The hard-link create below IS a
+    compare-and-swap on the version id: two writers racing to commit the
+    same version see exactly one winner and one ``FileExistsError`` — the
+    loser re-reads the log and retries against the new latest
+    (``write_version``/``rollback`` do this automatically). The same
+    optimistic-concurrency protocol the real table formats run on their
+    log, minus multi-object transactions."""
     vdir = _versions_dir(table_path)
     os.makedirs(vdir, exist_ok=True)
     path = _manifest_path(table_path, manifest["version"])
@@ -117,10 +117,14 @@ def write_version(
     # only renames it and retries the manifest CAS, so a lost race never
     # recomputes the DataFrame.
     os.makedirs(table_path, exist_ok=True)
+    # Dot-prefixed staging is invisible to any Spark reader pointed at the
+    # table directory, so an in-flight write can never leak into a naive
+    # scan; the row count is taken AFTER the rename to the visible claimed
+    # name (hidden path components are skipped by Spark's file listing).
     staging = os.path.join(table_path, f".staging.{os.getpid()}")
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    n_new = df.sparkSession.read.parquet(staging).count()
+    n_new: int | None = None
     for _ in range(20):
         prev = table_versions(table_path)
         version = (prev[-1]["version"] + 1) if prev else 1
@@ -130,6 +134,8 @@ def write_version(
             os.rename(staging, ddir)  # claim the data-dir name
         except OSError:
             continue  # another writer took dN; recompute against new latest
+        if n_new is None:
+            n_new = df.sparkSession.read.parquet(ddir).count()
         if mode == "append" and prev:
             dirs = list(prev[-1]["dirs"]) + [ddir_name]
             n_rows = prev[-1]["n_rows"] + n_new
@@ -168,7 +174,10 @@ def read_version(
     by_id = {m["version"]: m for m in vs}
     m = by_id[version] if version is not None else vs[-1]
     paths = [os.path.join(table_path, d) for d in m["dirs"]]
-    return spark.read.parquet(*paths)
+    # mergeSchema: append commits may widen the schema (the reference's
+    # month-over-month column additions, SURVEY §1.3); the union schema is
+    # the snapshot's schema, with missing columns null-filled per dir.
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def rollback(table_path: str, to_version: int) -> int:
@@ -244,4 +253,16 @@ def merge_version(
 
     base = read_version(spark, table_path)
     merged = merge_changelog(base, changelog, key, seq_col=seq_col, op_col=op_col)
+    return write_version(merged, table_path, mode="overwrite")
+
+
+def compact_version(spark: SparkSession, table_path: str) -> int:
+    """Rewrite the latest snapshot's (possibly many, append-fragmented)
+    data directories into ONE directory committed as a new version — the
+    maintenance pass a long-appended table needs (manifest length and
+    open-file count grow per append; scan cost follows file count, not
+    bytes). Readers pinned to older versions are untouched; reclaiming the
+    superseded directories is ``vacuum``'s job, after the retention
+    window."""
+    merged = read_version(spark, table_path)
     return write_version(merged, table_path, mode="overwrite")

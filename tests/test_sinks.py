@@ -597,3 +597,33 @@ def test_versioned_concurrent_commit_cas(spark, out_dir):
         fh.write('{"version": 4, "op": "overwr')
     assert [m["version"] for m in vt.table_versions(table)] == [1, 2, 3]
     assert {r.k for r in vt.read_version(spark, table).collect()} == {2}
+
+
+def test_versioned_schema_evolution_and_compaction(spark, out_dir):
+    """Appends may widen the schema (month-over-month column additions):
+    reads merge to the union schema with nulls backfilled; compaction
+    rewrites the fragmented snapshot into one directory as a new version
+    with identical content."""
+    import os
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_evolve")
+    vt.write_version(spark.createDataFrame([(1, "a")], "k int, v string"), table)
+    vt.write_version(
+        spark.createDataFrame([(2, "b", 9.5)], "k int, v string, score double"),
+        table,
+        mode="append",
+    )
+    got = {(r.k, r.v, r.score) for r in vt.read_version(spark, table).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+
+    v3 = vt.compact_version(spark, table)
+    assert v3 == 3
+    m = vt.table_versions(table)[-1]
+    assert len(m["dirs"]) == 1  # fragmentation collapsed
+    got3 = {(r.k, r.v, r.score) for r in vt.read_version(spark, table).collect()}
+    assert got3 == got
+    # pre-compaction snapshot still readable until vacuumed
+    got2 = {(r.k, r.v, r.score) for r in vt.read_version(spark, table, version=2).collect()}
+    assert got2 == got
