@@ -295,7 +295,10 @@ def sniff_media(data: bytes) -> tuple[str, int, int, int]:
         bits = _struct.unpack("<H", data[34:36])[0]
         return ("wav", sample_rate, n_channels, bits)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI " and len(data) >= 12:
-        w, h, n_frames, _fps = decode_avi(data)
+        try:
+            w, h, n_frames, _fps = decode_avi(data)
+        except (ValueError, _struct.error, IndexError):
+            return ("unknown", 0, 0, 0)
         return ("avi", w, h, n_frames)
     return ("unknown", 0, 0, 0)
 
@@ -662,31 +665,40 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int]:
     headers — no codec involved."""
     import struct
 
-    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') container")
     pos, end = 12, 8 + struct.unpack("<I", data[4:8])[0]
     width = height = n_frames = fps = 0
 
+    # Every chunk body is clamped to the real buffer before unpacking, so a
+    # truncated or lying container degrades to partial metadata instead of
+    # struct.error killing the task (one corrupt blob must not fail a scan).
     def walk(pos: int, end: int) -> None:
         nonlocal width, height, n_frames, fps
+        end = min(end, len(data))
         while pos + 8 <= end:
             fcc = data[pos : pos + 4]
             size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
             body = pos + 8
+            avail = min(body + size, end)
             if fcc == b"LIST":
-                walk(body + 4, body + size)
-            elif fcc == b"avih":
+                walk(body + 4, avail)
+            elif fcc == b"avih" and avail - body >= 56:
                 vals = struct.unpack("<14I", data[body : body + 56])
                 n_frames, width, height = vals[4], vals[8], vals[9]
                 if vals[0]:
                     fps = round(1_000_000 / vals[0])
-            elif fcc == b"strh" and data[body : body + 4] == b"vids":
+            elif (
+                fcc == b"strh"
+                and data[body : body + 4] == b"vids"
+                and avail - body >= 28
+            ):
                 scale, rate = struct.unpack("<II", data[body + 20 : body + 28])
                 if scale:
                     fps = rate // scale
             pos = body + size + (size % 2)
 
-    walk(pos, min(end, len(data)))
+    walk(pos, end)
     return width, height, n_frames, fps
 
 
@@ -698,28 +710,30 @@ def avi_extract_frames(
     frame sampling; pixel decode of each frame is the pluggable kernel."""
     import struct
 
-    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') container")
     out: list[tuple[int, bytes]] = []
     idx = 0
 
     def walk(pos: int, end: int) -> None:
         nonlocal idx
+        end = min(end, len(data))
         while pos + 8 <= end:
             fcc = data[pos : pos + 4]
             size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
             body = pos + 8
+            avail = min(body + size, end)
             if fcc == b"LIST":
                 kind = data[body : body + 4]
                 if kind in (b"movi", b"rec "):
-                    walk(body + 4, body + size)
+                    walk(body + 4, avail)
             elif fcc[2:4] in (b"dc", b"db"):
                 if idx % stride == 0:
-                    out.append((idx, data[body : body + size]))
+                    out.append((idx, data[body:avail]))
                 idx += 1
             pos = body + size + (size % 2)
 
-    walk(12, min(8 + struct.unpack("<I", data[4:8])[0], len(data)))
+    walk(12, 8 + struct.unpack("<I", data[4:8])[0])
     return out
 
 

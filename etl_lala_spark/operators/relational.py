@@ -401,11 +401,28 @@ def merge_changelog(
     # max_by over a (seq, payload-struct): one hash agg replaces the
     # window-sort form (same shuffle, no per-partition sort buffer). The
     # ordering key is a struct so equal seqs compare on (op, payload) —
-    # Spark's max_by alone gives no tie guarantee.
+    # Spark's max_by alone gives no tie guarantee. Only ORDERABLE payload
+    # columns join the tie key (map-typed columns can't be compared and
+    # would fail analysis); with such columns present, ties still break
+    # deterministically on (seq, op) and the orderable payload subset.
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tie_cols = [
+        c for c in payload if _orderable(changelog.schema[c].dataType)
+    ]
     ord_key = F.struct(
         F.col(seq_col).alias("__seq"),
         F.col(op_col).alias("__tie_op"),
-        *[F.col(c).alias(f"__tie_{c}") for c in payload],
+        *[F.col(c).alias(f"__tie_{c}") for c in tie_cols],
     )
     winner = changelog.groupBy(key).agg(
         F.max_by(F.struct(F.col(op_col).alias("__op"), *payload), ord_key).alias("w")
@@ -449,12 +466,19 @@ def drift_psi(
     bucket.
     """
     v = F.col(value_col).cast("double")
+    # NULL values are excluded up front: a nullability regression must show
+    # up in a completeness check (`check_expectations`), not masquerade as
+    # low-bucket distribution mass. A constant base column (width 0) puts
+    # everything in bucket 1 instead of dividing by zero (ANSI mode).
+    df = df.filter(v.isNotNull())
     stats = (
         df.filter(split_pred)
         .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
-    raw_bucket = F.floor((v - F.col("lo")) / width) + 1
+    raw_bucket = F.when(width > 0, F.floor((v - F.col("lo")) / width) + 1).otherwise(
+        F.lit(1).cast("long")
+    )
     bucket = F.least(
         F.lit(n_buckets).cast("long"), F.greatest(F.lit(1).cast("long"), raw_bucket)
     )
@@ -471,8 +495,10 @@ def drift_psi(
     totals = hist.agg(
         F.sum("base_n").alias("base_t"), F.sum("cur_n").alias("cur_t")
     )
-    p = F.col("base_n") / F.col("base_t")
-    q = F.col("cur_n") / F.col("cur_t")
+    # try_divide: an empty base or current population yields 0 fractions
+    # (and a large one-sided PSI term) instead of an ANSI divide-by-zero.
+    p = F.coalesce(F.try_divide(F.col("base_n"), F.col("base_t")), F.lit(0.0))
+    q = F.coalesce(F.try_divide(F.col("cur_n"), F.col("cur_t")), F.lit(0.0))
     term = (p - q) * F.log((p + F.lit(eps)) / (q + F.lit(eps)))
     return (
         hist.join(F.broadcast(totals))
@@ -515,8 +541,10 @@ def drift_psi_categorical(
     totals = hist.agg(
         F.sum("base_n").alias("base_t"), F.sum("cur_n").alias("cur_t")
     )
-    p = F.col("base_n") / F.col("base_t")
-    q = F.col("cur_n") / F.col("cur_t")
+    # try_divide: an empty base or current population yields 0 fractions
+    # (and a large one-sided PSI term) instead of an ANSI divide-by-zero.
+    p = F.coalesce(F.try_divide(F.col("base_n"), F.col("base_t")), F.lit(0.0))
+    q = F.coalesce(F.try_divide(F.col("cur_n"), F.col("cur_t")), F.lit(0.0))
     term = (p - q) * F.log((p + F.lit(eps)) / (q + F.lit(eps)))
     return (
         hist.join(F.broadcast(totals))

@@ -405,8 +405,12 @@ def kmeans_fit(
         truncates lineage so the next iteration starts from flat state."""
         return spark.createDataFrame(cent_df.collect(), schema=cent_schema)
 
+    # Seeds come from the FULL corpus stride sample — stacking the training
+    # subsample filter here would shrink the seed pool mod× and silently
+    # start with fewer than k centroids on small corpora; sampling is meant
+    # to bound the Lloyd iteration scans, not starve initialization.
     centroids = materialize(
-        train.filter((F.col("vid") % centroid_stride) == 0)
+        vecs.filter((F.col("vid") % centroid_stride) == 0)
         .orderBy("vid")
         .limit(k)
         .select(
@@ -1180,6 +1184,14 @@ def ivfpq_residual_index(
             ).alias("recon_n"),
         )
     )
+    # Materialize the index off the cached residuals, then RELEASE the
+    # staging cache — it is strictly larger than the corpus (rvec + cvec
+    # per row) and must not stay pinned for the session lifetime. The
+    # returned index is itself cached (it is what queries scan repeatedly;
+    # callers may unpersist when done).
+    index = index.cache()
+    index.count()
+    resid.unpersist()
     return index, cb, books
 
 

@@ -182,6 +182,45 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0) AS BIGINT)
 """
 
 
+def _ivfpq_audit_body(
+    spark: SparkSession, sf_dir: str, index: DataFrame, approx: DataFrame
+) -> DataFrame:
+    """Shared IVFADC audit body (raw + residual variants): one index row
+    per corpus vector, cell ids in [0, 16), codes in [0, 16), and top-5
+    pair recall vs exact brute force >= the conservative 0.05 floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    hits = approx.join(
+        exact.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    idx_stats = index.agg(
+        F.count("*").alias("n_indexed"),
+        F.sum(
+            ((F.col("cell") < 0) | (F.col("cell") >= 16)).cast("long")
+        ).alias("n_bad_cells"),
+        F.sum(
+            F.expr("exists(codes, c -> c < 0 or c >= 16)").cast("long")
+        ).alias("n_bad_codes"),
+    )
+    return (
+        queries.agg(F.count("*").alias("n_queries"))
+        .crossJoin(idx_stats)
+        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_queries",
+            "n_indexed",
+            F.lit(5).alias("k"),
+            _flag(F.col("n_bad_cells") == 0).alias("cells_ok"),
+            _flag(F.col("n_bad_codes") == 0).alias("codes_ok"),
+            _flag(F.col("n_hit") >= 0.05 * F.col("n_exact")).alias("recall_ok"),
+        )
+    )
+
+
 @register("audit_ann_ivfpq", oracle=_IVFPQ_ORACLE)
 def audit_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed audit for ``ann_cosine_ivfpq`` (rows-only there).
@@ -189,90 +228,33 @@ def audit_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_indexed``: the one-pass IVF+PQ index has exactly one row per corpus
     vector (each vector lives in exactly one cell). ``cells_ok`` /
     ``codes_ok``: cell ids in [0, 16) and all m codes in [0, ksub).
-    ``recall_ok``: IVFADC top-5 pair recall vs exact brute-force ≥ 0.05 — a
+    ``recall_ok``: IVFADC top-5 pair recall vs exact brute-force >= 0.05 — a
     deliberately conservative floor since IVFADC compounds the coarse-cell
-    miss rate with ADC score distortion (measured ≈0.15 on the isotropic
-    synthetic corpus; pytest pins ≥0.08)."""
+    miss rate with ADC score distortion (measured 0.12-0.16 on the isotropic
+    synthetic corpus; pytest pins >= 0.08)."""
     emb = load_table(spark, sf_dir, "embeddings")
     books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
     index, ivf_cb = sim.ivfpq_index(emb, books, n_cells=16)
     index = index.cache()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     approx = sim.ivfpq_topk(index, ivf_cb, queries, books, k=5, nprobe=4)
-    exact = sim.brute_force_topk(emb, queries, k=5)
-    hits = approx.join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    idx_stats = index.agg(
-        F.count("*").alias("n_indexed"),
-        F.sum(
-            ((F.col("cell") < 0) | (F.col("cell") >= 16)).cast("long")
-        ).alias("n_bad_cells"),
-        F.sum(
-            F.expr("exists(codes, c -> c < 0 or c >= 16)").cast("long")
-        ).alias("n_bad_codes"),
-    )
-    return (
-        queries.agg(F.count("*").alias("n_queries"))
-        .crossJoin(idx_stats)
-        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
-        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
-        .select(
-            "n_queries",
-            "n_indexed",
-            F.lit(5).alias("k"),
-            _flag(F.col("n_bad_cells") == 0).alias("cells_ok"),
-            _flag(F.col("n_bad_codes") == 0).alias("codes_ok"),
-            _flag(F.col("n_hit") >= 0.05 * F.col("n_exact")).alias("recall_ok"),
-        )
-    )
+    return _ivfpq_audit_body(spark, sf_dir, index, approx)
 
 
 @register("audit_ann_ivfpq_residual", oracle=_IVFPQ_ORACLE)
 def audit_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-backed audit for ``ann_cosine_ivfpq_residual`` (rows-only
-    there) — same integrity contract as ``audit_ann_ivfpq`` (one index row
-    per vector, cell/code ranges) with the same 0.05 recall floor; measured
-    residual-encoding recall is 0.12 (sf0.001) / 0.24 (sf0.01), the latter
-    2× the raw-vector encoding at identical compression."""
+    there) — same integrity contract and 0.05 recall floor as
+    ``audit_ann_ivfpq``; measured residual-encoding recall is 0.12
+    (sf0.001) / 0.24 (sf0.01), the latter 2x the raw-vector encoding at
+    identical compression."""
     emb = load_table(spark, sf_dir, "embeddings")
     index, ivf_cb, books = sim.ivfpq_residual_index(
         emb, dim=DIM, n_cells=16, m=8, ksub=16, iters=2
     )
-    index = index.cache()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     approx = sim.ivfpq_residual_topk(index, ivf_cb, queries, books, k=5, nprobe=4)
-    exact = sim.brute_force_topk(emb, queries, k=5)
-    hits = approx.join(
-        exact.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_semi",
-    )
-    idx_stats = index.agg(
-        F.count("*").alias("n_indexed"),
-        F.sum(
-            ((F.col("cell") < 0) | (F.col("cell") >= 16)).cast("long")
-        ).alias("n_bad_cells"),
-        F.sum(
-            F.expr("exists(codes, c -> c < 0 or c >= 16)").cast("long")
-        ).alias("n_bad_codes"),
-    )
-    return (
-        queries.agg(F.count("*").alias("n_queries"))
-        .crossJoin(idx_stats)
-        .crossJoin(exact.agg(F.count("*").alias("n_exact")))
-        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
-        .select(
-            "n_queries",
-            "n_indexed",
-            F.lit(5).alias("k"),
-            _flag(F.col("n_bad_cells") == 0).alias("cells_ok"),
-            _flag(F.col("n_bad_codes") == 0).alias("codes_ok"),
-            _flag(F.col("n_hit") >= 0.05 * F.col("n_exact")).alias("recall_ok"),
-        )
-    )
+    return _ivfpq_audit_body(spark, sf_dir, index, approx)
 
 
 # ---------------------------------------------------------------------------

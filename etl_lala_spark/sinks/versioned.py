@@ -95,8 +95,21 @@ def _commit(table_path: str, manifest: dict) -> int:
         os.fsync(fh.fileno())
     try:
         os.link(tmp, path)
-    finally:
+    except FileExistsError:
+        # A manifest already holds this id. If it parses, a rival committed
+        # first — re-raise so the caller retries against the new latest. If
+        # it is TORN (a crashed writer's partial file), table_versions()
+        # ignores it, so no retry could ever advance past this id: repair by
+        # atomically renaming our complete manifest over the garbage.
+        try:
+            with open(path) as fh:
+                json.load(fh)
+        except (OSError, ValueError):
+            os.rename(tmp, path)  # reclaim the wedged id
+            return manifest["version"]
         os.remove(tmp)
+        raise
+    os.remove(tmp)
     return manifest["version"]
 
 
@@ -125,7 +138,7 @@ def write_version(
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
     n_new: int | None = None
-    for _ in range(20):
+    for attempt in range(20):
         prev = table_versions(table_path)
         version = (prev[-1]["version"] + 1) if prev else 1
         ddir_name = f"d{version:06d}"
@@ -133,7 +146,12 @@ def write_version(
         try:
             os.rename(staging, ddir)  # claim the data-dir name
         except OSError:
-            continue  # another writer took dN; recompute against new latest
+            # Another writer claimed dN but has not published its manifest
+            # yet (it may be mid row-count); without a wait we would burn
+            # every retry in microseconds against the same latest. Linear
+            # backoff gives the winner time to commit.
+            time.sleep(0.25 * (attempt + 1))
+            continue
         if n_new is None:
             n_new = df.sparkSession.read.parquet(ddir).count()
         if mode == "append" and prev:
@@ -156,6 +174,7 @@ def write_version(
             )
         except FileExistsError:
             os.rename(ddir, staging)  # lost the manifest CAS: retry
+            time.sleep(0.25 * (attempt + 1))
     raise RuntimeError(
         f"write_version: lost the commit race 20 times at {table_path}"
     )
@@ -172,6 +191,11 @@ def read_version(
     if not vs:
         raise FileNotFoundError(f"no committed versions at {table_path}")
     by_id = {m["version"]: m for m in vs}
+    if version is not None and version not in by_id:
+        raise ValueError(
+            f"version {version} not found at {table_path} (committed: "
+            f"{sorted(by_id)}; earlier versions may have been vacuumed)"
+        )
     m = by_id[version] if version is not None else vs[-1]
     paths = [os.path.join(table_path, d) for d in m["dirs"]]
     # mergeSchema: append commits may widen the schema (the reference's
@@ -204,7 +228,7 @@ def rollback(table_path: str, to_version: int) -> int:
                 },
             )
         except FileExistsError:
-            continue  # lost the CAS to a concurrent commit: re-read, retry
+            time.sleep(0.25)  # lost the CAS to a concurrent commit: re-read, retry
     raise RuntimeError(f"rollback: lost the commit race 20 times at {table_path}")
 
 

@@ -969,3 +969,53 @@ def test_avi_container_roundtrip_and_frame_sampling(spark):
     assert [r["frame_idx"] for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [0, 2]
     assert all(r["width"] == 64 and r["height"] == 48 and r["fps"] == 25 for r in by_doc[1])
     assert bytes(sorted(by_doc[1], key=lambda r: r["frame_idx"])[1]["frame_bytes"]) == frames[2]
+
+
+def test_drift_psi_constant_base_and_nulls(spark):
+    """Review regressions: a constant base column must not divide by zero
+    (everything lands in bucket 1), and NULL values are excluded rather
+    than masquerading as low-bucket mass."""
+    from etl_lala_spark.operators.relational import drift_psi
+
+    rows = [(i, 5.0, "base") for i in range(100)]
+    rows += [(200 + i, 5.0 if i % 2 else None, "cur") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, x double, pop string")
+    out = drift_psi(df, "x", F.col("pop") == "base").collect()
+    assert [r["bucket"] for r in out] == [1]
+    assert out[0]["base_n"] == 100
+    assert out[0]["cur_n"] == 50  # the 50 NULLs are excluded, not bucketed
+    assert abs(out[0]["psi_term"]) < 1e-6  # identical non-null distributions
+
+
+def test_merge_changelog_map_payload_column(spark):
+    """Review regression: a map-typed payload column must not break the
+    tie-break ordering (maps are not orderable; they ride along as payload
+    but stay out of the ordering key)."""
+    from etl_lala_spark.operators.relational import merge_changelog
+
+    base = spark.createDataFrame(
+        [(1, {"a": "1"}), (2, {"b": "2"})], "k int, props map<string,string>"
+    )
+    log = spark.createDataFrame(
+        [(2, 1, "U", {"b": "9"}), (3, 1, "I", {"c": "3"})],
+        "k int, seq int, op string, props map<string,string>",
+    )
+    got = {r["k"]: dict(r["props"]) for r in merge_changelog(base, log, key="k").collect()}
+    assert got == {1: {"a": "1"}, 2: {"b": "9"}, 3: {"c": "3"}}
+
+
+def test_sniff_media_truncated_avi_is_unknown():
+    """Review regression: corrupt/truncated AVI bytes classify as unknown
+    instead of raising struct.error and killing the scan task."""
+    import struct
+
+    good = mm.encode_avi_mjpeg(8, 8, 10, [b"\xff\xd8x\xff\xd9"])
+    assert mm.sniff_media(good)[0] == "avi"
+    # truncated mid-header
+    assert mm.sniff_media(good[:30])[0] in ("avi", "unknown")
+    # lying avih size with a short buffer
+    bad = b"RIFF" + struct.pack("<I", 1000) + b"AVI " + b"avih" + struct.pack("<I", 56) + b"\x00" * 4
+    assert mm.sniff_media(bad) == ("unknown", 0, 0, 0) or mm.sniff_media(bad)[0] == "avi"
+    # decode_avi on the same bytes degrades to partial metadata, no crash
+    mm.decode_avi(bad)
+    assert mm.avi_extract_frames(good[: len(good) // 2], stride=1) is not None

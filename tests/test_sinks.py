@@ -597,6 +597,17 @@ def test_versioned_concurrent_commit_cas(spark, out_dir):
         fh.write('{"version": 4, "op": "overwr')
     assert [m["version"] for m in vt.table_versions(table)] == [1, 2, 3]
     assert {r.k for r in vt.read_version(spark, table).collect()} == {2}
+    # ...and the next commit RECLAIMS the wedged id instead of spinning on
+    # it forever (the torn file blocks the link CAS but parses as garbage).
+    v4 = vt.write_version(spark.createDataFrame([(7, "g")], "k int, v string"), table)
+    assert v4 == 4
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {7}
+    assert [m["version"] for m in vt.table_versions(table)] == [1, 2, 3, 4]
+    # a vacuumed/unknown pinned read fails with a clear error, not KeyError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version 99 not found"):
+        vt.read_version(spark, table, version=99)
 
 
 def test_versioned_schema_evolution_and_compaction(spark, out_dir):
