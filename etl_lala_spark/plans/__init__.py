@@ -43,6 +43,7 @@ _PLAN_MODULES = (
     "etl_lala_spark.plans.multimodal",
     "etl_lala_spark.plans.audits",
     "etl_lala_spark.plans.stream_twins",
+    "etl_lala_spark.plans.lifecycle",
 )
 
 
@@ -99,11 +100,10 @@ def _load_all() -> None:
 # ROUND 5 TODO: replace this list — after CORRECTNESS_r04 lands, the prior
 # greens demote automatically, but names pinned here STILL outrank them
 # (pri beats green since r4), so a stale window wastes slots on re-checks.
-# Register + pin the queued operators that missed r4's full window:
-# drift_psi / drift_psi_categorical (operators/relational.py), a versioned-
-# table lifecycle twin (sinks/versioned.py), and an AVI frame-sample query
-# (operators/multimodal.py:video_frame_sample) — all implemented + pytest-
-# green, needing only @register plumbing and oracles.
+# The operators that missed r4's full window are now registered with oracles
+# in plans/lifecycle.py (drift_psi_price, drift_psi_orderstatus,
+# versioned_table_lifecycle, multimodal_avi_frames) — un-pinned they sort
+# immediately after this window, so pin them first in the r5 list.
 _DRIVER_WINDOW = [
     # retry: only red row of r3 (HUGEINT-vs-BIGINT value-hash artifact)
     "dq_lineitem_expectations",

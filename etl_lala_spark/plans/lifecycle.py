@@ -1,0 +1,254 @@
+"""Table-lifecycle + monitoring queries queued for the round-5 driver window.
+
+Three round-4 operator families were implemented and pytest-gated but left
+unregistered because the round-4 driver window was already full (50 pinned
+slots): distribution-drift monitoring (PSI — the check the reference's
+month-over-month reprocessing loop, src/datasus/datasus.service.ts:15-39,
+implicitly needs before trusting a reload), the versioned-table transaction
+log (sinks/versioned.py — the atomic upgrade of the reference's
+delete-then-reinsert), and AVI container frame sampling (the in-cluster half
+of a 100 TB video pipeline). This module gives each a named query + DuckDB
+oracle so the next rotation materializes hard driver rows for them.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_table
+from etl_lala_spark.plans import register
+
+_PSI_NUMERIC_ORACLE = """
+WITH d AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         CASE WHEN l_shipdate < TIMESTAMP '1995-06-01' THEN 1 ELSE 0 END AS is_base
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL
+),
+s AS (SELECT min(v) AS lo, max(v) AS hi FROM d WHERE is_base = 1),
+b AS (
+  SELECT CASE WHEN (hi - lo) / 10.0 > 0
+              THEN least(10, greatest(1, CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS BIGINT) + 1))
+              ELSE 1 END AS bucket,
+         is_base
+  FROM d, s
+),
+h AS (
+  SELECT bucket,
+         CAST(sum(is_base) AS BIGINT) AS base_n,
+         CAST(sum(1 - is_base) AS BIGINT) AS cur_n
+  FROM b GROUP BY bucket
+),
+t AS (SELECT CAST(sum(base_n) AS DOUBLE) AS base_t,
+             CAST(sum(cur_n) AS DOUBLE) AS cur_t FROM h)
+SELECT bucket, base_n, cur_n,
+       round(base_n / base_t, 6) AS base_frac,
+       round(cur_n / cur_t, 6) AS cur_frac,
+       round((base_n / base_t - cur_n / cur_t)
+             * ln((base_n / base_t + 1e-6) / (cur_n / cur_t + 1e-6)), 6) AS psi_term
+FROM h, t
+ORDER BY bucket
+"""
+
+
+@register("drift_psi_price", oracle=_PSI_NUMERIC_ORACLE)
+def drift_psi_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric population-stability-index drift on lineitem extended price:
+    base population = shipments before 1995-06-01, current = after. The
+    operator (`operators/relational.py:drift_psi`) fixes 10 equal-width
+    buckets from the base slice's min/max with explicit floor arithmetic so
+    any engine replays the exact histogram; the oracle recomputes every
+    bucket fraction and ε-smoothed PSI term. Two scans total at any scale —
+    a 1-row min/max broadcast, then one shared conditional-aggregation
+    histogram pass over both populations."""
+    from etl_lala_spark.operators.relational import drift_psi
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return drift_psi(
+        li,
+        "l_extendedprice",
+        F.col("l_shipdate") < "1995-06-01",
+        n_buckets=10,
+    )
+
+
+_PSI_CAT_ORACLE = """
+WITH d AS (
+  SELECT o_orderstatus AS category,
+         CASE WHEN o_orderdate < TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END AS is_base
+  FROM orders
+),
+h AS (
+  SELECT category,
+         CAST(sum(is_base) AS BIGINT) AS base_n,
+         CAST(sum(1 - is_base) AS BIGINT) AS cur_n
+  FROM d GROUP BY category
+),
+t AS (SELECT CAST(sum(base_n) AS DOUBLE) AS base_t,
+             CAST(sum(cur_n) AS DOUBLE) AS cur_t FROM h)
+SELECT category, base_n, cur_n,
+       round(base_n / base_t, 6) AS base_frac,
+       round(cur_n / cur_t, 6) AS cur_frac,
+       round((base_n / base_t - cur_n / cur_t)
+             * ln((base_n / base_t + 1e-6) / (cur_n / cur_t + 1e-6)), 6) AS psi_term
+FROM h, t
+ORDER BY category
+"""
+
+
+@register("drift_psi_orderstatus", oracle=_PSI_CAT_ORACLE)
+def drift_psi_orderstatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI drift on order status: orders before 1996 vs after.
+    ONE scan — both populations histogram via conditional aggregation keyed
+    by the category value; the shuffle carries one row per distinct status
+    code. Categories absent from a side still contribute through the
+    ε-smoothed log term (the oracle replays the same smoothing)."""
+    from etl_lala_spark.operators.relational import drift_psi_categorical
+
+    o = load_table(spark, sf_dir, "orders")
+    return drift_psi_categorical(
+        o, "o_orderstatus", F.col("o_orderdate") < "1996-01-01"
+    )
+
+
+_VERSIONED_ORACLE = """
+SELECT c_custkey AS k,
+       CASE WHEN c_custkey % 10 = 0 THEN round(c_acctbal + 1000, 2)
+            ELSE round(c_acctbal, 2) END AS bal
+FROM customer
+WHERE (c_custkey % 3 IN (0, 1) OR c_custkey % 10 = 0)
+  AND c_custkey % 15 <> 0
+ORDER BY k
+"""
+
+
+@register("versioned_table_lifecycle", oracle=_VERSIONED_ORACLE)
+def versioned_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full transaction-log lifecycle (sinks/versioned.py) certified by a
+    closed-form oracle: v1 overwrite (customers with custkey % 3 = 0), v2
+    append (% 3 = 1), v3 CDC merge (updates +1000 balance where % 10 = 0 at
+    seq 1, deletes % 15 = 0 at seq 2 — the delete wins the per-key
+    latest-seq race where both apply), v4 a deliberately bad overwrite, v5
+    rollback to the merged v3 (O(1) metadata re-point), v6 compaction of the
+    snapshot into one directory, then vacuum to the retention window. The
+    final read must equal the merged state the oracle derives straight from
+    customer — any atomicity, merge-precedence, rollback-target, or
+    compaction bug changes the returned rows.
+
+    Upgrade path twinned: the reference reloads a competência by
+    delete-then-reinsert in place (src/datasus/datasus.service.ts:15-39);
+    here the same reload is an atomic commit with history, so a bad feed is
+    one rollback away. Scale: commits move manifests (tiny JSON), never
+    rewrite history; the merge shuffles only the changelog."""
+    import shutil
+    import tempfile
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    work = tempfile.mkdtemp(prefix="vtwin_")
+    table = f"{work}/customers_v"
+    try:
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("bal")
+        )
+        vt.write_version(cust.filter(F.col("k") % 3 == 0), table, mode="overwrite")
+        vt.write_version(cust.filter(F.col("k") % 3 == 1), table, mode="append")
+        changelog = (
+            cust.filter(F.col("k") % 10 == 0)
+            .select(
+                "k",
+                F.round(F.col("bal") + 1000, 2).alias("bal"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("U").alias("op"),
+            )
+            .unionByName(
+                cust.filter(F.col("k") % 15 == 0).select(
+                    "k",
+                    F.lit(None).cast("double").alias("bal"),
+                    F.lit(2).cast("long").alias("seq"),
+                    F.lit("D").alias("op"),
+                )
+            )
+        )
+        v_merged = vt.merge_version(spark, table, changelog, key="k")
+        vt.write_version(cust.limit(3), table, mode="overwrite")  # bad feed
+        vt.rollback(table, to_version=v_merged)
+        vt.compact_version(spark, table)
+        vt.vacuum(table, keep_last=2)
+        # Materialize before the temp table is deleted: the plan references
+        # on-disk manifests that vanish with the tempdir.
+        rows = vt.read_version(spark, table).orderBy("k").collect()
+        return spark.createDataFrame(rows, schema="k long, bal double")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+_AVI_ORACLE = """
+WITH f AS (
+  SELECT d.doc_id, t.frame_idx
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d,
+       range(0, 8) t(frame_idx)
+  WHERE t.frame_idx < (d.doc_id % 7) + 2 AND t.frame_idx % 2 = 0
+)
+SELECT doc_id,
+       CAST(frame_idx AS INT) AS frame_idx,
+       CAST((doc_id % 31) + 2 AS INT) AS width,
+       CAST((doc_id % 17) + 2 AS INT) AS height,
+       CAST(8 + doc_id % 5 AS INT) AS fps,
+       CAST(strlen(repeat('doc' || doc_id || ':frame' || frame_idx || ';',
+                          CAST((frame_idx % 3) + 1 AS INT))) AS INT) AS n_bytes,
+       md5(repeat('doc' || doc_id || ':frame' || frame_idx || ';',
+                  CAST((frame_idx % 3) + 1 AS INT))) AS digest
+FROM f
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_avi_frames", oracle=_AVI_ORACLE)
+def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container frame sampling end to end: per document a valid
+    AVI (RIFF avih/strh/movi/idx1) is assembled holding (doc_id % 7) + 2
+    frames of deterministic ASCII payload, shipped through Arrow as a
+    binary column, and every 2nd frame is extracted by the distributed
+    container walk (`operators/multimodal.py:video_frame_sample` —
+    one-to-many mapInPandas explode). Width/height/fps come from the parsed
+    headers and each sampled frame's byte length + md5 must match the
+    oracle's arithmetic reconstruction — any chunk-walk, stride, index, or
+    header bug hash-mismatches.
+
+    Scale shape: container walking is a per-file kernel inside one
+    mapInPandas pass — constant task memory, parallel across files; the
+    pixel decode of sampled frames is the documented pluggable codec seam."""
+    import pandas as pd
+
+    from etl_lala_spark.operators import multimodal as mm
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    (f"doc{d}:frame{f};" * ((f % 3) + 1)).encode()
+                    for f in range((d % 7) + 2)
+                ]
+                rows.append(
+                    (d, mm.encode_avi_mjpeg((d % 31) + 2, (d % 17) + 2, 8 + d % 5, frames))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    vids = docs.select("doc_id").mapInPandas(build, "doc_id long, data binary")
+    frames = mm.video_frame_sample(vids, stride=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "fps",
+        F.length("frame_bytes").cast("int").alias("n_bytes"),
+        F.md5("frame_bytes").alias("digest"),
+    ).orderBy("doc_id", "frame_idx")
