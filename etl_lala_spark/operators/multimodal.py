@@ -299,6 +299,12 @@ def sniff_media(data: bytes) -> tuple[str, int, int, int]:
             w, h, n_frames, _fps = decode_avi(data)
         except (ValueError, _struct.error, IndexError):
             return ("unknown", 0, 0, 0)
+        # decode_avi degrades truncated/lying containers to partial metadata
+        # rather than raising (one corrupt blob must not kill a scan task);
+        # a container whose header walk produced no dimensions is garbage,
+        # not a zero-pixel video — classify it unknown.
+        if w <= 0 or h <= 0:
+            return ("unknown", 0, 0, 0)
         return ("avi", w, h, n_frames)
     return ("unknown", 0, 0, 0)
 

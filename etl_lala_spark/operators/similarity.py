@@ -400,16 +400,19 @@ def kmeans_fit(
     spark = corpus.sparkSession
     cent_schema = "cell INT, cvec ARRAY<DOUBLE>"
 
-    def materialize(cent_df: DataFrame) -> DataFrame:
-        """Collect the k×dim codebook and rebuild it as a literal DataFrame —
-        truncates lineage so the next iteration starts from flat state."""
-        return spark.createDataFrame(cent_df.collect(), schema=cent_schema)
+    def collect_cells(cent_df: DataFrame) -> dict[int, list[float]]:
+        return {int(r[0]): list(r[1]) for r in cent_df.collect()}
+
+    def materialize(cell_map: dict[int, list[float]]) -> DataFrame:
+        """Rebuild the k×dim codebook as a literal DataFrame — truncates
+        lineage so the next iteration starts from flat state."""
+        return spark.createDataFrame(sorted(cell_map.items()), schema=cent_schema)
 
     # Seeds come from the FULL corpus stride sample — stacking the training
     # subsample filter here would shrink the seed pool mod× and silently
     # start with fewer than k centroids on small corpora; sampling is meant
     # to bound the Lloyd iteration scans, not starve initialization.
-    centroids = materialize(
+    cells = collect_cells(
         vecs.filter((F.col("vid") % centroid_stride) == 0)
         .orderBy("vid")
         .limit(k)
@@ -419,6 +422,7 @@ def kmeans_fit(
             F.col("v").alias("cvec"),
         )
     )
+    centroids = materialize(cells)
 
     def assigned_to(centroids: DataFrame, frame: DataFrame = vecs) -> DataFrame:
         codebook = centroids.agg(
@@ -462,16 +466,24 @@ def kmeans_fit(
         )
         # Normalize in a second projection so `mvec` is an attribute —
         # element access on a *computed* array re-evaluates it per element.
-        centroids = materialize(
-            means.select(
-                "cell",
-                F.expr(
-                    "transform(mvec, a -> a / "
-                    "sqrt(aggregate(transform(mvec, b -> b * b), "
-                    "0D, (acc, v) -> acc + v)))"
-                ).alias("cvec"),
+        # dict-update keeps every cell alive: a cell that captured no
+        # training vectors this round (possible when seeds come from the
+        # full corpus but Lloyd runs on the hash subsample) retains its
+        # previous centroid instead of silently shrinking the codebook
+        # below k for all remaining iterations.
+        cells.update(
+            collect_cells(
+                means.select(
+                    "cell",
+                    F.expr(
+                        "transform(mvec, a -> a / "
+                        "sqrt(aggregate(transform(mvec, b -> b * b), "
+                        "0D, (acc, v) -> acc + v)))"
+                    ).alias("cvec"),
+                )
             )
         )
+        centroids = materialize(cells)
 
     return assigned_to(centroids).select(F.col("vid").alias(id_col), "cell", "sim")
 

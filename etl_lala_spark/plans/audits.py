@@ -183,13 +183,15 @@ SELECT CAST((SELECT count(*) FROM embeddings WHERE vec_id % 100 = 0) AS BIGINT)
 
 
 def _ivfpq_audit_body(
-    spark: SparkSession, sf_dir: str, index: DataFrame, approx: DataFrame
+    emb: DataFrame, queries: DataFrame, index: DataFrame, approx: DataFrame
 ) -> DataFrame:
     """Shared IVFADC audit body (raw + residual variants): one index row
     per corpus vector, cell ids in [0, 16), codes in [0, 16), and top-5
-    pair recall vs exact brute force >= the conservative 0.05 floor."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    pair recall vs exact brute force >= the conservative 0.05 floor.
+    ``emb``/``queries`` are the caller's OWN corpus and query frames — the
+    recall denominator must be computed against exactly the population
+    ``approx`` answered for, so the sampling predicate lives in one place
+    per audit instead of drifting between caller and body."""
     exact = sim.brute_force_topk(emb, queries, k=5)
     hits = approx.join(
         exact.select("query_id", "neighbor_id"),
@@ -238,7 +240,7 @@ def audit_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = index.cache()
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     approx = sim.ivfpq_topk(index, ivf_cb, queries, books, k=5, nprobe=4)
-    return _ivfpq_audit_body(spark, sf_dir, index, approx)
+    return _ivfpq_audit_body(emb, queries, index, approx)
 
 
 @register("audit_ann_ivfpq_residual", oracle=_IVFPQ_ORACLE)
@@ -254,7 +256,7 @@ def audit_ann_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     approx = sim.ivfpq_residual_topk(index, ivf_cb, queries, books, k=5, nprobe=4)
-    return _ivfpq_audit_body(spark, sf_dir, index, approx)
+    return _ivfpq_audit_body(emb, queries, index, approx)
 
 
 # ---------------------------------------------------------------------------

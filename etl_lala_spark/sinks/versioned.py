@@ -99,18 +99,74 @@ def _commit(table_path: str, manifest: dict) -> int:
         # A manifest already holds this id. If it parses, a rival committed
         # first — re-raise so the caller retries against the new latest. If
         # it is TORN (a crashed writer's partial file), table_versions()
-        # ignores it, so no retry could ever advance past this id: repair by
-        # atomically renaming our complete manifest over the garbage.
+        # ignores it, so no retry could ever advance past this id: repair it.
         try:
             with open(path) as fh:
                 json.load(fh)
         except (OSError, ValueError):
-            os.rename(tmp, path)  # reclaim the wedged id
+            # Repair must itself be a CAS, not check-then-rename: two
+            # repairers racing the same torn id would both "win" a plain
+            # rename and the second would silently overwrite the first's
+            # committed manifest. Claiming the torn file by renaming it
+            # ASIDE is atomic — exactly one repairer's rename succeeds; the
+            # loser (ENOENT) re-raises as a lost CAS and retries against
+            # whatever state the winner publishes.
+            aside = f"{tmp}.torn"
+            try:
+                os.rename(path, aside)
+            except FileNotFoundError:
+                os.remove(tmp)
+                raise FileExistsError(path) from None
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                # A third writer linked a (valid) manifest in the gap
+                # between our rename-aside and link — our repair lost.
+                os.remove(tmp)
+                os.remove(aside)
+                raise
+            os.remove(tmp)
+            os.remove(aside)
             return manifest["version"]
         os.remove(tmp)
         raise
     os.remove(tmp)
     return manifest["version"]
+
+
+_ORPHAN_GRACE_S = 30.0
+
+
+def _reclaim_orphan_dir(table_path: str, ddir: str, version: int) -> bool:
+    """True if ``ddir`` was a crashed writer's orphaned claim and was
+    deleted. A dir is an orphan only when NO committed manifest references
+    it, no manifest holds ``version`` (the claimant never committed), and
+    the claim timestamp is stale — a live claimant touches the dir at claim
+    time and commits within milliseconds (the critical section is pure
+    metadata), so an unreferenced claim older than the grace window is a
+    crash, not a slow writer. Without this, one crash between claim and
+    commit would wedge the data-dir name and make the table permanently
+    unwritable."""
+    try:
+        mtime = os.stat(ddir).st_mtime
+    except OSError:
+        return False  # vanished: the claimant committed or a rival reclaimed
+    if time.time() - mtime < _ORPHAN_GRACE_S:
+        return False
+    name = os.path.basename(ddir)
+    for m in table_versions(table_path):
+        if name in m["dirs"] or m["version"] == version:
+            return False
+    # Claim the orphan atomically by renaming it aside before deleting, so
+    # two reclaimers (or a reclaimer and a fresh claimant of the name)
+    # cannot interleave on a half-deleted directory.
+    aside = f"{ddir}.orphan.{os.getpid()}"
+    try:
+        os.rename(ddir, aside)
+    except OSError:
+        return False
+    shutil.rmtree(aside, ignore_errors=True)
+    return True
 
 
 def write_version(
@@ -130,14 +186,17 @@ def write_version(
     # only renames it and retries the manifest CAS, so a lost race never
     # recomputes the DataFrame.
     os.makedirs(table_path, exist_ok=True)
-    # Dot-prefixed staging is invisible to any Spark reader pointed at the
-    # table directory, so an in-flight write can never leak into a naive
-    # scan; the row count is taken AFTER the rename to the visible claimed
-    # name (hidden path components are skipped by Spark's file listing).
-    staging = os.path.join(table_path, f".staging.{os.getpid()}")
+    # Staging lives BESIDE the table directory (not inside it), so an
+    # in-flight write can never leak into a naive scan of the table dir,
+    # and — unlike a dot-prefixed child, which Spark's file listing skips —
+    # it stays readable, so the row count happens here, BEFORE any claim:
+    # the claim-to-commit critical section below is then a pure-metadata
+    # window (rename + manifest link, milliseconds), not a Spark job that
+    # would make rival writers burn their retries against a live claim.
+    staging = f"{table_path.rstrip('/')}.staging.{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    n_new: int | None = None
+    n_new = df.sparkSession.read.parquet(staging).count()
     for attempt in range(20):
         prev = table_versions(table_path)
         version = (prev[-1]["version"] + 1) if prev else 1
@@ -146,14 +205,21 @@ def write_version(
         try:
             os.rename(staging, ddir)  # claim the data-dir name
         except OSError:
-            # Another writer claimed dN but has not published its manifest
-            # yet (it may be mid row-count); without a wait we would burn
-            # every retry in microseconds against the same latest. Linear
-            # backoff gives the winner time to commit.
+            # Another writer holds dN. Normally its manifest lands within
+            # milliseconds (the critical section is pure metadata) and the
+            # next retry sees a new latest. But a writer that CRASHED
+            # between claiming dN and committing leaves the name wedged
+            # forever — detect that (no manifest references the dir, no
+            # manifest holds this version, claim timestamp stale) and
+            # delete the orphan so the table stays writable.
+            if _reclaim_orphan_dir(table_path, ddir, version):
+                continue
             time.sleep(0.25 * (attempt + 1))
             continue
-        if n_new is None:
-            n_new = df.sparkSession.read.parquet(ddir).count()
+        try:
+            os.utime(ddir)  # claim timestamp: liveness marker for reclaim
+        except OSError:
+            pass
         if mode == "append" and prev:
             dirs = list(prev[-1]["dirs"]) + [ddir_name]
             n_rows = prev[-1]["n_rows"] + n_new

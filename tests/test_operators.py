@@ -1011,11 +1011,12 @@ def test_sniff_media_truncated_avi_is_unknown():
 
     good = mm.encode_avi_mjpeg(8, 8, 10, [b"\xff\xd8x\xff\xd9"])
     assert mm.sniff_media(good)[0] == "avi"
-    # truncated mid-header
-    assert mm.sniff_media(good[:30])[0] in ("avi", "unknown")
+    # truncated mid-header: the walk yields no dimensions -> unknown, not a
+    # zero-pixel "avi"
+    assert mm.sniff_media(good[:30]) == ("unknown", 0, 0, 0)
     # lying avih size with a short buffer
     bad = b"RIFF" + struct.pack("<I", 1000) + b"AVI " + b"avih" + struct.pack("<I", 56) + b"\x00" * 4
-    assert mm.sniff_media(bad) == ("unknown", 0, 0, 0) or mm.sniff_media(bad)[0] == "avi"
+    assert mm.sniff_media(bad) == ("unknown", 0, 0, 0)
     # decode_avi on the same bytes degrades to partial metadata, no crash
     mm.decode_avi(bad)
     assert mm.avi_extract_frames(good[: len(good) // 2], stride=1) is not None

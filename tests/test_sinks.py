@@ -638,3 +638,40 @@ def test_versioned_schema_evolution_and_compaction(spark, out_dir):
     # pre-compaction snapshot still readable until vacuumed
     got2 = {(r.k, r.v, r.score) for r in vt.read_version(spark, table, version=2).collect()}
     assert got2 == got
+
+
+def test_versioned_orphan_claim_reclaimed(spark, out_dir):
+    """A writer that crashed between claiming dN and committing its manifest
+    must not wedge the table: the stale unreferenced claim is reclaimed and
+    the next commit takes the name. A FRESH claim (inside the grace window)
+    is left alone."""
+    import os
+    import time
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_orphan")
+    vt.write_version(spark.createDataFrame([(1, "a")], "k int, v string"), table)
+
+    # Crashed writer: claimed d000002, never committed, long dead.
+    orphan = os.path.join(table, "d000002")
+    os.makedirs(orphan)
+    stale = time.time() - 120
+    os.utime(orphan, (stale, stale))
+
+    v = vt.write_version(spark.createDataFrame([(2, "b")], "k int, v string"), table)
+    assert v == 2
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {2}
+    # the orphan's bytes are gone, replaced by the real v2 data dir
+    assert {r.k for r in spark.read.parquet(orphan).collect()} == {2}
+
+    # A fresh (live) claim is NOT reclaimed: _reclaim_orphan_dir refuses.
+    fresh = os.path.join(table, "d000003")
+    os.makedirs(fresh)
+    assert vt._reclaim_orphan_dir(table, fresh, 3) is False
+    assert os.path.isdir(fresh)
+    # ...and a stale dir REFERENCED by a manifest is also refused.
+    d2 = os.path.join(table, "d000002")
+    os.utime(d2, (stale, stale))
+    assert vt._reclaim_orphan_dir(table, d2, 99) is False
+    assert os.path.isdir(d2)
