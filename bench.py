@@ -72,6 +72,11 @@ HEADLINE = [
     # round 4: TPC-H shapes measured at the true partsupp grain (4/part)
     "q11_true_grain",
     "q16_true_grain",
+    # round 4: drift monitors, versioned-table lifecycle, AVI frame sampling
+    "drift_psi_price",
+    "drift_psi_orderstatus",
+    "versioned_table_lifecycle",
+    "multimodal_avi_frames",
 ]
 
 
