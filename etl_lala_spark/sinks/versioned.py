@@ -170,14 +170,19 @@ def _reclaim_orphan_dir(table_path: str, ddir: str, version: int) -> bool:
 
 
 def write_version(
-    df: DataFrame, table_path: str, mode: str = "overwrite"
+    df: DataFrame, table_path: str, mode: str = "overwrite",
+    extra: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
 
     ``mode="overwrite"``: the new version consists of this commit's data
     only. ``mode="append"``: the new version = previous version's
     directories + this commit's directory (no data rewrite — append is a
-    metadata union of immutable dirs). Returns the committed version id.
+    metadata union of immutable dirs). ``extra``: additional manifest
+    fields published atomically with the commit (reserved core keys win on
+    collision) — e.g. the streaming batch id that makes
+    ``stream_versioned_append``'s replay guard transactional. Returns the
+    committed version id.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_version mode must be overwrite/append, got {mode}")
@@ -230,6 +235,7 @@ def write_version(
             return _commit(
                 table_path,
                 {
+                    **(extra or {}),
                     "version": version,
                     "op": mode,
                     "dirs": dirs,
@@ -356,3 +362,46 @@ def compact_version(spark: SparkSession, table_path: str) -> int:
     window."""
     merged = read_version(spark, table_path)
     return write_version(merged, table_path, mode="overwrite")
+
+
+def stream_versioned_append(
+    stream_df: DataFrame, table_path: str, checkpoint: str | None = None
+):
+    """Exactly-once streaming ingest into a versioned table: each
+    micro-batch lands as one atomic append commit whose manifest carries
+    the batch id — so the replay guard is TRANSACTIONAL with the data
+    commit itself, unlike a side-file guard. After a crash, a foreachBatch
+    replay either finds a committed manifest with its batch id (skip — the
+    data is provably in) or finds none (the dead attempt's unreferenced
+    data dir is garbage for the orphan reclaim, and the batch re-commits);
+    there is no window where data landed but the guard says otherwise.
+    At-least-once upstream delivery (reference T6,
+    src/queue/consumers/arquivo-preparacao.consumer.ts retry loop) thus
+    becomes exactly-once table state, and every micro-batch is a
+    time-travelable snapshot — a bad batch is undone by ``rollback``.
+
+    Share ``checkpoint`` across restarts so Structured Streaming keeps
+    batch ids monotone; without it a new run restarts at batch 0 and the
+    guard (correctly, by its contract) treats those ids as already applied.
+
+    Scale: per batch, one parquet write of the batch + one tiny manifest;
+    the table's history grows by manifests, not rewrites — run
+    ``compact_version`` + ``vacuum`` on the cadence fragmentation demands.
+    Returns the started StreamingQuery."""
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        applied = max(
+            (m.get("stream_batch_id", -1) for m in table_versions(table_path)),
+            default=-1,
+        )
+        if batch_id <= applied:
+            return  # replayed batch: its manifest is already committed
+        write_version(
+            batch_df, table_path, mode="append",
+            extra={"stream_batch_id": batch_id},
+        )
+
+    w = stream_df.writeStream.foreachBatch(ingest).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

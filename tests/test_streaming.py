@@ -767,3 +767,49 @@ def test_stream_neardup_ingest_blocks_history_dups_and_replay(spark, sf_dir, tmp
     assert spark.read.parquet(table).count() == n2
     bands_df = spark.read.parquet(band_idx)
     assert bands_df.count() == bands_df.dropDuplicates(["doc", "band"]).count()
+
+
+def test_stream_versioned_append_exactly_once(spark, tmp_path):
+    """Streaming ingest into the versioned transaction log: each
+    micro-batch is one atomic append commit whose manifest carries the
+    batch id, so replays (at-least-once upstream) commit nothing and every
+    batch is a time-travelable snapshot."""
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = str(tmp_path / "vt_stream")
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v string"
+
+    def run(checkpoint):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = vt.stream_versioned_append(stream, table, checkpoint=checkpoint)
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame([(1, "a"), (2, "b")], schema).write.mode(
+        "append"
+    ).parquet(str(src))
+    run(ckpt)
+    assert vt.latest_version(table) == 1
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2}
+
+    # second availableNow run with the SHARED checkpoint: only new files
+    # land, as the next batch id, as one more append commit
+    spark.createDataFrame([(3, "c")], schema).write.mode("append").parquet(
+        str(src)
+    )
+    run(ckpt)
+    vs = vt.table_versions(table)
+    assert [m["version"] for m in vs] == [1, 2]
+    assert vs[-1]["stream_batch_id"] == 1
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2, 3}
+    # time travel: the pre-batch-2 snapshot is intact
+    assert {r.k for r in vt.read_version(spark, table, version=1).collect()} == {1, 2}
+
+    # replay: a FRESH run with no checkpoint re-delivers everything as
+    # batch 0 — already-applied per the manifests, so nothing commits
+    run(None)
+    assert [m["version"] for m in vt.table_versions(table)] == [1, 2]
+    assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2, 3}
