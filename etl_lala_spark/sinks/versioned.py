@@ -33,6 +33,7 @@ for the store's conditional-put (If-None-Match) — same protocol.
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
@@ -41,6 +42,16 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 _VERS = "_versions"
+
+# Writer-private names must be unique per CALL, not just per process: a
+# driver running parallel jobs (threads share the pid) would otherwise
+# interleave two writers' staging dirs / manifest temps and publish torn
+# state. pid + a process-wide counter is unique across both axes.
+_UNIQ = itertools.count()
+
+
+def _private_suffix() -> str:
+    return f"{os.getpid()}.{next(_UNIQ)}"
 
 
 def _versions_dir(table_path: str) -> str:
@@ -88,7 +99,7 @@ def _commit(table_path: str, manifest: dict) -> int:
     # committed name: link(2) is atomic and fails with EEXIST if the
     # version was taken, so the committed name can never hold torn JSON
     # (crash before link = no commit; after = complete commit).
-    tmp = f"{path}.{os.getpid()}.tmp"
+    tmp = f"{path}.{_private_suffix()}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
         fh.flush()
@@ -160,7 +171,7 @@ def _reclaim_orphan_dir(table_path: str, ddir: str, version: int) -> bool:
     # Claim the orphan atomically by renaming it aside before deleting, so
     # two reclaimers (or a reclaimer and a fresh claimant of the name)
     # cannot interleave on a half-deleted directory.
-    aside = f"{ddir}.orphan.{os.getpid()}"
+    aside = f"{ddir}.orphan.{_private_suffix()}"
     try:
         os.rename(ddir, aside)
     except OSError:
@@ -198,7 +209,7 @@ def write_version(
     # the claim-to-commit critical section below is then a pure-metadata
     # window (rename + manifest link, milliseconds), not a Spark job that
     # would make rival writers burn their retries against a live claim.
-    staging = f"{table_path.rstrip('/')}.staging.{os.getpid()}"
+    staging = f"{table_path.rstrip('/')}.staging.{_private_suffix()}"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
     n_new = df.sparkSession.read.parquet(staging).count()

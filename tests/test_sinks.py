@@ -675,3 +675,40 @@ def test_versioned_orphan_claim_reclaimed(spark, out_dir):
     os.utime(d2, (stale, stale))
     assert vt._reclaim_orphan_dir(table, d2, 99) is False
     assert os.path.isdir(d2)
+
+
+def test_versioned_concurrent_threaded_writers_lose_nothing(spark, out_dir):
+    """Real contention: 4 threads in ONE process (shared pid — the parallel-
+    jobs driver shape) each commit 3 appends to the same table. The CAS
+    protocol must serialize all 12 commits with zero lost updates and
+    unique writer-private staging/temp names per call, not per pid."""
+    import os
+    import threading
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_threads")
+    vt.write_version(spark.createDataFrame([(0, -1)], "w int, i int"), table)
+
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(3):
+                df = spark.createDataFrame([(w, i)], "w int, i int")
+                vt.write_version(df, table, mode="append")
+        except Exception as ex:  # surfaced after join; a raise here is lost
+            errors.append(ex)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert not errors, errors
+    vs = vt.table_versions(table)
+    assert [m["version"] for m in vs] == list(range(1, 14))  # 1 seed + 12
+    rows = {(r.w, r.i) for r in vt.read_version(spark, table).collect()}
+    assert rows == {(0, -1)} | {(w, i) for w in range(4) for i in range(3)}
+    assert vs[-1]["n_rows"] == 13
