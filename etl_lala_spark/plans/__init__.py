@@ -101,9 +101,10 @@ def _load_all() -> None:
 # greens demote automatically, but names pinned here STILL outrank them
 # (pri beats green since r4), so a stale window wastes slots on re-checks.
 # The operators that missed r4's full window are now registered with oracles
-# in plans/lifecycle.py (drift_psi_price, drift_psi_orderstatus,
-# versioned_table_lifecycle, multimodal_avi_frames) — un-pinned they sort
-# immediately after this window, so pin them first in the r5 list.
+# (drift_psi_price, drift_psi_orderstatus, versioned_table_lifecycle,
+# multimodal_avi_frames in plans/lifecycle.py; stream_twin_versioned_ingest
+# below in stream_twins.py) — un-pinned they sort immediately after this
+# window, so pin them first in the r5 list.
 _DRIVER_WINDOW = [
     # retry: only red row of r3 (HUGEINT-vs-BIGINT value-hash artifact)
     "dq_lineitem_expectations",

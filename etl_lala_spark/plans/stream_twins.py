@@ -169,3 +169,76 @@ def stream_twin_running_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+_VING_ORACLE = """
+SELECT c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(c_acctbal), 2) AS bal_sum,
+       4 AS n_versions,
+       CAST(3 AS BIGINT) AS last_batch_id
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY seg
+"""
+
+
+@register("stream_twin_versioned_ingest", oracle=_VING_ORACLE)
+def stream_twin_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingest twin: stream the customer table in
+    four micro-batches (``maxFilesPerTrigger=1``) through
+    ``sinks.versioned.stream_versioned_append`` — each batch lands as one
+    atomic append commit whose manifest carries the batch id — then replay
+    the ENTIRE stream with a fresh (checkpoint-free) run, which re-delivers
+    every batch under recycled ids. A green row certifies: the replay
+    committed nothing (manifest-transactional guard), the log holds exactly
+    4 versions with last applied batch id 3, and the final snapshot equals
+    the one-shot batch aggregate the oracle computes from customer."""
+    from etl_lala_spark.sinks import versioned as vt
+
+    work = tempfile.mkdtemp(prefix="vingtwin_")
+    try:
+        src = os.path.join(work, "src")
+        table = os.path.join(work, "vt")
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_mktsegment", "c_acctbal"
+        )
+        cust.repartition(4).write.mode("overwrite").parquet(src)
+
+        def run(checkpoint: str | None) -> None:
+            stream = (
+                spark.readStream.schema(cust.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = vt.stream_versioned_append(stream, table, checkpoint=checkpoint)
+            q.awaitTermination(300)
+            q.stop()
+
+        run(os.path.join(work, "ckpt"))
+        run(None)  # at-least-once replay: all batches re-delivered, ids 0..3
+        vs = vt.table_versions(table)
+        n_versions = len(vs)
+        last_bid = max(m.get("stream_batch_id", -1) for m in vs)
+        out = (
+            vt.read_version(spark, table)
+            .groupBy(F.col("c_mktsegment").alias("seg"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+            )
+            .select(
+                "seg",
+                "n_rows",
+                "bal_sum",
+                F.lit(n_versions).alias("n_versions"),
+                F.lit(last_bid).cast("long").alias("last_batch_id"),
+            )
+            .orderBy("seg")
+        )
+        # Materialize before the temp table is deleted: the plan references
+        # on-disk manifests that vanish with the tempdir.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
