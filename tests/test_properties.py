@@ -158,3 +158,59 @@ def test_merge_changelog_matches_reference_fold(spark, base, log):
         for r in merge_changelog(base_df, log_df, key="k").collect()
     }
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    base=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    cur=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        max_size=30,
+    ),
+)
+def test_drift_psi_matches_reference_fold(spark, base, cur):
+    """Property: drift_psi == a pure-Python equal-width-bucket PSI fold —
+    identical lo/hi/width arithmetic, edge clamping, ε-smoothed terms, and
+    empty-side try_divide semantics (zero fractions, not errors)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators.relational import drift_psi
+
+    rows = [(float(v), 1) for v in base] + [(float(v), 0) for v in cur]
+    df = spark.createDataFrame(rows, "v double, is_base int")
+    got = {
+        r["bucket"]: r
+        for r in drift_psi(df, "v", F.col("is_base") == 1, n_buckets=10).collect()
+    }
+
+    lo, hi = min(base), max(base)
+    width = (hi - lo) / 10.0
+
+    def bucket(v: float) -> int:
+        if width <= 0:
+            return 1
+        return min(10, max(1, math.floor((v - lo) / width) + 1))
+
+    hist: dict[int, list[int]] = {}
+    for v in base:
+        hist.setdefault(bucket(v), [0, 0])[0] += 1
+    for v in cur:
+        hist.setdefault(bucket(v), [0, 0])[1] += 1
+    bt, ct = len(base), len(cur)
+
+    assert set(got) == set(hist)
+    for b, (bn, cn) in hist.items():
+        p = bn / bt if bt else 0.0
+        q = cn / ct if ct else 0.0
+        term = (p - q) * math.log((p + 1e-6) / (q + 1e-6))
+        r = got[b]
+        assert (r["base_n"], r["cur_n"]) == (bn, cn), (b, r)
+        assert abs(r["base_frac"] - p) <= 1e-6
+        assert abs(r["cur_frac"] - q) <= 1e-6
+        assert abs(r["psi_term"] - term) <= 1e-6
