@@ -89,68 +89,43 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 4 window: the FINAL rotation — all 41 queries that have never had a
-# driver CORRECTNESS row (26 oracle-backed stragglers + the 15 rows-only
-# queries whose audit twins are already green), the dq_lineitem_expectations
-# retry (r3 red was a DuckDB HUGEINT hash artifact; oracle now CASTs to
-# BIGINT), and the 8 new-in-r4 queries (IVFADC raw + residual, streaming
-# batch twins, true-grain Q11/Q16). Green rows across r1-r4 then cover all
-# 199 registered queries.
-#
-# ROUND 5 TODO: replace this list — after CORRECTNESS_r04 lands, the prior
-# greens demote automatically, but names pinned here STILL outrank them
-# (pri beats green since r4), so a stale window wastes slots on re-checks.
-# The operators that missed r4's full window are now registered with oracles
-# (drift_psi_price, drift_psi_orderstatus, versioned_table_lifecycle,
-# multimodal_avi_frames in plans/lifecycle.py; stream_twin_versioned_ingest
-# below in stream_twins.py) — un-pinned they sort immediately after this
-# window, so pin them first in the r5 list.
+# Round 5 window: after CORRECTNESS_r04 every oracle-backed query ever
+# driver-checked is green and exactly 5 queries (registered late in r4)
+# have never had a driver row — they are pinned first so this round closes
+# the gap to 203/203 checked. The remaining pins are the highest-value
+# re-checks: the 24 TPC-H join shapes (the core relational surface; q1 is
+# the flagship `entry()`). The window is deliberately SHORTER than the
+# driver's 50-row cap: new round-5 registrations auto-sort into the
+# remaining slots (tier 1 below), then the rows-only approximate queries
+# get fresh ran-rows (tier 2), then greens rotate in registration order.
 _DRIVER_WINDOW = [
-    # retry: only red row of r3 (HUGEINT-vs-BIGINT value-hash artifact)
-    "dq_lineitem_expectations",
-    # CDC + curation + dedup new-in-r3 (bench-headlined, no driver row yet)
-    "cdc_merge_apply", "curate_importance_resampling", "dedup_exact_substrings",
-    "audit_kcenter_sampled", "audit_ann_pq",
-    # relational / scalar / stats stragglers
-    "er_fuzzy_part_names", "sql_udf_charge_summary", "sql_scripting_threshold",
-    "array_functions", "map_functions", "exact_percentiles", "stats_aggs",
-    "ansi_safe_arithmetic", "text_edit_distance",
-    # curation / sampling
-    "split_train_holdout", "sample_stratified",
-    # text-analysis stragglers
-    "profile_documents", "rag_chunk_documents", "text_dup_ngram_coverage",
-    "text_bigram_lm_perplexity", "tokenizer_bpe_merges",
-    "train_quality_classifier",
-    # dedup family rows-only (audit twins green r2; the row itself is the bar)
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_canonical_clusters",
-    "dedup_repeated_blocks", "dedup_semdedup", "corpus_source_overlap",
-    # ANN / embedding rows-only + stragglers
-    "ann_cosine_lsh", "ann_cosine_ivf", "ann_cosine_pq", "ann_self_similarity",
-    "semantic_kmeans_clusters", "embedding_top_pc_profile",
-    "embedding_random_projection",
-    # graph / sketch rows-only
-    "graph_supplier_pagerank", "approx_aggs", "events_distinct_rollup_hll",
-    # multimodal stragglers
-    "multimodal_binary_stats", "multimodal_decode", "multimodal_frame_sample",
-    # new-in-r4: IVFADC composition (raw + residual encoding), streaming
-    # batch-twin gates, and the true-partsupp-grain TPC-H shapes — these
-    # fill the window exactly, so every registered query has a driver row
-    # after this round.
-    "ann_cosine_ivfpq", "audit_ann_ivfpq",
-    "ann_cosine_ivfpq_residual", "audit_ann_ivfpq_residual",
-    "stream_twin_scd2_final", "stream_twin_running_summary",
-    "q11_true_grain", "q16_true_grain",
+    # Never driver-checked (registered after the r4 window filled) — the
+    # whole point of the round-5 rotation. Must stay in front.
+    "drift_psi_price", "drift_psi_orderstatus", "versioned_table_lifecycle",
+    "multimodal_avi_frames", "stream_twin_versioned_ingest",
+    # High-value re-checks: the full TPC-H join surface.
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q11_important_stock", "q11_true_grain",
+    "q12_shipping_delay", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_parts_supplier_relationship", "q16_true_grain",
+    "q17_small_quantity", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q20_potential_promotion",
+    "q21_suppliers_kept_waiting", "q22_sales_opportunity",
 ]
 
 
-def _driver_green_names() -> set[str]:
-    """Names with an all-green row in any CORRECTNESS_r*.json this repo has
-    accumulated (the driver's hard verification record)."""
+def _correctness_records() -> tuple[set[str], set[str]]:
+    """(checked, green): names with ANY row / with an all-green row in any
+    CORRECTNESS_r*.json this repo has accumulated (the driver's hard
+    verification record)."""
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    checked: set[str] = set()
     green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
@@ -159,6 +134,7 @@ def _driver_green_names() -> set[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            checked.add(name)
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
@@ -166,23 +142,34 @@ def _driver_green_names() -> set[str]:
                 and row.get("hash_match")
             ):
                 green.add(name)
-    return green
+    return checked, green
+
+
+def _driver_green_names() -> set[str]:
+    return _correctness_records()[1]
 
 
 def all_queries() -> dict[str, Query]:
     _load_all()
-    green = _driver_green_names()
+    checked, green = _correctness_records()
     pri = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
     reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
 
     def key(name: str):
-        # Explicit window membership wins over prior-green demotion so a
-        # round can pin re-checks of already-green queries into its window.
+        # Tier 0: the explicitly pinned window (may include re-checks).
+        # Tier 1: never driver-checked — a freshly registered query can
+        #         NEVER silently fall outside the driver's 50-row cap as
+        #         long as the pinned window leaves it a slot.
+        # Tier 2: checked but not hash-green (rows-only approximates and
+        #         any red awaiting retry) — re-run before greens.
+        # Tier 3: already green — rotate last, in registration order.
         if name in pri:
             return (0, pri[name])
-        if name in green:
+        if name not in checked:
+            return (1, reg_pos[name])
+        if name not in green:
             return (2, reg_pos[name])
-        return (1, reg_pos[name])
+        return (3, reg_pos[name])
 
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
 

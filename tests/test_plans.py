@@ -253,58 +253,49 @@ def test_behavior_similarity_rank_uses_window_group_limit(spark, sf_dir):
 
 def test_driver_rotation_window_is_valid():
     """The driver materializes CORRECTNESS rows for the first ~50 registry
-    entries; the round-4 window deliberately pins BOTH the rows-only
-    stragglers (so they finally get their weaker driver row) and a few
-    already-green re-checks (so key results stay re-verified). Every pinned
-    name must be registered and the window must occupy the exact front of
-    the emitted ordering — under the all-queries ordering AND under the
-    oracle-backed-only ordering (whichever grain the driver caps on)."""
+    entries. The round-5 window pins the 5 never-checked late-r4 queries
+    first, then the 24 TPC-H re-checks, and deliberately stays SHORTER than
+    the 50-row cap so freshly registered queries auto-fill the remaining
+    slots (tier 1 of the rotation key). Guard (round-4 verdict #3): no
+    never-driver-checked query may ever sort outside the first 50 — a stale
+    window can never again silently un-verify a round."""
     from etl_lala_spark.plans import (
         _DRIVER_WINDOW,
-        _driver_green_names,
+        _correctness_records,
         all_queries,
         oracle_sqls,
     )
 
     qs = all_queries()
-    green = _driver_green_names()
+    checked, green = _correctness_records()
     assert green, "repo carries at least the round-1 CORRECTNESS record"
-    assert len(_DRIVER_WINDOW) == 50
+    assert len(_DRIVER_WINDOW) <= 50
     for name in _DRIVER_WINDOW:
         assert name in qs, f"window pins unregistered query {name}"
     # Window names occupy the exact front of the full ordering…
-    assert list(qs)[:50] == list(_DRIVER_WINDOW)
+    w = len(_DRIVER_WINDOW)
+    assert list(qs)[:w] == list(_DRIVER_WINDOW)
     # …and the oracle-backed subsequence leads the oracle-only ordering too.
     win_oracle = [n for n in _DRIVER_WINDOW if qs[n].oracle is not None]
     assert list(oracle_sqls())[: len(win_oracle)] == win_oracle
-    # Everything never driver-checked (neither green nor red in any
-    # CORRECTNESS record) must be inside the window — the whole point of
-    # the final rotation.
-    import glob
-    import json
-    import os
-
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    checked: set[str] = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as f:
-                checked |= set(json.load(f))
-        except (OSError, ValueError):
-            continue
-    never = {n for n in qs if n not in checked}
-    queued = never - set(_DRIVER_WINDOW)
-    # Queries registered AFTER the r4 window filled (plans/lifecycle.py)
-    # may queue outside it, but the rotation key must place every one of
-    # them immediately behind the window — ahead of all already-green
-    # re-checks — so the next round's window picks them up first.
+    # THE guard: every query with no driver row in any CORRECTNESS record
+    # must appear within the driver's 50-row cap.
     order = list(qs)
-    if queued:
-        tail = order[50 : 50 + len(queued)]
-        assert set(tail) == queued, (
-            f"queued never-checked queries not immediately after window: "
-            f"{queued} vs next slots {tail}"
+    never = {n for n in qs if n not in checked}
+    for n in never:
+        assert order.index(n) < 50, (
+            f"never-driver-checked query {n} at position {order.index(n)} — "
+            f"outside the driver's 50-row window; shrink _DRIVER_WINDOW"
         )
+    # Never-checked queries not pinned must sort immediately behind the
+    # window, ahead of every re-check.
+    queued = [n for n in order[w:] if n in never]
+    assert order[w : w + len(queued)] == queued
+    # Checked-but-not-green (rows-only / red) outrank greens among the
+    # unpinned remainder.
+    tail = order[w + len(queued):]
+    tiers = [0 if n not in green else 1 for n in tail]
+    assert tiers == sorted(tiers), "rows-only/red re-checks must precede greens"
 
 
 def test_new_curation_operators_plan_shapes(spark, sf_dir):
