@@ -476,7 +476,16 @@ def drift_psi(
         .agg(F.min(v).alias("lo"), F.max(v).alias("hi"))
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(n_buckets))
-    raw_bucket = F.when(width > 0, F.floor((v - F.col("lo")) / width) + 1).otherwise(
+    # Clamp the bucket ratio in DOUBLE space BEFORE floor/+1: a wide-range
+    # current value against a tiny base width can push (v-lo)/width past
+    # 2^63, where floor-to-long saturates and the +1 raises
+    # ARITHMETIC_OVERFLOW under ANSI mode, failing the whole job. After the
+    # clamp the post-floor long arithmetic is bounded by n_buckets+1.
+    ratio = F.least(
+        F.lit(float(n_buckets)),
+        F.greatest(F.lit(0.0), (v - F.col("lo")) / width),
+    )
+    raw_bucket = F.when(width > 0, F.floor(ratio) + 1).otherwise(
         F.lit(1).cast("long")
     )
     bucket = F.least(

@@ -30,8 +30,10 @@ WITH d AS (
 ),
 s AS (SELECT min(v) AS lo, max(v) AS hi FROM d WHERE is_base = 1),
 b AS (
+  -- ratio clamped in double space before floor/+1, mirroring the engine's
+  -- ANSI-overflow guard (operators/relational.py:drift_psi)
   SELECT CASE WHEN (hi - lo) / 10.0 > 0
-              THEN least(10, greatest(1, CAST(floor((v - lo) / ((hi - lo) / 10.0)) AS BIGINT) + 1))
+              THEN least(10, greatest(1, CAST(floor(least(10.0, greatest(0.0, (v - lo) / ((hi - lo) / 10.0)))) AS BIGINT) + 1))
               ELSE 1 END AS bucket,
          is_base
   FROM d, s

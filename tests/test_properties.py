@@ -195,7 +195,11 @@ def test_drift_psi_matches_reference_fold(spark, base, cur):
     def bucket(v: float) -> int:
         if width <= 0:
             return 1
-        return min(10, max(1, math.floor((v - lo) / width) + 1))
+        # Same double-space clamp as the engine: the raw ratio can exceed
+        # 2^63 (or overflow to inf) when width is tiny, so clamp before
+        # floor — math.floor(inf) would itself raise here.
+        ratio = min(10.0, max(0.0, (v - lo) / width))
+        return min(10, max(1, math.floor(ratio) + 1))
 
     hist: dict[int, list[int]] = {}
     for v in base:
