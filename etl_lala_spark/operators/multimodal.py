@@ -666,6 +666,12 @@ def encode_avi_mjpeg(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# Deepest LIST nesting either AVI walk descends into; a crafted container
+# can nest a LIST every 12 bytes, so depth must be bounded, not recursive.
+# Real files nest 2-3 levels (hdrl > strl, movi > rec).
+_AVI_MAX_DEPTH = 64
+
+
 def decode_avi(data: bytes) -> tuple[int, int, int, int]:
     """Container metadata (width, height, n_frames, fps) from the avih/strh
     headers — no codec involved."""
@@ -673,38 +679,50 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int]:
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI (RIFF/'AVI ') container")
-    pos, end = 12, 8 + struct.unpack("<I", data[4:8])[0]
+    pos = 12
+    end = min(8 + struct.unpack("<I", data[4:8])[0], len(data))
     width = height = n_frames = fps = 0
 
     # Every chunk body is clamped to the real buffer before unpacking, so a
     # truncated or lying container degrades to partial metadata instead of
     # struct.error killing the task (one corrupt blob must not fail a scan).
-    def walk(pos: int, end: int) -> None:
-        nonlocal width, height, n_frames, fps
-        end = min(end, len(data))
-        while pos + 8 <= end:
-            fcc = data[pos : pos + 4]
-            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-            body = pos + 8
-            avail = min(body + size, end)
-            if fcc == b"LIST":
-                walk(body + 4, avail)
-            elif fcc == b"avih" and avail - body >= 56:
-                vals = struct.unpack("<14I", data[body : body + 56])
-                n_frames, width, height = vals[4], vals[8], vals[9]
-                if vals[0]:
-                    fps = round(1_000_000 / vals[0])
-            elif (
-                fcc == b"strh"
-                and data[body : body + 4] == b"vids"
-                and avail - body >= 28
-            ):
-                scale, rate = struct.unpack("<II", data[body + 20 : body + 28])
-                if scale:
-                    fps = rate // scale
-            pos = body + size + (size % 2)
-
-    walk(pos, end)
+    # The LIST walk is ITERATIVE (explicit continuation stack, in-file
+    # order) with a nesting cap: a crafted container can nest a LIST every
+    # 12 bytes, and a recursive walk would raise RecursionError — outside
+    # sniff_media's caught set — killing the task despite the
+    # degrade-don't-raise contract. Past the cap the LIST body is skipped
+    # (malformed → partial metadata).
+    stack: list[tuple[int, int]] = []
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            pos, end = stack.pop()
+            continue
+        fcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        avail = min(body + size, end)
+        nxt = body + size + (size % 2)
+        if fcc == b"LIST":
+            if len(stack) < _AVI_MAX_DEPTH:
+                stack.append((nxt, end))  # resume siblings after the LIST
+                pos, end = body + 4, avail  # descend past the 4-byte kind
+                continue
+        elif fcc == b"avih" and avail - body >= 56:
+            vals = struct.unpack("<14I", data[body : body + 56])
+            n_frames, width, height = vals[4], vals[8], vals[9]
+            if vals[0]:
+                fps = round(1_000_000 / vals[0])
+        elif (
+            fcc == b"strh"
+            and data[body : body + 4] == b"vids"
+            and avail - body >= 28
+        ):
+            scale, rate = struct.unpack("<II", data[body + 20 : body + 28])
+            if scale:
+                fps = rate // scale
+        pos = nxt
     return width, height, n_frames, fps
 
 
@@ -720,26 +738,34 @@ def avi_extract_frames(
         raise ValueError("not an AVI (RIFF/'AVI ') container")
     out: list[tuple[int, bytes]] = []
     idx = 0
-
-    def walk(pos: int, end: int) -> None:
-        nonlocal idx
-        end = min(end, len(data))
-        while pos + 8 <= end:
-            fcc = data[pos : pos + 4]
-            size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-            body = pos + 8
-            avail = min(body + size, end)
-            if fcc == b"LIST":
-                kind = data[body : body + 4]
-                if kind in (b"movi", b"rec "):
-                    walk(body + 4, avail)
-            elif fcc[2:4] in (b"dc", b"db"):
-                if idx % stride == 0:
-                    out.append((idx, data[body:avail]))
-                idx += 1
-            pos = body + size + (size % 2)
-
-    walk(12, 8 + struct.unpack("<I", data[4:8])[0])
+    # Iterative in-order walk with a nesting cap — same RecursionError
+    # guard as decode_avi (frame indexing requires in-file order, hence
+    # the continuation stack rather than a worklist).
+    stack: list[tuple[int, int]] = []
+    pos = 12
+    end = min(8 + struct.unpack("<I", data[4:8])[0], len(data))
+    while True:
+        if pos + 8 > end:
+            if not stack:
+                break
+            pos, end = stack.pop()
+            continue
+        fcc = data[pos : pos + 4]
+        size = struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = pos + 8
+        avail = min(body + size, end)
+        nxt = body + size + (size % 2)
+        if fcc == b"LIST":
+            kind = data[body : body + 4]
+            if kind in (b"movi", b"rec ") and len(stack) < _AVI_MAX_DEPTH:
+                stack.append((nxt, end))
+                pos, end = body + 4, avail
+                continue
+        elif fcc[2:4] in (b"dc", b"db"):
+            if idx % stride == 0:
+                out.append((idx, data[body:avail]))
+            idx += 1
+        pos = nxt
     return out
 
 

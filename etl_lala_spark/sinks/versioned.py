@@ -43,6 +43,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 _VERS = "_versions"
 
+
+class ConcurrentCommitError(RuntimeError):
+    """The table advanced past the snapshot a read-modify-write commit was
+    derived from. Raised by ``write_version(expected_base=...)`` so callers
+    (``merge_version``/``compact_version``) re-read and re-derive instead of
+    publishing a stale snapshot that silently drops a rival's rows."""
+
 # Writer-private names must be unique per CALL, not just per process: a
 # driver running parallel jobs (threads share the pid) would otherwise
 # interleave two writers' staging dirs / manifest temps and publish torn
@@ -148,6 +155,12 @@ def _commit(table_path: str, manifest: dict) -> int:
 _ORPHAN_GRACE_S = 30.0
 
 
+def _stream_high_water(manifests: list[dict]) -> int:
+    """Highest stream batch id any manifest has ever carried (manifests
+    propagate it forward as a monotone watermark), -1 if none."""
+    return max((m.get("stream_batch_id", -1) for m in manifests), default=-1)
+
+
 def _reclaim_orphan_dir(table_path: str, ddir: str, version: int) -> bool:
     """True if ``ddir`` was a crashed writer's orphaned claim and was
     deleted. A dir is an orphan only when NO committed manifest references
@@ -182,7 +195,7 @@ def _reclaim_orphan_dir(table_path: str, ddir: str, version: int) -> bool:
 
 def write_version(
     df: DataFrame, table_path: str, mode: str = "overwrite",
-    extra: dict | None = None,
+    extra: dict | None = None, expected_base: int | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
 
@@ -192,8 +205,13 @@ def write_version(
     metadata union of immutable dirs). ``extra``: additional manifest
     fields published atomically with the commit (reserved core keys win on
     collision) — e.g. the streaming batch id that makes
-    ``stream_versioned_append``'s replay guard transactional. Returns the
-    committed version id.
+    ``stream_versioned_append``'s replay guard transactional.
+    ``expected_base``: the latest version this ``df`` was DERIVED from —
+    if the table has advanced past it (a rival committed between the read
+    and this commit), raise ``ConcurrentCommitError`` instead of blindly
+    retrying the CAS with a stale snapshot that would drop the rival's
+    rows. Read-modify-write callers (merge/compact) must pass it. Returns
+    the committed version id.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_version mode must be overwrite/append, got {mode}")
@@ -215,10 +233,26 @@ def write_version(
     n_new = df.sparkSession.read.parquet(staging).count()
     for attempt in range(20):
         prev = table_versions(table_path)
-        version = (prev[-1]["version"] + 1) if prev else 1
+        latest = prev[-1]["version"] if prev else 0
+        if expected_base is not None and latest != expected_base:
+            # The snapshot this df was derived from is no longer latest:
+            # committing would silently drop the rival commit's rows.
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentCommitError(
+                f"{table_path}: derived from v{expected_base} but latest is "
+                f"v{latest}; re-read and re-derive"
+            )
+        version = latest + 1
         ddir_name = f"d{version:06d}"
         ddir = os.path.join(table_path, ddir_name)
         try:
+            # Refresh the claim timestamp at CLAIM time, not parquet-write
+            # time: the staging dir's mtime is the write-completion time,
+            # and if the pre-claim count() or earlier CAS retries took
+            # longer than the orphan grace window, a reclaimer statting the
+            # dir in the rename→utime gap would see a stale mtime and could
+            # delete a LIVE claim out from under its manifest commit.
+            os.utime(staging)
             os.rename(staging, ddir)  # claim the data-dir name
         except OSError:
             # Another writer holds dN. Normally its manifest lands within
@@ -242,19 +276,28 @@ def write_version(
         else:
             dirs = [ddir_name]
             n_rows = n_new
+        manifest = {
+            **(extra or {}),
+            "version": version,
+            "op": mode,
+            "dirs": dirs,
+            "n_rows": n_rows,
+            "schema": df.schema.simpleString(),
+            "ts": time.time(),
+        }
+        # Carry the stream-batch high-water mark forward into EVERY commit
+        # (not just ingest commits): the exactly-once replay guard reads
+        # max(stream_batch_id) over RETAINED manifests, and without the
+        # monotone watermark a vacuum could delete the one manifest holding
+        # the max — after which a checkpoint-free restart would re-apply
+        # old batches and duplicate rows.
+        hw = _stream_high_water(prev)
+        if extra and "stream_batch_id" in extra:
+            hw = max(hw, extra["stream_batch_id"])
+        if hw >= 0:
+            manifest["stream_batch_id"] = hw
         try:
-            return _commit(
-                table_path,
-                {
-                    **(extra or {}),
-                    "version": version,
-                    "op": mode,
-                    "dirs": dirs,
-                    "n_rows": n_rows,
-                    "schema": df.schema.simpleString(),
-                    "ts": time.time(),
-                },
-            )
+            return _commit(table_path, manifest)
         except FileExistsError:
             os.rename(ddir, staging)  # lost the manifest CAS: retry
             time.sleep(0.25 * (attempt + 1))
@@ -297,19 +340,24 @@ def rollback(table_path: str, to_version: int) -> int:
         raise ValueError(f"version {to_version} not found at {table_path}")
     target = by_id[to_version]
     for _ in range(20):
-        version = (latest_version(table_path) or 0) + 1
+        cur = table_versions(table_path)
+        version = (cur[-1]["version"] if cur else 0) + 1
+        manifest = {
+            "version": version,
+            "op": f"rollback:{to_version}",
+            "dirs": list(target["dirs"]),
+            "n_rows": target["n_rows"],
+            "schema": target["schema"],
+            "ts": time.time(),
+        }
+        # Rollback must NOT roll back the exactly-once watermark: the
+        # batches ingested after `to_version` were still applied once, and
+        # a replay of their ids after this commit must stay blocked.
+        hw = _stream_high_water(cur)
+        if hw >= 0:
+            manifest["stream_batch_id"] = hw
         try:
-            return _commit(
-                table_path,
-                {
-                    "version": version,
-                    "op": f"rollback:{to_version}",
-                    "dirs": list(target["dirs"]),
-                    "n_rows": target["n_rows"],
-                    "schema": target["schema"],
-                    "ts": time.time(),
-                },
-            )
+            return _commit(table_path, manifest)
         except FileExistsError:
             time.sleep(0.25)  # lost the CAS to a concurrent commit: re-read, retry
     raise RuntimeError(f"rollback: lost the commit race 20 times at {table_path}")
@@ -322,9 +370,12 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[str]:
     contract; size ``keep_last`` to the longest reader/time-travel window.
     Returns the deleted directory names."""
     vs = table_versions(table_path)
-    if len(vs) <= keep_last:
+    if not vs:
         return []
-    kept, expired = vs[-keep_last:], vs[:-keep_last]
+    # Even when nothing expires, fall through to the orphan sweep below —
+    # that is what makes vacuum idempotent against a prior partial run.
+    n_exp = max(0, len(vs) - keep_last)
+    kept, expired = vs[n_exp:], vs[:n_exp]
     live = {d for m in kept for d in m["dirs"]}
     removed = []
     for m in expired:
@@ -334,6 +385,35 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[str]:
             if d not in live and os.path.isdir(os.path.join(table_path, d)):
                 shutil.rmtree(os.path.join(table_path, d))
                 removed.append(d)
+    # Idempotency sweep: also delete table-level d* directories NO retained
+    # manifest references and whose claim timestamp is past the orphan
+    # grace window. A crash between the two loops above (manifests deleted,
+    # data dirs not yet) — or an orphaned claim whose version id a later
+    # rollback manifest occupies, which the writer-side reclaim skips —
+    # would otherwise leak disk forever, because a later vacuum only walks
+    # dirs referenced by then-expired manifests. The grace window keeps a
+    # LIVE claim (writer between claim and manifest commit, mtime refreshed
+    # at claim time) safe from the sweep.
+    retained = {d for m in table_versions(table_path) for d in m["dirs"]}
+    now = time.time()
+    for name in os.listdir(table_path):
+        if name in retained or not (name.startswith("d") and name[1:].isdigit()):
+            continue
+        p = os.path.join(table_path, name)
+        try:
+            if not os.path.isdir(p) or now - os.stat(p).st_mtime < _ORPHAN_GRACE_S:
+                continue
+        except OSError:
+            continue  # vanished mid-sweep: a rival vacuum got it
+        # Claim atomically by renaming aside (same protocol as the writer's
+        # orphan reclaim) so two sweepers can't interleave on one dir.
+        aside = f"{p}.orphan.{_private_suffix()}"
+        try:
+            os.rename(p, aside)
+        except OSError:
+            continue
+        shutil.rmtree(aside, ignore_errors=True)
+        removed.append(name)
     return sorted(set(removed))
 
 
@@ -355,12 +435,28 @@ def merge_version(
     Scale: the merge shuffles only the changelog (max_by agg) plus the
     anti-join; the commit rewrites the merged snapshot once — the same cost
     the reference's delete-then-reinsert pays per month, with none of its
-    reader races."""
+    reader races.
+
+    Concurrency: read-modify-write, so the base version is captured at
+    read time and passed to ``write_version`` as ``expected_base`` — if a
+    rival (e.g. a streaming append micro-batch) commits between the read
+    and the commit, the stale merge is thrown away and re-derived against
+    the new latest instead of silently dropping the rival's rows."""
     from etl_lala_spark.operators.relational import merge_changelog
 
-    base = read_version(spark, table_path)
-    merged = merge_changelog(base, changelog, key, seq_col=seq_col, op_col=op_col)
-    return write_version(merged, table_path, mode="overwrite")
+    for _ in range(20):
+        base_v = latest_version(table_path)
+        if base_v is None:
+            raise FileNotFoundError(f"no committed versions at {table_path}")
+        base = read_version(spark, table_path, version=base_v)
+        merged = merge_changelog(base, changelog, key, seq_col=seq_col, op_col=op_col)
+        try:
+            return write_version(
+                merged, table_path, mode="overwrite", expected_base=base_v
+            )
+        except ConcurrentCommitError:
+            continue  # table advanced: re-read and re-merge
+    raise RuntimeError(f"merge_version: lost the commit race 20 times at {table_path}")
 
 
 def compact_version(spark: SparkSession, table_path: str) -> int:
@@ -370,9 +466,26 @@ def compact_version(spark: SparkSession, table_path: str) -> int:
     open-file count grow per append; scan cost follows file count, not
     bytes). Readers pinned to older versions are untouched; reclaiming the
     superseded directories is ``vacuum``'s job, after the retention
-    window."""
-    merged = read_version(spark, table_path)
-    return write_version(merged, table_path, mode="overwrite")
+    window.
+
+    Concurrency: like ``merge_version``, the compacted snapshot is pinned
+    to the version it was read from (``expected_base``); a racing append
+    commit aborts the stale compaction, which re-reads and re-compacts —
+    never silently dropping the appended rows."""
+    for _ in range(20):
+        base_v = latest_version(table_path)
+        if base_v is None:
+            raise FileNotFoundError(f"no committed versions at {table_path}")
+        merged = read_version(spark, table_path, version=base_v)
+        try:
+            return write_version(
+                merged, table_path, mode="overwrite", expected_base=base_v
+            )
+        except ConcurrentCommitError:
+            continue  # table advanced: re-read and re-compact
+    raise RuntimeError(
+        f"compact_version: lost the commit race 20 times at {table_path}"
+    )
 
 
 def stream_versioned_append(

@@ -1020,3 +1020,34 @@ def test_sniff_media_truncated_avi_is_unknown():
     # decode_avi on the same bytes degrades to partial metadata, no crash
     mm.decode_avi(bad)
     assert mm.avi_extract_frames(good[: len(good) // 2], stride=1) is not None
+
+
+def test_avi_list_nesting_bomb_does_not_recurse():
+    """Review regression: a crafted AVI nesting a LIST every 12 bytes must
+    degrade to partial metadata, not blow the interpreter's recursion limit
+    (RecursionError is outside sniff_media's caught set, so a recursive
+    walk would kill the scan task despite the degrade-don't-raise
+    contract). Depth 5000 is 5x the default recursion limit."""
+    import struct
+    import sys
+
+    def nested(depth: int, kind: bytes) -> bytes:
+        body = b""
+        for _ in range(depth):
+            payload = kind + body
+            body = b"LIST" + struct.pack("<I", len(payload)) + payload
+        riff_body = b"AVI " + body
+        return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+    depth = 5 * sys.getrecursionlimit()
+    bomb = nested(depth, b"rec ")  # rec : extract_frames descends these
+    assert mm.decode_avi(bomb) == (0, 0, 0, 0)
+    assert mm.avi_extract_frames(bomb, stride=1) == []
+    assert mm.sniff_media(bomb)[0] == "unknown"  # no dims -> degrade
+
+    # A legitimate shallow container still parses identically after the
+    # iterative rewrite (frame order is in-file order).
+    good = mm.encode_avi_mjpeg(16, 8, 12, [b"f0", b"f1x", b"f2"])
+    assert mm.decode_avi(good) == (16, 8, 3, 12)
+    assert [i for i, _ in mm.avi_extract_frames(good, stride=1)] == [0, 1, 2]
+    assert mm.avi_extract_frames(good, stride=2) == [(0, b"f0"), (2, b"f2")]

@@ -712,3 +712,128 @@ def test_versioned_concurrent_threaded_writers_lose_nothing(spark, out_dir):
     rows = {(r.w, r.i) for r in vt.read_version(spark, table).collect()}
     assert rows == {(0, -1)} | {(w, i) for w in range(4) for i in range(3)}
     assert vs[-1]["n_rows"] == 13
+
+
+def test_merge_version_rederives_after_concurrent_append(spark, out_dir, monkeypatch):
+    """Review regression (lost update): merge_version is read-modify-write.
+    If a rival append commits between the snapshot read and the overwrite
+    commit, the stale merge must be thrown away and RE-DERIVED against the
+    new latest — not published, which would silently drop the rival's rows."""
+    import os
+
+    from etl_lala_spark.operators import relational as rel
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_conflict")
+    vt.write_version(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), table
+    )
+    log = spark.createDataFrame(
+        [(2, 1, "U", "b2")], "k int, seq int, op string, v string"
+    ).select("k", "v", "seq", "op")
+
+    real = rel.merge_changelog
+    races = {"n": 0}
+
+    def racy(base, changelog, key, **kw):
+        out = real(base, changelog, key, **kw)
+        if races["n"] == 0:  # first derivation: rival lands before commit
+            races["n"] += 1
+            vt.write_version(
+                spark.createDataFrame([(9, "z")], "k int, v string"),
+                table,
+                mode="append",
+            )
+        return out
+
+    monkeypatch.setattr(rel, "merge_changelog", racy)
+    v = vt.merge_version(spark, table, log, key="k")
+    assert v == 3  # seed, rival append, re-derived merge
+    got = {(r.k, r.v) for r in vt.read_version(spark, table).collect()}
+    assert got == {(1, "a"), (2, "b2"), (9, "z")}  # rival row NOT dropped
+
+
+def test_write_version_expected_base_conflict_raises_and_cleans(spark, out_dir):
+    """expected_base mismatch raises ConcurrentCommitError (no commit, no
+    version consumed) and removes the staged parquet."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_base")
+    vt.write_version(spark.createDataFrame([(1, "a")], "k int, v string"), table)
+    df = spark.createDataFrame([(2, "b")], "k int, v string")
+    with _pytest.raises(vt.ConcurrentCommitError, match="derived from v0"):
+        vt.write_version(df, table, expected_base=0)
+    assert [m["version"] for m in vt.table_versions(table)] == [1]
+    assert glob.glob(f"{table}.staging.*") == []  # staging cleaned up
+    # matching expected_base commits normally
+    assert vt.write_version(df, table, expected_base=1) == 2
+
+
+def test_stream_batch_watermark_survives_vacuum_compact_rollback(spark, out_dir):
+    """Review regression (duplicate replay): the exactly-once guard reads
+    max(stream_batch_id) over RETAINED manifests. Compaction, rollback, and
+    vacuum must carry the high-water mark forward so retention can never
+    erase it — otherwise a checkpoint-free restart re-applies old batches."""
+    import os
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_hw")
+    for b in range(3):  # three ingested micro-batches
+        vt.write_version(
+            spark.createDataFrame([(b, "x")], "k int, v string"),
+            table,
+            mode="append",
+            extra={"stream_batch_id": b},
+        )
+    assert vt._stream_high_water(vt.table_versions(table)) == 2
+
+    vt.compact_version(spark, table)  # non-ingest commits propagate it…
+    assert vt.table_versions(table)[-1]["stream_batch_id"] == 2
+    vt.rollback(table, 2)
+    assert vt.table_versions(table)[-1]["stream_batch_id"] == 2
+    vt.vacuum(table, keep_last=1)  # …so retention cannot erase it
+    assert vt._stream_high_water(vt.table_versions(table)) == 2
+    # and the watermark is monotone: a stale replayed id never lowers it
+    vt.write_version(
+        spark.createDataFrame([(9, "y")], "k int, v string"),
+        table,
+        mode="append",
+        extra={"stream_batch_id": 1},
+    )
+    assert vt.table_versions(table)[-1]["stream_batch_id"] == 2
+
+
+def test_vacuum_sweeps_unreferenced_orphan_dirs(spark, out_dir):
+    """Review regression (disk leak): vacuum also deletes table-level d*
+    dirs no retained manifest references once past the orphan grace window
+    (crashed half-vacuums, orphaned claims whose id a rollback manifest
+    later occupied). Fresh unreferenced dirs — possibly a live claim — stay."""
+    import os
+    import time
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(out_dir, "vt_sweep")
+    vt.write_version(spark.createDataFrame([(1, "a")], "k int, v string"), table)
+    vt.write_version(
+        spark.createDataFrame([(2, "b")], "k int, v string"), table, mode="append"
+    )
+
+    stale = os.path.join(table, "d000077")  # leaked by a crashed prior vacuum
+    os.makedirs(stale)
+    t0 = time.time() - 120
+    os.utime(stale, (t0, t0))
+    fresh = os.path.join(table, "d000078")  # a live writer's claim
+    os.makedirs(fresh)
+
+    removed = vt.vacuum(table, keep_last=2)
+    assert "d000077" in removed and not os.path.exists(stale)
+    assert os.path.isdir(fresh)  # grace window protects the live claim
+    got = {r.k for r in vt.read_version(spark, table).collect()}
+    assert got == {1, 2}
