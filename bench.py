@@ -77,6 +77,12 @@ HEADLINE = [
     "drift_psi_orderstatus",
     "versioned_table_lifecycle",
     "multimodal_avi_frames",
+    # round 5: the streaming batch-twin gates (real foreachBatch sinks over
+    # availableNow streams), now lazy plans with scan budgets like every
+    # other headline query
+    "stream_twin_scd2_final",
+    "stream_twin_running_summary",
+    "stream_twin_versioned_ingest",
 ]
 
 

@@ -13,6 +13,7 @@ oracle so the next rotation materializes hard driver rows for them.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -144,48 +145,47 @@ def versioned_table_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     delete-then-reinsert in place (src/datasus/datasus.service.ts:15-39);
     here the same reload is an atomic commit with history, so a bad feed is
     one rollback away. Scale: commits move manifests (tiny JSON), never
-    rewrite history; the merge shuffles only the changelog."""
-    import shutil
-    import tempfile
-
+    rewrite history; the merge shuffles only the changelog. The table lives
+    under a session-scoped workdir, so the RETURNED plan is the real lazy
+    read of the final snapshot — no driver materialization."""
+    from etl_lala_spark.plans._gates import gate_workdir
     from etl_lala_spark.sinks import versioned as vt
 
-    work = tempfile.mkdtemp(prefix="vtwin_")
-    table = f"{work}/customers_v"
-    try:
-        cust = load_table(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("bal")
+    table = os.path.join(
+        gate_workdir(spark, "versioned_table_lifecycle"), "customers_v"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.round("c_acctbal", 2).alias("bal")
+    )
+    vt.write_version(cust.filter(F.col("k") % 3 == 0), table, mode="overwrite")
+    vt.write_version(cust.filter(F.col("k") % 3 == 1), table, mode="append")
+    changelog = (
+        cust.filter(F.col("k") % 10 == 0)
+        .select(
+            "k",
+            F.round(F.col("bal") + 1000, 2).alias("bal"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit("U").alias("op"),
         )
-        vt.write_version(cust.filter(F.col("k") % 3 == 0), table, mode="overwrite")
-        vt.write_version(cust.filter(F.col("k") % 3 == 1), table, mode="append")
-        changelog = (
-            cust.filter(F.col("k") % 10 == 0)
-            .select(
+        .unionByName(
+            cust.filter(F.col("k") % 15 == 0).select(
                 "k",
-                F.round(F.col("bal") + 1000, 2).alias("bal"),
-                F.lit(1).cast("long").alias("seq"),
-                F.lit("U").alias("op"),
-            )
-            .unionByName(
-                cust.filter(F.col("k") % 15 == 0).select(
-                    "k",
-                    F.lit(None).cast("double").alias("bal"),
-                    F.lit(2).cast("long").alias("seq"),
-                    F.lit("D").alias("op"),
-                )
+                F.lit(None).cast("double").alias("bal"),
+                F.lit(2).cast("long").alias("seq"),
+                F.lit("D").alias("op"),
             )
         )
-        v_merged = vt.merge_version(spark, table, changelog, key="k")
-        vt.write_version(cust.limit(3), table, mode="overwrite")  # bad feed
-        vt.rollback(table, to_version=v_merged)
-        vt.compact_version(spark, table)
-        vt.vacuum(table, keep_last=2)
-        # Materialize before the temp table is deleted: the plan references
-        # on-disk manifests that vanish with the tempdir.
-        rows = vt.read_version(spark, table).orderBy("k").collect()
-        return spark.createDataFrame(rows, schema="k long, bal double")
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    )
+    v_merged = vt.merge_version(spark, table, changelog, key="k")
+    vt.write_version(cust.limit(3), table, mode="overwrite")  # bad feed
+    vt.rollback(table, to_version=v_merged)
+    vt.compact_version(spark, table)
+    vt.vacuum(table, keep_last=2)
+    return (
+        vt.read_version(spark, table)
+        .select(F.col("k").cast("long").alias("k"), "bal")
+        .orderBy("k")
+    )
 
 
 _AVI_ORACLE = """

@@ -20,14 +20,13 @@ whole-partition form of the per-key versioned merge; the run summary
 from __future__ import annotations
 
 import os
-import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_lala_spark.io import load_events, load_table
 from etl_lala_spark.plans import register
+from etl_lala_spark.plans._gates import gate_workdir
 
 _SCD2_ORACLE = """
 WITH c AS (
@@ -67,54 +66,49 @@ def stream_twin_scd2_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     (valid_from, valid_to, is_current); -1 encodes the open (NULL) end."""
     from etl_lala_spark.sinks import writer as w
 
-    work = tempfile.mkdtemp(prefix="scd2twin_")
-    try:
-        cust = load_table(spark, sf_dir, "customer")
-        b1 = cust.select(
+    work = gate_workdir(spark, "stream_twin_scd2_final")
+    cust = load_table(spark, sf_dir, "customer")
+    b1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).cast("long").alias("effective_batch"),
+    )
+    b2 = (
+        cust.filter(F.col("c_custkey") % 5 == 0)
+        .select(
             F.col("c_custkey").alias("k"),
-            F.col("c_mktsegment").alias("seg"),
-            F.lit(1).cast("long").alias("effective_batch"),
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("seg"),
+            F.lit(2).cast("long").alias("effective_batch"),
         )
-        b2 = (
-            cust.filter(F.col("c_custkey") % 5 == 0)
-            .select(
-                F.col("c_custkey").alias("k"),
-                F.when(F.col("c_custkey") % 10 == 0, F.lit("MOVED"))
-                .otherwise(F.col("c_mktsegment"))
-                .alias("seg"),
-                F.lit(2).cast("long").alias("effective_batch"),
-            )
+    )
+    table = os.path.join(work, "dim")
+
+    def run(df: DataFrame, src: str) -> None:
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(df.schema).parquet(src)
+        q = w.stream_scd2(stream, table, key="k", tracked=["seg"])
+        q.awaitTermination(300)
+        q.stop()
+
+    run(b1, os.path.join(work, "src1"))
+    run(b2, os.path.join(work, "src2"))
+
+    # The dimension table lives in the session-scoped workdir, so this
+    # summary stays a LAZY plan over the streamed result.
+    final = spark.read.parquet(table)
+    return (
+        final.groupBy(
+            F.col("valid_from"),
+            F.coalesce(F.col("valid_to"), F.lit(-1).cast("long")).alias(
+                "valid_to_filled"
+            ),
+            F.col("is_current"),
         )
-        table = os.path.join(work, "dim")
-
-        def run(df: DataFrame, src: str) -> None:
-            df.coalesce(1).write.mode("overwrite").parquet(src)
-            stream = spark.readStream.schema(df.schema).parquet(src)
-            q = w.stream_scd2(stream, table, key="k", tracked=["seg"])
-            q.awaitTermination(300)
-            q.stop()
-
-        run(b1, os.path.join(work, "src1"))
-        run(b2, os.path.join(work, "src2"))
-
-        final = spark.read.parquet(table)
-        out = (
-            final.groupBy(
-                F.col("valid_from"),
-                F.coalesce(F.col("valid_to"), F.lit(-1).cast("long")).alias(
-                    "valid_to_filled"
-                ),
-                F.col("is_current"),
-            )
-            .agg(F.count("*").alias("n_rows"))
-            .orderBy("valid_from", "valid_to_filled")
-        )
-        # The streamed table is gone after cleanup; materialize the summary
-        # (3 rows) before the temp dir is removed.
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        .agg(F.count("*").alias("n_rows"))
+        .orderBy("valid_from", "valid_to_filled")
+    )
 
 
 _MV_ORACLE = """
@@ -138,37 +132,32 @@ def stream_twin_running_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard. Sums are rounded to 2 decimals on both sides (the established
     float discipline; merge order differs between engines)."""
     from etl_lala_spark.sinks import writer as w
-    from etl_lala_spark.streaming import windows as sw
 
-    work = tempfile.mkdtemp(prefix="mvtwin_")
-    try:
-        src = os.path.join(work, "src")
-        summary = os.path.join(work, "summary")
-        ev = load_events(spark, sf_dir).select("event_type", "value")
-        ev.repartition(4).write.mode("overwrite").parquet(src)
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
+    work = gate_workdir(spark, "stream_twin_running_summary")
+    src = os.path.join(work, "src")
+    summary = os.path.join(work, "summary")
+    ev = load_events(spark, sf_dir).select("event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = w.maintain_summary(
+        stream, summary, keys=["event_type"], value_col="value"
+    )
+    q.awaitTermination(300)
+    q.stop()
+    # Lazy read of the maintained summary table in the session-scoped dir.
+    return (
+        spark.read.parquet(summary)
+        .select(
+            "event_type",
+            "n_rows",
+            F.round(F.col("value_sum"), 2).alias("value_sum"),
         )
-        q = w.maintain_summary(
-            stream, summary, keys=["event_type"], value_col="value"
-        )
-        q.awaitTermination(300)
-        q.stop()
-        out = (
-            spark.read.parquet(summary)
-            .select(
-                "event_type",
-                "n_rows",
-                F.round(F.col("value_sum"), 2).alias("value_sum"),
-            )
-            .orderBy("event_type")
-        )
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        .orderBy("event_type")
+    )
 
 
 _VING_ORACLE = """
@@ -196,49 +185,44 @@ def stream_twin_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-shot batch aggregate the oracle computes from customer."""
     from etl_lala_spark.sinks import versioned as vt
 
-    work = tempfile.mkdtemp(prefix="vingtwin_")
-    try:
-        src = os.path.join(work, "src")
-        table = os.path.join(work, "vt")
-        cust = load_table(spark, sf_dir, "customer").select(
-            "c_mktsegment", "c_acctbal"
-        )
-        cust.repartition(4).write.mode("overwrite").parquet(src)
+    work = gate_workdir(spark, "stream_twin_versioned_ingest")
+    src = os.path.join(work, "src")
+    table = os.path.join(work, "vt")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_acctbal"
+    )
+    cust.repartition(4).write.mode("overwrite").parquet(src)
 
-        def run(checkpoint: str | None) -> None:
-            stream = (
-                spark.readStream.schema(cust.schema)
-                .option("maxFilesPerTrigger", 1)
-                .parquet(src)
-            )
-            q = vt.stream_versioned_append(stream, table, checkpoint=checkpoint)
-            q.awaitTermination(300)
-            q.stop()
-
-        run(os.path.join(work, "ckpt"))
-        run(None)  # at-least-once replay: all batches re-delivered, ids 0..3
-        vs = vt.table_versions(table)
-        n_versions = len(vs)
-        last_bid = max(m.get("stream_batch_id", -1) for m in vs)
-        out = (
-            vt.read_version(spark, table)
-            .groupBy(F.col("c_mktsegment").alias("seg"))
-            .agg(
-                F.count("*").alias("n_rows"),
-                F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
-            )
-            .select(
-                "seg",
-                "n_rows",
-                "bal_sum",
-                F.lit(n_versions).alias("n_versions"),
-                F.lit(last_bid).cast("long").alias("last_batch_id"),
-            )
-            .orderBy("seg")
+    def run(checkpoint: str | None) -> None:
+        stream = (
+            spark.readStream.schema(cust.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        # Materialize before the temp table is deleted: the plan references
-        # on-disk manifests that vanish with the tempdir.
-        rows = out.collect()
-        return spark.createDataFrame(rows, out.schema)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+        q = vt.stream_versioned_append(stream, table, checkpoint=checkpoint)
+        q.awaitTermination(300)
+        q.stop()
+
+    run(os.path.join(work, "ckpt"))
+    run(None)  # at-least-once replay: all batches re-delivered, ids 0..3
+    vs = vt.table_versions(table)
+    n_versions = len(vs)
+    last_bid = max(m.get("stream_batch_id", -1) for m in vs)
+    # Lazy plan over the session-scoped transaction log: the manifests the
+    # plan references outlive this function.
+    return (
+        vt.read_version(spark, table)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("c_acctbal"), 2).alias("bal_sum"),
+        )
+        .select(
+            "seg",
+            "n_rows",
+            "bal_sum",
+            F.lit(n_versions).alias("n_versions"),
+            F.lit(last_bid).cast("long").alias("last_batch_id"),
+        )
+        .orderBy("seg")
+    )
