@@ -83,6 +83,10 @@ HEADLINE = [
     "stream_twin_scd2_final",
     "stream_twin_running_summary",
     "stream_twin_versioned_ingest",
+    # round 5: lifecycle compositions — snapshot isolation across a schema
+    # evolution, and month-over-month PSI between two pinned versions
+    "versioned_snapshot_evolution_isolation",
+    "drift_versioned_month_over_month",
 ]
 
 

@@ -254,3 +254,161 @@ def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("frame_bytes").cast("int").alias("n_bytes"),
         F.md5("frame_bytes").alias("digest"),
     ).orderBy("doc_id", "frame_idx")
+
+
+_EVOLUTION_ORACLE = """
+WITH pre AS (
+  SELECT 'pre_evolution' AS snap, o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n_rows, CAST(2 AS INT) AS n_cols
+  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+  GROUP BY o_orderstatus
+),
+post AS (
+  SELECT 'post_evolution' AS snap, o_orderstatus AS status,
+         CAST(count(*) AS BIGINT) AS n_rows, CAST(3 AS INT) AS n_cols
+  FROM orders
+  GROUP BY o_orderstatus
+)
+SELECT * FROM pre UNION ALL SELECT * FROM post
+ORDER BY snap, status
+"""
+
+
+@register("versioned_snapshot_evolution_isolation", oracle=_EVOLUTION_ORACLE)
+def versioned_snapshot_evolution_isolation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reader isolation across a mid-log schema evolution — the contract a
+    Delta-shaped manifest log most easily breaks (round-4 verdict item 6):
+    v1 loads pre-1995 orders (okey, status), v2 appends 1995 orders at the
+    SAME schema, v3 appends 1996+ orders with a NEW column (prio). A reader
+    pinned to v2 must see exactly the pre-evolution rows AND the
+    pre-evolution 2-column schema — the evolved column must not leak
+    backwards through the mergeSchema union read, because a pinned manifest
+    names only pre-evolution directories. The latest read sees all rows at
+    the evolved 3-column schema with nulls backfilled. Both snapshots are
+    summarized (snap, status, n_rows, n_cols) and certified against a
+    closed-form oracle over orders.
+
+    Scale: the pinned read lists only its manifest's directories, so
+    isolation costs nothing — no copy-on-evolve, no schema registry
+    round-trip; evolution is a property of the union schema of the named
+    dirs (reference month-over-month column additions, SURVEY §1.3)."""
+    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.sinks import versioned as vt
+
+    table = os.path.join(
+        gate_workdir(spark, "versioned_snapshot_evolution_isolation"), "orders_v"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("okey"), F.col("o_orderstatus").alias("status")
+    )
+    vt.write_version(
+        base.filter(F.col("o_orderdate") < "1995-01-01"), table, mode="overwrite"
+    )
+    v2 = vt.write_version(
+        base.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        ),
+        table,
+        mode="append",
+    )
+    evolved = o.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    vt.write_version(evolved, table, mode="append")
+
+    pinned = vt.read_version(spark, table, version=v2)
+    latest = vt.read_version(spark, table)
+
+    def summarize(df: DataFrame, snap: str) -> DataFrame:
+        return (
+            df.groupBy("status")
+            .agg(F.count("*").alias("n_rows"))
+            .select(
+                F.lit(snap).alias("snap"),
+                "status",
+                "n_rows",
+                # Snapshot column-count is part of the certified result: a
+                # pinned reader seeing the evolved column is an isolation bug.
+                F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            )
+        )
+
+    return (
+        summarize(pinned, "pre_evolution")
+        .unionByName(summarize(latest, "post_evolution"))
+        .orderBy("snap", "status")
+    )
+
+
+_DRIFT_VERSIONED_ORACLE = """
+WITH d AS (
+  SELECT o_orderstatus AS category, 1 AS is_base
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  UNION ALL
+  SELECT o_orderstatus AS category, 0 AS is_base FROM orders
+),
+h AS (
+  SELECT category,
+         CAST(sum(is_base) AS BIGINT) AS base_n,
+         CAST(sum(1 - is_base) AS BIGINT) AS cur_n
+  FROM d GROUP BY category
+),
+t AS (SELECT CAST(sum(base_n) AS DOUBLE) AS base_t,
+             CAST(sum(cur_n) AS DOUBLE) AS cur_t FROM h)
+SELECT category, base_n, cur_n,
+       round(base_n / base_t, 6) AS base_frac,
+       round(cur_n / cur_t, 6) AS cur_frac,
+       round((base_n / base_t - cur_n / cur_t)
+             * ln((base_n / base_t + 1e-6) / (cur_n / cur_t + 1e-6)), 6) AS psi_term
+FROM h, t
+ORDER BY category
+"""
+
+
+@register("drift_versioned_month_over_month", oracle=_DRIFT_VERSIONED_ORACLE)
+def drift_versioned_month_over_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's actual month-reload monitoring shape (round-4 verdict
+    item 7): commit two "monthly" snapshots of orders into a versioned table
+    (v1 = through 1996, v2 = the full reload), then PSI the CURRENT version
+    against the PREVIOUS one via two pinned time-travel reads — the
+    composition a continuously reloaded warehouse runs before trusting a
+    reload (src/datasus/datasus.service.ts:15-39 reprocesses a competência
+    in place; here the check happens BETWEEN immutable versions, so a drifted
+    feed is one rollback away).
+
+    Scale: two pinned manifest reads union into ONE conditional-aggregation
+    histogram pass (scan budget 2 — each version's dirs scanned once);
+    the shuffle carries one row per category, and nothing about the plan
+    changes if the versions hold 100 TB."""
+    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.sinks import versioned as vt
+    from etl_lala_spark.operators.relational import drift_psi_categorical
+
+    table = os.path.join(
+        gate_workdir(spark, "drift_versioned_month_over_month"), "orders_m"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.select(F.col("o_orderstatus").alias("category"))
+    v_prev = vt.write_version(
+        o.filter(F.col("o_orderdate") < "1997-01-01").select(
+            F.col("o_orderstatus").alias("category")
+        ),
+        table,
+        mode="overwrite",
+    )
+    v_cur = vt.write_version(monthly, table, mode="overwrite")
+
+    prev = vt.read_version(spark, table, version=v_prev).select(
+        "category", F.lit(1).alias("is_base")
+    )
+    cur = vt.read_version(spark, table, version=v_cur).select(
+        "category", F.lit(0).alias("is_base")
+    )
+    both = prev.unionByName(cur)
+    return drift_psi_categorical(both, "category", F.col("is_base") == 1)
