@@ -87,6 +87,8 @@ HEADLINE = [
     # evolution, and month-over-month PSI between two pinned versions
     "versioned_snapshot_evolution_isolation",
     "drift_versioned_month_over_month",
+    # round 5: real baseline-JPEG pixel decode of sampled MJPEG frames
+    "multimodal_mjpeg_pixel_decode",
 ]
 
 

@@ -2,13 +2,15 @@
 
 Media are opaque ``binary`` columns plus typed metadata structs; the heavy
 decode/feature steps run as Arrow-batched pandas over ``mapInPandas`` so each
-task streams batches without materializing a partition. The decode kernel is
-pluggable: PNG pixel decode is REAL and stdlib-only (``decode_png``: zlib
-inflate + all five PNG unfilter paths, CRC-checked), header metadata for
-PNG/JPEG/GIF/WAV is codec-free (``sniff_media``), and only formats whose
-pixel decode genuinely needs an external codec (JPEG DCT, video) keep a
-clearly-marked NotImplementedError seam with ``fake_decode`` as the
-deterministic stand-in.
+task streams batches without materializing a partition. The decode kernels
+are REAL and in-repo: PNG (``decode_png``: zlib inflate + all five unfilter
+paths, CRC-checked), GIF (LZW), WAV, baseline JPEG
+(``operators/jpeg.py``: Annex-K tables, canonical Huffman, DCT — which also
+makes MJPEG frames extracted by ``video_frame_sample`` pixel-decodable),
+plus codec-free header metadata for all of them (``sniff_media``). The
+remaining ``NotImplementedError`` seams are the formats genuinely outside a
+pure-Python baseline (progressive JPEG, inter-frame video codecs), with
+``fake_decode`` as the deterministic stand-in.
 """
 
 from __future__ import annotations
@@ -41,15 +43,21 @@ def decode_image(data: bytes) -> tuple[int, int, int]:
     """Full pixel decode to (width, height, n_channels).
 
     PNG decodes for real — stdlib-only (`zlib` inflate + PNG unfilter),
-    see ``decode_png``. Formats whose pixel decode genuinely needs a codec
-    library (JPEG DCT, video) still raise: header metadata for those comes
-    codec-free from ``sniff_media``.
+    see ``decode_png`` — and baseline JPEG decodes for real via
+    ``operators/jpeg.py`` (Huffman + dequant + IDCT, tables read from the
+    stream). Remaining formats (progressive JPEG, inter-frame video)
+    raise: header metadata for those comes codec-free from ``sniff_media``.
     """
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         w, h, ch, _ = decode_png(data)
         return (w, h, ch)
+    if data[:2] == b"\xff\xd8":
+        from etl_lala_spark.operators.jpeg import decode_jpeg
+
+        w, h, ch, _ = decode_jpeg(data)
+        return (w, h, ch)
     raise NotImplementedError(
-        "non-PNG pixel codecs unavailable in this environment; use "
+        "pixel codec for this format unavailable in this environment; use "
         "sniff_media for header metadata or fake_decode for the "
         "deterministic stand-in"
     )
@@ -802,3 +810,53 @@ def video_frame_sample(
             )
 
     return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
+
+
+def mjpeg_frame_decode(
+    frames: DataFrame,
+    frame_col: str = "frame_bytes",
+) -> DataFrame:
+    """Distributed pixel decode of sampled MJPEG frames: the output of
+    ``video_frame_sample`` flows through a second Arrow-batched
+    ``mapInPandas`` that runs the in-repo baseline JPEG decoder
+    (``operators/jpeg.py``) per frame and emits per-frame pixel statistics
+    (decoded dims/channels, min/max/mean luma) — the feature-extraction
+    stage of a video training-data pipeline. Undecodable frames (truncated,
+    non-baseline) degrade to a NULL-stats row instead of failing the task,
+    per the multimodal degrade-don't-raise contract.
+
+    Scale: pure per-frame CPU, no shuffle; throughput scales with frame
+    count exactly like the container walk that feeds it."""
+    import numpy as np
+
+    in_cols = [c for c in frames.columns if c != frame_col]
+    passthrough = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                            for f in frames.schema if f.name != frame_col)
+    schema = (
+        f"{passthrough}, px_width int, px_height int, n_channels int, "
+        "px_min int, px_max int, px_mean double"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from etl_lala_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                base = [r[c] for c in in_cols]
+                try:
+                    w, h, ch, px = decode_jpeg(bytes(r[frame_col]))
+                    a = np.frombuffer(px, np.uint8)
+                    rows.append(
+                        base
+                        + [w, h, ch, int(a.min()), int(a.max()), float(a.mean())]
+                    )
+                except (ValueError, NotImplementedError):
+                    rows.append(base + [None, None, None, None, None, None])
+            yield pd.DataFrame(
+                rows,
+                columns=in_cols
+                + ["px_width", "px_height", "n_channels", "px_min", "px_max", "px_mean"],
+            )
+
+    return frames.mapInPandas(batches, schema=schema)

@@ -1051,3 +1051,82 @@ def test_avi_list_nesting_bomb_does_not_recurse():
     assert mm.decode_avi(good) == (16, 8, 3, 12)
     assert [i for i, _ in mm.avi_extract_frames(good, stride=1)] == [0, 1, 2]
     assert mm.avi_extract_frames(good, stride=2) == [(0, b"f0"), (2, b"f2")]
+
+
+def test_jpeg_codec_solid_gray_exact_roundtrip():
+    """Quantization is exactly invertible for a solid block: DC = 8·(v−128),
+    and at quality 50 the luma DC quantizer is 16, so EVEN gray values
+    roundtrip bit-exactly — the invariant the mjpeg pixel-decode oracle
+    certifies under the driver."""
+    from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    for v in (64, 100, 128, 190, 254):
+        j = encode_jpeg(16, 16, bytes([v]) * 256, channels=1, quality=50)
+        w, h, ch, px = decode_jpeg(j)
+        assert (w, h, ch) == (16, 16, 1)
+        assert set(px) == {v}
+
+
+def test_jpeg_codec_rgb_psnr_and_subsampling():
+    """Lossy-but-faithful: a noisy RGB gradient survives encode/decode above
+    a PSNR floor at 4:4:4 and 4:2:0, and odd (non-multiple-of-8) dimensions
+    crop back exactly."""
+    import numpy as np
+
+    from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    wid, hei = 40, 24
+    img = np.zeros((hei, wid, 3))
+    img[..., 0] = np.linspace(0, 255, wid)[None, :]
+    img[..., 1] = np.linspace(0, 255, hei)[:, None]
+    img[..., 2] = 128
+    img = np.clip(img + rng.normal(0, 4, img.shape), 0, 255).astype(np.uint8)
+    for sub, floor in ((False, 32.0), (True, 30.0)):
+        j = encode_jpeg(wid, hei, img.tobytes(), channels=3, quality=75, subsample=sub)
+        w, h, ch, out = decode_jpeg(j)
+        assert (w, h, ch) == (wid, hei, 3)
+        dec = np.frombuffer(out, np.uint8).reshape(hei, wid, 3).astype(float)
+        mse = ((dec - img.astype(float)) ** 2).mean()
+        psnr = 10 * np.log10(255**2 / mse)
+        assert psnr >= floor, (sub, psnr)
+    # odd dimensions: edge padding must crop back to the exact shape
+    j = encode_jpeg(13, 9, bytes(range(117)) * 3, channels=3, quality=80)
+    w, h, ch, out = decode_jpeg(j)
+    assert (w, h, ch, len(out)) == (13, 9, 3, 13 * 9 * 3)
+
+
+def test_jpeg_decoder_rejects_non_baseline_explicitly():
+    """Progressive (SOF2) raises NotImplementedError — a documented
+    boundary, not a wrong answer; garbage raises ValueError."""
+    import pytest as _pytest
+
+    from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    j = bytearray(encode_jpeg(8, 8, bytes(64), channels=1, quality=75))
+    sof = j.find(b"\xff\xc0")
+    j[sof + 1] = 0xC2  # flip baseline SOF0 -> progressive SOF2
+    with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(j))
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x00not a jpeg")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")  # SOI+EOI, no scan
+
+
+def test_jpeg_decode_image_and_frame_decode_wiring(spark):
+    """decode_image routes JPEG to the real decoder, and
+    mjpeg_frame_decode degrades undecodable frames to NULL-stats rows
+    instead of failing the task."""
+    from etl_lala_spark.operators.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(24, 16, bytes([78]) * (24 * 16), channels=1, quality=50)
+    assert mm.decode_image(jpg) == (24, 16, 1)
+
+    avi = mm.encode_avi_mjpeg(24, 16, 10, [jpg, b"not-a-jpeg-frame"])
+    df = spark.createDataFrame([(5, bytearray(avi))], "doc_id long, data binary")
+    out = mm.mjpeg_frame_decode(mm.video_frame_sample(df, stride=1))
+    rows = {r["frame_idx"]: r for r in out.collect()}
+    assert rows[0]["px_min"] == rows[0]["px_max"] == 78
+    assert rows[0]["px_width"] == 24 and rows[0]["px_height"] == 16
+    assert rows[1]["px_width"] is None and rows[1]["px_mean"] is None
