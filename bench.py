@@ -87,8 +87,10 @@ HEADLINE = [
     # evolution, and month-over-month PSI between two pinned versions
     "versioned_snapshot_evolution_isolation",
     "drift_versioned_month_over_month",
-    # round 5: real baseline-JPEG pixel decode of sampled MJPEG frames
+    # round 5: real baseline-JPEG pixel decode of sampled MJPEG frames, and
+    # distributed image resize over real PNG decode
     "multimodal_mjpeg_pixel_decode",
+    "multimodal_image_resize",
 ]
 
 

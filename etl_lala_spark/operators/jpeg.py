@@ -431,12 +431,27 @@ def encode_jpeg(
 # --- Decoder -----------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+def decode_jpeg(
+    data: bytes, max_pixels: int = 64_000_000
+) -> tuple[int, int, int, bytes]:
     """Decode a baseline JPEG to (width, height, n_channels, pixels) with
     row-major uint8 pixels (gray or RGB). Huffman and quantization tables
     come from the stream, so any baseline sequential JPEG decodes, not
     just this module's own output. Progressive/arithmetic/12-bit raise
-    ``NotImplementedError`` (the documented boundary)."""
+    ``NotImplementedError`` (the documented boundary); every other
+    malformed-stream failure surfaces as ``ValueError`` so scan-side
+    kernels need exactly two exception types in their degrade path.
+    ``max_pixels`` bounds work on crafted SOF dimensions (a 4-byte field
+    can claim a 4-gigapixel image and stall a scan task for hours)."""
+    try:
+        return _decode_jpeg(data, max_pixels)
+    except (struct.error, IndexError, KeyError) as ex:
+        # short segments / truncated tables / references to undeclared
+        # quant or Huffman table ids — all malformed-stream shapes
+        raise ValueError(f"malformed JPEG stream: {ex!r}") from ex
+
+
+def _decode_jpeg(data: bytes, max_pixels: int) -> tuple[int, int, int, bytes]:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG byte stream (missing SOI)")
     pos = 2
@@ -504,6 +519,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 2 + seglen
     if not comps or not scan:
         raise ValueError("JPEG missing SOF/SOS")
+    if width == 0 or height == 0 or width * height > max_pixels:
+        raise ValueError(f"JPEG dimensions {width}x{height} out of bounds")
+    if any(not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2) for c in comps):
+        raise NotImplementedError("sampling factors outside 1..2")
 
     by_id = {c["id"]: c for c in comps}
     order = [by_id[cs] for cs, _, _ in scan]

@@ -860,3 +860,82 @@ def mjpeg_frame_decode(
             )
 
     return frames.mapInPandas(batches, schema=schema)
+
+
+def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
+    """Full pixel decode to (width, height, n_channels, pixels) for the
+    formats with in-repo codecs (PNG via ``decode_png``, baseline JPEG via
+    ``operators/jpeg.py``)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from etl_lala_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
+    raise NotImplementedError("pixel codec for this format unavailable")
+
+
+def image_resize(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    method: str = "nearest",
+    data_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed image resize — the preprocessing step every vision
+    training pipeline runs between decode and feature extraction. Each row's
+    encoded image (PNG/baseline JPEG, in-repo codecs) is decoded, resampled
+    to (out_w, out_h), and emitted as raw pixels + dims. ``nearest`` uses
+    the floor index map src = (dst * in) // out (integer-exact, so an
+    oracle can replay it arithmetically); ``bilinear`` uses half-pixel
+    centers with edge clamping (reproduces linear gradients exactly on
+    downscale — the pytest invariant). Undecodable rows degrade to NULLs.
+
+    Scale: one Arrow-batched mapInPandas pass, pure per-value CPU, no
+    shuffle; numpy fancy-indexing does the resample, so the Python cost is
+    per-image, not per-pixel-in-Python."""
+    import numpy as np
+
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize method {method}")
+    schema = (
+        f"{id_col} long, width int, height int, n_channels int, pixels binary"
+    )
+
+    def kernel(data: bytes) -> tuple[int, int, int, bytes]:
+        w, h, ch, px = decode_pixels(bytes(data))
+        a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+        if method == "nearest":
+            xs = (np.arange(out_w) * w) // out_w
+            ys = (np.arange(out_h) * h) // out_h
+            r = a[ys[:, None], xs[None, :], :]
+        else:
+            sx = np.clip((np.arange(out_w) + 0.5) * (w / out_w) - 0.5, 0, w - 1)
+            sy = np.clip((np.arange(out_h) + 0.5) * (h / out_h) - 0.5, 0, h - 1)
+            x0 = np.floor(sx).astype(int)
+            y0 = np.floor(sy).astype(int)
+            x1 = np.minimum(x0 + 1, w - 1)
+            y1 = np.minimum(y0 + 1, h - 1)
+            fx = (sx - x0)[None, :, None]
+            fy = (sy - y0)[:, None, None]
+            af = a.astype(np.float64)
+            top = af[y0[:, None], x0[None, :], :] * (1 - fx) + af[y0[:, None], x1[None, :], :] * fx
+            bot = af[y1[:, None], x0[None, :], :] * (1 - fx) + af[y1[:, None], x1[None, :], :] * fx
+            r = np.clip(np.round(top * (1 - fy) + bot * fy), 0, 255).astype(np.uint8)
+        return out_w, out_h, ch, r.tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    w, h, ch, px = kernel(row[data_col])
+                    rows.append((int(row[id_col]), w, h, ch, px))
+                except (ValueError, NotImplementedError):
+                    rows.append((int(row[id_col]), None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "n_channels", "pixels"]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)

@@ -389,3 +389,75 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_RESIZE_ORACLE = """
+SELECT d.doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(10 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(sum((3 * (2 * x.i) + 7 * (2 * y.j) + 11 * c.k + d.doc_id) % 256)
+            AS BIGINT) AS px_sum
+FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d,
+     range(0, 16) x(i), range(0, 10) y(j), range(0, 3) c(k)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_image_resize", oracle=_RESIZE_ORACLE)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed image resize certified arithmetically: per document a
+    REAL 32x20 RGB PNG is encoded with pixel p(x,y,c) = (3x+7y+11c+doc_id)
+    mod 256 (cycling all five PNG row filters), decoded and
+    nearest-resized to 16x10 by ``operators/multimodal.py:image_resize``
+    (floor index map src = (dst*in)//out — integer-exact by design), and
+    the resized pixel sum must equal the oracle's replay of the same index
+    map over SQL ranges. Any codec, unfilter, index-map, or channel-order
+    bug lands on a different sum.
+
+    The preprocessing shape every vision training pipeline runs between
+    decode and featurization: one Arrow-batched pass, numpy fancy-indexed
+    resample (per-image Python cost, not per-pixel), no shuffle."""
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def build(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = bytes(
+                    (3 * x + 7 * y + 11 * c + d) % 256
+                    for y in range(20)
+                    for x in range(32)
+                    for c in range(3)
+                )
+                rows.append((d, mm.encode_png(32, 20, px, channels=3)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    def pixel_sum(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    int(r["doc_id"]),
+                    int(r["width"]),
+                    int(r["height"]),
+                    int(r["n_channels"]),
+                    int(np.frombuffer(r["pixels"], np.uint8).sum()),
+                )
+                for _, r in pdf.iterrows()
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "px_sum"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    imgs = docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
+    resized = mm.image_resize(imgs, 16, 10, method="nearest")
+    return resized.mapInPandas(
+        pixel_sum,
+        "doc_id long, width int, height int, n_channels int, px_sum long",
+    ).orderBy("doc_id")

@@ -201,8 +201,13 @@ def test_multimodal_decode_stub_and_plumbing(spark, sf_dir):
     for r in decoded:
         assert r["width"] == r["n_bytes"] % 640
         assert len(r["digest"]) == 32
+    # JPEG now pixel-decodes for real (operators/jpeg.py); TRUNCATED JPEG
+    # bytes raise ValueError from the real decoder, and only formats with
+    # no in-repo codec keep the NotImplementedError seam.
+    with pytest.raises(ValueError):
+        mm.decode_image(b"\xff\xd8\xff\xe0 truncated jpeg, no SOF/SOS")
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0 jpeg needs a DCT codec")
+        mm.decode_image(b"BM no bitmap codec in this environment")
 
 
 def test_png_codec_roundtrip_all_filters():
@@ -1130,3 +1135,50 @@ def test_jpeg_decode_image_and_frame_decode_wiring(spark):
     assert rows[0]["px_min"] == rows[0]["px_max"] == 78
     assert rows[0]["px_width"] == 24 and rows[0]["px_height"] == 16
     assert rows[1]["px_width"] is None and rows[1]["px_mean"] is None
+
+
+def test_image_resize_nearest_and_bilinear(spark):
+    """nearest uses the integer-exact floor index map (src=(dst*in)//out);
+    bilinear at half-pixel centers reproduces a linear gradient EXACTLY on
+    2x downscale (the defining property of bilinear interpolation).
+    Undecodable rows degrade to NULLs."""
+    import numpy as np
+
+    # nearest: synthetic pattern, every sampled pixel known in closed form
+    w, h = 32, 20
+    px = bytes((3 * x + 7 * y + 11 * c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    png = mm.encode_png(w, h, px, channels=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r for r in mm.image_resize(df, 16, 10, "nearest").collect()}
+    a = np.frombuffer(out[1]["pixels"], np.uint8).reshape(10, 16, 3)
+    for y in (0, 3, 9):
+        for x in (0, 7, 15):
+            for c in range(3):
+                assert a[y, x, c] == (3 * (2 * x) + 7 * (2 * y) + 11 * c) % 256
+    assert out[2]["pixels"] is None and out[2]["width"] is None
+
+    # bilinear: linear gradient in, exact half-sample gradient out
+    g = bytes(min(255, 2 * x + 4 * y) for y in range(16) for x in range(16))
+    df2 = spark.createDataFrame(
+        [(3, bytearray(mm.encode_png(16, 16, g, channels=1)))],
+        "doc_id long, media binary",
+    )
+    row = mm.image_resize(df2, 8, 8, "bilinear").collect()[0]
+    b = np.frombuffer(row["pixels"], np.uint8).reshape(8, 8)
+    exp = np.round(
+        np.array([[2 * (2 * x + 0.5) + 4 * (2 * y + 0.5) for x in range(8)] for y in range(8)])
+    )
+    assert np.abs(b - exp).max() == 0
+
+    # JPEG input routes through the same decode dispatch
+    from etl_lala_spark.operators.jpeg import encode_jpeg
+
+    jdf = spark.createDataFrame(
+        [(4, bytearray(encode_jpeg(16, 16, bytes([90]) * 256, channels=1, quality=50)))],
+        "doc_id long, media binary",
+    )
+    jrow = mm.image_resize(jdf, 4, 4, "nearest").collect()[0]
+    assert set(np.frombuffer(jrow["pixels"], np.uint8)) == {90}

@@ -218,3 +218,32 @@ def test_drift_psi_matches_reference_fold(spark, base, cur):
         assert abs(r["base_frac"] - p) <= 1e-6
         assert abs(r["cur_frac"] - q) <= 1e-6
         assert abs(r["psi_term"] - term) <= 1e-6
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    junk=st.binary(min_size=0, max_size=300),
+    flip_pos=st.integers(0, 10_000),
+    flip_val=st.integers(0, 255),
+)
+def test_jpeg_decoder_degrades_on_arbitrary_bytes(junk, flip_pos, flip_val):
+    """Scan-side degrade contract: decode_jpeg over arbitrary bytes — raw
+    junk, junk behind a real SOI, and single-byte corruptions of a VALID
+    stream — must either decode or raise exactly ValueError /
+    NotImplementedError (the two types mjpeg_frame_decode's degrade path
+    catches). Any struct.error / IndexError / KeyError escaping here would
+    kill a Spark task on one bad frame."""
+    from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    candidates = [junk, b"\xff\xd8" + junk]
+    valid = bytearray(
+        encode_jpeg(16, 8, bytes(range(128)), channels=1, quality=60)
+    )
+    valid[flip_pos % len(valid)] = flip_val
+    candidates.append(bytes(valid))
+    for blob in candidates:
+        try:
+            w, h, ch, px = decode_jpeg(blob)
+            assert len(px) == w * h * ch
+        except (ValueError, NotImplementedError):
+            pass
