@@ -91,6 +91,7 @@ HEADLINE = [
     # distributed image resize over real PNG decode
     "multimodal_mjpeg_pixel_decode",
     "multimodal_image_resize",
+    "multimodal_audio_windows",
 ]
 
 

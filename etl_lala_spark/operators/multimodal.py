@@ -939,3 +939,62 @@ def image_resize(
             )
 
     return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
+
+
+def audio_window_energy(
+    df: DataFrame,
+    window_samples: int,
+    data_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed audio feature extraction: decode each row's WAV (in-repo
+    16-bit PCM codec), frame the sample stream into fixed-length windows,
+    and emit per-window integer statistics — (window_idx, n_samples,
+    abs_sum, energy = Σs², peak) — the framing every audio training
+    pipeline runs before spectral features, with integer outputs so an
+    oracle can replay them exactly. The final (short) window is kept, as
+    VAD/segmentation consumers expect. Undecodable rows degrade to a
+    single NULL-stats row per the multimodal contract.
+
+    Scale: one Arrow-batched mapInPandas pass; numpy does the framing
+    (per-file Python cost), one-to-many explode scales with audio hours,
+    no shuffle."""
+    import numpy as np
+
+    if window_samples <= 0:
+        raise ValueError("window_samples must be positive")
+    schema = (
+        f"{id_col} long, window_idx int, n_samples int, "
+        "abs_sum long, energy long, peak int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    _rate, _nch, _bits, samples = decode_wav(bytes(r[data_col]))
+                except (ValueError, IndexError):
+                    rows.append((int(r[id_col]), None, None, None, None, None))
+                    continue
+                a = np.asarray(samples, dtype=np.int64)
+                for wi in range(0, max(1, -(-len(a) // window_samples))):
+                    seg = a[wi * window_samples : (wi + 1) * window_samples]
+                    if len(seg) == 0:
+                        seg = np.zeros(0, dtype=np.int64)
+                    rows.append(
+                        (
+                            int(r[id_col]),
+                            wi,
+                            int(len(seg)),
+                            int(np.abs(seg).sum()),
+                            int((seg * seg).sum()),
+                            int(np.abs(seg).max()) if len(seg) else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "window_idx", "n_samples", "abs_sum", "energy", "peak"],
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)

@@ -461,3 +461,61 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_sum,
         "doc_id long, width int, height int, n_channels int, px_sum long",
     ).orderBy("doc_id")
+
+
+_AUDIO_WINDOWS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 50) + 40 AS n
+  FROM documents WHERE doc_id < 150
+),
+s AS (
+  SELECT d.doc_id,
+         CAST(t.i // 16 AS INT) AS window_idx,
+         ((7 * t.i + d.doc_id) % 201) - 100 AS v
+  FROM d, range(0, 96) t(i)
+  WHERE t.i < d.n
+)
+SELECT doc_id,
+       window_idx,
+       CAST(count(*) AS INT) AS n_samples,
+       CAST(sum(abs(v)) AS BIGINT) AS abs_sum,
+       CAST(sum(v * v) AS BIGINT) AS energy,
+       CAST(max(abs(v)) AS INT) AS peak
+FROM s
+GROUP BY doc_id, window_idx
+ORDER BY doc_id, window_idx
+"""
+
+
+@register("multimodal_audio_windows", oracle=_AUDIO_WINDOWS_ORACLE)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio framing + energy features certified integer-exactly: per
+    document a REAL 16-bit PCM WAV is written (with the odd-length LIST
+    metadata chunk a correct RIFF walker must word-align past) holding
+    (doc_id % 50) + 40 samples of the closed-form signal
+    s(i) = ((7i + doc_id) mod 201) − 100, decoded by the in-repo codec and
+    framed into 16-sample windows by ``audio_window_energy``; per-window
+    count / Σ|s| / Σs² / peak must equal the oracle's arithmetic replay.
+    Any RIFF-walk, PCM-unpack, framing, or tail-window bug changes an
+    integer.
+
+    The framing stage every audio training pipeline runs before spectral
+    features; one Arrow-batched pass, no shuffle."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd
+
+    def build(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = [((7 * i + d) % 201) - 100 for i in range((d % 50) + 40)]
+                rows.append((d, mm.encode_wav(8000, samples, junk_chunk=True)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    wavs = docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
+    return mm.audio_window_energy(wavs, window_samples=16).orderBy(
+        "doc_id", "window_idx"
+    )

@@ -1182,3 +1182,27 @@ def test_image_resize_nearest_and_bilinear(spark):
     )
     jrow = mm.image_resize(jdf, 4, 4, "nearest").collect()[0]
     assert set(np.frombuffer(jrow["pixels"], np.uint8)) == {90}
+
+
+def test_audio_window_energy_framing_and_degrade(spark):
+    """Window framing: full windows + kept short tail, integer-exact stats,
+    NULL-stats degrade row for undecodable audio."""
+    samples = [((7 * i) % 201) - 100 for i in range(40)]
+    wav = mm.encode_wav(8000, samples, junk_chunk=True)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+        "doc_id long, media binary",
+    )
+    rows = {
+        (r["doc_id"], r["window_idx"]): r
+        for r in mm.audio_window_energy(df, 16).collect()
+    }
+    for wi in range(3):
+        seg = samples[wi * 16 : (wi + 1) * 16]
+        r = rows[(1, wi)]
+        assert r["n_samples"] == len(seg)
+        assert r["abs_sum"] == sum(abs(s) for s in seg)
+        assert r["energy"] == sum(s * s for s in seg)
+        assert r["peak"] == max(abs(s) for s in seg)
+    assert rows[(1, 2)]["n_samples"] == 8  # short tail kept
+    assert rows[(2, None)]["abs_sum"] is None  # degrade row
