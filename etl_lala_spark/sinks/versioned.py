@@ -196,6 +196,7 @@ def _reclaim_orphan_dir(table_path: str, ddir: str, version: int) -> bool:
 def write_version(
     df: DataFrame, table_path: str, mode: str = "overwrite",
     extra: dict | None = None, expected_base: int | None = None,
+    partition_col: str | None = None,
 ) -> int:
     """Commit ``df`` as a new table version.
 
@@ -210,32 +211,103 @@ def write_version(
     if the table has advanced past it (a rival committed between the read
     and this commit), raise ``ConcurrentCommitError`` instead of blindly
     retrying the CAS with a stale snapshot that would drop the rival's
-    rows. Read-modify-write callers (merge/compact) must pass it. Returns
-    the committed version id.
+    rows. Read-modify-write callers (merge/compact) must pass it.
+    ``partition_col``: track this commit's distinct partition values in
+    the manifest (``parts``/``dir_rows``), enabling manifest-level
+    partition pruning (``read_partition``) and atomic partition reloads
+    (``replace_partition``) — the reference's per-competência reload
+    (src/datasus/datasus.service.ts:15-39) done as one atomic commit.
+    Returns the committed version id.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"write_version mode must be overwrite/append, got {mode}")
-    # Data first, commit second: the parquet write happens ONCE into a
-    # writer-private staging dir; the optimistic-concurrency loop below
-    # only renames it and retries the manifest CAS, so a lost race never
-    # recomputes the DataFrame.
+    staging, n_new, vals = _stage(df, table_path, partition_col)
+
+    def build(prev: list[dict], version: int, ddir_name: str) -> dict:
+        if mode == "append" and prev:
+            m_prev = prev[-1]
+            pcol_prev = m_prev.get("partition_col")
+            if partition_col and pcol_prev and partition_col != pcol_prev:
+                raise ValueError(
+                    f"append partition_col {partition_col} != table's {pcol_prev}"
+                )
+            dirs = list(m_prev["dirs"]) + [ddir_name]
+            n_rows = m_prev["n_rows"] + n_new
+            parts = dict(m_prev.get("parts") or {d: None for d in m_prev["dirs"]})
+            dir_rows = dict(m_prev.get("dir_rows") or {})
+            pcol = pcol_prev or partition_col
+        else:
+            dirs = [ddir_name]
+            n_rows = n_new
+            parts = {}
+            dir_rows = {}
+            pcol = partition_col
+        manifest = {
+            **(extra or {}),
+            "version": version,
+            "op": mode,
+            "dirs": dirs,
+            "n_rows": n_rows,
+            "schema": df.schema.simpleString(),
+            "ts": time.time(),
+        }
+        if pcol:
+            parts[ddir_name] = vals
+            dir_rows[ddir_name] = n_new
+            manifest.update(partition_col=pcol, parts=parts, dir_rows=dir_rows)
+        return manifest
+
+    return _publish(table_path, staging, expected_base, build)
+
+
+def _stage(
+    df: DataFrame, table_path: str, partition_col: str | None = None
+) -> tuple[str, int, list[str] | None]:
+    """Write ``df`` ONCE into a writer-private staging dir beside the table
+    and pre-compute its row count (and, when partition-tracked, its sorted
+    distinct partition values as strings). Data first, commit second: the
+    optimistic-concurrency loop in ``_publish`` only renames the staging
+    dir and retries the manifest CAS, so a lost race never recomputes the
+    DataFrame. Staging lives BESIDE the table directory (not inside it) so
+    an in-flight write can never leak into a naive scan of the table dir,
+    and the Spark jobs here run BEFORE any claim — the claim-to-commit
+    critical section stays a pure-metadata window (milliseconds)."""
     os.makedirs(table_path, exist_ok=True)
-    # Staging lives BESIDE the table directory (not inside it), so an
-    # in-flight write can never leak into a naive scan of the table dir,
-    # and — unlike a dot-prefixed child, which Spark's file listing skips —
-    # it stays readable, so the row count happens here, BEFORE any claim:
-    # the claim-to-commit critical section below is then a pure-metadata
-    # window (rename + manifest link, milliseconds), not a Spark job that
-    # would make rival writers burn their retries against a live claim.
     staging = f"{table_path.rstrip('/')}.staging.{_private_suffix()}"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    n_new = df.sparkSession.read.parquet(staging).count()
+    staged = df.sparkSession.read.parquet(staging)
+    n_new = staged.count()
+    vals = None
+    if partition_col:
+        from pyspark.sql import functions as F
+
+        vals = sorted(
+            r[0]
+            for r in staged.select(
+                F.col(partition_col).cast("string")
+            ).distinct().collect()
+            if r[0] is not None
+        )
+    return staging, n_new, vals
+
+
+def _publish(
+    table_path: str,
+    staging: str,
+    expected_base: int | None,
+    build_manifest,
+) -> int:
+    """Claim a data-dir name for ``staging`` and commit the manifest
+    ``build_manifest(prev, version, ddir_name)`` returns; retries lost CAS
+    races, reclaims orphaned claims, propagates the stream-batch
+    watermark, and enforces ``expected_base`` for read-modify-write
+    callers."""
     for attempt in range(20):
         prev = table_versions(table_path)
         latest = prev[-1]["version"] if prev else 0
         if expected_base is not None and latest != expected_base:
-            # The snapshot this df was derived from is no longer latest:
+            # The snapshot this data was derived from is no longer latest:
             # committing would silently drop the rival commit's rows.
             shutil.rmtree(staging, ignore_errors=True)
             raise ConcurrentCommitError(
@@ -248,10 +320,10 @@ def write_version(
         try:
             # Refresh the claim timestamp at CLAIM time, not parquet-write
             # time: the staging dir's mtime is the write-completion time,
-            # and if the pre-claim count() or earlier CAS retries took
-            # longer than the orphan grace window, a reclaimer statting the
-            # dir in the rename→utime gap would see a stale mtime and could
-            # delete a LIVE claim out from under its manifest commit.
+            # and if the pre-claim work or earlier CAS retries took longer
+            # than the orphan grace window, a reclaimer statting the dir in
+            # the rename→utime gap would see a stale mtime and could delete
+            # a LIVE claim out from under its manifest commit.
             os.utime(staging)
             os.rename(staging, ddir)  # claim the data-dir name
         except OSError:
@@ -270,21 +342,7 @@ def write_version(
             os.utime(ddir)  # claim timestamp: liveness marker for reclaim
         except OSError:
             pass
-        if mode == "append" and prev:
-            dirs = list(prev[-1]["dirs"]) + [ddir_name]
-            n_rows = prev[-1]["n_rows"] + n_new
-        else:
-            dirs = [ddir_name]
-            n_rows = n_new
-        manifest = {
-            **(extra or {}),
-            "version": version,
-            "op": mode,
-            "dirs": dirs,
-            "n_rows": n_rows,
-            "schema": df.schema.simpleString(),
-            "ts": time.time(),
-        }
+        manifest = build_manifest(prev, version, ddir_name)
         # Carry the stream-batch high-water mark forward into EVERY commit
         # (not just ingest commits): the exactly-once replay guard reads
         # max(stream_batch_id) over RETAINED manifests, and without the
@@ -292,8 +350,8 @@ def write_version(
         # the max — after which a checkpoint-free restart would re-apply
         # old batches and duplicate rows.
         hw = _stream_high_water(prev)
-        if extra and "stream_batch_id" in extra:
-            hw = max(hw, extra["stream_batch_id"])
+        if "stream_batch_id" in manifest:
+            hw = max(hw, manifest["stream_batch_id"])
         if hw >= 0:
             manifest["stream_batch_id"] = hw
         try:
@@ -302,7 +360,7 @@ def write_version(
             os.rename(ddir, staging)  # lost the manifest CAS: retry
             time.sleep(0.25 * (attempt + 1))
     raise RuntimeError(
-        f"write_version: lost the commit race 20 times at {table_path}"
+        f"_publish: lost the commit race 20 times at {table_path}"
     )
 
 
@@ -330,6 +388,135 @@ def read_version(
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+def replace_partition(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    values: list,
+    partition_col: str | None = None,
+) -> int:
+    """Atomically replace one (or several) partition values of the latest
+    snapshot with ``df``'s rows — the versioned-log form of
+    ``replaceWhere``, and the exact upgrade of the reference's competência
+    reload, which DELETEs a month then re-INSERTs it in place and lets a
+    racing reader see half a table (src/datasus/datasus.service.ts:15-39).
+    Here the reload is ONE commit: readers see the old month or the new
+    month, never neither, and a bad feed is one ``rollback`` away.
+
+    Requires the table to be partition-tracked (written with
+    ``partition_col=``). Directories whose tracked values don't intersect
+    ``values`` are carried over untouched (pure metadata); directories that
+    mix affected and unaffected values are read once and their residue
+    rewritten alongside the new data — so a month-per-commit load pattern
+    replaces a month WITHOUT rewriting any other month's bytes, the same
+    file-level pruning a Delta replaceWhere does. Rows of ``df`` outside
+    ``values`` are dropped (the replaceWhere contract). Read-modify-write
+    conflict detection via ``expected_base`` re-derives on a racing commit.
+
+    Scale: cost = new partition bytes + residue of mixed dirs only;
+    untouched partitions move as manifest strings, never data."""
+    from pyspark.sql import functions as F
+
+    values_s = sorted({str(v) for v in values})
+    if not values_s:
+        raise ValueError("replace_partition requires at least one value")
+    for _ in range(20):
+        vs = table_versions(table_path)
+        if not vs:
+            raise FileNotFoundError(f"no committed versions at {table_path}")
+        m = vs[-1]
+        pcol = partition_col or m.get("partition_col")
+        if not pcol or not m.get("parts"):
+            raise ValueError(
+                f"{table_path} is not partition-tracked; write versions with "
+                "partition_col= to enable replace_partition"
+            )
+        parts: dict = m["parts"]
+        dir_rows: dict = m.get("dir_rows") or {}
+        vset = set(values_s)
+        affected = [
+            d for d in m["dirs"]
+            if parts.get(d) is None or set(parts[d]) & vset
+        ]
+        kept = [d for d in m["dirs"] if d not in affected]
+        new_data = df.filter(F.col(pcol).cast("string").isin(values_s))
+        if affected:
+            residue = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(table_path, d) for d in affected])
+                .filter(~F.col(pcol).cast("string").isin(values_s))
+            )
+            combined = residue.unionByName(new_data, allowMissingColumns=True)
+        else:
+            combined = new_data
+        staging, n_new, vals = _stage(combined, table_path, pcol)
+
+        def build(prev: list[dict], version: int, ddir_name: str) -> dict:
+            new_parts = {d: parts.get(d) for d in kept}
+            new_parts[ddir_name] = vals
+            new_dir_rows = {d: dir_rows[d] for d in kept if d in dir_rows}
+            new_dir_rows[ddir_name] = n_new
+            kept_rows = sum(dir_rows.get(d, 0) for d in kept)
+            return {
+                "version": version,
+                "op": f"replace:{pcol}={','.join(values_s)}",
+                "dirs": kept + [ddir_name],
+                "n_rows": kept_rows + n_new,
+                "schema": combined.schema.simpleString(),
+                "ts": time.time(),
+                "partition_col": pcol,
+                "parts": new_parts,
+                "dir_rows": new_dir_rows,
+            }
+
+        try:
+            return _publish(table_path, staging, m["version"], build)
+        except ConcurrentCommitError:
+            continue  # table advanced: recompute affected set and residue
+    raise RuntimeError(
+        f"replace_partition: lost the commit race 20 times at {table_path}"
+    )
+
+
+def read_partition(
+    spark: SparkSession,
+    table_path: str,
+    values: list,
+    version: int | None = None,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Partition-pruned snapshot read: resolve the manifest, keep ONLY the
+    data directories whose tracked partition values intersect ``values``
+    (directories with unknown tracking are conservatively included), and
+    filter the remainder. The pruning decision is made from manifest
+    metadata on the driver — at 100 TB a one-month read lists one month's
+    directories, not the table's."""
+    from pyspark.sql import functions as F
+
+    vs = table_versions(table_path)
+    if not vs:
+        raise FileNotFoundError(f"no committed versions at {table_path}")
+    by_id = {m["version"]: m for m in vs}
+    m = by_id[version] if version is not None else vs[-1]
+    pcol = partition_col or m.get("partition_col")
+    if not pcol:
+        raise ValueError(f"{table_path} is not partition-tracked")
+    values_s = {str(v) for v in values}
+    parts = m.get("parts") or {}
+    dirs = [
+        d for d in m["dirs"]
+        if parts.get(d) is None or set(parts[d]) & values_s
+    ]
+    pred = F.col(pcol).cast("string").isin(sorted(values_s))
+    if not dirs:
+        # no directory holds these values: empty result at snapshot schema
+        return read_version(spark, table_path, version=m["version"]).filter(
+            F.lit(False)
+        )
+    paths = [os.path.join(table_path, d) for d in dirs]
+    return spark.read.option("mergeSchema", "true").parquet(*paths).filter(pred)
+
+
 def rollback(table_path: str, to_version: int) -> int:
     """Restore a previous snapshot as a NEW version (history stays intact —
     an audit can still read the bad versions). O(1): no data moves, the new
@@ -350,6 +537,10 @@ def rollback(table_path: str, to_version: int) -> int:
             "schema": target["schema"],
             "ts": time.time(),
         }
+        # Partition tracking follows the restored snapshot.
+        for k in ("partition_col", "parts", "dir_rows"):
+            if k in target:
+                manifest[k] = target[k]
         # Rollback must NOT roll back the exactly-once watermark: the
         # batches ingested after `to_version` were still applied once, and
         # a replay of their ids after this commit must stay blocked.
@@ -445,14 +636,20 @@ def merge_version(
     from etl_lala_spark.operators.relational import merge_changelog
 
     for _ in range(20):
-        base_v = latest_version(table_path)
-        if base_v is None:
+        vs = table_versions(table_path)
+        if not vs:
             raise FileNotFoundError(f"no committed versions at {table_path}")
+        base_v = vs[-1]["version"]
         base = read_version(spark, table_path, version=base_v)
         merged = merge_changelog(base, changelog, key, seq_col=seq_col, op_col=op_col)
         try:
             return write_version(
-                merged, table_path, mode="overwrite", expected_base=base_v
+                merged,
+                table_path,
+                mode="overwrite",
+                expected_base=base_v,
+                # the merged snapshot stays partition-tracked
+                partition_col=vs[-1].get("partition_col"),
             )
         except ConcurrentCommitError:
             continue  # table advanced: re-read and re-merge
@@ -473,13 +670,19 @@ def compact_version(spark: SparkSession, table_path: str) -> int:
     commit aborts the stale compaction, which re-reads and re-compacts —
     never silently dropping the appended rows."""
     for _ in range(20):
-        base_v = latest_version(table_path)
-        if base_v is None:
+        vs = table_versions(table_path)
+        if not vs:
             raise FileNotFoundError(f"no committed versions at {table_path}")
+        base_v = vs[-1]["version"]
         merged = read_version(spark, table_path, version=base_v)
         try:
             return write_version(
-                merged, table_path, mode="overwrite", expected_base=base_v
+                merged,
+                table_path,
+                mode="overwrite",
+                expected_base=base_v,
+                # compaction keeps the table partition-tracked
+                partition_col=vs[-1].get("partition_col"),
             )
         except ConcurrentCommitError:
             continue  # table advanced: re-read and re-compact

@@ -837,3 +837,68 @@ def test_vacuum_sweeps_unreferenced_orphan_dirs(spark, out_dir):
     assert os.path.isdir(fresh)  # grace window protects the live claim
     got = {r.k for r in vt.read_version(spark, table).collect()}
     assert got == {1, 2}
+
+
+def test_replace_partition_atomic_reload_and_pruned_read(spark, out_dir):
+    """The versioned-log replaceWhere: per-month commits tracked via
+    partition_col; reloading one month carries every other month's
+    directory over as pure metadata, a mixed-directory snapshot pays only
+    its own residue rewrite, read_partition prunes at the manifest, and a
+    bad reload is one rollback away."""
+    import os
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    t = os.path.join(out_dir, "vt_months")
+
+    def month(m, v):
+        return spark.createDataFrame(
+            [(m, i, v) for i in range(3)], "month string, k int, val int"
+        )
+
+    vt.write_version(month("2025-01", 1), t, mode="overwrite", partition_col="month")
+    vt.write_version(month("2025-02", 2), t, mode="append", partition_col="month")
+    vt.write_version(month("2025-03", 3), t, mode="append", partition_col="month")
+    m = vt.table_versions(t)[-1]
+    assert m["parts"] == {
+        "d000001": ["2025-01"], "d000002": ["2025-02"], "d000003": ["2025-03"]
+    }
+    assert m["dir_rows"] == {"d000001": 3, "d000002": 3, "d000003": 3}
+
+    # reload feb: jan + mar dirs carried over untouched (pure metadata);
+    # out-of-partition rows in the feed are dropped (replaceWhere contract)
+    feed = month("2025-02", 99).unionByName(month("2025-07", 0))
+    v4 = vt.replace_partition(spark, t, feed, ["2025-02"])
+    m4 = vt.table_versions(t)[-1]
+    assert m4["op"] == "replace:month=2025-02"
+    assert "d000001" in m4["dirs"] and "d000003" in m4["dirs"]
+    assert m4["n_rows"] == 9
+    got = {(r.month, r.val) for r in vt.read_version(spark, t).collect()}
+    assert got == {("2025-01", 1), ("2025-02", 99), ("2025-03", 3)}
+
+    # pruned read resolves ONE directory from the manifest
+    feb = vt.read_partition(spark, t, ["2025-02"])
+    assert {r.val for r in feb.collect()} == {99}
+    assert vt.read_partition(spark, t, ["2099-12"]).count() == 0
+
+    # bad reload is one rollback away, tracking intact afterwards
+    vt.replace_partition(spark, t, month("2025-02", -1), ["2025-02"])
+    vt.rollback(t, v4)
+    assert {r.val for r in vt.read_partition(spark, t, ["2025-02"]).collect()} == {99}
+    assert vt.table_versions(t)[-1]["parts"] == m4["parts"]
+
+    # mixed-directory snapshot (compaction collapses months into one dir):
+    # replacing one month rewrites only that dir's residue
+    vt.compact_version(spark, t)
+    assert len(vt.table_versions(t)[-1]["dirs"]) == 1
+    vt.replace_partition(spark, t, month("2025-03", 33), ["2025-03"])
+    got = {(r.month, r.val) for r in vt.read_version(spark, t).collect()}
+    assert got == {("2025-01", 1), ("2025-02", 99), ("2025-03", 33)}
+
+    # untracked table refuses with a clear error
+    t2 = os.path.join(out_dir, "vt_untracked")
+    vt.write_version(month("2025-01", 1), t2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not partition-tracked"):
+        vt.replace_partition(spark, t2, month("2025-01", 2), ["2025-01"])
