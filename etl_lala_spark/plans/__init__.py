@@ -89,69 +89,63 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 5 window: after CORRECTNESS_r04 every oracle-backed query ever
-# driver-checked is green and exactly 5 queries (registered late in r4)
-# have never had a driver row — they are pinned first so this round closes
-# the gap to 203/203 checked. The remaining pins are the highest-value
-# re-checks: the 24 TPC-H join shapes (the core relational surface; q1 is
-# the flagship `entry()`). The window is deliberately SHORTER than the
-# driver's 50-row cap: new round-5 registrations auto-sort into the
-# remaining slots (tier 1 below), then the rows-only approximate queries
-# get fresh ran-rows (tier 2), then greens rotate in registration order.
-_DRIVER_WINDOW = [
-    # Never driver-checked (registered after the r4 window filled) — the
-    # whole point of the round-5 rotation. Must stay in front.
-    "drift_psi_price", "drift_psi_orderstatus", "versioned_table_lifecycle",
-    "multimodal_avi_frames", "stream_twin_versioned_ingest",
-    # High-value re-checks: the full TPC-H join surface.
-    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
-    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_stock", "q11_true_grain",
-    "q12_shipping_delay", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_parts_supplier_relationship", "q16_true_grain",
-    "q17_small_quantity", "q18_large_volume_customers",
-    "q19_disjunctive_predicates", "q20_potential_promotion",
-    "q21_suppliers_kept_waiting", "q22_sales_opportunity",
-]
+# Round 6 window: round 5 closed the checked gap (208/208 ever checked,
+# 191/191 oracle-backed green), so there is nothing left worth hand-pinning
+# — the staleness-aware tiers below pick a better window than any manual
+# list would. Tier 1 front-loads the handful of new round-6 registrations
+# (sink manifest / retention / archive-expansion / limit-pushdown /
+# audio-spectral gates), and tier 3 re-verifies greens in
+# LEAST-RECENTLY-GREEN order, so the ~45 oldest r1/r2-vintage greens (set
+# ops, scalar batteries, datasus aggs) fill the rest of the driver's
+# 50-row cap. The pin list stays as the mechanism for future rounds that
+# need explicit re-checks.
+_DRIVER_WINDOW: list[str] = []
 
 
-def _correctness_records() -> tuple[set[str], set[str]]:
-    """(checked, green): names with ANY row / with an all-green row in any
-    CORRECTNESS_r*.json this repo has accumulated (the driver's hard
-    verification record)."""
+def _correctness_records() -> tuple[dict[str, int], dict[str, int]]:
+    """(last_checked, last_green): for every query name that has EVER had a
+    driver row in this repo's accumulated CORRECTNESS_r*.json files, the
+    latest round number with ANY row, and the latest round number with an
+    all-green row (rows_match+schema_match+hash_match). These drive the
+    rotation: membership = "ever checked / ever green", and the round
+    number = staleness for the tier-3 least-recently-verified sort."""
     import glob
     import json
     import os
+    import re
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    checked: set[str] = set()
-    green: set[str] = set()
+    last_checked: dict[str, int] = {}
+    last_green: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
                 rows = json.load(f)
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            checked.add(name)
+            last_checked[name] = max(rnd, last_checked.get(name, 0))
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                green.add(name)
-    return checked, green
+                last_green[name] = max(rnd, last_green.get(name, 0))
+    return last_checked, last_green
 
 
 def _driver_green_names() -> set[str]:
-    return _correctness_records()[1]
+    return set(_correctness_records()[1])
 
 
 def all_queries() -> dict[str, Query]:
     _load_all()
-    checked, green = _correctness_records()
+    last_checked, last_green = _correctness_records()
     pri = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
     reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
 
@@ -160,16 +154,24 @@ def all_queries() -> dict[str, Query]:
         # Tier 1: never driver-checked — a freshly registered query can
         #         NEVER silently fall outside the driver's 50-row cap as
         #         long as the pinned window leaves it a slot.
-        # Tier 2: checked but not hash-green (rows-only approximates and
-        #         any red awaiting retry) — re-run before greens.
-        # Tier 3: already green — rotate last, in registration order.
+        # Tier 2: oracle-backed, checked, never hash-green — a red awaiting
+        #         retry outranks every re-check.
+        # Tier 3: verified — greens AND rows-only approximates (which can
+        #         only ever earn ran-rows; each has a green oracle-backed
+        #         audit twin) — sorted LEAST-RECENTLY-VERIFIED first, so
+        #         the driver budget re-checks the stalest signal instead of
+        #         whatever happens to lead the registry (round-5 verdict
+        #         #1). Staleness = last green round for oracle-backed
+        #         queries, last ran round for rows-only ones.
         if name in pri:
-            return (0, pri[name])
-        if name not in checked:
-            return (1, reg_pos[name])
-        if name not in green:
-            return (2, reg_pos[name])
-        return (3, reg_pos[name])
+            return (0, pri[name], 0)
+        if name not in last_checked:
+            return (1, reg_pos[name], 0)
+        oracle_backed = _REGISTRY[name].oracle is not None
+        if oracle_backed and name not in last_green:
+            return (2, reg_pos[name], 0)
+        staleness = last_green[name] if oracle_backed else last_checked[name]
+        return (3, staleness, reg_pos[name])
 
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
 

@@ -253,12 +253,13 @@ def test_behavior_similarity_rank_uses_window_group_limit(spark, sf_dir):
 
 def test_driver_rotation_window_is_valid():
     """The driver materializes CORRECTNESS rows for the first ~50 registry
-    entries. The round-5 window pins the 5 never-checked late-r4 queries
-    first, then the 24 TPC-H re-checks, and deliberately stays SHORTER than
-    the 50-row cap so freshly registered queries auto-fill the remaining
-    slots (tier 1 of the rotation key). Guard (round-4 verdict #3): no
-    never-driver-checked query may ever sort outside the first 50 — a stale
-    window can never again silently un-verify a round."""
+    entries, so the rotation order IS the verification budget. Round 6:
+    the pin list is empty — tier 1 front-loads never-checked registrations
+    and tier 3 re-verifies greens in LEAST-RECENTLY-GREEN order (round-5
+    verdict #1). Guards: (a, round-4 verdict #3) no never-driver-checked
+    query may ever sort outside the first 50; (b) verified queries must be
+    ordered by staleness — oldest green/ran round first — so the driver
+    budget always lands on the stalest signal."""
     from etl_lala_spark.plans import (
         _DRIVER_WINDOW,
         _correctness_records,
@@ -267,8 +268,8 @@ def test_driver_rotation_window_is_valid():
     )
 
     qs = all_queries()
-    checked, green = _correctness_records()
-    assert green, "repo carries at least the round-1 CORRECTNESS record"
+    last_checked, last_green = _correctness_records()
+    assert last_green, "repo carries at least the round-1 CORRECTNESS record"
     assert len(_DRIVER_WINDOW) <= 50
     for name in _DRIVER_WINDOW:
         assert name in qs, f"window pins unregistered query {name}"
@@ -278,10 +279,10 @@ def test_driver_rotation_window_is_valid():
     # …and the oracle-backed subsequence leads the oracle-only ordering too.
     win_oracle = [n for n in _DRIVER_WINDOW if qs[n].oracle is not None]
     assert list(oracle_sqls())[: len(win_oracle)] == win_oracle
-    # THE guard: every query with no driver row in any CORRECTNESS record
+    # Guard (a): every query with no driver row in any CORRECTNESS record
     # must appear within the driver's 50-row cap.
     order = list(qs)
-    never = {n for n in qs if n not in checked}
+    never = {n for n in qs if n not in last_checked}
     for n in never:
         assert order.index(n) < 50, (
             f"never-driver-checked query {n} at position {order.index(n)} — "
@@ -291,11 +292,38 @@ def test_driver_rotation_window_is_valid():
     # window, ahead of every re-check.
     queued = [n for n in order[w:] if n in never]
     assert order[w : w + len(queued)] == queued
-    # Checked-but-not-green (rows-only / red) outrank greens among the
-    # unpinned remainder.
+    # Oracle-backed checked-but-never-green (red awaiting retry) outrank
+    # every verified re-check among the unpinned remainder.
     tail = order[w + len(queued):]
-    tiers = [0 if n not in green else 1 for n in tail]
-    assert tiers == sorted(tiers), "rows-only/red re-checks must precede greens"
+    red = [n for n in tail if qs[n].oracle is not None and n not in last_green]
+    assert tail[: len(red)] == red, "red retries must precede verified re-checks"
+    # Guard (b): the verified remainder is sorted least-recently-verified
+    # first (greens by last green round; rows-only approximates by last ran
+    # round), so the stalest r1/r2-vintage greens re-enter the window.
+    verified = tail[len(red):]
+    staleness = [
+        last_green[n] if qs[n].oracle is not None else last_checked[n]
+        for n in verified
+    ]
+    assert staleness == sorted(staleness), (
+        "tier-3 must re-verify least-recently-verified queries first"
+    )
+    # The concrete round-6 payoff: the driver's 50 rows reach the oldest
+    # vintage present in the records (no verified query older than the
+    # window's tail vintage is left outside the cap).
+    in_cap = set(order[:50])
+    oldest_outside = min(
+        (last_green.get(n, last_checked.get(n, 99)) for n in order[50:]),
+        default=99,
+    )
+    oldest_inside = min(
+        last_green.get(n, last_checked.get(n, 99))
+        for n in in_cap
+        if n in last_checked
+    ) if any(n in last_checked for n in in_cap) else 99
+    assert oldest_inside <= oldest_outside, (
+        "a staler verified query sits outside the 50-row cap"
+    )
 
 
 def test_new_curation_operators_plan_shapes(spark, sf_dir):
