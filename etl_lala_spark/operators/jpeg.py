@@ -196,6 +196,12 @@ class _BitReader:
                 nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
                 if nxt == 0x00:
                     self.pos += 2  # stuffed FF
+                elif nxt == 0xFF:
+                    # T.81 §B.1.1.2: any number of FF fill bytes may
+                    # precede a marker code — skip one and re-examine
+                    # rather than latching marker = 0xFF.
+                    self.pos += 1
+                    continue
                 else:
                     self.marker = nxt  # real marker: stop consuming
                     continue

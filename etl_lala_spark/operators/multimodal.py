@@ -851,7 +851,9 @@ def mjpeg_frame_decode(
                         base
                         + [w, h, ch, int(a.min()), int(a.max()), float(a.mean())]
                     )
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, TypeError):
+                    # TypeError: NULL frame_bytes (bytes(None)) — the
+                    # degrade-don't-raise contract covers missing cells too.
                     rows.append(base + [None, None, None, None, None, None])
             yield pd.DataFrame(
                 rows,
@@ -929,10 +931,14 @@ def image_resize(
         for pdf in it:
             rows = []
             for _, row in pdf.iterrows():
+                if pd.isna(row[id_col]):
+                    continue  # NULL key: no meaningful output row
                 try:
                     w, h, ch, px = kernel(row[data_col])
                     rows.append((int(row[id_col]), w, h, ch, px))
-                except (ValueError, NotImplementedError):
+                except (ValueError, NotImplementedError, TypeError):
+                    # TypeError: NULL media cell (bytes(None)) degrades
+                    # like any undecodable image.
                     rows.append((int(row[id_col]), None, None, None, None))
             yield pd.DataFrame(
                 rows, columns=[id_col, "width", "height", "n_channels", "pixels"]
@@ -972,9 +978,12 @@ def audio_window_energy(
         for pdf in it:
             rows = []
             for _, r in pdf.iterrows():
+                if pd.isna(r[id_col]):
+                    continue  # NULL key: no meaningful output row
                 try:
                     _rate, _nch, _bits, samples = decode_wav(bytes(r[data_col]))
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, TypeError):
+                    # TypeError: NULL media cell (bytes(None)).
                     rows.append((int(r[id_col]), None, None, None, None, None))
                     continue
                 a = np.asarray(samples, dtype=np.int64)

@@ -342,7 +342,15 @@ def _publish(
             os.utime(ddir)  # claim timestamp: liveness marker for reclaim
         except OSError:
             pass
-        manifest = build_manifest(prev, version, ddir_name)
+        try:
+            manifest = build_manifest(prev, version, ddir_name)
+        except Exception:
+            # A build error (e.g. append partition_col mismatch) must not
+            # leave dN claimed with no manifest — that wedges the version
+            # id for rival writers until the orphan-grace reclaim. Return
+            # the claim before propagating.
+            os.rename(ddir, staging)
+            raise
         # Carry the stream-batch high-water mark forward into EVERY commit
         # (not just ingest commits): the exactly-once replay guard reads
         # max(stream_batch_id) over RETAINED manifests, and without the
@@ -497,6 +505,11 @@ def read_partition(
     if not vs:
         raise FileNotFoundError(f"no committed versions at {table_path}")
     by_id = {m["version"]: m for m in vs}
+    if version is not None and version not in by_id:
+        raise ValueError(
+            f"version {version} not found at {table_path} (committed: "
+            f"{sorted(by_id)}; earlier versions may have been vacuumed)"
+        )
     m = by_id[version] if version is not None else vs[-1]
     pcol = partition_col or m.get("partition_col")
     if not pcol:

@@ -1206,3 +1206,46 @@ def test_audio_window_energy_framing_and_degrade(spark):
         assert r["peak"] == max(abs(s) for s in seg)
     assert rows[(1, 2)]["n_samples"] == 8  # short tail kept
     assert rows[(2, None)]["abs_sum"] is None  # degrade row
+
+
+def test_multimodal_degrade_survives_null_cells(spark):
+    """NULL binary cells degrade to NULL-stats rows and NULL key cells are
+    skipped — never a TypeError from bytes(None)/int(None) killing the
+    task (round-5 advice; the degrade-don't-raise contract covers missing
+    cells, the normal case for optional media columns at 100 TB)."""
+    # mjpeg_frame_decode: NULL frame_bytes -> NULL-stats row, passthrough kept
+    fdf = spark.createDataFrame(
+        [(3, 0, None)], "doc_id long, frame_idx int, frame_bytes binary"
+    )
+    row = mm.mjpeg_frame_decode(fdf).collect()[0]
+    assert (row["doc_id"], row["frame_idx"]) == (3, 0)
+    assert row["px_width"] is None and row["px_mean"] is None
+
+    # image_resize / audio_window_energy: NULL media -> NULL row; NULL id
+    # -> skipped (no meaningful key to attach the degrade row to)
+    ddf = spark.createDataFrame(
+        [(7, None), (None, bytearray(b"junk"))], "doc_id long, media binary"
+    )
+    rows = mm.image_resize(ddf, 4, 4).collect()
+    assert [(r["doc_id"], r["pixels"]) for r in rows] == [(7, None)]
+    rows = mm.audio_window_energy(ddf, 8).collect()
+    assert [(r["doc_id"], r["energy"]) for r in rows] == [(7, None)]
+
+
+def test_jpeg_bitreader_skips_fill_bytes_before_marker():
+    """T.81 §B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    code; the entropy bit reader must skip them and latch the REAL marker
+    rather than a bogus 0xFF (round-5 advice)."""
+    from etl_lala_spark.operators.jpeg import _BitReader
+
+    # entropy byte, two fill FFs, then RST0
+    br = _BitReader(b"\xa5\xff\xff\xff\xd0", 0)
+    assert br.bits(8) == 0xA5
+    assert br.marker == 0xD0
+    br.restart()  # consumes FF D0 cleanly now that the marker is real
+    assert br.marker is None and br.pos == 5
+
+    # fill byte immediately before EOI at end of scan
+    br2 = _BitReader(b"\xff\xff\xd9", 0)
+    br2._fill()
+    assert br2.marker == 0xD9

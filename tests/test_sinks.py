@@ -902,3 +902,40 @@ def test_replace_partition_atomic_reload_and_pruned_read(spark, out_dir):
 
     with _pytest.raises(ValueError, match="not partition-tracked"):
         vt.replace_partition(spark, t2, month("2025-01", 2), ["2025-01"])
+
+
+def test_append_partition_col_mismatch_does_not_wedge_version(spark, out_dir):
+    """A build-time commit error (append with the wrong partition_col) must
+    return the claimed data-dir name instead of wedging that version id
+    until the orphan-grace reclaim (round-5 advice): the very next commit
+    attempt gets the same version id immediately."""
+    import time as _time
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    t = os.path.join(out_dir, "vt_wedge")
+    df = spark.createDataFrame([("2025-01", 1), ("2025-02", 2)], "month string, val int")
+    assert vt.write_version(df, t, partition_col="month") == 1
+
+    with pytest.raises(ValueError, match="partition_col"):
+        vt.write_version(df, t, mode="append", partition_col="val")
+
+    # No orphaned claim left behind: d000002 must not exist as a directory
+    # with no manifest, and an immediate retry commits v2 with no wait.
+    t0 = _time.monotonic()
+    assert vt.write_version(df, t, mode="append", partition_col="month") == 2
+    assert _time.monotonic() - t0 < 5.0  # no orphan-grace stall
+    assert vt.read_version(spark, t).count() == 4
+
+
+def test_read_partition_missing_version_raises_value_error(spark, out_dir):
+    """read_partition mirrors read_version's not-found guard: a vacuumed or
+    never-committed version id raises an informative ValueError, not a bare
+    KeyError (round-5 advice)."""
+    from etl_lala_spark.sinks import versioned as vt
+
+    t = os.path.join(out_dir, "vt_missing")
+    df = spark.createDataFrame([("2025-01", 1)], "month string, val int")
+    vt.write_version(df, t, partition_col="month")
+    with pytest.raises(ValueError, match="version 7 not found"):
+        vt.read_partition(spark, t, ["2025-01"], version=7)
