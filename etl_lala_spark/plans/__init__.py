@@ -44,6 +44,7 @@ _PLAN_MODULES = (
     "etl_lala_spark.plans.audits",
     "etl_lala_spark.plans.stream_twins",
     "etl_lala_spark.plans.lifecycle",
+    "etl_lala_spark.plans.gates_io",
 )
 
 

@@ -1,0 +1,297 @@
+"""Driver gates for the sink/source lifecycle components that were
+pytest-only through round 5 (round-5 verdict #3): archive expansion (S6),
+the JSON sink + `_indice` run manifest (S12), keep-N run retention (S13),
+and limit pushdown into the DBC decoder (S9/O1).
+
+Pattern (proved out by the round-5 multimodal gates): fixtures are built
+IN-CLUSTER from the deterministic test tables (zip bytes assembled in
+mapInPandas, DBF/DBC rendered from ordered lineitem rows), flow through the
+REAL operator under test, and reduce to integer/string aggregates a DuckDB
+oracle replays in closed form — so a packaging, manifest, retention-order,
+or decoder-limit bug lands on a different hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_lala_spark.io import load_table
+from etl_lala_spark.plans import register
+
+_ARCHIVE_ORACLE = """
+WITH m AS (
+  SELECT d.doc_id, i.i
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d, range(0, 3) i(i)
+  WHERE i.i <= d.doc_id % 3
+),
+c AS (
+  SELECT doc_id, i,
+         repeat('doc' || doc_id || ':member' || i || ';',
+                CAST(i % 2 + 1 AS INT)) AS content
+  FROM m
+)
+SELECT 'mem://arc' || doc_id || '.zip' AS archive,
+       'm' || i || (CASE WHEN i % 2 = 0 THEN '.DBC' ELSE '.dbc' END)
+         AS member_basename,
+       CAST(strlen(content) AS BIGINT) AS n_bytes,
+       md5(content) AS digest
+FROM c
+ORDER BY archive, member_basename
+"""
+
+
+@register("archive_expand_members", oracle=_ARCHIVE_ORACLE)
+def archive_expand_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 archive expansion under the correctness gate: per document a REAL
+    ZIP (stored entries, a directory entry, and a decoy ``notes.txt``) is
+    assembled in-cluster holding (doc_id % 3) + 1 ``.dbc``/``.DBC`` members
+    with closed-form contents, expanded by the real one-to-many
+    ``extract_archive_members`` kernel (suffix filter is lowercase-endswith,
+    the reference's P2 — src/datasus/datasus.service.ts:398-401), and
+    reduced to per-member size + md5. The oracle replays the member fan-out
+    and contents from SQL ranges: a zip-walk, suffix-case, directory-skip,
+    or content-corruption bug all change the hash.
+
+    Scale: one Arrow-batched pass, one-to-many expansion inside the task —
+    the 100 TB shape (S7 spilling is the memory manager's job)."""
+    import zipfile
+    from collections.abc import Iterator
+    from io import BytesIO
+
+    import pandas as pd
+
+    from etl_lala_spark.sources.archive import extract_archive_members
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                buf = BytesIO()
+                with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                    zf.writestr(f"d{d}/", b"")  # directory entry: skipped
+                    zf.writestr(f"d{d}/notes.txt", b"decoy")  # suffix-filtered
+                    for i in range(d % 3 + 1):
+                        ext = ".DBC" if i % 2 == 0 else ".dbc"
+                        body = (f"doc{d}:member{i};" * (i % 2 + 1)).encode()
+                        zf.writestr(f"d{d}/m{i}{ext}", body)
+                rows.append((f"mem://arc{d}.zip", buf.getvalue()))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    archives = docs.select("doc_id").mapInPandas(build, "path string, content binary")
+    members = extract_archive_members(archives, suffix=".dbc")
+    return members.select(
+        F.col("archive"),
+        F.col("member_basename"),
+        F.col("n_bytes"),
+        F.md5("content").alias("digest"),
+    ).orderBy("archive", "member_basename")
+
+
+_JSON_MANIFEST_ORACLE = """
+WITH a AS (
+  SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+  FROM orders GROUP BY 1
+)
+SELECT o_orderpriority, n_orders, sum_key,
+       CAST((SELECT count(*) FROM a) AS BIGINT) AS total_registros,
+       CAST(3 AS INT) AS total_colunas
+FROM a
+ORDER BY o_orderpriority
+"""
+
+
+@register("sink_json_manifest", oracle=_JSON_MANIFEST_ORACLE)
+def sink_json_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12 JSON sink + run manifest under the correctness gate: the
+    per-priority orders rollup is written through the REAL
+    ``write_json_with_manifest`` sink (single pass — the count comes from
+    ``observe``, no second scan; `_indice.json` beside the data, the
+    reference's ESTRUTURA_DADOS_PROCESSADOS.md:33-73 layout), then the
+    returned plan READS THE JSON FILES BACK off disk and joins the manifest
+    totals alongside — so a serialization, observe-count, or manifest bug
+    breaks the hash against an oracle computed straight from orders.
+
+    Scale: the sink is one distributed write; the manifest is driver-side
+    metadata (constant size)."""
+    import json
+
+    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.sinks.writer import write_json_with_manifest
+
+    work = gate_workdir(spark, "sink_json_manifest")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+    )
+    write_json_with_manifest(agg, work, "orders_by_priority")
+    with open(os.path.join(work, "_indice.json")) as fh:
+        manifest = json.load(fh)
+
+    readback = spark.read.schema(
+        "o_orderpriority string, n_orders long, sum_key long"
+    ).json(os.path.join(work, "orders_by_priority"))
+    totals = spark.createDataFrame(
+        [(int(manifest["total_registros"]), int(manifest["total_colunas"]))],
+        "total_registros long, total_colunas int",
+    )
+    return (
+        readback.crossJoin(F.broadcast(totals))
+        .select(
+            "o_orderpriority", "n_orders", "sum_key",
+            "total_registros", "total_colunas",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_RETENTION_ORACLE = """
+WITH a AS (
+  SELECT 'execucao-202501' || lpad(CAST(i AS VARCHAR), 2, '0') AS run,
+         count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+  FROM range(5, 9) t(i) JOIN orders ON o_orderkey % 9 = i
+  GROUP BY 1
+)
+SELECT run, n, sum_key, CAST(5 AS INT) AS n_deleted
+FROM a
+ORDER BY run
+"""
+
+
+@register("sink_retention_runs", oracle=_RETENTION_ORACLE)
+def sink_retention_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13 keep-N run retention under the correctness gate: nine
+    ``execucao-*`` run directories are written (run i holds the orders with
+    o_orderkey % 9 = i) with strictly increasing mtimes, the REAL
+    ``retain_latest_runs(keep=4)`` sweep deletes the five oldest (the
+    reference ops runbook's `ls -t | tail -n +6 | xargs rm -rf`,
+    ESTRUTURA_DADOS_PROCESSADOS.md:236-239), and the returned plan reads
+    the SURVIVORS back off disk — so a retention-order bug (deleting the
+    newest, keeping the wrong count) changes which run names and row
+    counts reach the oracle.
+
+    Scale: retention is driver-side directory metadata; the data reads are
+    ordinary distributed scans of what survived."""
+    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.sinks.writer import retain_latest_runs
+
+    base = os.path.join(gate_workdir(spark, "sink_retention_runs"), "runs")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    t0 = 1_700_000_000  # deterministic mtime ladder: run i is i seconds newer
+    for i in range(9):
+        run = os.path.join(base, f"execucao-202501{i:02d}")
+        orders.filter(F.col("o_orderkey") % 9 == i).write.mode("overwrite").json(run)
+        os.utime(run, (t0 + i, t0 + i))
+    deleted = retain_latest_runs(base, keep=4)
+
+    survivors = sorted(os.listdir(base))
+    parts = [
+        spark.read.schema("o_orderkey long").json(os.path.join(base, name))
+        .groupBy(F.lit(name).alias("run"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("sum_key"),
+        )
+        for name in survivors
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("n_deleted", F.lit(len(deleted)).cast("int")).orderBy("run")
+
+
+_LIMIT_PUSHDOWN_ORACLE = """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+         CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)) AS VARCHAR) AS v
+  FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 150)
+),
+f AS (
+  SELECT CASE WHEN rn < 120 THEN 'PAPE2501' ELSE 'PAPE2502' END
+           AS arquivo_origem,
+         CASE WHEN rn < 120 THEN rn ELSE rn - 120 END AS pos, v
+  FROM base
+)
+SELECT arquivo_origem, count(*) AS n,
+       round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM f
+WHERE pos < 50
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("dbc_limit_pushdown", oracle=_LIMIT_PUSHDOWN_ORACLE)
+def dbc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/O1 limit pushdown INTO the DBC decoder under the correctness
+    gate: two ``.dbc`` fixtures are rendered from 150 ordered lineitem rows
+    (120 + 30 records), decoded with ``limit=50`` — the decoder stops after
+    its first 50 records PER FILE instead of decoding everything and
+    letting Spark discard rows (reference S9: the converter honors a row
+    cap, src/datasus/datasus.service.ts:30-33) — and the per-file count +
+    value sum must equal the oracle's replay over the same row-number
+    windows: 50 rows from the big file, all 30 from the small one. A
+    decoder that ignores the limit, applies it globally, or decodes out of
+    order lands on a different hash. (The plan-level assertion that the
+    limit never reaches Spark as a post-decode filter is pytest's —
+    tests/test_sources.py.)
+
+    Scale: the limit bounds per-task decode CPU and output rows at the
+    source — the difference between sampling a 100 TB archive collection
+    and decoding it."""
+    import hashlib
+    import tempfile
+
+    from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(150)
+    )
+    rows = [
+        [r["V"]]
+        for r in li.select(
+            F.round("l_extendedprice", 2)
+            .cast("decimal(14,2)")
+            .cast("string")
+            .alias("V")
+        ).collect()
+    ]
+    fixture_dir = os.path.join(
+        tempfile.gettempdir(),
+        "dbc_limit_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    os.makedirs(fixture_dir, exist_ok=True)
+    for name, chunk in (("PAPE2501", rows[:120]), ("PAPE2502", rows[120:])):
+        with open(os.path.join(fixture_dir, f"{name}.dbc"), "wb") as fh:
+            fh.write(dbf_to_dbc(write_dbf(["AP_VL_TOTAL"], chunk)))
+
+    members = (
+        spark.read.format("binaryFile")
+        .load(fixture_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("member_basename"),
+            "content",
+        )
+    )
+    records = read_dbc(members, limit=50)
+    return (
+        records.groupBy("arquivo_origem")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("AP_VL_TOTAL").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total"),
+        )
+        .orderBy("arquivo_origem")
+    )
