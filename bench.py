@@ -92,6 +92,14 @@ HEADLINE = [
     "multimodal_mjpeg_pixel_decode",
     "multimodal_image_resize",
     "multimodal_audio_windows",
+    # round 6: sink/source lifecycle gates (archive expansion, JSON sink +
+    # run manifest, keep-N retention, decoder limit pushdown) and windowed
+    # spectral audio features at the integer-exact DFT bins
+    "archive_expand_members",
+    "sink_json_manifest",
+    "sink_retention_runs",
+    "dbc_limit_pushdown",
+    "multimodal_audio_spectral",
 ]
 
 

@@ -985,7 +985,7 @@ def audio_window_energy(
                 except (ValueError, IndexError, TypeError):
                     # TypeError: NULL media cell (bytes(None)).
                     rows.append((int(r[id_col]), None, None, None, None, None))
-                    continue
+                    continue  # degrade row emitted; next file
                 a = np.asarray(samples, dtype=np.int64)
                 for wi in range(0, max(1, -(-len(a) // window_samples))):
                     seg = a[wi * window_samples : (wi + 1) * window_samples]
@@ -1005,5 +1005,78 @@ def audio_window_energy(
                 rows,
                 columns=[id_col, "window_idx", "n_samples", "abs_sum", "energy", "peak"],
             )
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
+
+
+def audio_window_spectral(
+    df: DataFrame,
+    window_samples: int,
+    data_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Windowed spectral features at the three integer-exact DFT bins —
+    the decode → frame → featurize shape a multimodal training pipeline
+    runs after :func:`audio_window_energy`'s framing. For window length N
+    (N % 4 == 0) the DFT basis at k = 0 (DC), k = N/4 (quarter band), and
+    k = N/2 (Nyquist) takes only values in {-1, 0, 1}:
+
+        X_0      = Σ s[n]
+        X_{N/4}  = Σ s[n]·cos(πn/2) − j·Σ s[n]·sin(πn/2)
+                 = (Σ_{n%4=0} s − Σ_{n%4=2} s) − j·(Σ_{n%4=1} s − Σ_{n%4=3} s)
+        X_{N/2}  = Σ (−1)^n · s[n]
+
+    so the components — and the bin powers |X|² — are exact integers an
+    oracle replays arithmetically (same trick as the energy features). The
+    short tail window keeps the SAME basis (indexed by in-window n) over
+    the samples present. NULL media degrades to a NULL-stats row; NULL
+    keys are skipped.
+
+    Scale: one Arrow-batched ``mapInPandas`` pass, numpy per-window sums
+    (per-file Python cost), one-to-many explode, no shuffle — identical
+    plan shape to the framing stage it follows."""
+    import numpy as np
+
+    if window_samples <= 0 or window_samples % 4:
+        raise ValueError("window_samples must be a positive multiple of 4")
+    schema = (
+        f"{id_col} long, window_idx int, n_samples int, "
+        "dc_re long, quarter_re long, quarter_im long, nyquist_re long, "
+        "dc_power long, quarter_power long, nyquist_power long"
+    )
+    cols = [
+        id_col, "window_idx", "n_samples", "dc_re", "quarter_re",
+        "quarter_im", "nyquist_re", "dc_power", "quarter_power",
+        "nyquist_power",
+    ]
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                if pd.isna(r[id_col]):
+                    continue  # NULL key: no meaningful output row
+                try:
+                    _rate, _nch, _bits, samples = decode_wav(bytes(r[data_col]))
+                except (ValueError, IndexError, TypeError):
+                    rows.append((int(r[id_col]),) + (None,) * 9)
+                    continue
+                a = np.asarray(samples, dtype=np.int64)
+                for wi in range(0, max(1, -(-len(a) // window_samples))):
+                    seg = a[wi * window_samples : (wi + 1) * window_samples]
+                    n = np.arange(len(seg))
+                    m4 = n % 4
+                    dc = int(seg.sum())
+                    ny = int(((1 - 2 * (n % 2)) * seg).sum())
+                    q_re = int(seg[m4 == 0].sum() - seg[m4 == 2].sum())
+                    q_im = int(seg[m4 == 3].sum() - seg[m4 == 1].sum())
+                    rows.append(
+                        (
+                            int(r[id_col]), wi, int(len(seg)),
+                            dc, q_re, q_im, ny,
+                            dc * dc, q_re * q_re + q_im * q_im, ny * ny,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.select(id_col, data_col).mapInPandas(batches, schema=schema)

@@ -519,3 +519,75 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_window_energy(wavs, window_samples=16).orderBy(
         "doc_id", "window_idx"
     )
+
+
+_AUDIO_SPECTRAL_ORACLE = """
+WITH d AS (
+  SELECT doc_id, (doc_id % 50) + 40 AS n
+  FROM documents WHERE doc_id < 150
+),
+s AS (
+  SELECT d.doc_id,
+         CAST(t.i // 16 AS INT) AS window_idx,
+         CAST(t.i % 16 AS INT) AS wn,
+         ((7 * t.i + d.doc_id) % 201) - 100 AS v
+  FROM d, range(0, 96) t(i)
+  WHERE t.i < d.n
+),
+w AS (
+  SELECT doc_id, window_idx,
+         count(*) AS n_samples,
+         sum(v) AS dc_re,
+         sum(CASE WHEN wn % 4 = 0 THEN v WHEN wn % 4 = 2 THEN -v ELSE 0 END)
+           AS quarter_re,
+         sum(CASE WHEN wn % 4 = 3 THEN v WHEN wn % 4 = 1 THEN -v ELSE 0 END)
+           AS quarter_im,
+         sum(CASE WHEN wn % 2 = 0 THEN v ELSE -v END) AS nyquist_re
+  FROM s GROUP BY 1, 2
+)
+SELECT doc_id, window_idx, CAST(n_samples AS INT) AS n_samples,
+       CAST(dc_re AS BIGINT) AS dc_re,
+       CAST(quarter_re AS BIGINT) AS quarter_re,
+       CAST(quarter_im AS BIGINT) AS quarter_im,
+       CAST(nyquist_re AS BIGINT) AS nyquist_re,
+       CAST(dc_re * dc_re AS BIGINT) AS dc_power,
+       CAST(quarter_re * quarter_re + quarter_im * quarter_im AS BIGINT)
+         AS quarter_power,
+       CAST(nyquist_re * nyquist_re AS BIGINT) AS nyquist_power
+FROM w
+ORDER BY doc_id, window_idx
+"""
+
+
+@register("multimodal_audio_spectral", oracle=_AUDIO_SPECTRAL_ORACLE)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode → frame → SPECTRAL featurize certified integer-exactly
+    (round-5 verdict #5): the same closed-form WAVs as
+    ``multimodal_audio_windows`` — (doc_id % 50) + 40 samples of
+    s(i) = ((7i + doc_id) mod 201) − 100, odd-length LIST chunk included —
+    flow through ``audio_window_spectral``, which evaluates the windowed
+    DFT at the three bins whose basis is exactly ±1/0 (DC, N/4 quarter
+    band, N/2 Nyquist for N=16), so components and powers are exact
+    integers the oracle replays with CASE arithmetic over SQL ranges. A
+    PCM-unpack, basis-sign, tail-window, or power bug changes an integer.
+
+    One Arrow-batched pass, no shuffle — the featurize stage a multimodal
+    training pipeline runs right after framing."""
+    from collections.abc import Iterator as _Iterator
+
+    import pandas as pd
+
+    def build(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                samples = [((7 * i + d) % 201) - 100 for i in range((d % 50) + 40)]
+                rows.append((d, mm.encode_wav(8000, samples, junk_chunk=True)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    wavs = docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
+    return mm.audio_window_spectral(wavs, window_samples=16).orderBy(
+        "doc_id", "window_idx"
+    )

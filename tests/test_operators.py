@@ -1249,3 +1249,45 @@ def test_jpeg_bitreader_skips_fill_bytes_before_marker():
     br2 = _BitReader(b"\xff\xff\xd9", 0)
     br2._fill()
     assert br2.marker == 0xD9
+
+
+def test_audio_window_spectral_exact_bins(spark):
+    """The three ±1/0-basis DFT bins must equal numpy's float FFT at
+    k=0, N/4, N/2 (exactly — the basis is integer), the tail window keeps
+    the truncated basis, invalid N raises, and NULL cells degrade."""
+    import numpy as np
+
+    sr, samples = 8000, [((11 * i) % 301) - 150 for i in range(40)]
+    wav = mm.encode_wav(sr, samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, None)], "doc_id long, media binary"
+    )
+    rows = {
+        (r["doc_id"], r["window_idx"]): r
+        for r in mm.audio_window_spectral(df, 16).collect()
+    }
+    a = np.asarray(samples)
+    for wi in range(3):
+        seg = a[wi * 16 : (wi + 1) * 16]
+        r = rows[(1, wi)]
+        assert r["n_samples"] == len(seg)
+        # full windows: compare against numpy's FFT at the exact bins
+        if len(seg) == 16:
+            X = np.fft.fft(seg)
+            assert r["dc_re"] == int(round(X[0].real))
+            assert r["quarter_re"] == int(round(X[4].real))
+            assert r["quarter_im"] == int(round(X[4].imag))
+            assert r["nyquist_re"] == int(round(X[8].real))
+        assert r["dc_power"] == r["dc_re"] ** 2
+        assert r["quarter_power"] == r["quarter_re"] ** 2 + r["quarter_im"] ** 2
+        assert r["nyquist_power"] == r["nyquist_re"] ** 2
+    # tail window (8 samples): truncated basis, still integer-consistent
+    tail = rows[(1, 2)]
+    seg = a[32:40]
+    assert tail["dc_re"] == seg.sum()
+    assert tail["nyquist_re"] == ((1 - 2 * (np.arange(8) % 2)) * seg).sum()
+    # degrade row for the NULL media cell
+    assert rows[(2, None)]["dc_power"] is None
+
+    with pytest.raises(ValueError, match="multiple of 4"):
+        mm.audio_window_spectral(df, 10)
