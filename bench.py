@@ -100,6 +100,10 @@ HEADLINE = [
     "sink_retention_runs",
     "dbc_limit_pushdown",
     "multimodal_audio_spectral",
+    # round 6: progressive (SOF2) JPEG decode — bit-exact twin of the
+    # certified baseline decode over a full successive-approximation scan
+    # script
+    "multimodal_progressive_jpeg",
 ]
 
 

@@ -11,15 +11,22 @@ needs:
 - ``encode_jpeg``: grayscale or RGB, 4:4:4 or 4:2:0 chroma subsampling,
   Annex K quantization tables scaled by libjpeg's public quality curve,
   the spec's typical Huffman tables, byte stuffing.
-- ``decode_jpeg``: marker parse (DQT/DHT/SOF0/SOS/DRI), canonical Huffman
-  decode (tables read from the stream, so foreign baseline JPEGs decode
+- ``decode_jpeg``: marker parse (DQT/DHT/SOF0-2/SOS/DRI), canonical
+  Huffman decode (tables read from the stream, so foreign JPEGs decode
   too), dequant + IDCT, nearest-neighbor chroma upsampling for any
   (h,v) ∈ {1,2} sampling factors, restart-marker resync, YCbCr→RGB.
+- Progressive (SOF2) decodes for real since round 6: spectral selection,
+  successive approximation (DC first/refine, AC first with EOB runs, AC
+  refinement via the G.1.2.3 correction-bit protocol), interleaved DC and
+  non-interleaved AC scans over a shared coefficient store.
+- ``encode_jpeg_progressive``: a full scan script (DC+refine, per-comp AC
+  band + refinement) carrying coefficients IDENTICAL to ``encode_jpeg``'s,
+  so progressive and baseline decodes of one image must agree bit-exactly
+  — the self-check the tests enforce.
 
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``NotImplementedError`` — baseline covers the overwhelming share of MJPEG
-streams, and the error is the documented boundary, not a silent wrong
-answer.
+Arithmetic coding, hierarchical/lossless processes, and 12-bit precision
+raise ``NotImplementedError`` — the documented boundary, not a silent
+wrong answer.
 
 Scale shape: the codec is a pure per-value CPU kernel, exactly what
 ``mapInPandas`` batches feed at 100 TB (operators/multimodal.py:
@@ -440,13 +447,14 @@ def encode_jpeg(
 def decode_jpeg(
     data: bytes, max_pixels: int = 64_000_000
 ) -> tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG to (width, height, n_channels, pixels) with
-    row-major uint8 pixels (gray or RGB). Huffman and quantization tables
-    come from the stream, so any baseline sequential JPEG decodes, not
-    just this module's own output. Progressive/arithmetic/12-bit raise
-    ``NotImplementedError`` (the documented boundary); every other
-    malformed-stream failure surfaces as ``ValueError`` so scan-side
-    kernels need exactly two exception types in their degrade path.
+    """Decode a baseline-sequential OR progressive JPEG to (width, height,
+    n_channels, pixels) with row-major uint8 pixels (gray or RGB). Huffman
+    and quantization tables come from the stream, so foreign JPEGs decode,
+    not just this module's own output. Arithmetic coding and 12-bit
+    precision raise ``NotImplementedError`` (the documented boundary);
+    every other malformed-stream failure surfaces as ``ValueError`` so
+    scan-side kernels need exactly two exception types in their degrade
+    path.
     ``max_pixels`` bounds work on crafted SOF dimensions (a 4-byte field
     can claim a 4-gigapixel image and stall a scan task for hours)."""
     try:
@@ -466,9 +474,11 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> tuple[int, int, int, bytes]:
     comps: list[dict] = []
     width = height = 0
     restart_interval = 0
-    scan: list[tuple[int, int, int]] = []
+    progressive = False
+    scans_done = 0
+    mcus_x = mcus_y = 0
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             pos += 1  # tolerate fill bytes
             continue
@@ -477,7 +487,9 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> tuple[int, int, int, bytes]:
             pos += 2
             continue
         if marker == 0xD9:
-            raise ValueError("JPEG reached EOI before any scan data")
+            break  # EOI
+        if pos + 4 > len(data):
+            break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -499,91 +511,77 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> tuple[int, int, int, bytes]:
                 values = list(seg[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _HuffDecoder(counts, values)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit precision")
             height, width = struct.unpack(">HH", seg[1:5])
+            if width == 0 or height == 0 or width * height > max_pixels:
+                raise ValueError(f"JPEG dimensions {width}x{height} out of bounds")
             ncomp = seg[5]
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            if any(not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2) for c in comps):
+                raise NotImplementedError("sampling factors outside 1..2")
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                # MCU-padded grid (interleaved scans) and the actual block
+                # dims (non-interleaved scans cover only real samples,
+                # spec A.2.2) share ONE zigzag-order coefficient store
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["bwa"] = -(-(-(-width * c["h"] // hmax)) // 8)
+                c["bha"] = -(-(-(-height * c["v"] // vmax)) // 8)
+                c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG process (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS: decode one scan's entropy data
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            by_id = {c["id"]: c for c in comps}
+            scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c : 3 + 2 * c]
-                scan.append((cs, tdta >> 4, tdta & 0x0F))
-            pos = pos + 2 + seglen
-            break
+                scan.append((by_id[cs], tdta >> 4, tdta & 0x0F))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _decode_scan(
+                data, pos + 2 + seglen, scan, huff, restart_interval,
+                progressive, ss, se, ah, al, mcus_x, mcus_y,
+            )
+            scans_done += 1
+            continue
         pos += 2 + seglen
-    if not comps or not scan:
+    if not comps or scans_done == 0:
         raise ValueError("JPEG missing SOF/SOS")
-    if width == 0 or height == 0 or width * height > max_pixels:
-        raise ValueError(f"JPEG dimensions {width}x{height} out of bounds")
-    if any(not (1 <= c["h"] <= 2 and 1 <= c["v"] <= 2) for c in comps):
-        raise NotImplementedError("sampling factors outside 1..2")
 
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[cs] for cs, _, _ in scan]
-    tds = {cs: (td, ta) for cs, td, ta in scan}
+    # dequant + IDCT from the accumulated coefficient store
+    for c in comps:
+        q = qts[c["tq"]]
+        nat = np.zeros_like(c["coef"], dtype=np.float64)
+        nat[:, _ZIGZAG] = c["coef"] * q  # zigzag -> natural order
+        bw, bh = c["bw"], c["bh"]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        for bi in range(nat.shape[0]):
+            blk = _DCT_M.T @ nat[bi].reshape(8, 8) @ _DCT_M
+            y0 = (bi // bw) * 8
+            x0 = (bi % bw) * 8
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
+        c["plane"] = plane
+
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
-    for c in comps:
-        bw = mcus_x * c["h"]
-        bh = mcus_y * c["v"]
-        c["plane"] = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-
-    br = _BitReader(data, pos)
-    pred = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.restart()
-                pred = {c["id"]: 0 for c in comps}
-            mcu_count += 1
-            for c in order:
-                td, ta = tds[c["id"]]
-                dc_t = huff[(0, td)]
-                ac_t = huff[(1, ta)]
-                q = qts[c["tq"]]
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = dc_t.decode(br)
-                        diff = _extend(br.bits(t), t)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            rs = ac_t.decode(br)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[k] = _extend(br.bits(s), s)
-                            k += 1
-                        coef = np.zeros(64, dtype=np.float64)
-                        coef[_ZIGZAG] = zz * q
-                        blk = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        c["plane"][y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
-
     out_planes = []
     for c in comps:
         p = c["plane"]
@@ -600,3 +598,450 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> tuple[int, int, int, bytes]:
     )
     pix = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
     return width, height, 3, pix.tobytes()
+
+
+def _decode_scan(
+    data: bytes,
+    pos: int,
+    scan: list[tuple[dict, int, int]],
+    huff: dict[tuple[int, int], _HuffDecoder],
+    restart_interval: int,
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    mcus_x: int,
+    mcus_y: int,
+) -> int:
+    """Decode one scan's entropy-coded segment into the components'
+    zigzag-order coefficient stores; returns the stream position of the
+    terminating marker. Baseline scans carry full blocks; progressive
+    scans carry a DC or AC band at one bit of successive approximation
+    (spec G.2): DC first/refine, AC first with EOB runs, AC refinement
+    with correction bits (the G.1.2.3 bit protocol)."""
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+    br = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c, _, _ in scan}
+    eobrun = 0
+
+    def block_baseline(c: dict, bi: int, dc_t, ac_t) -> None:
+        coefs = c["coef"]
+        t = dc_t.decode(br)
+        pred[c["id"]] += _extend(br.bits(t), t)
+        coefs[bi, 0] = pred[c["id"]]
+        k = 1
+        while k < 64:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            coefs[bi, k] = _extend(br.bits(s), s)
+            k += 1
+
+    def block_dc_first(c: dict, bi: int, dc_t) -> None:
+        t = dc_t.decode(br)
+        pred[c["id"]] += _extend(br.bits(t), t)
+        c["coef"][bi, 0] = pred[c["id"]] << al
+
+    def block_dc_refine(c: dict, bi: int) -> None:
+        if br.bits(1):
+            c["coef"][bi, 0] |= 1 << al
+
+    def block_ac_first(c: dict, bi: int, ac_t) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        coefs = c["coef"]
+        k = ss
+        while k <= se:
+            rs = ac_t.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1  # EOBn covers this block too
+                if r:
+                    eobrun += br.bits(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past end of band")
+            coefs[bi, k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def _correct(coefs, bi: int, k: int, p1: int) -> None:
+        c = int(coefs[bi, k])
+        if br.bits(1) and (abs(c) & p1) == 0:
+            coefs[bi, k] = c + (p1 if c >= 0 else -p1)
+
+    def block_ac_refine(c: dict, bi: int, ac_t) -> None:
+        # Spec G.1.2.3 successive-approximation AC refinement: newly
+        # nonzero coefficients arrive as (run, magnitude-1) symbols;
+        # already-nonzero coefficients consume one correction bit each as
+        # the runs and EOB spans pass over them.
+        nonlocal eobrun
+        coefs = c["coef"]
+        p1 = 1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = ac_t.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("AC refinement magnitude != 1")
+                    val = p1 if br.bits(1) else -p1
+                elif r != 15:
+                    eobrun = 1 << r  # trailing branch counts this block
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                while k <= se:
+                    if coefs[bi, k] != 0:
+                        _correct(coefs, bi, k, p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coefs[bi, k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coefs[bi, k] != 0:
+                    _correct(coefs, bi, k, p1)
+                k += 1
+            eobrun -= 1
+
+    def decode_block(c: dict, bi: int, td: int, ta: int) -> None:
+        if not progressive:
+            block_baseline(c, bi, huff[(0, td)], huff[(1, ta)])
+        elif ss == 0:
+            if ah == 0:
+                block_dc_first(c, bi, huff[(0, td)])
+            else:
+                block_dc_refine(c, bi)
+        elif ah == 0:
+            block_ac_first(c, bi, huff[(1, ta)])
+        else:
+            block_ac_refine(c, bi, huff[(1, ta)])
+
+    def maybe_restart(unit: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            br.restart()
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    if len(scan) > 1:  # interleaved: MCU order over the padded grid
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart(unit)
+                unit += 1
+                for c, td, ta in scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                            decode_block(c, bi, td, ta)
+    else:  # non-interleaved: raster order over the component's actual dims
+        c, td, ta = scan[0]
+        unit = 0
+        for by in range(c["bha"]):
+            for bx in range(c["bwa"]):
+                maybe_restart(unit)
+                unit += 1
+                decode_block(c, by * c["bw"] + bx, td, ta)
+    return br.pos
+
+
+# --- Progressive encoder (spec G: spectral selection + successive approx) ----
+
+# Near-uniform AC Huffman table for progressive scans: 255 symbols at 9
+# bits + 1 at 10 (DHT counts are single bytes, so one length can hold at
+# most 255 codes; Kraft 255·2⁻⁹ + 2⁻¹⁰ < 1, all-ones code unused).
+# Progressive AC needs EOBn symbols (r<<4 for r=1..14) that the Annex K
+# typical tables do not define; a flat custom table keeps every
+# (run, size) addressable.
+_AC_UNIFORM = ((0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0), tuple(range(256)))
+
+
+def _forward_quantized(
+    width: int, height: int, pixels: bytes, channels: int, quality: int,
+    subsample: bool,
+):
+    """Forward color transform + DCT + quantization shared shape with
+    ``encode_jpeg`` (same per-block expressions, so a progressive and a
+    baseline encode of one image carry IDENTICAL quantized coefficients —
+    the cross-check the progressive tests rely on). Returns
+    (per-comp zigzag block arrays, samp, qts, mcu/actual dims)."""
+    arr = (
+        np.frombuffer(bytes(pixels), np.uint8)
+        .reshape(height, width, channels)
+        .astype(np.float64)
+    )
+    if channels == 3:
+        r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        planes = [arr[..., 0]]
+        subsample = False
+    if subsample:
+        for i in (1, 2):
+            p = planes[i]
+            p = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
+            planes[i] = (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+        samp = [(2, 2), (1, 1), (1, 1)]
+    else:
+        samp = [(1, 1)] * channels
+    qts = [_scaled_quant(_QT_LUMA, quality)[_ZIGZAG]]
+    if channels == 3:
+        qts.append(_scaled_quant(_QT_CHROMA, quality)[_ZIGZAG])
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_x = -(-width // (8 * hmax))
+    mcus_y = -(-height // (8 * vmax))
+    comps = []
+    for ci, plane in enumerate(planes):
+        h, v = samp[ci]
+        bw, bh = mcus_x * h, mcus_y * v
+        ph, pw = plane.shape
+        padded = np.pad(plane, ((0, bh * 8 - ph), (0, bw * 8 - pw)), mode="edge")
+        blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        q = qts[0 if ci == 0 else 1]
+        zz = np.empty((bh * bw, 64), dtype=np.int64)
+        i = 0
+        for byy in range(bh):
+            for bxx in range(bw):
+                coef = _DCT_M @ (blocks[byy, bxx] - 128.0) @ _DCT_M.T
+                zz[i] = np.round(coef.ravel()[_ZIGZAG] / q).astype(np.int64)
+                i += 1
+        comps.append({
+            "h": h, "v": v, "bw": bw, "bh": bh,
+            "bwa": -(-(-(-width * h // hmax)) // 8),
+            "bha": -(-(-(-height * v // vmax)) // 8),
+            "zz": zz,
+        })
+    return comps, samp, qts, mcus_x, mcus_y
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    pixels: bytes,
+    channels: int = 3,
+    quality: int = 75,
+    subsample: bool = False,
+) -> bytes:
+    """Progressive JPEG (SOF2) with spectral selection AND successive
+    approximation — the scan script every progressive decoder must handle:
+
+      1. DC first, all components interleaved  (Ss=0 Se=0 Ah=0 Al=1)
+      2. DC refinement, interleaved            (Ss=0 Se=0 Ah=1 Al=0)
+      3. per component: AC first, whole band   (Ss=1 Se=63 Ah=0 Al=1)
+         with cross-block EOB runs (EOBn symbols)
+      4. per component: AC refinement          (Ss=1 Se=63 Ah=1 Al=0)
+         via the G.1.2.3 correction-bit protocol
+
+    Quantized coefficients are byte-for-byte the ones ``encode_jpeg``
+    would emit, so decoding this stream must reproduce EXACTLY the pixels
+    of decoding the baseline encoding — the self-check the tests and the
+    driver gate enforce."""
+    if channels not in (1, 3):
+        raise ValueError("encode_jpeg_progressive supports gray (1) or RGB (3)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    comps, samp, qts, mcus_x, mcus_y = _forward_quantized(
+        width, height, pixels, channels, quality, subsample
+    )
+    dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
+    ac_codes = _canonical_codes(*_AC_UNIFORM)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(x) for x in q)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+    for ci in range(channels):
+        h, v = samp[ci]
+        out += bytes([ci + 1, (h << 4) | v, 0 if ci == 0 else 1])
+    tables = [(0x00, _DC_LUMA), (0x10, _AC_UNIFORM)]
+    if channels == 3:
+        tables.append((0x01, _DC_CHROMA))
+    for tc_th, (counts, values) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([tc_th])
+        out += bytes(counts) + bytes(values)
+
+    def sos(scan_comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+        ns = len(scan_comps)
+        seg = bytearray(struct.pack(">HB", 6 + 2 * ns, ns))
+        for cid, td_ta in scan_comps:
+            seg += bytes([cid, td_ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + bytes(seg)
+
+    # --- scan 1: DC first (interleaved, Al=1; arithmetic-shift transform)
+    bw_ = _BitWriter()
+    pred = [0] * channels
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                tq = 0 if ci == 0 else 1
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        v = int(c["zz"][bi, 0]) >> 1
+                        diff = v - pred[ci]
+                        pred[ci] = v
+                        t, off = _magnitude(diff)
+                        code, ln = dc_codes[tq][t]
+                        bw_.write(code, ln)
+                        if t:
+                            bw_.write(off, t)
+    bw_.flush()
+    out += sos([(ci + 1, 0x00 if ci == 0 else 0x10) for ci in range(channels)], 0, 0, 0, 1)
+    out += bw_.out
+
+    # --- scan 2: DC refinement (interleaved, bit 0 of each DC coefficient)
+    bw_ = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bi = (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+                        bw_.write(int(c["zz"][bi, 0]) & 1, 1)
+    bw_.flush()
+    out += sos([(ci + 1, 0x00) for ci in range(channels)], 0, 0, 1, 0)
+    out += bw_.out
+
+    # --- scans 3..: AC first per component (Al=1, EOBn cross-block runs)
+    for ci, c in enumerate(comps):
+        bw_ = _BitWriter()
+        eobrun = 0
+
+        def emit_eobrun() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                bw_.write(code, ln)
+                if nb:
+                    bw_.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+
+        for by in range(c["bha"]):
+            for bx in range(c["bwa"]):
+                zz = c["zz"][by * c["bw"] + bx]
+                r = 0
+                for k in range(1, 64):
+                    t = int(zz[k])
+                    a = abs(t) >> 1  # AC point transform: truncate toward 0
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        emit_eobrun()
+                        code, ln = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        r -= 16
+                    s, off = _magnitude(a if t > 0 else -a)
+                    emit_eobrun()
+                    code, ln = ac_codes[(r << 4) | s]
+                    bw_.write(code, ln)
+                    bw_.write(off, s)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        emit_eobrun()
+        emit_eobrun()
+        bw_.flush()
+        out += sos([(ci + 1, 0x00)], 1, 63, 0, 1)
+        out += bw_.out
+
+    # --- final scans: AC refinement per component (G.1.2.3 protocol)
+    for ci, c in enumerate(comps):
+        bw_ = _BitWriter()
+        eobrun = 0
+        be_bits: list[int] = []  # corrections buffered across EOB-run blocks
+
+        def emit_eobrun_ref() -> None:
+            nonlocal eobrun
+            if eobrun > 0:
+                nb = eobrun.bit_length() - 1
+                code, ln = ac_codes[nb << 4]
+                bw_.write(code, ln)
+                if nb:
+                    bw_.write(eobrun & ((1 << nb) - 1), nb)
+                eobrun = 0
+                for bit in be_bits:
+                    bw_.write(bit, 1)
+                be_bits.clear()
+
+        for by in range(c["bha"]):
+            for bx in range(c["bwa"]):
+                zz = c["zz"][by * c["bw"] + bx]
+                absv = [abs(int(zz[k])) for k in range(64)]  # Al=0
+                eob = 0
+                for k in range(1, 64):
+                    if absv[k] == 1:
+                        eob = k  # last newly-nonzero position
+                r = 0
+                br_bits: list[int] = []  # current block's corrections
+                for k in range(1, 64):
+                    a = absv[k]
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob:
+                        emit_eobrun_ref()
+                        code, ln = ac_codes[0xF0]
+                        bw_.write(code, ln)
+                        r -= 16
+                        for bit in br_bits:
+                            bw_.write(bit, 1)
+                        br_bits = []
+                    if a > 1:  # already nonzero at Al+1: one correction bit
+                        br_bits.append(a & 1)
+                        continue
+                    emit_eobrun_ref()
+                    code, ln = ac_codes[(r << 4) | 1]
+                    bw_.write(code, ln)
+                    bw_.write(1 if int(zz[k]) > 0 else 0, 1)
+                    for bit in br_bits:
+                        bw_.write(bit, 1)
+                    br_bits = []
+                    r = 0
+                if r > 0 or br_bits:
+                    eobrun += 1
+                    be_bits.extend(br_bits)
+                    if eobrun == 0x7FFF or len(be_bits) > 900:
+                        emit_eobrun_ref()
+        emit_eobrun_ref()
+        bw_.flush()
+        out += sos([(ci + 1, 0x00)], 1, 63, 1, 0)
+        out += bw_.out
+
+    out += b"\xff\xd9"
+    return bytes(out)

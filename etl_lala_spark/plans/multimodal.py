@@ -591,3 +591,72 @@ def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_window_spectral(wavs, window_samples=16).orderBy(
         "doc_id", "window_idx"
     )
+
+
+_PROGRESSIVE_ORACLE = """
+SELECT doc_id,
+       CAST(16 + doc_id % 17 AS INT) AS width,
+       CAST(8 + doc_id % 13 AS INT) AS height,
+       CAST((16 + doc_id % 17) * (8 + doc_id % 13) AS BIGINT) AS n_pixels,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents WHERE doc_id < 120
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_progressive_jpeg", oracle=_PROGRESSIVE_ORACLE)
+def multimodal_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG (SOF2) decode under the correctness gate (round-5
+    verdict #6): per document a dense-AC grayscale image — pixel
+    p(x,y) = (5x + 3y + doc_id) mod 256, odd dims from doc_id — is encoded
+    BOTH baseline and progressive (full scan script: interleaved DC first +
+    refinement, AC band with cross-block EOB runs, G.1.2.3 AC refinement)
+    and both streams are decoded in-cluster. The progressive encoder
+    carries coefficients identical to the baseline encoder's, so the two
+    decodes must agree on EVERY pixel: n_mismatch must be 0 for all ~120
+    documents, with dims/pixel-counts replayed by the oracle in closed
+    form. The baseline decode is itself arithmetic-oracle-certified
+    (``multimodal_mjpeg_pixel_decode``), so this chains progressive decode
+    to that anchor. A successive-approximation, EOB-run, refinement-bit,
+    or scan-script bug flips pixels and breaks the hash.
+
+    One Arrow-batched pass, per-image Python cost, no shuffle."""
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from etl_lala_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def roundtrip(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 17, 8 + d % 13
+                px = bytes((5 * x + 3 * y + d) % 256 for y in range(h) for x in range(w))
+                base = encode_jpeg(w, h, px, channels=1, quality=75)
+                prog = encode_jpeg_progressive(w, h, px, channels=1, quality=75)
+                wb, hb, _, pb = decode_jpeg(base)
+                wp, hp, _, pp = decode_jpeg(prog)
+                mism = int(
+                    (np.frombuffer(pb, np.uint8) != np.frombuffer(pp, np.uint8)).sum()
+                ) if (wb, hb) == (wp, hp) else len(pb)
+                rows.append((d, wp, hp, len(pp), mism))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_pixels", "n_mismatch"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return (
+        docs.select("doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, n_pixels long, n_mismatch long",
+        )
+        .orderBy("doc_id")
+    )

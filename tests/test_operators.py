@@ -1102,16 +1102,21 @@ def test_jpeg_codec_rgb_psnr_and_subsampling():
 
 
 def test_jpeg_decoder_rejects_non_baseline_explicitly():
-    """Progressive (SOF2) raises NotImplementedError — a documented
-    boundary, not a wrong answer; garbage raises ValueError."""
+    """Arithmetic coding (SOF9) raises NotImplementedError — a documented
+    boundary, not a wrong answer (progressive SOF2 decodes for real since
+    round 6); garbage raises ValueError, as does a stream whose scan
+    header is inconsistent with its SOF2 frame type."""
     import pytest as _pytest
 
     from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     j = bytearray(encode_jpeg(8, 8, bytes(64), channels=1, quality=75))
     sof = j.find(b"\xff\xc0")
-    j[sof + 1] = 0xC2  # flip baseline SOF0 -> progressive SOF2
+    j[sof + 1] = 0xC9  # flip baseline SOF0 -> arithmetic SOF9
     with _pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(bytes(j))
+    j[sof + 1] = 0xC2  # SOF2 with a baseline (Ss=0,Se=63) scan header
+    with _pytest.raises(ValueError, match="progressive DC scan"):
         decode_jpeg(bytes(j))
     with _pytest.raises(ValueError):
         decode_jpeg(b"\x00not a jpeg")
@@ -1291,3 +1296,44 @@ def test_audio_window_spectral_exact_bins(spark):
 
     with pytest.raises(ValueError, match="multiple of 4"):
         mm.audio_window_spectral(df, 10)
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) decode: the progressive encoder emits the SAME
+    quantized coefficients as the baseline encoder across a full scan
+    script (interleaved DC first + refinement, per-component AC band with
+    cross-block EOB runs, AC refinement via the G.1.2.3 correction-bit
+    protocol), so decoding both streams must agree BIT-EXACTLY — any
+    successive-approximation, EOB-run, or refinement-bit bug breaks a
+    byte. Covers gray/RGB, 4:2:0, odd dims, flat content (max EOB runs),
+    and dense-AC content."""
+    import numpy as np
+
+    from etl_lala_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(42)
+    cases = [
+        ("solid", np.full((48, 64, 1), 200, np.uint8), False, 75),
+        ("rand-gray", rng.integers(0, 256, (17, 23, 1), np.uint8), False, 40),
+        ("rand-rgb", rng.integers(0, 256, (24, 16, 3), np.uint8), False, 75),
+        ("rand-420", rng.integers(0, 256, (21, 13, 3), np.uint8), True, 60),
+    ]
+    g = np.tile((np.arange(40, dtype=np.uint8) * 6)[None, :, None], (32, 1, 3))
+    cases.append(("gradient", g, True, 85))
+    for name, img, sub, q in cases:
+        h, w, ch = img.shape
+        base = encode_jpeg(w, h, img.tobytes(), channels=ch, quality=q, subsample=sub)
+        prog = encode_jpeg_progressive(
+            w, h, img.tobytes(), channels=ch, quality=q, subsample=sub
+        )
+        assert prog[:2] == b"\xff\xd8" and b"\xff\xc2" in prog  # SOF2 stream
+        assert decode_jpeg(prog) == decode_jpeg(base), name
+    # solid gray roundtrips exactly through the progressive path (80 is on
+    # a DC quantization lattice point at q=50, like the baseline test's
+    # values)
+    j = encode_jpeg_progressive(16, 16, bytes([80]) * 256, channels=1, quality=50)
+    assert decode_jpeg(j) == (16, 16, 1, bytes([80]) * 256)
