@@ -939,3 +939,57 @@ def test_read_partition_missing_version_raises_value_error(spark, out_dir):
     vt.write_version(df, t, partition_col="month")
     with pytest.raises(ValueError, match="version 7 not found"):
         vt.read_partition(spark, t, ["2025-01"], version=7)
+
+
+def test_vacuum_concurrent_pinned_readers_property(spark, out_dir):
+    """Vacuum vs concurrent pinned readers (round-5 verdict stretch): a
+    reader plan pinned BEFORE a vacuum stays correct as long as its version
+    is inside the retention window — vacuum may only delete directories no
+    retained manifest references, so the pinned plans' files survive; a
+    reader pinned OUTSIDE the window breaks by design (the documented
+    retention contract), and the on-disk d* directories after vacuum are
+    exactly the union of the retained manifests' dirs plus nothing."""
+    from py4j.protocol import Py4JJavaError
+
+    from etl_lala_spark.sinks import versioned as vt
+
+    t = os.path.join(out_dir, "vt_vacuum_readers")
+
+    def df(ks):
+        return spark.createDataFrame([(k, f"v{k}") for k in ks], "k int, v string")
+
+    v1 = vt.write_version(df([1, 2]), t, mode="overwrite")
+    v2 = vt.write_version(df([3]), t, mode="append")
+    v3 = vt.write_version(df([7, 8]), t, mode="overwrite")
+    v4 = vt.write_version(df([9]), t, mode="append")
+
+    # pin plans BEFORE the vacuum — plans reference manifest-resolved paths
+    pin_old = vt.read_version(spark, t, version=v2)     # will be vacuumed
+    pin_recent = vt.read_version(spark, t, version=v3)  # retained
+    pin_latest = vt.read_version(spark, t, version=v4)  # retained
+    assert {r.k for r in pin_old.collect()} == {1, 2, 3}
+
+    removed = vt.vacuum(t, keep_last=2)  # retain v3, v4 only
+    assert removed == ["d000001", "d000002"]  # v1/v2's dirs: unreferenced
+
+    # property 1: retained pinned readers are unaffected, mid-"read" or not
+    assert {r.k for r in pin_recent.collect()} == {7, 8}
+    assert {r.k for r in pin_latest.collect()} == {7, 8, 9}
+
+    # property 2: the vacuumed pin breaks loudly (files gone), never
+    # silently returns partial rows
+    with pytest.raises(Py4JJavaError):
+        pin_old.collect()
+
+    # property 3: on-disk d* dirs == union of retained manifests' dirs
+    retained = {d for m in vt.table_versions(t) for d in m["dirs"]}
+    on_disk = {n for n in os.listdir(t) if n.startswith("d") and n[1:].isdigit()}
+    assert on_disk == retained
+
+    # property 4: re-pinning the vacuumed version now fails with the
+    # informative error (read_version's guard), and vacuum is idempotent
+    with pytest.raises(ValueError, match="may have been vacuumed"):
+        vt.read_version(spark, t, version=v2)
+    assert vt.vacuum(t, keep_last=2) == []
+    assert {r.k for r in vt.read_version(spark, t).collect()} == {7, 8, 9}
+    assert v1 == 1  # version ids are stable history
