@@ -104,6 +104,10 @@ HEADLINE = [
     # certified baseline decode over a full successive-approximation scan
     # script
     "multimodal_progressive_jpeg",
+    # round 6: PERMISSIVE tagged-NDJSON error stream (R5 structured error
+    # payloads) — good rows, metadata, unknown tags, and unparseable lines
+    # classified against a closed-form oracle
+    "ndjson_error_records",
 ]
 
 

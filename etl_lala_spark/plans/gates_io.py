@@ -295,3 +295,88 @@ def dbc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arquivo_origem")
     )
+
+
+_NDJSON_ERRORS_ORACLE = """
+WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 600),
+cat AS (
+  SELECT CASE k % 7 WHEN 0 THEN 'malformed_json' WHEN 1 THEN 'unknown_tipo'
+              WHEN 2 THEN 'metadados' ELSE 'registro' END AS category,
+         CASE WHEN k % 7 NOT IN (0, 1, 2) THEN k ELSE 0 END AS v,
+         CASE WHEN k % 7 = 2 THEN 2 ELSE 0 END AS m
+  FROM k
+)
+SELECT category, count(*) AS n,
+       CAST(sum(v + m) AS BIGINT) AS sum_val
+FROM cat GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("ndjson_error_records", oracle=_NDJSON_ERRORS_ORACLE)
+def ndjson_error_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 structured error payloads under the correctness gate: a tagged
+    NDJSON fixture is rendered IN-CLUSTER from orders (pure codegen string
+    build, no UDF) with four deterministic line shapes — well-formed
+    records, metadata envelopes, unknown-``tipo`` envelopes, and
+    unparseable JSON — written as text, then read back through BOTH sides
+    of the PERMISSIVE contract: ``read_tagged_ndjson`` (the good-path
+    union: record payload projection + metadata) and
+    ``tagged_ndjson_errors`` (the badRecordsPath-style structured error
+    stream, reference src/datasus/datasus.service.ts:366-387). The
+    per-category counts and payload sums must match the oracle's replay of
+    the line classifier — a parser that drops good rows, fails the job on
+    a bad line, misclassifies an unknown tag, or mangles the ``dados``
+    projection changes a number.
+
+    Scale: the reader is spark.read.text + from_json (distributed,
+    PERMISSIVE never throws). This gate drives the two PUBLIC entry points
+    separately, so the text fixture is scanned once per returned branch
+    (scan budget 3); a production pipeline wanting one pass would parse
+    once and derive records/metadata/errors from the cached parse — the
+    classifier is a pure filter either way."""
+    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.sources.ndjson import read_tagged_ndjson, tagged_ndjson_errors
+
+    work = os.path.join(gate_workdir(spark, "ndjson_error_records"), "feed")
+    k = F.col("o_orderkey")
+    line = (
+        F.when(k % 7 == 0, F.lit('{"tipo":"registro" "dados":'))
+        .when(k % 7 == 1, F.concat(F.lit('{"tipo":"resumo","arquivo":"f'), k, F.lit('"}')))
+        .when(
+            k % 7 == 2,
+            F.concat(
+                F.lit('{"tipo":"metadados","arquivo":"f'), k,
+                F.lit('","total_colunas":2,"colunas":["a","b"]}'),
+            ),
+        )
+        .otherwise(F.concat(F.lit('{"tipo":"registro","dados":{"val":"'), k, F.lit('"}}')))
+    )
+    (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 600)
+        .select(line.alias("value"))
+        .write.mode("overwrite")
+        .text(work)
+    )
+
+    meta, recs = read_tagged_ndjson(spark, work, ["val"])
+    errs = tagged_ndjson_errors(spark, work, ["val"])
+    summary = (
+        recs.groupBy(F.lit("registro").alias("category")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("long")).alias("sum_val"),
+        )
+        .unionByName(
+            meta.groupBy(F.lit("metadados").alias("category")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("total_colunas").cast("long").alias("sum_val"),
+            )
+        )
+        .unionByName(
+            errs.groupBy(F.col("error").alias("category")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.lit(0)).cast("long").alias("sum_val"),
+            )
+        )
+    )
+    return summary.orderBy("category")
