@@ -852,6 +852,7 @@ def encode_jpeg_progressive(
     channels: int = 3,
     quality: int = 75,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Progressive JPEG (SOF2) with spectral selection AND successive
     approximation — the scan script every progressive decoder must handle:
@@ -866,7 +867,12 @@ def encode_jpeg_progressive(
     Quantized coefficients are byte-for-byte the ones ``encode_jpeg``
     would emit, so decoding this stream must reproduce EXACTLY the pixels
     of decoding the baseline encoding — the self-check the tests and the
-    driver gate enforce."""
+    driver gate enforce. ``restart_interval`` > 0 emits DRI + RSTn markers
+    every N units in EVERY scan (MCUs for the interleaved DC scans, blocks
+    for the per-component AC scans), byte-aligned with EOB runs flushed
+    before the marker and predictors reset after — restarts are routine in
+    foreign progressive streams, so the decoder's resync path is exercised
+    by this encoder's own output."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg_progressive supports gray (1) or RGB (3)")
     if len(pixels) != width * height * channels:
@@ -877,10 +883,31 @@ def encode_jpeg_progressive(
     dc_codes = [_canonical_codes(*_DC_LUMA), _canonical_codes(*_DC_CHROMA)]
     ac_codes = _canonical_codes(*_AC_UNIFORM)
 
+    class _Restarter:
+        """Per-scan restart-marker emitter: before each unit past an
+        interval boundary, flush entropy state (caller hook), byte-align,
+        and write RST0..RST7 cycling modulo 8 (spec E.1.4)."""
+
+        def __init__(self, bw, on_boundary) -> None:
+            self.bw = bw
+            self.on_boundary = on_boundary
+            self.n = 0
+            self.rst = 0
+
+        def step(self) -> None:
+            if restart_interval and self.n and self.n % restart_interval == 0:
+                self.on_boundary()
+                self.bw.flush()
+                self.bw.out += bytes([0xFF, 0xD0 + (self.rst & 7)])
+                self.rst += 1
+            self.n += 1
+
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for tq, q in enumerate(qts):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(int(x) for x in q)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
     for ci in range(channels):
         h, v = samp[ci]
@@ -903,8 +930,10 @@ def encode_jpeg_progressive(
     # --- scan 1: DC first (interleaved, Al=1; arithmetic-shift transform)
     bw_ = _BitWriter()
     pred = [0] * channels
+    rs_ = _Restarter(bw_, lambda: pred.__setitem__(slice(None), [0] * channels))
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            rs_.step()
             for ci, c in enumerate(comps):
                 tq = 0 if ci == 0 else 1
                 for by in range(c["v"]):
@@ -924,8 +953,10 @@ def encode_jpeg_progressive(
 
     # --- scan 2: DC refinement (interleaved, bit 0 of each DC coefficient)
     bw_ = _BitWriter()
+    rs_ = _Restarter(bw_, lambda: None)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            rs_.step()
             for c in comps:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
@@ -950,8 +981,10 @@ def encode_jpeg_progressive(
                     bw_.write(eobrun & ((1 << nb) - 1), nb)
                 eobrun = 0
 
+        rs_ = _Restarter(bw_, emit_eobrun)
         for by in range(c["bha"]):
             for bx in range(c["bwa"]):
+                rs_.step()
                 zz = c["zz"][by * c["bw"] + bx]
                 r = 0
                 for k in range(1, 64):
@@ -999,8 +1032,10 @@ def encode_jpeg_progressive(
                     bw_.write(bit, 1)
                 be_bits.clear()
 
+        rs_ = _Restarter(bw_, emit_eobrun_ref)
         for by in range(c["bha"]):
             for bx in range(c["bwa"]):
+                rs_.step()
                 zz = c["zz"][by * c["bw"] + bx]
                 absv = [abs(int(zz[k])) for k in range(64)]  # Al=0
                 eob = 0

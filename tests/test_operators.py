@@ -1337,3 +1337,36 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
     # values)
     j = encode_jpeg_progressive(16, 16, bytes([80]) * 256, channels=1, quality=50)
     assert decode_jpeg(j) == (16, 16, 1, bytes([80]) * 256)
+
+
+def test_jpeg_progressive_restart_markers_resync():
+    """DRI/RSTn inside progressive scans (routine in foreign streams): the
+    encoder byte-aligns, flushes EOB runs, and cycles RST0-7 at every
+    interval; the decoder must resync (predictor + EOB-run reset,
+    marker consumption) and still reproduce the baseline decode
+    bit-exactly — including the degenerate restart-after-every-unit
+    interval."""
+    import numpy as np
+
+    from etl_lala_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for w, h, ch, sub, q, ri in [
+        (48, 32, 1, False, 75, 3),
+        (40, 24, 3, True, 70, 2),
+        (24, 24, 1, False, 85, 1),   # restart after EVERY unit
+        (33, 17, 3, True, 50, 4),
+    ]:
+        img = rng.integers(0, 256, (h, w, ch), np.uint8)
+        base = encode_jpeg(w, h, img.tobytes(), channels=ch, quality=q, subsample=sub)
+        prog = encode_jpeg_progressive(
+            w, h, img.tobytes(), channels=ch, quality=q, subsample=sub,
+            restart_interval=ri,
+        )
+        assert b"\xff\xdd" in prog  # DRI emitted
+        assert any(bytes([0xFF, 0xD0 + i]) in prog for i in range(8))
+        assert decode_jpeg(prog) == decode_jpeg(base), (w, h, ch, sub, q, ri)
