@@ -108,6 +108,9 @@ HEADLINE = [
     # payloads) — good rows, metadata, unknown tags, and unparseable lines
     # classified against a closed-form oracle
     "ndjson_error_records",
+    # round 6: stride-progress stateful-streaming twin (A6/T4) — one-batch
+    # availableNow run of the real applyInPandasWithState operator
+    "stream_twin_progress",
 ]
 
 

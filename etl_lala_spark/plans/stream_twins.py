@@ -226,3 +226,47 @@ def stream_twin_versioned_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+_PROGRESS_ORACLE = """
+WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+SELECT user_id,
+       CAST(n AS BIGINT) AS total_events,
+       CAST(e.i AS BIGINT) AS emitted
+FROM u, range(1, 201) e(i)
+WHERE e.i <= n // 50
+ORDER BY user_id, emitted
+"""
+
+_PROGRESS_RUNS = [0]  # memory-sink names must be fresh per invocation
+
+
+@register("stream_twin_progress", oracle=_PROGRESS_ORACLE)
+def stream_twin_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-progress emission twin (reference A6/T4: the converter logs
+    progress every 50k records, NDJSON_IMPLEMENTADO.md:113-117): run the
+    REAL ``applyInPandasWithState`` operator (`stateful.attach_progress`,
+    stride 50) over a one-batch availableNow stream of the events table and
+    return every emitted progress row. With the whole input in one
+    micro-batch, the operator must emit exactly floor(n/50) rows per user,
+    numbered 1..floor(n/50), each carrying the final per-user count — which
+    the oracle derives in closed form. A green row certifies the stateful
+    stride arithmetic (state fold, boundary crossing, emission count)
+    end-to-end through the streaming engine, not a batch re-implementation.
+    The float-valued running sum is deliberately NOT compared here (Python
+    vs SQL summation order); its exactness is pinned by the
+    streaming-vs-batch pytest agreement tests."""
+    from etl_lala_spark.streaming import stateful, windows
+
+    work = gate_workdir(spark, "stream_twin_progress")
+    src = os.path.join(work, "src")
+    ev = load_events(spark, sf_dir).select("user_id", "value")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)  # one file -> one batch
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    _PROGRESS_RUNS[0] += 1
+    got = windows.run_to_memory(
+        stateful.attach_progress(stream), f"t_gate_progress_{_PROGRESS_RUNS[0]}"
+    )
+    return got.select("user_id", "total_events", "emitted").orderBy(
+        "user_id", "emitted"
+    )
