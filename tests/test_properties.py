@@ -247,3 +247,65 @@ def test_jpeg_decoder_degrades_on_arbitrary_bytes(junk, flip_pos, flip_val):
             assert len(px) == w * h * ch
         except (ValueError, NotImplementedError):
             pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.sampled_from([1, 3]),
+    st.booleans(),
+    st.integers(min_value=25, max_value=95),
+    st.integers(min_value=0, max_value=5),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_progressive_jpeg_equals_baseline_decode_property(
+    w, h, ch, sub, quality, restart, seed
+):
+    """PROPERTY: for any image/quality/subsampling/restart-interval, the
+    progressive (SOF2) stream decodes to EXACTLY the pixels of the
+    baseline stream — the two encoders share quantized coefficients, so
+    any divergence is a successive-approximation, EOB-run, refinement, or
+    restart-resync bug in one of the entropy paths."""
+    import numpy as np
+
+    from etl_lala_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8).tobytes()
+    sub = sub and ch == 3
+    base = encode_jpeg(w, h, img, channels=ch, quality=quality, subsample=sub)
+    prog = encode_jpeg_progressive(
+        w, h, img, channels=ch, quality=quality, subsample=sub,
+        restart_interval=restart,
+    )
+    assert decode_jpeg(prog) == decode_jpeg(base)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.binary(min_size=0, max_size=300),
+    st.integers(min_value=0, max_value=400),
+    st.integers(min_value=0, max_value=255),
+)
+def test_progressive_jpeg_decoder_never_crashes_on_corruption(junk, flip_pos, flip_val):
+    """PROPERTY: corrupted progressive streams either decode to a
+    consistent buffer or raise ValueError/NotImplementedError — the two
+    exception types the multimodal degrade path catches — never an
+    uncontrolled crash that would kill a Spark task."""
+    from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    valid = bytearray(
+        encode_jpeg_progressive(16, 16, bytes(range(256)), channels=1, quality=60)
+    )
+    valid[flip_pos % len(valid)] = flip_val
+    for blob in (junk, b"\xff\xd8" + junk, bytes(valid)):
+        try:
+            w, h, ch, px = decode_jpeg(blob)
+            assert len(px) == w * h * ch
+        except (ValueError, NotImplementedError):
+            pass
