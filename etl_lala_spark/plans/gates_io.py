@@ -184,29 +184,49 @@ def sink_retention_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lala_spark.plans._gates import gate_workdir
     from etl_lala_spark.sinks.writer import retain_latest_runs
 
-    base = os.path.join(gate_workdir(spark, "sink_retention_runs"), "runs")
+    import shutil
+
+    work = gate_workdir(spark, "sink_retention_runs")
+    base = os.path.join(work, "runs")
+    staging = os.path.join(work, "staging")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    # ONE partitioned write fans the nine runs out (vs nine filtered scans
+    # of orders — the single-pass shape a real run-archival job uses), then
+    # the partition dirs become the mtime-laddered execucao-* run dirs.
+    (
+        orders.withColumn("b", F.col("o_orderkey") % 9)
+        .write.mode("overwrite")
+        .partitionBy("b")
+        .json(staging)
+    )
     t0 = 1_700_000_000  # deterministic mtime ladder: run i is i seconds newer
+    os.makedirs(base, exist_ok=True)
     for i in range(9):
         run = os.path.join(base, f"execucao-202501{i:02d}")
-        orders.filter(F.col("o_orderkey") % 9 == i).write.mode("overwrite").json(run)
+        shutil.rmtree(run, ignore_errors=True)
+        os.rename(os.path.join(staging, f"b={i}"), run)
         os.utime(run, (t0 + i, t0 + i))
     deleted = retain_latest_runs(base, keep=4)
 
     survivors = sorted(os.listdir(base))
-    parts = [
-        spark.read.schema("o_orderkey long").json(os.path.join(base, name))
-        .groupBy(F.lit(name).alias("run"))
+    reads = [
+        spark.read.schema("o_orderkey long")
+        .json(os.path.join(base, name))
+        .withColumn("run", F.lit(name))
+        for name in survivors
+    ]
+    out = reads[0]
+    for r in reads[1:]:
+        out = out.unionByName(r)
+    return (
+        out.groupBy("run")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("o_orderkey").alias("sum_key"),
         )
-        for name in survivors
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.withColumn("n_deleted", F.lit(len(deleted)).cast("int")).orderBy("run")
+        .withColumn("n_deleted", F.lit(len(deleted)).cast("int"))
+        .orderBy("run")
+    )
 
 
 _LIMIT_PUSHDOWN_ORACLE = """
