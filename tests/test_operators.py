@@ -1370,3 +1370,27 @@ def test_jpeg_progressive_restart_markers_resync():
         assert b"\xff\xdd" in prog  # DRI emitted
         assert any(bytes([0xFF, 0xD0 + i]) in prog for i in range(8))
         assert decode_jpeg(prog) == decode_jpeg(base), (w, h, ch, sub, q, ri)
+
+
+def test_mjpeg_pipeline_decodes_progressive_frames(spark):
+    """The AVI → frame-sample → pixel-decode pipeline handles PROGRESSIVE
+    MJPEG frames transparently (decode_jpeg dispatches on the stream's own
+    SOF marker): a container mixing baseline and progressive encodings of
+    the same image must yield IDENTICAL per-frame pixel stats for both."""
+    from etl_lala_spark.operators.jpeg import encode_jpeg, encode_jpeg_progressive
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 24), np.uint8)
+    base = encode_jpeg(24, 16, img.tobytes(), channels=1, quality=70)
+    prog = encode_jpeg_progressive(24, 16, img.tobytes(), channels=1, quality=70)
+    avi = mm.encode_avi_mjpeg(24, 16, 10, [base, prog])
+    df = spark.createDataFrame([(1, bytearray(avi))], "doc_id long, data binary")
+    rows = {
+        r["frame_idx"]: r
+        for r in mm.mjpeg_frame_decode(mm.video_frame_sample(df, stride=1)).collect()
+    }
+    assert rows[0]["px_width"] == rows[1]["px_width"] == 24
+    for col in ("px_min", "px_max", "px_mean"):
+        assert rows[0][col] == rows[1][col], col
