@@ -572,13 +572,18 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> tuple[int, int, int, bytes]:
         nat = np.zeros_like(c["coef"], dtype=np.float64)
         nat[:, _ZIGZAG] = c["coef"] * q  # zigzag -> natural order
         bw, bh = c["bw"], c["bh"]
-        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
-        for bi in range(nat.shape[0]):
-            blk = _DCT_M.T @ nat[bi].reshape(8, 8) @ _DCT_M
-            y0 = (bi // bw) * 8
-            x0 = (bi % bw) * 8
-            plane[y0 : y0 + 8, x0 : x0 + 8] = blk + 128.0
-        c["plane"] = plane
+        # Stacked matmul batches the IDCT over every block at once;
+        # np.matmul broadcasts the identical per-block (8,8) products, so
+        # this is bit-identical to the former per-block Python loop while
+        # moving the hot decode path from O(blocks) interpreter steps to
+        # three vectorized ops — the per-image (not per-block) Python-cost
+        # discipline the multimodal kernels promise at 100 TB.
+        blocks = _DCT_M.T @ nat.reshape(-1, 8, 8) @ _DCT_M + 128.0
+        c["plane"] = (
+            blocks.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
