@@ -866,14 +866,21 @@ def mjpeg_frame_decode(
 
 def decode_pixels(data: bytes) -> tuple[int, int, int, bytes]:
     """Full pixel decode to (width, height, n_channels, pixels) for the
-    formats with in-repo codecs (PNG via ``decode_png``, baseline JPEG via
-    ``operators/jpeg.py``)."""
+    formats with in-repo codecs: PNG (``decode_png``), JPEG — baseline or
+    progressive — (``operators/jpeg.py``), and GIF (``decode_gif``, palette
+    indices materialized to RGB)."""
     if data[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         from etl_lala_spark.operators.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        import numpy as np
+
+        w, h, palette, idx = decode_gif(data)
+        pal = np.asarray(palette, dtype=np.uint8)
+        return w, h, 3, pal[np.asarray(idx, dtype=np.int64)].tobytes()
     raise NotImplementedError("pixel codec for this format unavailable")
 
 

@@ -1394,3 +1394,21 @@ def test_mjpeg_pipeline_decodes_progressive_frames(spark):
     assert rows[0]["px_width"] == rows[1]["px_width"] == 24
     for col in ("px_min", "px_max", "px_mean"):
         assert rows[0][col] == rows[1][col], col
+
+
+def test_image_resize_accepts_gif_input(spark):
+    """decode_pixels routes GIF through the in-repo LZW decoder (palette
+    indices -> RGB), so image_resize accepts all three image codecs."""
+    import numpy as np
+
+    # 8x4 GIF, palette p[i]=(i, 2i, 3i), pixel index = (x + y) % 4
+    idx = [(x + y) % 4 for y in range(4) for x in range(8)]
+    gif = mm.encode_gif(8, 4, [(i, 2 * i, 3 * i) for i in range(4)], idx)
+    df = spark.createDataFrame([(1, bytearray(gif))], "doc_id long, media binary")
+    row = mm.image_resize(df, 4, 2, "nearest").collect()[0]
+    assert (row["width"], row["height"], row["n_channels"]) == (4, 2, 3)
+    a = np.frombuffer(row["pixels"], np.uint8).reshape(2, 4, 3)
+    for y in range(2):
+        for x in range(4):
+            i = (2 * x + 2 * y) % 4  # nearest: src = (dst*in)//out = 2*dst
+            assert tuple(a[y, x]) == (i, 2 * i, 3 * i)
