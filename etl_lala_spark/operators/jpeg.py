@@ -313,9 +313,14 @@ def encode_jpeg(
     channels: int = 3,
     quality: int = 75,
     subsample: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline sequential JPEG. ``pixels`` is row-major uint8, gray
-    (channels=1) or RGB (channels=3); ``subsample=True`` emits 4:2:0."""
+    (channels=1) or RGB (channels=3); ``subsample=True`` emits 4:2:0.
+    ``restart_interval`` > 0 emits DRI + an RSTn marker (cycling modulo 8)
+    every N MCUs with predictors reset — the resync layout real MJPEG
+    cameras produce; 0 (the default) emits byte-identical streams to every
+    prior round."""
     if channels not in (1, 3):
         raise ValueError("encode_jpeg supports gray (1) or RGB (3)")
     if len(pixels) != width * height * channels:
@@ -372,8 +377,15 @@ def encode_jpeg(
 
     bw_ = _BitWriter()
     pred = [0] * channels
+    mcu_n = rst_n = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and mcu_n and mcu_n % restart_interval == 0:
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + (rst_n & 7)])
+                rst_n += 1
+                pred = [0] * channels
+            mcu_n += 1
             for ci in range(channels):
                 h, v = samp[ci]
                 tq = 0 if ci == 0 else 1
@@ -418,6 +430,8 @@ def encode_jpeg(
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + bytes(
             int(x) for x in q  # already zigzag-ordered
         )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
     for ci in range(channels):

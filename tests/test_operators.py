@@ -1412,3 +1412,28 @@ def test_image_resize_accepts_gif_input(spark):
         for x in range(4):
             i = (2 * x + 2 * y) % 4  # nearest: src = (dst*in)//out = 2*dst
             assert tuple(a[y, x]) == (i, 2 * i, 3 * i)
+
+
+def test_jpeg_baseline_restart_markers_resync():
+    """Baseline DRI/RSTn (the layout real MJPEG cameras emit): restart
+    streams must decode to exactly the plain stream's pixels, and the
+    default (restart_interval=0) output stays byte-identical to prior
+    rounds (no DRI segment)."""
+    import numpy as np
+
+    from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(13)
+    for w, h, ch, sub, q, ri in [
+        (48, 32, 1, False, 75, 3),
+        (40, 24, 3, True, 70, 2),
+        (24, 24, 1, False, 85, 1),
+    ]:
+        img = rng.integers(0, 256, (h, w, ch), np.uint8)
+        plain = encode_jpeg(w, h, img.tobytes(), channels=ch, quality=q, subsample=sub)
+        rst = encode_jpeg(
+            w, h, img.tobytes(), channels=ch, quality=q, subsample=sub,
+            restart_interval=ri,
+        )
+        assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
+        assert decode_jpeg(rst) == decode_jpeg(plain)
