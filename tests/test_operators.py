@@ -1437,3 +1437,80 @@ def test_jpeg_baseline_restart_markers_resync():
         )
         assert b"\xff\xdd" in rst and b"\xff\xdd" not in plain
         assert decode_jpeg(rst) == decode_jpeg(plain)
+
+
+def test_jpeg_baseline_multiscan_noninterleaved_decodes():
+    """Some baseline encoders emit one scan PER COMPONENT (legal per T.81
+    A.2.2: non-interleaved scans walk the component's ACTUAL block grid,
+    not the MCU-padded one). Assemble such a stream from the same
+    quantized coefficients the interleaved encoder uses; the decoder must
+    produce identical visible pixels through its single-component baseline
+    scan path."""
+    import struct as _struct
+
+    import numpy as np
+
+    from etl_lala_spark.operators import jpeg as J
+
+    def encode_multiscan(w, h, px, quality, subsample):
+        comps, samp, qts, _, _ = J._forward_quantized(w, h, px, 3, quality, subsample)
+        dc_codes = [J._canonical_codes(*J._DC_LUMA), J._canonical_codes(*J._DC_CHROMA)]
+        ac_codes = [J._canonical_codes(*J._AC_LUMA), J._canonical_codes(*J._AC_CHROMA)]
+        out = bytearray(b"\xff\xd8")
+        for tq, q in enumerate(qts):
+            out += b"\xff\xdb" + _struct.pack(">H", 67) + bytes([tq]) + bytes(int(x) for x in q)
+        out += b"\xff\xc0" + _struct.pack(">HBHHB", 17, 8, h, w, 3)
+        for ci in range(3):
+            hs, vs = samp[ci]
+            out += bytes([ci + 1, (hs << 4) | vs, 0 if ci == 0 else 1])
+        for tc_th, tbl in [(0x00, J._DC_LUMA), (0x10, J._AC_LUMA),
+                           (0x01, J._DC_CHROMA), (0x11, J._AC_CHROMA)]:
+            counts, values = tbl
+            out += b"\xff\xc4" + _struct.pack(">H", 19 + len(values)) + bytes([tc_th])
+            out += bytes(counts) + bytes(values)
+        for ci, c in enumerate(comps):
+            tq = 0 if ci == 0 else 1
+            bw_ = J._BitWriter()
+            pred = 0
+            for by in range(c["bha"]):
+                for bx in range(c["bwa"]):
+                    zz = c["zz"][by * c["bw"] + bx]
+                    diff = int(zz[0]) - pred
+                    pred = int(zz[0])
+                    t, off = J._magnitude(diff)
+                    code, ln = dc_codes[tq][t]
+                    bw_.write(code, ln)
+                    if t:
+                        bw_.write(off, t)
+                    run = 0
+                    for k in range(1, 64):
+                        val = int(zz[k])
+                        if val == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = ac_codes[tq][0xF0]
+                            bw_.write(code, ln)
+                            run -= 16
+                        t, off = J._magnitude(val)
+                        code, ln = ac_codes[tq][(run << 4) | t]
+                        bw_.write(code, ln)
+                        bw_.write(off, t)
+                        run = 0
+                    if run:
+                        code, ln = ac_codes[tq][0x00]
+                        bw_.write(code, ln)
+            bw_.flush()
+            td_ta = 0x00 if ci == 0 else 0x11
+            out += b"\xff\xda" + _struct.pack(">HB", 8, 1) + bytes([ci + 1, td_ta])
+            out += bytes([0, 63, 0])
+            out += bw_.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    rng = np.random.default_rng(31)
+    for w, h, sub, q in [(24, 16, False, 75), (24, 16, True, 70), (20, 12, True, 60)]:
+        img = rng.integers(0, 256, (h, w, 3), np.uint8).tobytes()
+        inter = J.encode_jpeg(w, h, img, channels=3, quality=q, subsample=sub)
+        multi = encode_multiscan(w, h, img, q, sub)
+        assert J.decode_jpeg(multi) == J.decode_jpeg(inter), (w, h, sub, q)
