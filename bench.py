@@ -111,6 +111,9 @@ HEADLINE = [
     # round 6: stride-progress stateful-streaming twin (A6/T4) — one-batch
     # availableNow run of the real applyInPandasWithState operator
     "stream_twin_progress",
+    # round 6: GIF LZW decode -> palette -> resize under an arithmetic
+    # oracle (third image codec pinned after PNG and JPEG)
+    "multimodal_gif_resize",
 ]
 
 

@@ -660,3 +660,79 @@ def multimodal_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_GIF_RESIZE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, 20 + doc_id % 13 AS w, 10 + doc_id % 7 AS h
+  FROM documents WHERE doc_id < 120
+),
+p AS (
+  SELECT d.doc_id,
+         ((x.i * d.w) // 16 + 2 * ((y.j * d.h) // 10) + d.doc_id) % 64 AS idx
+  FROM d, range(0, 16) x(i), range(0, 10) y(j)
+)
+SELECT doc_id,
+       CAST(16 AS INT) AS width,
+       CAST(10 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(sum((5 * idx + doc_id) % 256 + (7 * idx + doc_id) % 256
+                + (11 * idx + doc_id) % 256) AS BIGINT) AS px_sum
+FROM p
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_gif_resize", oracle=_GIF_RESIZE_ORACLE)
+def multimodal_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode → resize certified arithmetically: per document a REAL
+    GIF87a (global color table, LZW sub-blocks) is assembled in-cluster
+    with palette p[i] = ((5i+d)%256, (7i+d)%256, (11i+d)%256) and pixel
+    index (x + 2y + d) mod 64 at per-doc odd dims, decoded by the in-repo
+    LZW decoder (palette indices materialized to RGB via
+    ``decode_pixels``), nearest-resized to 16x10, and reduced to the pixel
+    sum the oracle replays through the same floor index map over SQL
+    ranges. An LZW, sub-block, palette-order, or index-map bug lands on a
+    different sum — this pins the third image codec (after PNG and JPEG)
+    under the driver gate.
+
+    Same one-pass Arrow-batched shape as ``multimodal_image_resize``."""
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def build(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 20 + d % 13, 10 + d % 7
+                pal = [((5 * i + d) % 256, (7 * i + d) % 256, (11 * i + d) % 256)
+                       for i in range(64)]
+                idx = [(x + 2 * y + d) % 64 for y in range(h) for x in range(w)]
+                rows.append((d, mm.encode_gif(w, h, pal, idx)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    def pixel_sum(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    int(r["doc_id"]), int(r["width"]), int(r["height"]),
+                    int(r["n_channels"]),
+                    int(np.frombuffer(r["pixels"], np.uint8).sum()),
+                )
+                for _, r in pdf.iterrows()
+            ]
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "px_sum"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    gifs = docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
+    resized = mm.image_resize(gifs, 16, 10, method="nearest")
+    return resized.mapInPandas(
+        pixel_sum,
+        "doc_id long, width int, height int, n_channels int, px_sum long",
+    ).orderBy("doc_id")
