@@ -534,6 +534,13 @@ def _decode_jpeg(data: bytes, max_pixels: int) -> tuple[int, int, int, bytes]:
             if width == 0 or height == 0 or width * height > max_pixels:
                 raise ValueError(f"JPEG dimensions {width}x{height} out of bounds")
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                # 4-component CMYK/YCCK (Adobe APP14) and 2-component
+                # frames need a different color pipeline — refuse loudly
+                # instead of silently dropping planes.
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (gray and YCbCr only)"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

@@ -1514,3 +1514,25 @@ def test_jpeg_baseline_multiscan_noninterleaved_decodes():
         inter = J.encode_jpeg(w, h, img, channels=3, quality=q, subsample=sub)
         multi = encode_multiscan(w, h, img, q, sub)
         assert J.decode_jpeg(multi) == J.decode_jpeg(inter), (w, h, sub, q)
+
+
+def test_jpeg_rejects_cmyk_component_counts():
+    """4-component (CMYK/YCCK) and 2-component frames raise
+    NotImplementedError instead of silently decoding with dropped planes."""
+    import pytest as _pytest
+
+    from etl_lala_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    j = bytearray(encode_jpeg(16, 16, bytes([50]) * (16 * 16 * 3), channels=3, quality=75))
+    sof = j.find(b"\xff\xc0")
+    # SOF0 payload: len(2) precision(1) h(2) w(2) ncomp(1) — patch ncomp to
+    # 4 (the stream is inconsistent, but the guard must fire FIRST)
+    j[sof + 9] = 4
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_jpeg(bytes(j))
+    try:
+        decode_jpeg(bytes(j))
+    except NotImplementedError as ex:
+        assert "component" in str(ex)
+    except ValueError:
+        raise AssertionError("guard must fire before malformed-stream parse")
