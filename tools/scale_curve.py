@@ -49,7 +49,10 @@ TOLERANCE = 1.3  # verdict bar: worse than ~1.3x data-linear needs a diagnosis
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # "--all" sweeps every bench HEADLINE query instead of the curated set
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    sweep_all = "--all" in sys.argv[1:]
+    runs = int(args[0]) if args else 3
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     sf_small = "/root/testdata/sf0.1"
     sf_big = os.environ.get("SCALE_SF_DIR", os.path.join(REPO, ".scale", "sf1.0"))
@@ -65,6 +68,11 @@ def main() -> None:
         extra_confs={"spark.ui.showConsoleProgress": "false"},
     )
     fns = query_fns()
+    queries = QUERIES
+    if sweep_all:
+        from bench import HEADLINE
+
+        queries = HEADLINE
 
     # JVM/codegen warm-up (mirrors bench.py).
     fns["q1_pricing_summary"](spark, "/root/testdata/sf0.001").write.format(
@@ -80,7 +88,7 @@ def main() -> None:
         return round(best, 3)
 
     out: dict = {"runs_per_query": runs, "cpus": cpus, "queries": {}}
-    for name in QUERIES:
+    for name in queries:
         t_small = run(name, sf_small)
         t_big = run(name, sf_big)
         ratio = round(t_big / t_small, 2) if t_small > 0 else None
