@@ -114,6 +114,7 @@ HEADLINE = [
     # round 6: GIF LZW decode -> palette -> resize under an arithmetic
     # oracle (third image codec pinned after PNG and JPEG)
     "multimodal_gif_resize",
+    "stream_twin_checkpoint_restart",
 ]
 
 

@@ -270,3 +270,85 @@ def stream_twin_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     return got.select("user_id", "total_events", "emitted").orderBy(
         "user_id", "emitted"
     )
+
+
+_CKPT_RESTART_ORACLE = """
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS price_sum,
+       CAST(CASE WHEN o_orderkey % 4 >= 2 THEN count(*) ELSE 0 END AS BIGINT)
+         AS n_rows_run2
+FROM orders
+GROUP BY o_orderkey % 4
+ORDER BY 1
+"""
+
+
+@register("stream_twin_checkpoint_restart", oracle=_CKPT_RESTART_ORACLE)
+def stream_twin_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed-restart twin (reference T6: the ETL resumes a crashed
+    run from its progress log and must not re-load months it already
+    committed, src/datasus/datasus.service.ts:222-237): land buckets 0-1 of
+    the orders table as source files, drain them with a checkpointed
+    availableNow file-source stream into a parquet sink, then land buckets
+    2-3 and RESTART the stream from the SAME checkpoint. The restarted run
+    must pick up exactly the new files — every sink row carries the run
+    number that wrote it, so a restart that re-reads committed files
+    doubles bucket-0/1 counts AND leaks run-2 rows into those buckets,
+    while a checkpoint that under-resumes leaves buckets 2-3 empty. The
+    oracle predicts the whole sink in closed form from orders. Certifies
+    T6 recovery end-to-end through the engine's file-source offset log and
+    the parquet sink's exactly-once _spark_metadata commit protocol —
+    pytest twin: tests/test_streaming.py::test_checkpoint_recovery_no_double_count."""
+    work = gate_workdir(spark, "stream_twin_checkpoint_restart")
+    src = os.path.join(work, "src")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % 4).cast("long").alias("bucket"),
+            "o_totalprice",
+        )
+    )
+
+    def land(lo: int, hi: int) -> None:
+        orders.filter(
+            (F.col("bucket") >= lo) & (F.col("bucket") <= hi)
+        ).write.mode("append").parquet(src)
+
+    def drain(run: int) -> None:
+        stream = (
+            spark.readStream.schema(
+                "bucket long, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 8)
+            .parquet(src)
+        )
+        q = (
+            stream.withColumn("run", F.lit(run).cast("long"))
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+
+    land(0, 1)
+    drain(1)
+    land(2, 3)
+    drain(2)  # restart from the same checkpoint: only the new files
+    return (
+        spark.read.parquet(sink)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            F.sum(F.when(F.col("run") == 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_rows_run2"),
+        )
+        .orderBy("bucket")
+    )
