@@ -235,14 +235,18 @@ class _BitReader:
         if self.marker is not None and 0xD0 <= self.marker <= 0xD7:
             self.pos += 2  # skip FF Dn
             self.marker = None
-        elif (
-            self.marker is None
-            and self.pos + 1 < len(self.data)
-            and self.data[self.pos] == 0xFF
-            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
-            # the eager fill stopped short of the marker bytes
-            self.pos += 2
+        elif self.marker is None:
+            # The eager fill stopped short of the marker bytes. T.81
+            # §B.1.1.2 allows any number of 0xFF fill bytes before the
+            # marker code, so scan past runs of FF before testing for Dn
+            # (a byte-aligned 'FF FF D0' is spec-legal and was previously
+            # left unconsumed, padding zeros into the next interval).
+            d = self.data
+            p = self.pos
+            while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+                p += 1
+            if p + 1 < len(d) and d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                self.pos = p + 2
 
 
 # --- Huffman -----------------------------------------------------------------

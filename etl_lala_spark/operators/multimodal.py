@@ -894,7 +894,8 @@ def image_resize(
 ) -> DataFrame:
     """Distributed image resize — the preprocessing step every vision
     training pipeline runs between decode and feature extraction. Each row's
-    encoded image (PNG/baseline JPEG, in-repo codecs) is decoded, resampled
+    encoded image (PNG/JPEG (baseline or progressive)/GIF, in-repo codecs)
+    is decoded, resampled
     to (out_w, out_h), and emitted as raw pixels + dims. ``nearest`` uses
     the floor index map src = (dst * in) // out (integer-exact, so an
     oracle can replay it arithmetically); ``bilinear`` uses half-pixel

@@ -268,9 +268,7 @@ def dbc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the limit bounds per-task decode CPU and output rows at the
     source — the difference between sampling a 100 TB archive collection
     and decoding it."""
-    import hashlib
-    import tempfile
-
+    from etl_lala_spark.plans._gates import gate_workdir
     from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
 
     li = (
@@ -287,10 +285,10 @@ def dbc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("V")
         ).collect()
     ]
-    fixture_dir = os.path.join(
-        tempfile.gettempdir(),
-        "dbc_limit_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
+    # Session-scoped gate workdir like the sibling gates: a shared
+    # tempfile.gettempdir() path raced between concurrent sessions on the
+    # same sf_dir and kept stale fixtures across format changes.
+    fixture_dir = os.path.join(gate_workdir(spark, "dbc_limit_pushdown"), "fixtures")
     os.makedirs(fixture_dir, exist_ok=True)
     for name, chunk in (("PAPE2501", rows[:120]), ("PAPE2502", rows[120:])):
         with open(os.path.join(fixture_dir, f"{name}.dbc"), "wb") as fh:

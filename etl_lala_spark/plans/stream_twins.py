@@ -232,9 +232,8 @@ _PROGRESS_ORACLE = """
 WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
 SELECT user_id,
        CAST(n AS BIGINT) AS total_events,
-       CAST(e.i AS BIGINT) AS emitted
-FROM u, range(1, 201) e(i)
-WHERE e.i <= n // 50
+       CAST(unnest(generate_series(1, n // 50)) AS BIGINT) AS emitted
+FROM u
 ORDER BY user_id, emitted
 """
 
@@ -275,7 +274,8 @@ def stream_twin_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CKPT_RESTART_ORACLE = """
 SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
-       ROUND(SUM(o_totalprice), 2) AS price_sum,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS price_sum,
        CAST(CASE WHEN o_orderkey % 4 >= 2 THEN count(*) ELSE 0 END AS BIGINT)
          AS n_rows_run2
 FROM orders
@@ -345,7 +345,15 @@ def stream_twin_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+            # Sum on decimal(18,2): the per-row double->decimal cast is
+            # deterministic and the integer-scaled sum is order-independent,
+            # so the hash cannot flip on a partial-sum landing near a .005
+            # rounding boundary (summation order differs between the DuckDB
+            # oracle and the two-run parquet sink aggregation).
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("price_sum"),
             F.sum(F.when(F.col("run") == 2, 1).otherwise(0))
             .cast("long")
             .alias("n_rows_run2"),

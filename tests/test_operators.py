@@ -1255,6 +1255,17 @@ def test_jpeg_bitreader_skips_fill_bytes_before_marker():
     br2._fill()
     assert br2.marker == 0xD9
 
+    # restart() at a byte-aligned boundary where the eager fill never ran:
+    # 'FF FF D0' with a fill byte before the RST must still consume the
+    # marker instead of leaving it to be latched as a terminator (round-6
+    # advice — the general case was fixed in _fill but restart() was
+    # missed).
+    br3 = _BitReader(b"\xff\xff\xd0\xa5", 0)
+    assert br3.marker is None and br3.pos == 0
+    br3.restart()
+    assert br3.pos == 3
+    assert br3.bits(8) == 0xA5
+
 
 def test_audio_window_spectral_exact_bins(spark):
     """The three ±1/0-basis DFT bins must equal numpy's float FFT at
