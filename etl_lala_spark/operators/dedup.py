@@ -681,3 +681,129 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def substring_dedup_runs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """Maximal cross-document duplicated substring RUNS — the exact-substring
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better", the ExactSubstr pass) at word granularity. Where
+    ``duplicate_spans`` counts a doc's duplicated k-gram spans and
+    ``repeated_block_dedup`` bans fixed non-overlapping blocks (so an
+    unaligned repeat slips through), this recovers every MAXIMAL run of ≥
+    ``min_tokens`` consecutive tokens that also appears in another document
+    — at any offset, any alignment — the unit a substring-removal pass cuts.
+
+    Equivalent to the suffix-array formulation for repeats ≥ min_tokens,
+    but expressed shuffle-native instead of index-native: a k-token span is
+    duplicated iff it lies inside such a repeat, so (1) explode every
+    overlapping k-gram with its token position, (2) keep spans whose
+    document frequency ≥ 2 (``cross_doc_only=False`` widens to total
+    occurrences ≥ 2, catching within-doc self-repeats), (3) merge each
+    document's consecutive duplicated positions into maximal islands with
+    the pos − row_number() constant-group trick. Returns one row per run:
+    ``(doc_id, start_pos, n_spans, run_tokens)`` where ``start_pos`` is the
+    0-based token index and ``run_tokens = n_spans + min_tokens − 1``.
+
+    Scale shape (the 100 TB argument): span strings never shuffle — only
+    (doc_id, pos, xxhash64) triples; the frequency aggregate map-side
+    combines (repeats collapse hard by definition); the dup-span set joins
+    back by 8-byte-key shuffle join (it is corpus-sized in the worst case,
+    so no broadcast); the island merge is a per-document window — one
+    document's duplicated positions sort within one task, bounded by doc
+    length, never by corpus size. No driver-side state at all.
+    """
+    from pyspark.sql import Window
+
+    from etl_lala_spark.io import spread
+
+    k = min_tokens
+    base = spread(df.select(id_col, text_col), by=id_col).select(
+        F.col(id_col).alias("doc_id"),
+        word_spans(F.col(text_col), k).alias("spans"),
+    )
+    spans = (
+        base.filter(F.size("spans") >= 1)
+        .select("doc_id", F.posexplode("spans").alias("pos", "span_str"))
+        .select("doc_id", "pos", F.xxhash64("span_str").alias("span"))
+    )
+    freq = spans.groupBy("span").agg(
+        F.count("*").alias("n_occ"), F.countDistinct("doc_id").alias("n_docs")
+    )
+    dup = freq.filter(
+        (F.col("n_docs") >= 2) if cross_doc_only else (F.col("n_occ") >= 2)
+    ).select("span")
+    flagged = spans.join(dup, "span").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            F.count("*").alias("n_spans"),
+        )
+        .select(
+            "doc_id",
+            "start_pos",
+            "n_spans",
+            (F.col("n_spans") + F.lit(k - 1)).cast("long").alias("run_tokens"),
+        )
+    )
+
+
+def substring_dedup_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 8,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """Apply the ExactSubstr removal: cut every maximal duplicated run found
+    by ``substring_dedup_runs`` out of every document and reassemble the
+    survivors in order (Lee et al. remove all duplicated occurrences; the
+    deduplicated corpus keeps only text that is globally unique at the
+    ≥ min_tokens grain). Returns ``(id_col, n_tokens, n_removed,
+    clean_text)`` for every input document — untouched docs pass through
+    with ``n_removed = 0``.
+
+    Scale: the runs table (small — only duplicated regions) aggregates to
+    one interval array per affected doc and joins back to the corpus on the
+    doc id; the cut is a codegen higher-order filter over the token array
+    (per-token interval test against the doc's own intervals — bounded by
+    runs-per-doc, not corpus size).
+    """
+    runs = substring_dedup_runs(df, text_col, id_col, min_tokens, cross_doc_only)
+    intervals = runs.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("start_pos").alias("lo"),
+                (F.col("start_pos") + F.col("run_tokens") - 1).alias("hi"),
+            )
+        ).alias("cuts")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    )
+    joined = toks.join(intervals, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(
+            "cuts", F.expr("CAST(array() AS array<struct<lo:bigint,hi:bigint>>)")
+        ).alias("cuts"),
+    )
+    kept = F.expr(
+        "filter(transform(toks, (t, i) -> struct(t as t, CAST(i AS BIGINT) as i)),"
+        " x -> !exists(cuts, c -> x.i >= c.lo AND x.i <= c.hi))"
+    )
+    return joined.select(
+        F.col("doc_id").alias(id_col),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("clean_text"),
+    )

@@ -39,3 +39,36 @@ def gate_workdir(spark: SparkSession, name: str) -> str:
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
     return work
+
+
+# --- fixture-time accounting -------------------------------------------------
+#
+# Gate queries build real on-disk fixtures (landing source parquet, rendering
+# DBC files, pre-staging downloads) before exercising the operator under
+# test. bench.py times the whole query fn, so a regression in the OPERATOR
+# could hide inside fixture noise (round-6 verdict). Gates wrap their
+# fixture-building region in ``fixture_region(name)``; the bench subtracts
+# the recorded wall time per sample and reports operator-only figures, with
+# the fixture share on stderr.
+
+import time as _time
+from contextlib import contextmanager
+
+FIXTURE_SECONDS: dict[str, float] = {}
+
+
+@contextmanager
+def fixture_region(name: str):
+    """Accumulate wall time spent building gate fixtures under ``name``
+    (reset by the bench before each timed sample via ``reset_fixture``)."""
+    t0 = _time.perf_counter()
+    try:
+        yield
+    finally:
+        FIXTURE_SECONDS[name] = (
+            FIXTURE_SECONDS.get(name, 0.0) + _time.perf_counter() - t0
+        )
+
+
+def reset_fixture(name: str) -> None:
+    FIXTURE_SECONDS.pop(name, None)

@@ -374,35 +374,38 @@ def datasus_dbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver-side fixture write is 200 rows (generation, not the operator
     path); the decode itself runs in executors via mapInPandas."""
-    import hashlib
     import os
-    import tempfile
 
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
     from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(200)
-    )
-    cols = ["AP_CONDIC", "AP_VL_TOTAL"]
-    rows = [
-        [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
-        for r in li.select(
-            F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
-            F.round("l_extendedprice", 2)
-            .cast("decimal(14,2)")
-            .cast("string")
-            .alias("AP_VL_TOTAL"),
-        ).collect()
-    ]
-    fixture_dir = os.path.join(
-        tempfile.gettempdir(),
-        "dbc_rt_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    os.makedirs(fixture_dir, exist_ok=True)
-    with open(os.path.join(fixture_dir, "PAPE2501.dbc"), "wb") as fh:
-        fh.write(dbf_to_dbc(write_dbf(cols, rows)))
+    # Fixture build (bounded 200-row collect + DBC render) runs under the
+    # session-scoped gate workdir and is accounted as fixture time, so the
+    # bench measures the decode path and concurrent sessions never race on
+    # a shared temp path.
+    with fixture_region("datasus_dbc_roundtrip"):
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(200)
+        )
+        cols = ["AP_CONDIC", "AP_VL_TOTAL"]
+        rows = [
+            [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
+            for r in li.select(
+                F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
+                F.round("l_extendedprice", 2)
+                .cast("decimal(14,2)")
+                .cast("string")
+                .alias("AP_VL_TOTAL"),
+            ).collect()
+        ]
+        fixture_dir = os.path.join(
+            gate_workdir(spark, "datasus_dbc_roundtrip"), "fixtures"
+        )
+        os.makedirs(fixture_dir, exist_ok=True)
+        with open(os.path.join(fixture_dir, "PAPE2501.dbc"), "wb") as fh:
+            fh.write(dbf_to_dbc(write_dbf(cols, rows)))
 
     members = (
         spark.read.format("binaryFile")
@@ -452,37 +455,36 @@ def datasus_dbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the first 100 lineitem rows directly, pinning schema inference,
     the implode codec, partition planning, and the pruning logic under the
     hash gate."""
-    import hashlib
     import os
-    import tempfile
 
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
     from etl_lala_spark.sources.dbc import dbf_to_dbc, write_dbf
     from etl_lala_spark.sources.dbc_datasource import register_dbc_source
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(200)
-    )
-    cols = ["AP_CONDIC", "AP_VL_TOTAL"]
-    rows = [
-        [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
-        for r in li.select(
-            F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
-            F.round("l_extendedprice", 2)
-            .cast("decimal(14,2)")
-            .cast("string")
-            .alias("AP_VL_TOTAL"),
-        ).collect()
-    ]
-    fixture_dir = os.path.join(
-        tempfile.gettempdir(),
-        "dbc_ds_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    os.makedirs(fixture_dir, exist_ok=True)
-    for name, chunk in [("PAPE2501", rows[:100]), ("PAPE2502", rows[100:])]:
-        with open(os.path.join(fixture_dir, name + ".dbc"), "wb") as fh:
-            fh.write(dbf_to_dbc(write_dbf(cols, chunk)))
+    with fixture_region("datasus_dbc_source"):
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(200)
+        )
+        cols = ["AP_CONDIC", "AP_VL_TOTAL"]
+        rows = [
+            [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
+            for r in li.select(
+                F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
+                F.round("l_extendedprice", 2)
+                .cast("decimal(14,2)")
+                .cast("string")
+                .alias("AP_VL_TOTAL"),
+            ).collect()
+        ]
+        fixture_dir = os.path.join(
+            gate_workdir(spark, "datasus_dbc_source"), "fixtures"
+        )
+        os.makedirs(fixture_dir, exist_ok=True)
+        for name, chunk in [("PAPE2501", rows[:100]), ("PAPE2502", rows[100:])]:
+            with open(os.path.join(fixture_dir, name + ".dbc"), "wb") as fh:
+                fh.write(dbf_to_dbc(write_dbf(cols, chunk)))
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register_dbc_source(spark)

@@ -193,19 +193,22 @@ def sink_retention_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE partitioned write fans the nine runs out (vs nine filtered scans
     # of orders — the single-pass shape a real run-archival job uses), then
     # the partition dirs become the mtime-laddered execucao-* run dirs.
-    (
-        orders.withColumn("b", F.col("o_orderkey") % 9)
-        .write.mode("overwrite")
-        .partitionBy("b")
-        .json(staging)
-    )
-    t0 = 1_700_000_000  # deterministic mtime ladder: run i is i seconds newer
-    os.makedirs(base, exist_ok=True)
-    for i in range(9):
-        run = os.path.join(base, f"execucao-202501{i:02d}")
-        shutil.rmtree(run, ignore_errors=True)
-        os.rename(os.path.join(staging, f"b={i}"), run)
-        os.utime(run, (t0 + i, t0 + i))
+    from etl_lala_spark.plans._gates import fixture_region
+
+    with fixture_region("sink_retention_runs"):
+        (
+            orders.withColumn("b", F.col("o_orderkey") % 9)
+            .write.mode("overwrite")
+            .partitionBy("b")
+            .json(staging)
+        )
+        t0 = 1_700_000_000  # deterministic mtime ladder: run i is i s newer
+        os.makedirs(base, exist_ok=True)
+        for i in range(9):
+            run = os.path.join(base, f"execucao-202501{i:02d}")
+            shutil.rmtree(run, ignore_errors=True)
+            os.rename(os.path.join(staging, f"b={i}"), run)
+            os.utime(run, (t0 + i, t0 + i))
     deleted = retain_latest_runs(base, keep=4)
 
     survivors = sorted(os.listdir(base))
@@ -268,31 +271,36 @@ def dbc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the limit bounds per-task decode CPU and output rows at the
     source — the difference between sampling a 100 TB archive collection
     and decoding it."""
-    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
     from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .orderBy("l_orderkey", "l_linenumber")
-        .limit(150)
-    )
-    rows = [
-        [r["V"]]
-        for r in li.select(
-            F.round("l_extendedprice", 2)
-            .cast("decimal(14,2)")
-            .cast("string")
-            .alias("V")
-        ).collect()
-    ]
     # Session-scoped gate workdir like the sibling gates: a shared
     # tempfile.gettempdir() path raced between concurrent sessions on the
-    # same sf_dir and kept stale fixtures across format changes.
-    fixture_dir = os.path.join(gate_workdir(spark, "dbc_limit_pushdown"), "fixtures")
-    os.makedirs(fixture_dir, exist_ok=True)
-    for name, chunk in (("PAPE2501", rows[:120]), ("PAPE2502", rows[120:])):
-        with open(os.path.join(fixture_dir, f"{name}.dbc"), "wb") as fh:
-            fh.write(dbf_to_dbc(write_dbf(["AP_VL_TOTAL"], chunk)))
+    # same sf_dir and kept stale fixtures across format changes. The whole
+    # fixture build (bounded 150-row collect + DBC render) is accounted
+    # under fixture_region so the bench times the decoder, not the render.
+    with fixture_region("dbc_limit_pushdown"):
+        li = (
+            load_table(spark, sf_dir, "lineitem")
+            .orderBy("l_orderkey", "l_linenumber")
+            .limit(150)
+        )
+        rows = [
+            [r["V"]]
+            for r in li.select(
+                F.round("l_extendedprice", 2)
+                .cast("decimal(14,2)")
+                .cast("string")
+                .alias("V")
+            ).collect()
+        ]
+        fixture_dir = os.path.join(
+            gate_workdir(spark, "dbc_limit_pushdown"), "fixtures"
+        )
+        os.makedirs(fixture_dir, exist_ok=True)
+        for name, chunk in (("PAPE2501", rows[:120]), ("PAPE2502", rows[120:])):
+            with open(os.path.join(fixture_dir, f"{name}.dbc"), "wb") as fh:
+                fh.write(dbf_to_dbc(write_dbf(["AP_VL_TOTAL"], chunk)))
 
     members = (
         spark.read.format("binaryFile")
@@ -369,13 +377,16 @@ def ndjson_error_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.concat(F.lit('{"tipo":"registro","dados":{"val":"'), k, F.lit('"}}')))
     )
-    (
-        load_table(spark, sf_dir, "orders")
-        .filter(k < 600)
-        .select(line.alias("value"))
-        .write.mode("overwrite")
-        .text(work)
-    )
+    from etl_lala_spark.plans._gates import fixture_region
+
+    with fixture_region("ndjson_error_records"):
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(k < 600)
+            .select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(work)
+        )
 
     meta, recs = read_tagged_ndjson(spark, work, ["val"])
     errs = tagged_ndjson_errors(spark, work, ["val"])
@@ -398,3 +409,137 @@ def ndjson_error_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return summary.orderBy("category")
+
+
+_FETCH_HTTP_ORACLE = """
+SELECT 'nation_' || n_nationkey || '.bin' AS fname,
+       CASE WHEN n_nationkey % 6 IN (1, 2) THEN 'error'
+            WHEN n_nationkey % 6 = 3 THEN 'skipped'
+            ELSE 'ok' END AS status,
+       CAST(CASE WHEN n_nationkey % 6 IN (0, 1, 2) THEN 2
+                 WHEN n_nationkey % 6 = 3 THEN 0
+                 ELSE 1 END AS INT) AS attempts,
+       CAST(CASE WHEN n_nationkey % 6 IN (1, 2) THEN 0
+            ELSE strlen(n_name) + 1 + strlen(CAST(n_nationkey AS VARCHAR))
+            END AS BIGINT) AS n_bytes,
+       CASE WHEN n_nationkey % 6 = 1 THEN 'HTTPError'
+            WHEN n_nationkey % 6 = 2 THEN 'ValueError'
+            ELSE '' END AS error_class
+FROM nation
+ORDER BY fname
+"""
+
+
+@register("fetch_http_loopback", oracle=_FETCH_HTTP_ORACLE)
+def fetch_http_loopback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 executor-side HTTP fetch under the correctness gate, over REAL
+    HTTP: a loopback ``ThreadingHTTPServer`` (127.0.0.1, OS-assigned port)
+    serves one deterministic body per nation and the real
+    ``fetch_to_staging`` kernel (reference S5: in-memory download with a
+    500 MB cap, retry with backoff, src/datasus/datasus.service.ts:251-275)
+    fetches the whole manifest executor-side through ``urllib``. Every
+    reference semantic is exercised against live status codes, not file://
+    shortcuts, with the behavior keyed on ``n_nationkey % 6``:
+
+    - ``% 6 == 0``: the server 503s the FIRST request for the path and
+      succeeds after — retry-with-backoff must land ``ok`` on attempt 2;
+    - ``% 6 == 1``: a permanent 404 — structured error row (R5), attempts
+      exhausted at retries+1, never an exception;
+    - ``% 6 == 2``: the body exceeds ``max_bytes`` — the cap turns an
+      oversized download into an error row instead of an OOM;
+    - ``% 6 == 3``: the destination is pre-staged — idempotent replay
+      reports ``skipped`` without touching the network;
+    - otherwise: a plain 200 — ``ok`` on attempt 1 with the exact body
+      length ``len(n_name) + 1 + len(str(key))``.
+
+    The oracle replays status/attempts/size/error-class per nation in
+    closed form, so a broken retry loop, an ignored cap, a swallowed 404,
+    or a re-downloaded staged file all land on a different hash.
+
+    Scale: the manifest is the DataFrame and the fetch is mapInPandas —
+    one task per manifest partition, no driver byte ever moves; this gate
+    runs 8 partitions' worth of concurrent loopback requests through the
+    threading server."""
+    import http.server
+    import threading
+
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+    from etl_lala_spark.sources.fetch import fetch_to_staging
+
+    with fixture_region("fetch_http_loopback"):
+        work = gate_workdir(spark, "fetch_http_loopback")
+        staging = os.path.join(work, "staging")
+        os.makedirs(staging)
+
+        nations = [
+            (int(r["n_nationkey"]), str(r["n_name"]))
+            for r in load_table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name")
+            .collect()
+        ]
+    max_bytes = 64
+    bodies = {k: f"{name}|{k}".encode() for k, name in nations}
+    seen: set[str] = set()
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):  # keep gate output clean
+            pass
+
+        def do_GET(self):
+            key = int(self.path.rstrip("/").rsplit("/", 1)[-1].split(".")[0])
+            cat = key % 6
+            with lock:
+                first = self.path not in seen
+                seen.add(self.path)
+            if cat == 0 and first:
+                self.send_error(503)
+                return
+            if cat == 1:
+                self.send_error(404)
+                return
+            body = b"X" * (max_bytes + 1) if cat == 2 else bodies[key]
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # pre-stage the % 6 == 3 destinations with their exact bodies
+        with fixture_region("fetch_http_loopback"):
+            for k, _ in nations:
+                if k % 6 == 3:
+                    with open(
+                        os.path.join(staging, f"nation_{k}.bin"), "wb"
+                    ) as fh:
+                        fh.write(bodies[k])
+        manifest = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/{k}.bin", f"nation_{k}.bin")
+             for k, _ in nations],
+            "url string, fname string",
+        ).repartition(8)
+        result = fetch_to_staging(
+            manifest, staging, name_col="fname",
+            max_bytes=max_bytes, retries=1, backoff_s=0.05,
+        )
+        result.write.mode("overwrite").parquet(os.path.join(work, "out"))
+    finally:
+        server.shutdown()
+        server.server_close()
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return (
+        out.select(
+            F.element_at(F.split("dest", "/"), -1).alias("fname"),
+            "status",
+            "attempts",
+            "n_bytes",
+            F.coalesce(F.split("error", ":").getItem(0), F.lit("")).alias(
+                "error_class"
+            ),
+        )
+        .orderBy("fname")
+    )

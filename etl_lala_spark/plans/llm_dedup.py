@@ -448,3 +448,141 @@ def dedup_exact_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the span stream."""
     docs = load_table(spark, sf_dir, "documents")
     return dd.duplicate_spans(docs, k=_SUBSTR_K).orderBy("doc_id")
+
+
+_PLANT_RUNS_ORACLE = """
+WITH d AS (
+  SELECT o_orderkey AS d FROM orders
+  WHERE o_orderkey < 400 AND o_orderkey % 3 <> 2
+)
+SELECT CAST(8 + d % 5 AS BIGINT) AS run_tokens,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+       CAST(sum(d % 7 + 1) AS BIGINT) AS sum_starts
+FROM d GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("dedup_substring_exact", oracle=_PLANT_RUNS_ORACLE)
+def dedup_substring_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022) under a PLANTED closed-form gate:
+    a synthetic corpus is built in-cluster from orders — each doc d < 400
+    carries 30 corpus-unique filler tokens (``d{d}f{i}`` can never repeat
+    across documents), and docs with ``d % 3 ≠ 2`` get a shared plant
+    segment ``s{p}t{0..7+p}`` (p = d % 5, length 8+p tokens) spliced in at
+    token position ``d % 7 + 1`` — every plant is shared by many docs but
+    at DIFFERENT offsets, the unaligned-repeat case the fixed-block
+    ``repeated_block_dedup`` provably misses. ``substring_dedup_runs``
+    (min_tokens=8) must recover EXACTLY one maximal run per planted doc:
+    right length (8+p), right start (d%7+1), nothing from the unique
+    filler, nothing from the plant-free ``d % 3 = 2`` docs. The oracle
+    predicts (run length → run count, distinct docs, Σ start positions) in
+    closed form from orders; a span-hash, document-frequency,
+    island-merge, or position-arithmetic bug all change the hash.
+
+    Scale: see ``operators/dedup.py:substring_dedup_runs`` — spans shuffle
+    as 8-byte hashes; the island merge windows per document, never per
+    corpus."""
+    k = F.col("o_orderkey")
+    plant = F.expr(
+        "concat_ws(' ', transform(sequence(0, 7 + CAST(o_orderkey % 5 AS INT)),"
+        " t -> concat('s', o_orderkey % 5, 't', t)))"
+    )
+    text = F.when(
+        k % 3 != 2,
+        F.concat_ws(
+            " ",
+            F.expr(
+                "concat_ws(' ', transform(sequence(0, CAST(o_orderkey % 7 AS INT)),"
+                " i -> concat('d', o_orderkey, 'f', i)))"
+            ),
+            plant,
+            F.expr(
+                "concat_ws(' ', transform(sequence(CAST(o_orderkey % 7 AS INT) + 1, 29),"
+                " i -> concat('d', o_orderkey, 'f', i)))"
+            ),
+        ),
+    ).otherwise(
+        F.expr(
+            "concat_ws(' ', transform(sequence(0, 29),"
+            " i -> concat('d', o_orderkey, 'f', i)))"
+        )
+    )
+    docs = (
+        load_table(spark, sf_dir, "orders")
+        .filter(k < 400)
+        .select(k.alias("doc_id"), text.alias("text"))
+    )
+    runs = dd.substring_dedup_runs(docs, min_tokens=8)
+    return (
+        runs.groupBy("run_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("start_pos").alias("sum_starts"),
+        )
+        .orderBy("run_tokens")
+    )
+
+
+_DOC_RUNS_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+positions AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, len(toks) - {_SUBSTR_K} + 1)) AS i
+  FROM w WHERE len(toks) >= {_SUBSTR_K}
+),
+spans AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + {_SUBSTR_K} - 1], ' ') AS span
+  FROM positions
+),
+dup AS (
+  SELECT span FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT s.doc_id, s.pos,
+         s.pos - row_number() OVER (PARTITION BY s.doc_id ORDER BY s.pos)
+           AS grp
+  FROM spans s JOIN dup USING (span)
+),
+runs AS (
+  SELECT doc_id, min(pos) AS start_pos,
+         count(*) + {_SUBSTR_K} - 1 AS run_tokens
+  FROM flagged GROUP BY doc_id, grp
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(sum(run_tokens) AS BIGINT) AS dup_tokens,
+       CAST(max(run_tokens) AS BIGINT) AS longest_run
+FROM runs
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@register("dedup_substring_runs_docs", oracle=_DOC_RUNS_ORACLE)
+def dedup_substring_runs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr maximal-run detection over the REAL documents corpus
+    (word-5-gram grain, matching `dedup_exact_substrings`' k so the two
+    views of the same duplication are comparable): per document, how many
+    maximal cross-document duplicated runs it contains, their total token
+    mass, and the longest one — the per-doc removal budget of an
+    ExactSubstr pass. Unlike the planted gate this oracle REPLAYS the
+    whole algorithm (span explode → df≥2 → island merge) in ANSI SQL over
+    the corpus itself, pinning the operator against natural, organically
+    overlapping duplication rather than constructed plants."""
+    docs = load_table(spark, sf_dir, "documents")
+    runs = dd.substring_dedup_runs(docs, min_tokens=_SUBSTR_K)
+    return (
+        runs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.sum("run_tokens").alias("dup_tokens"),
+            F.max("run_tokens").alias("longest_run"),
+        )
+        .orderBy("doc_id")
+    )

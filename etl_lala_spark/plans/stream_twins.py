@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from etl_lala_spark.io import load_events, load_table
 from etl_lala_spark.plans import register
-from etl_lala_spark.plans._gates import gate_workdir
+from etl_lala_spark.plans._gates import fixture_region, gate_workdir
 
 _SCD2_ORACLE = """
 WITH c AS (
@@ -86,7 +86,8 @@ def stream_twin_scd2_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     table = os.path.join(work, "dim")
 
     def run(df: DataFrame, src: str) -> None:
-        df.coalesce(1).write.mode("overwrite").parquet(src)
+        with fixture_region("stream_twin_scd2_final"):
+            df.coalesce(1).write.mode("overwrite").parquet(src)
         stream = spark.readStream.schema(df.schema).parquet(src)
         q = w.stream_scd2(stream, table, key="k", tracked=["seg"])
         q.awaitTermination(300)
@@ -137,7 +138,8 @@ def stream_twin_running_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(work, "src")
     summary = os.path.join(work, "summary")
     ev = load_events(spark, sf_dir).select("event_type", "value")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    with fixture_region("stream_twin_running_summary"):
+        ev.repartition(4).write.mode("overwrite").parquet(src)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1)
@@ -260,7 +262,8 @@ def stream_twin_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = gate_workdir(spark, "stream_twin_progress")
     src = os.path.join(work, "src")
     ev = load_events(spark, sf_dir).select("user_id", "value")
-    ev.coalesce(1).write.mode("overwrite").parquet(src)  # one file -> one batch
+    with fixture_region("stream_twin_progress"):
+        ev.coalesce(1).write.mode("overwrite").parquet(src)  # one file -> one batch
     stream = spark.readStream.schema(ev.schema).parquet(src)
     _PROGRESS_RUNS[0] += 1
     got = windows.run_to_memory(
@@ -313,9 +316,10 @@ def stream_twin_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
     def land(lo: int, hi: int) -> None:
-        orders.filter(
-            (F.col("bucket") >= lo) & (F.col("bucket") <= hi)
-        ).write.mode("append").parquet(src)
+        with fixture_region("stream_twin_checkpoint_restart"):
+            orders.filter(
+                (F.col("bucket") >= lo) & (F.col("bucket") <= hi)
+            ).write.mode("append").parquet(src)
 
     def drain(run: int) -> None:
         stream = (
@@ -357,6 +361,166 @@ def stream_twin_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(F.when(F.col("run") == 2, 1).otherwise(0))
             .cast("long")
             .alias("n_rows_run2"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_TAGGED_NDJSON_ORACLE = """
+WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 800)
+SELECT 'metadados' AS category,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(k % 7 + 1) AS BIGINT) AS sum_val
+FROM k WHERE k % 5 = 0
+UNION ALL
+SELECT 'registro', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+FROM k WHERE k % 5 <> 0
+ORDER BY category
+"""
+
+_TAGGED_RUNS = [0]  # memory-sink names must be fresh per invocation
+
+
+@register("stream_twin_tagged_ndjson", oracle=_TAGGED_NDJSON_ORACLE)
+def stream_twin_tagged_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 tagged stream framing under the correctness gate: a tagged NDJSON
+    fixture (metadata envelopes on every fifth key, records otherwise —
+    rendered in-cluster from orders with pure codegen string build) is
+    consumed through the REAL ``read_tagged_ndjson(streaming=True)`` path —
+    a ``readStream.text`` source, ``from_json`` union parse, tag routing
+    (reference NDJSON_IMPLEMENTADO.md:140-158: first-line metadata object,
+    record lines routed on ``tipo``) — with BOTH legs drained by
+    availableNow streaming queries into memory sinks. The final per-type
+    counts and value sums must match the oracle's closed-form replay from
+    orders: a tag-routing, union-parse, or record-projection bug in the
+    STREAMING form (not just the batch twin certified in r3) lands on a
+    different hash.
+
+    Scale: the source is line-split text — constant memory per micro-batch
+    (T1); the parse is one codegen from_json, no Python."""
+    work = gate_workdir(spark, "stream_twin_tagged_ndjson")
+    src = os.path.join(work, "src")
+    from etl_lala_spark.sources.ndjson import read_tagged_ndjson
+    from etl_lala_spark.streaming.windows import run_to_memory
+
+    k = F.col("o_orderkey")
+    line = F.when(
+        k % 5 == 0,
+        F.concat(
+            F.lit('{"tipo":"metadados","arquivo":"f'), k,
+            F.lit('","total_colunas":'), (k % 7 + 1).cast("int"),
+            F.lit(',"colunas":["a"]}'),
+        ),
+    ).otherwise(
+        F.concat(F.lit('{"tipo":"registro","dados":{"val":"'), k, F.lit('"}}'))
+    )
+    with fixture_region("stream_twin_tagged_ndjson"):
+        (
+            load_table(spark, sf_dir, "orders")
+            .filter(k < 800)
+            .select(line.alias("value"))
+            .write.mode("overwrite")
+            .text(src)
+        )
+
+    meta, recs = read_tagged_ndjson(spark, src, ["val"], streaming=True)
+    _TAGGED_RUNS[0] += 1
+    run = _TAGGED_RUNS[0]
+    got_meta = run_to_memory(meta, f"t_gate_tagged_meta_{run}")
+    got_recs = run_to_memory(recs, f"t_gate_tagged_recs_{run}")
+    return (
+        got_meta.groupBy(F.lit("metadados").alias("category")).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("total_colunas").cast("long").alias("sum_val"),
+        )
+        .unionByName(
+            got_recs.groupBy(F.lit("registro").alias("category")).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("val").cast("long")).alias("sum_val"),
+            )
+        )
+        .orderBy("category")
+    )
+
+
+_TRIGGER_CHUNKS_ORACLE = """
+SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(o_orderkey % 4 AS BIGINT) AS batch_id,
+       CAST(1 AS BIGINT) AS n_batches
+FROM orders
+GROUP BY o_orderkey % 4
+ORDER BY bucket
+"""
+
+
+@register("stream_twin_trigger_chunks", oracle=_TRIGGER_CHUNKS_ORACLE)
+def stream_twin_trigger_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 chunked-trigger accounting under the correctness gate: the four
+    ``o_orderkey % 4`` buckets of orders are landed as four single-file
+    parquet sources with an mtime ladder (bucket b is b seconds newer), a
+    checkpointed availableNow file-source stream drains them under
+    ``maxFilesPerTrigger=1``, and the foreachBatch sink stamps every row
+    with its micro-batch id (reference T3: the converter processes the
+    input in bounded chunks and accounts per-chunk progress,
+    STREAMING_JSON_IMPLEMENTADO.md:164-181). The engine must assign batch
+    b exactly the b-th oldest file, so per bucket the sink holds count(*)
+    rows all carrying batch_id = bucket in exactly one distinct batch —
+    the oracle predicts the whole batch partition in closed form. A
+    trigger that coalesces files, re-orders them, or re-delivers a chunk
+    lands on a different hash.
+
+    Scale: maxFilesPerTrigger is the knob that bounds per-micro-batch
+    state at 100 TB backfills; this certifies its unit (one file = one
+    chunk) end-to-end through the offset log."""
+    import glob as globmod
+
+    work = gate_workdir(spark, "stream_twin_trigger_chunks")
+    src = os.path.join(work, "src")
+    sink = os.path.join(work, "sink")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).cast("long").alias("bucket")
+    )
+    t0 = 1_700_000_000  # deterministic mtime ladder: bucket b is b s newer
+    with fixture_region("stream_twin_trigger_chunks"):
+        for b in range(4):
+            tmp = os.path.join(work, f"tmp{b}")
+            orders.filter(F.col("bucket") == b).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+            dest = os.path.join(src, f"f{b}.parquet")
+            os.rename(part, dest)
+            os.utime(dest, (t0 + b, t0 + b))
+
+    stream = (
+        spark.readStream.schema("bucket long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def stamp(df: DataFrame, epoch_id: int) -> None:
+        df.withColumn("batch_id", F.lit(epoch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(sink)
+
+    q = (
+        stream.writeStream.foreachBatch(stamp)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.read.parquet(sink)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("batch_id").alias("batch_id"),
+            F.countDistinct("batch_id").alias("n_batches"),
         )
         .orderBy("bucket")
     )

@@ -1547,3 +1547,86 @@ def test_jpeg_rejects_cmyk_component_counts():
         assert "component" in str(ex)
     except ValueError:
         raise AssertionError("guard must fire before malformed-stream parse")
+
+
+def test_substring_dedup_runs_recovers_unaligned_plants(spark):
+    """ExactSubstr maximal-run detection (Lee et al. family): a shared
+    substring planted at DIFFERENT offsets in different docs — the case
+    fixed-block dedup misses — must come back as exactly one maximal run
+    per occurrence with the right start and length; unique text, sub-k
+    repeats, and within-doc-only repeats (under cross_doc_only) must not."""
+    from etl_lala_spark.operators.dedup import (
+        substring_dedup_clean,
+        substring_dedup_runs,
+    )
+
+    plant = " ".join(f"p{t}" for t in range(10))  # 10 shared tokens
+    uniq = lambda d, n, tag="u": " ".join(f"{tag}{d}x{i}" for i in range(n))
+    selfrep = " ".join(f"s{t}" for t in range(8))
+    rows = [
+        (0, f"{uniq(0, 3)} {plant} {uniq(0, 5, 'v')}"),   # plant at pos 3
+        (1, f"{uniq(1, 7)} {plant}"),                      # plant at pos 7 (end)
+        (2, f"{plant} {uniq(2, 4)}"),                      # plant at pos 0
+        (3, uniq(3, 20)),                                  # clean doc: no runs
+        (4, f"{selfrep} {uniq(4, 4)} {selfrep}"),          # within-doc repeat only
+        (5, "a b c"),                                      # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    runs = {
+        r["doc_id"]: r
+        for r in substring_dedup_runs(df, min_tokens=8).collect()
+    }
+    assert set(runs) == {0, 1, 2}  # 3 excluded (unique), 4 (within-doc), 5 (short)
+    for d, start in [(0, 3), (1, 7), (2, 0)]:
+        assert runs[d]["start_pos"] == start
+        assert runs[d]["run_tokens"] == 10  # maximal: the whole plant
+        assert runs[d]["n_spans"] == 3      # 10 - 8 + 1
+
+    # within-doc repeats surface when cross_doc_only is relaxed
+    wd = substring_dedup_runs(df, min_tokens=8, cross_doc_only=False)
+    got4 = [r for r in wd.collect() if r["doc_id"] == 4]
+    assert sorted(r["start_pos"] for r in got4) == [0, 12]
+    assert all(r["run_tokens"] == 8 for r in got4)
+
+    # the removal pass cuts exactly the planted tokens and keeps the rest
+    clean = {
+        r["doc_id"]: r for r in substring_dedup_clean(df, min_tokens=8).collect()
+    }
+    assert clean[0]["n_removed"] == 10
+    assert clean[0]["clean_text"] == f"{uniq(0, 3)} {uniq(0, 5, 'v')}"
+    assert clean[1]["clean_text"] == uniq(1, 7)
+    assert clean[2]["clean_text"] == uniq(2, 4)
+    assert clean[3]["n_removed"] == 0 and clean[3]["clean_text"] == uniq(3, 20)
+    assert clean[5]["n_removed"] == 0  # short doc passes through untouched
+
+
+def test_substring_dedup_run_maximality_and_boundaries(spark):
+    """Maximality is CONTENT-exact, not coverage-greedy: where the full
+    16-token concatenation "a b" is shared (docs 0 and 2) every interior
+    span is duplicated and the island merges into ONE 16-token run; where
+    only the 8-token halves are shared (doc 1) the boundary spans are
+    unique, so the halves stay SEPARATE runs — gluing them would claim a
+    16-token substring that appears nowhere else."""
+    from etl_lala_spark.operators.dedup import substring_dedup_runs
+
+    a = " ".join(f"a{t}" for t in range(8))
+    b = " ".join(f"b{t}" for t in range(8))
+    filler = " ".join(f"u1x{i}" for i in range(8))
+    rows = [
+        (0, f"{a} {b}"),            # whole 16 tokens shared with doc 2
+        (2, f"{a} {b}"),
+        (1, f"{a} {filler} {b}"),   # halves shared, concatenation is not
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    runs = substring_dedup_runs(df, min_tokens=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in runs:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d in (0, 2):
+        assert len(by_doc[d]) == 1
+        assert by_doc[d][0]["run_tokens"] == 16
+        assert by_doc[d][0]["start_pos"] == 0
+        assert by_doc[d][0]["n_spans"] == 9  # 16 - 8 + 1
+    assert sorted(r["run_tokens"] for r in by_doc[1]) == [8, 8]
+    assert sorted(r["start_pos"] for r in by_doc[1]) == [0, 16]

@@ -514,3 +514,41 @@ def test_headline_scan_budget_holds(spark, sf_dir):
         if c["scan"] > want["scan"] or c["python_eval"] > want["python_eval"]:
             failures.append((name, {k: c[k] for k in ("scan", "python_eval")}, want))
     assert not failures, failures
+
+
+def test_rotation_window_recheck_slots_go_to_stalest_cohort():
+    """Round-7 rotation hygiene (round-6 verdict #8): after tier 1 (the
+    never-driver-checked registrations of this round), the window's
+    re-check slots must be filled by the OLDEST-vintage cohort — entering
+    round 7 that is the 37 queries whose latest green is r2, so the
+    staleness floor provably rises each round. Phrased vintage-relative so
+    the assertion keeps holding in later rounds."""
+    from etl_lala_spark.plans import _correctness_records, all_queries
+
+    qs = all_queries()
+    last_checked, last_green = _correctness_records()
+    order = list(qs)
+    window = order[:50]
+
+    def staleness(n: str) -> int:
+        return (
+            last_green[n]
+            if qs[n].oracle is not None and n in last_green
+            else last_checked[n]
+        )
+
+    never = [n for n in window if n not in last_checked]
+    oldest = min(staleness(n) for n in order if n in last_checked)
+    cohort = [n for n in order if n in last_checked and staleness(n) == oldest]
+    if len(never) + len(cohort) <= 50:
+        missing = [n for n in cohort if n not in window]
+        assert not missing, (
+            f"stalest (r{oldest}-vintage) cohort not fully inside the "
+            f"50-row window: {missing}"
+        )
+    else:
+        rechecks = [n for n in window if n in last_checked]
+        assert all(staleness(n) == oldest for n in rechecks), (
+            "window re-check slots must be exclusively the oldest cohort "
+            "when it overflows the cap"
+        )
