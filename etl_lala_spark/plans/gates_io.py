@@ -1,7 +1,9 @@
 """Driver gates for the sink/source lifecycle components that were
 pytest-only through round 5 (round-5 verdict #3): archive expansion (S6),
 the JSON sink + `_indice` run manifest (S12), keep-N run retention (S13),
-and limit pushdown into the DBC decoder (S9/O1).
+limit pushdown into the DBC decoder (S9/O1), PERMISSIVE tagged-NDJSON
+error records (R5), and — since round 7 — the executor-side HTTP fetch
+(S5) driven against a real loopback HTTP server.
 
 Pattern (proved out by the round-5 multimodal gates): fixtures are built
 IN-CLUSTER from the deterministic test tables (zip bytes assembled in
