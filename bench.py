@@ -123,6 +123,10 @@ HEADLINE = [
     "stream_twin_tagged_ndjson",
     "stream_twin_trigger_chunks",
     "dedup_substring_runs_docs",
+    # round 7 (cont.): Z-order clustered rewrite correctness gate and
+    # contrastive triplet mining (hard negatives/positives per anchor)
+    "sink_zorder_roundtrip",
+    "contrastive_hard_negatives",
 ]
 
 
@@ -212,6 +216,31 @@ def main() -> None:
             f"{fix_note})",
             file=sys.stderr,
         )
+
+    # Full per-query detail ALSO lands in a repo file: with 70+ headline
+    # queries the stdout metric line exceeds the driver's 2000-byte tail
+    # capture and drops its queries dict (r6's record kept only the total,
+    # and the stderr copy was front-truncated by the same tail budget).
+    # The file survives in git regardless of capture limits.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "cpus": cpus,
+                "runs_per_query": n_runs,
+                "total_wall_s": round(total, 3),
+                "canary_scan_sum_s": round(canary, 3),
+                "queries": timings,
+                "stddev": spreads,
+                "fixture_seconds_excluded": fixtures,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
 
     # The metric line must be the LAST line on stdout AND fit the driver's
     # 2000-byte stdout-tail capture (r2's line overflowed it and parsed as

@@ -84,6 +84,72 @@ def brute_force_topk(
     )
 
 
+def hard_negative_mine(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Triplet mining for contrastive training (the FaceNet/SimCLR data
+    stage): for each anchor, the k most-similar corpus rows with a
+    DIFFERENT label (hard negatives — the pairs a margin loss learns most
+    from) and the k LEAST-similar rows with the SAME label (hard
+    positives). Exact, deterministic (rounded sim + id tiebreak), and
+    oracle-replayable.
+
+    Plan shape matches ``brute_force_topk``: the anchor cohort broadcasts
+    (id, label, vector, norm — O(cohort × dim) bytes), the corpus is
+    scanned ONCE with per-row norms projected once, and ranking partitions
+    by (anchor, kind) so no partition exceeds the corpus rows of one
+    anchor. At 100 TB the corpus never shuffles; mining cost is one
+    codegen dot per (anchor, row) pair. Returns
+    (anchor_id, kind, neighbor_id, cos_sim, rank).
+    """
+    from etl_lala_spark.io import spread
+
+    q = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+    )
+    c = spread(corpus, by=id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+    )
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+        round_digits,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            F.when(F.col("n_label") == F.col("anchor_label"), F.lit("hard_pos"))
+            .otherwise(F.lit("hard_neg"))
+            .alias("kind"),
+            "neighbor_id",
+            sim.alias("cos_sim"),
+        )
+    )
+    # hard negatives rank by sim DESC (most confusable), hard positives by
+    # sim ASC (least obvious same-class pair); one CASE keying keeps it a
+    # single window pass.
+    order_key = F.when(
+        F.col("kind") == "hard_neg", -F.col("cos_sim")
+    ).otherwise(F.col("cos_sim"))
+    w = W.partitionBy("anchor_id", "kind").orderBy(order_key, "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: sin-scrambled values
     keyed by (plane, dim-index). No RNG → reproducible across runs/engines."""

@@ -286,3 +286,211 @@ def importance_weights(
             F.round(F.avg("logratio"), 6).alias("weight"),
         )
     )
+
+
+def _viterbi_segment(word: str, logp: dict[str, float], max_len: int):
+    """Best unigram segmentation of ``word`` under piece log-probs: maximize
+    sum of piece log-probs, ties broken toward FEWER pieces, then by the
+    deterministic left-to-right scan order. Returns (pieces, score) or
+    (None, None) when the word is unsegmentable under ``logp``."""
+    n = len(word)
+    NEG = float("-inf")
+    best = [(NEG, 0)] * (n + 1)  # (score, -n_pieces)
+    back = [0] * (n + 1)
+    best[0] = (0.0, 0)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            if best[j][0] == NEG:
+                continue
+            lp = logp.get(word[j:i])
+            if lp is None:
+                continue
+            cand = (best[j][0] + lp, best[j][1] - 1)
+            if cand > best[i]:
+                best[i] = cand
+                back[i] = j
+    if best[n][0] == NEG:
+        return None, None
+    pieces = []
+    i = n
+    while i > 0:
+        j = back[i]
+        pieces.append(word[j:i])
+        i = j
+    pieces.reverse()
+    return pieces, best[n][0]
+
+
+def unigram_lm_train(
+    df,
+    text_col: str = "text",
+    vocab_size: int = 150,
+    max_piece_len: int = 4,
+    iters: int = 4,
+):
+    """Train a unigram-LM tokenizer ON the corpus (the SentencePiece/Kudo
+    2018 family — the other standard subword tokenizer next to BPE), as a
+    distributed job with O(vocab) driver state.
+
+    Stages:
+    1. Word counts: one explode + hash agg (vocabulary-bounded, map-side
+       combined) — EM then runs over DISTINCT words weighted by count, so
+       corpus size only affects this first scan.
+    2. Seed vocab: every substring of length 1..max_piece_len of the
+       distinct words, weighted by word count (two nested `sequence`
+       explodes — bounded by Σ|w|·max_piece_len over DISTINCT words), cut
+       to the top (vocab_size − #chars) by (count desc, piece asc) via
+       TakeOrderedAndProject, with ALL single characters always seeded so
+       every word starts segmentable.
+    3. Viterbi-EM, ``iters`` rounds over a FIXED piece set: the E-step
+       segments each distinct word by dynamic programming inside
+       `mapInPandas` (piece log-probs travel in the task closure — O(vocab)
+       bytes) and pre-aggregates piece counts per Arrow batch; Spark
+       reduces them in one vocabulary-bounded hash agg. The M-step is exact
+       MLE (count/total) on the driver. Zero-count pieces keep prob 0 —
+       unselectable but retained, which makes hard-EM's objective (corpus
+       log-likelihood of the BEST segmentation) provably non-decreasing:
+       the E-step can only improve it given the probs, the MLE M-step can
+       only improve it given the segmentation. That monotone law plus
+       exact reconstruction (pieces concatenate back to every word) are
+       what `audit_unigram_em` pins to the oracle gate.
+
+    At 100 TB: the corpus is touched by exactly ONE scan (word counts);
+    every EM round scans only the distinct-word table. Driver state is the
+    piece table — like the k-means codebook, never the data. Returns
+    {"vocab": [{piece, prob, count}...], "ll_per_iter": [...],
+    "chars": [...], "recon_violations": int, "pieces_char_total": int}.
+    """
+    import math
+
+    import pandas as pd
+
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    words.cache()
+
+    chars = sorted(
+        r["piece"]
+        for r in words.select(
+            F.explode(F.split("w", "")).alias("piece")
+        )
+        .filter(F.col("piece") != "")
+        .distinct()
+        .collect()
+    )
+
+    subs = (
+        words.select(
+            "w", "c", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+        )
+        .select(
+            "w",
+            "c",
+            "i",
+            F.explode(
+                F.sequence(
+                    F.lit(2),
+                    F.least(
+                        F.lit(max_piece_len), F.length("w") - F.col("i") + 1
+                    ),
+                )
+            ).alias("L"),
+        )
+        .select(F.col("w").substr(F.col("i"), F.col("L")).alias("piece"), "c")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("pc"))
+        .orderBy(F.col("pc").desc(), "piece")
+        .limit(max(0, vocab_size - len(chars)))
+        .collect()
+    )
+    char_counts = {
+        r["piece"]: int(r["pc"])
+        for r in words.select(
+            F.explode(F.split("w", "")).alias("piece"), "c"
+        )
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("c").alias("pc"))
+        .collect()
+    }
+    counts = {r["piece"]: int(r["pc"]) for r in subs}
+    counts.update(char_counts)  # chars always present
+
+    total = float(sum(counts.values()))
+    probs = {p: c / total for p, c in counts.items()}
+
+    out_schema = "piece string, c double, ll double, viol long, plen long"
+    ll_per_iter: list[float] = []
+    final_counts: dict[str, int] = {}
+    recon_viol = 0
+    pieces_char_total = 0
+    for _round in range(iters):
+        logp = {p: math.log(pr) for p, pr in probs.items() if pr > 0.0}
+        mpl = max_piece_len
+
+        def seg_batches(batches):
+            for pdf in batches:
+                agg: dict[str, float] = {}
+                ll = 0.0
+                viol = 0
+                plen = 0
+                for w, c in zip(pdf["w"], pdf["c"]):
+                    pieces, score = _viterbi_segment(w, logp, mpl)
+                    if pieces is None or "".join(pieces) != w:
+                        viol += int(c)
+                        continue
+                    ll += float(c) * score
+                    plen += int(c) * sum(len(p) for p in pieces)
+                    for p in pieces:
+                        agg[p] = agg.get(p, 0.0) + float(c)
+                rows = [(p, cnt, 0.0, 0, 0) for p, cnt in agg.items()]
+                rows.append((None, 0.0, ll, viol, plen))
+                yield pd.DataFrame(
+                    rows, columns=["piece", "c", "ll", "viol", "plen"]
+                )
+
+        stats = (
+            words.mapInPandas(seg_batches, out_schema)
+            .groupBy("piece")
+            .agg(
+                F.sum("c").alias("c"),
+                F.sum("ll").alias("ll"),
+                F.sum("viol").alias("viol"),
+                F.sum("plen").alias("plen"),
+            )
+            .collect()
+        )
+        new_counts: dict[str, int] = {}
+        ll = 0.0
+        recon_viol = 0
+        pieces_char_total = 0
+        for r in stats:
+            if r["piece"] is None:
+                ll += float(r["ll"])
+                recon_viol += int(r["viol"])
+                pieces_char_total += int(r["plen"])
+            else:
+                new_counts[r["piece"]] = int(r["c"])
+        ll_per_iter.append(ll)
+        final_counts = new_counts
+        tot = float(sum(new_counts.values()))
+        probs = {p: new_counts.get(p, 0) / tot for p in probs}
+
+    vocab = [
+        {"piece": p, "prob": probs[p], "count": final_counts.get(p, 0)}
+        for p in sorted(probs, key=lambda p: (-probs[p], p))
+        if probs[p] > 0.0
+    ]
+    words.unpersist()
+    return {
+        "vocab": vocab,
+        "vocab_budget": vocab_size,
+        "ll_per_iter": ll_per_iter,
+        "chars": chars,
+        "recon_violations": recon_viol,
+        "pieces_char_total": pieces_char_total,
+    }

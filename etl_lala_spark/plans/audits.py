@@ -742,3 +742,74 @@ def audit_logistic_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         _flag(F.lit(bool(improved))).alias("improved_ok"),
         _flag(F.col("n_right") >= F.lit(0.8) * F.col("n_docs")).alias("accuracy_ok"),
     )
+
+
+@register(
+    "audit_unigram_em",
+    oracle="""
+WITH w AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(w)) AS BIGINT) AS total_chars,
+       (SELECT CAST(count(DISTINCT substr(t.w, i.i, 1)) AS BIGINT)
+        FROM w t, LATERAL (SELECT unnest(range(1, len(t.w) + 1)) AS i) i)
+         AS n_chars,
+       1 AS recon_ok, 1 AS ll_monotone_ok, 1 AS vocab_budget_ok,
+       1 AS chars_seeded_ok
+FROM w
+""",
+)
+def audit_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``tokenizer_unigram_em`` (rows-only there).
+
+    ``n_words`` / ``total_chars`` / ``n_chars`` are hash-matched against
+    DuckDB's independent tokenization — the trainer's own word table must
+    reproduce them exactly. ``recon_ok``: the final E-step re-concatenates
+    every word from its pieces with ZERO violations AND the piece-length
+    total equals the corpus character total (exact conservation law — a
+    segmentation that drops, duplicates, or mangles a piece anywhere in
+    the corpus flips it). ``ll_monotone_ok``: the hard-EM objective (best-
+    segmentation corpus log-likelihood) never decreased across rounds
+    (relative 1e-9 slack for agg-order float jitter). ``vocab_budget_ok``:
+    final vocab ≤ the requested budget. ``chars_seeded_ok``: every corpus
+    character was seeded, so segmentability was total by construction."""
+    from etl_lala_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    model = tx.unigram_lm_train(d, vocab_size=150, max_piece_len=4, iters=4)
+    ll = model["ll_per_iter"]
+    monotone = all(
+        b >= a - 1e-9 * max(1.0, abs(a)) for a, b in zip(ll, ll[1:])
+    )
+    wtab = (
+        d.select(F.explode(F.split("text", r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    base = wtab.agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.length("w")).alias("total_chars"),
+    )
+    nchars = (
+        wtab.select(F.explode(F.split("w", "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .agg(F.count_distinct("ch").alias("n_chars"))
+    )
+    return base.join(F.broadcast(nchars)).select(
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.col("total_chars").cast("bigint").alias("total_chars"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        _flag(
+            F.lit(model["recon_violations"] == 0)
+            & (F.lit(model["pieces_char_total"]) == F.col("total_chars"))
+        ).alias("recon_ok"),
+        _flag(F.lit(bool(monotone))).alias("ll_monotone_ok"),
+        _flag(
+            F.lit(len(model["vocab"]) <= model["vocab_budget"])
+        ).alias("vocab_budget_ok"),
+        _flag(F.lit(len(model["chars"])) == F.col("n_chars")).alias(
+            "chars_seeded_ok"
+        ),
+    )

@@ -545,3 +545,107 @@ def fetch_http_loopback(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fname")
     )
+
+
+_ZORDER_ORACLE = """
+WITH b AS (
+  SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+         MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+  FROM lineitem
+),
+f AS (SELECT l.l_partkey, l.l_suppkey, l.l_quantity, l.l_extendedprice,
+             b.pmin, b.pmax, b.smin, b.smax
+      FROM lineitem l, b),
+boxed AS (
+  SELECT 1 AS box_id, l_quantity AS q, l_extendedprice AS p FROM f
+   WHERE l_partkey <= pmin + (pmax - pmin) // 10
+     AND l_suppkey <= smin + (smax - smin) // 10
+  UNION ALL
+  SELECT 2, l_quantity, l_extendedprice FROM f
+   WHERE l_partkey >= pmin + 4 * ((pmax - pmin) // 10)
+     AND l_partkey <= pmin + 6 * ((pmax - pmin) // 10)
+  UNION ALL
+  SELECT 3, l_quantity, l_extendedprice FROM f
+   WHERE l_suppkey >= smax - (smax - smin) // 10
+)
+SELECT box_id, CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
+FROM boxed GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("sink_zorder_roundtrip", oracle=_ZORDER_ORACLE)
+def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustered rewrite under the correctness gate: lineitem is
+    rewritten through ``write_zordered`` (Morton interleave of l_partkey ×
+    l_suppkey, range-partitioned + sorted on the Z key — the lakehouse
+    OPTIMIZE ZORDER layout), read back, and probed with three box
+    predicates (corner box on both dims, mid band on the leading dim, top
+    band on the TRAILING dim) whose bounds derive from the observed min/max
+    by integer arithmetic. Per box: row count + decimal sums. The oracle
+    replays the boxes directly over the source table, so a clustered
+    rewrite that drops, duplicates, or corrupts rows — or a bucketing bug
+    that misplaces boundary values — lands on a different hash.
+
+    The skipping POWER of the layout (fewer row groups intersect a thin
+    box on the trailing dim than a lexicographic sort allows) is asserted
+    from parquet footer statistics in tests/test_sinks.py
+    (test_write_zordered_skips_on_both_columns); this gate pins the
+    rewrite's correctness. Scale: the rewrite is one range shuffle on the
+    Z key; every probe reads only footer-intersecting row groups, which is
+    the point at 100 TB."""
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+    from etl_lala_spark.sinks.writer import write_zordered
+
+    zpath = os.path.join(gate_workdir(spark, "sink_zorder_roundtrip"), "ztable")
+    with fixture_region("sink_zorder_roundtrip"):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+        )
+        write_zordered(li, zpath, zcols=("l_partkey", "l_suppkey"), n_files=16)
+
+    z = spark.read.parquet(zpath)
+    bounds = z.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+    )
+    zb = z.join(F.broadcast(bounds))
+    pspan = F.expr("(pmax - pmin) div 10")
+    sspan = F.expr("(smax - smin) div 10")
+
+    def box(box_id: int, pred):
+        return (
+            zb.where(pred)
+            .agg(
+                F.lit(box_id).alias("box_id"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(
+                    F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("sum_qty"),
+                F.round(
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                        "double"
+                    ),
+                    2,
+                ).alias("sum_price"),
+            )
+        )
+
+    b1 = box(
+        1,
+        (F.col("l_partkey") <= F.col("pmin") + pspan)
+        & (F.col("l_suppkey") <= F.col("smin") + sspan),
+    )
+    b2 = box(
+        2,
+        (F.col("l_partkey") >= F.col("pmin") + 4 * pspan)
+        & (F.col("l_partkey") <= F.col("pmin") + 6 * pspan),
+    )
+    b3 = box(3, F.col("l_suppkey") >= F.col("smax") - sspan)
+    return b1.unionByName(b2).unionByName(b3).orderBy("box_id")

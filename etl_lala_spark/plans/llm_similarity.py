@@ -789,3 +789,42 @@ def audit_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("ratio"), 3).alias("max_ratio"),
         F.round(F.avg("ratio"), 3).alias("avg_ratio"),
     )
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, label AS alabel, embedding AS qv
+  FROM embeddings WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.anchor_id, c.vec_id AS neighbor_id,
+         CASE WHEN c.label = q.alabel THEN 'hard_pos' ELSE 'hard_neg' END
+           AS kind,
+         round({_DOT} / ({_NQ} * {_NC}), 4) AS cos_sim
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.anchor_id
+)
+SELECT anchor_id, kind, neighbor_id, cos_sim,
+       CAST(row_number() OVER (
+              PARTITION BY anchor_id, kind
+              ORDER BY CASE WHEN kind = 'hard_neg' THEN -cos_sim
+                            ELSE cos_sim END, neighbor_id) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 3
+ORDER BY anchor_id, kind, rank
+""",
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training data: per anchor (every
+    100th vector), the 3 most-similar OTHER-label rows (hard negatives)
+    and the 3 least-similar SAME-label rows (hard positives) — the pairs a
+    margin/InfoNCE loss learns most from. Exact cosine, broadcast anchor
+    cohort, one corpus scan, no corpus shuffle (see
+    operators/similarity.py:hard_negative_mine for the 100 TB argument)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    return sim.hard_negative_mine(emb, anchors, k=3).orderBy(
+        "anchor_id", "kind", "rank"
+    )

@@ -1312,3 +1312,30 @@ def curate_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select("doc_id", "n_tokens", "weight").withColumn(
         "rank", rank.cast("int")
     ).orderBy("rank")
+
+
+@register(
+    "tokenizer_unigram_em",
+    doc="rows-only: unigram-LM (SentencePiece) tokenizer training via Viterbi-EM",
+)
+def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018 / SentencePiece family —
+    the other standard subword scheme next to BPE) on the corpus:
+    substring-seeded vocab, 4 Viterbi-EM rounds over the distinct-word
+    table with exact-MLE M-steps (`operators/text.py:unigram_lm_train`).
+    Emits the top-25 learned pieces. Iterative + float-scored → rows-only;
+    `audit_unigram_em` pins exact reconstruction, the monotone hard-EM
+    likelihood law, and hash-matched corpus counts to the oracle gate."""
+    from etl_lala_spark.io import tiny_df
+
+    d = load_table(spark, sf_dir, "documents")
+    model = tx.unigram_lm_train(d, vocab_size=150, max_piece_len=4, iters=4)
+    top = model["vocab"][:25]
+    return tiny_df(
+        spark,
+        [
+            (i + 1, v["piece"], round(v["prob"], 6), v["count"])
+            for i, v in enumerate(top)
+        ],
+        "rank int, piece string, prob double, count bigint",
+    ).orderBy("rank")

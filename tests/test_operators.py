@@ -1630,3 +1630,57 @@ def test_substring_dedup_run_maximality_and_boundaries(spark):
         assert by_doc[d][0]["n_spans"] == 9  # 16 - 8 + 1
     assert sorted(r["run_tokens"] for r in by_doc[1]) == [8, 8]
     assert sorted(r["start_pos"] for r in by_doc[1]) == [0, 16]
+
+
+def test_unigram_lm_train_plants_piece_and_reconstructs(spark):
+    """On a corpus dominated by one repeated 4-char pattern, unigram EM
+    must (a) keep a multi-char piece covering the pattern in its top
+    vocab, (b) reconstruct every word exactly, (c) never decrease the
+    hard-EM likelihood, and (d) respect the vocab budget."""
+    from etl_lala_spark.operators.text import unigram_lm_train
+
+    rows = [(i, ("wxyz" * (i % 3 + 1)) + " qq kj") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_lm_train(df, vocab_size=40, max_piece_len=4, iters=4)
+
+    assert model["recon_violations"] == 0
+    ll = model["ll_per_iter"]
+    assert all(b >= a - 1e-9 * max(1.0, abs(a)) for a, b in zip(ll, ll[1:]))
+    assert len(model["vocab"]) <= 40
+    top5 = [v["piece"] for v in model["vocab"][:5]]
+    assert any(len(p) >= 2 and set(p) <= set("wxyz") for p in top5), top5
+    # conservation: piece chars == corpus word chars
+    total_chars = sum(
+        len(w) for _i, t in rows for w in t.split() if w
+    )
+    assert model["pieces_char_total"] == total_chars
+
+
+def test_hard_negative_mine_labels_and_ranks(spark):
+    """Hard negatives must be other-label rows ranked by sim desc; hard
+    positives same-label ranked asc; ids never pair with themselves."""
+    from etl_lala_spark.operators.similarity import hard_negative_mine
+
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 2
+
+    rows = [
+        (0, vec(0.00), 0),
+        (1, vec(0.05), 0),   # near-duplicate, same label -> easy positive
+        (2, vec(1.40), 0),   # far, same label -> hard positive
+        (3, vec(0.10), 1),   # very close, other label -> hardest negative
+        (4, vec(2.00), 1),   # far, other label -> easy negative
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    anchors = df.filter("vec_id = 0")
+    out = hard_negative_mine(df, anchors, k=2).collect()
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    negs = sorted(by_kind["hard_neg"], key=lambda r: r["rank"])
+    poss = sorted(by_kind["hard_pos"], key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in negs] == [3, 4]
+    assert [r["neighbor_id"] for r in poss] == [2, 1]
+    assert all(r["neighbor_id"] != 0 for r in out)
