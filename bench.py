@@ -127,6 +127,7 @@ HEADLINE = [
     # contrastive triplet mining (hard negatives/positives per anchor)
     "sink_zorder_roundtrip",
     "contrastive_hard_negatives",
+    "multimodal_augment_crop_flip",
 ]
 
 

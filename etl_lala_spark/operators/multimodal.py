@@ -955,6 +955,64 @@ def image_resize(
     return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
 
 
+def image_augment(
+    df: DataFrame,
+    crop: tuple[int, int, int, int] | None = None,
+    hflip: bool = False,
+    vflip: bool = False,
+    data_col: str = "media",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed image augmentation — the deterministic half of a vision
+    training augmentation stage (center/offset crop + axis flips; the
+    random-parameter draw belongs to the caller via per-row keys). Each
+    row's encoded image (PNG/JPEG/GIF, in-repo codecs) is decoded, cropped
+    to the (x, y, w, h) box (clamped to the frame), flipped, and emitted
+    as raw pixels + dims. All index arithmetic is integer-exact, so an
+    oracle can replay the output pixel sums arithmetically. Undecodable
+    rows degrade to NULLs per the multimodal contract.
+
+    Scale: identical to ``image_resize`` — one Arrow-batched mapInPandas
+    pass, numpy slicing per image (no per-pixel Python), no shuffle."""
+    import numpy as np
+
+    schema = (
+        f"{id_col} long, width int, height int, n_channels int, pixels binary"
+    )
+
+    def kernel(data: bytes) -> tuple[int, int, int, bytes]:
+        w, h, ch, px = decode_pixels(bytes(data))
+        a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
+        if crop is not None:
+            cx, cy, cw, chh = crop
+            cx, cy = max(0, cx), max(0, cy)
+            a = a[cy : min(h, cy + chh), cx : min(w, cx + cw), :]
+            if a.size == 0:
+                raise ValueError("crop box outside the frame")
+        if hflip:
+            a = a[:, ::-1, :]
+        if vflip:
+            a = a[::-1, :, :]
+        return a.shape[1], a.shape[0], ch, np.ascontiguousarray(a).tobytes()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, row in pdf.iterrows():
+                if pd.isna(row[id_col]):
+                    continue
+                try:
+                    w, h, ch, px = kernel(row[data_col])
+                    rows.append((int(row[id_col]), w, h, ch, px))
+                except (ValueError, NotImplementedError, TypeError):
+                    rows.append((int(row[id_col]), None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "width", "height", "n_channels", "pixels"]
+            )
+
+    return df.select(id_col, data_col).mapInPandas(batches, schema=schema)
+
+
 def audio_window_energy(
     df: DataFrame,
     window_samples: int,

@@ -494,3 +494,56 @@ def unigram_lm_train(
         "recon_violations": recon_viol,
         "pieces_char_total": pieces_char_total,
     }
+
+
+def unigram_apply(
+    df,
+    model: dict,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+):
+    """Tokenize a corpus with a trained unigram-LM model (the deploy half
+    of `unigram_lm_train`, mirroring `bpe_apply`): per document, Viterbi-
+    segment each whitespace word under the trained piece probabilities and
+    emit the piece sequence plus its length.
+
+    Narrow `mapInPandas` — the piece log-probs ride in the task closure
+    (O(vocab) bytes), no shuffle, no corpus rescan. Returns the input
+    columns plus ``pieces`` (\\x01-joined) and ``n_pieces``; a word that
+    the vocab cannot segment (impossible when the model seeded all its
+    characters) falls back to its raw characters."""
+    import math
+
+    import pandas as pd
+
+    logp = {
+        v["piece"]: math.log(v["prob"])
+        for v in model["vocab"]
+        if v["prob"] > 0.0
+    }
+    char_fallback = {c: math.log(1e-12) for c in model.get("chars", [])}
+    cols = df.columns
+    schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", pieces string, n_pieces long"
+
+    def tok(batches):
+        for pdf in batches:
+            pieces_col = []
+            n_col = []
+            for t in pdf[text_col]:
+                out = []
+                for w in (t or "").split():
+                    seg, _ = _viterbi_segment(w, logp, max_piece_len)
+                    if seg is None:
+                        merged = {**char_fallback, **logp}
+                        seg, _ = _viterbi_segment(w, merged, max_piece_len)
+                        if seg is None:
+                            seg = list(w)
+                    out.extend(seg)
+                pieces_col.append("\x01".join(out))
+                n_col.append(len(out))
+            pdf = pdf.copy()
+            pdf["pieces"] = pieces_col
+            pdf["n_pieces"] = n_col
+            yield pdf
+
+    return df.mapInPandas(tok, schema)

@@ -736,3 +736,94 @@ def multimodal_gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pixel_sum,
         "doc_id long, width int, height int, n_channels int, px_sum long",
     ).orderBy("doc_id")
+
+
+_AUGMENT_ORACLE = """
+SELECT d.doc_id,
+       CAST(12 AS INT) AS width,
+       CAST(9 AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(sum((3 * (16 - x.i) + 7 * (3 + y.j) + 11 * c.k + d.doc_id) % 256)
+            AS BIGINT) AS px_sum,
+       CAST(sum((x.i + 2 * y.j) *
+                ((3 * (16 - x.i) + 7 * (3 + y.j) + 11 * c.k + d.doc_id) % 256))
+            AS BIGINT) AS wsum
+FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d,
+     range(0, 12) x(i), range(0, 9) y(j), range(0, 3) c(k)
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("multimodal_augment_crop_flip", oracle=_AUGMENT_ORACLE)
+def multimodal_augment_crop_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic image augmentation certified arithmetically: per
+    document a REAL 24x16 RGB PNG with pixel p(x,y,c) = (3x+7y+11c+doc_id)
+    mod 256 is decoded, cropped to the (5,3)+(12x9) box, and horizontally
+    flipped by ``operators/multimodal.py:image_augment``; the reduce emits
+    the plain pixel sum AND a position-weighted checksum Σ(x+2y)·p —
+    the weighted term pins the flip (a sum alone is flip-invariant), the
+    plain term pins the crop box, and the oracle replays output pixel
+    (x,y,c) = input (16−x, 3+y, c) over SQL ranges. Any codec, crop-
+    clamp, flip-direction, or channel-order bug lands on a different
+    hash.
+
+    The augmentation shape every vision pipeline runs after decode: one
+    Arrow-batched pass, numpy slicing per image, no shuffle."""
+    from collections.abc import Iterator as _Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def build(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = bytes(
+                    (3 * x + 7 * y + 11 * c + d) % 256
+                    for y in range(16)
+                    for x in range(24)
+                    for c in range(3)
+                )
+                rows.append((d, mm.encode_png(24, 16, px, channels=3)))
+            yield pd.DataFrame(rows, columns=["doc_id", "media"])
+
+    def checksums(it: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                a = (
+                    np.frombuffer(r["pixels"], np.uint8)
+                    .reshape(int(r["height"]), int(r["width"]), int(r["n_channels"]))
+                    .astype(np.int64)
+                )
+                wgrid = (
+                    np.arange(a.shape[1])[None, :, None]
+                    + 2 * np.arange(a.shape[0])[:, None, None]
+                )
+                rows.append(
+                    (
+                        int(r["doc_id"]),
+                        int(r["width"]),
+                        int(r["height"]),
+                        int(r["n_channels"]),
+                        int(a.sum()),
+                        int((a * wgrid).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_channels", "px_sum", "wsum"
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    imgs = docs.select("doc_id").mapInPandas(build, "doc_id long, media binary")
+    aug = mm.image_augment(imgs, crop=(5, 3, 12, 9), hflip=True)
+    return aug.mapInPandas(
+        checksums,
+        "doc_id long, width int, height int, n_channels int, "
+        "px_sum long, wsum long",
+    ).orderBy("doc_id")

@@ -1684,3 +1684,55 @@ def test_hard_negative_mine_labels_and_ranks(spark):
     assert [r["neighbor_id"] for r in negs] == [3, 4]
     assert [r["neighbor_id"] for r in poss] == [2, 1]
     assert all(r["neighbor_id"] != 0 for r in out)
+
+
+def test_unigram_apply_conserves_chars_and_matches_training(spark):
+    """Applying the trained model must reproduce the training E-step's
+    exact char-conservation law on the same corpus: the concatenated
+    pieces of every doc equal the doc's words, and the corpus-wide piece
+    char total equals the trainer's."""
+    from etl_lala_spark.operators.text import unigram_apply, unigram_lm_train
+
+    rows = [(i, ("wxyz" * (i % 3 + 1)) + " qq kj") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    model = unigram_lm_train(df, vocab_size=40, max_piece_len=4, iters=3)
+    out = unigram_apply(df, model).collect()
+    total = 0
+    for r in out:
+        joined = r["pieces"].replace("\x01", "")
+        assert joined == r["text"].replace(" ", "")
+        assert r["n_pieces"] == len(r["pieces"].split("\x01"))
+        total += len(joined)
+    assert total == model["pieces_char_total"]
+
+
+def test_image_augment_crop_flip_semantics(spark):
+    """Crop must clamp to the frame; vflip/hflip must move a marked corner
+    pixel to the expected output corner; undecodable rows degrade to
+    NULLs."""
+    import numpy as np
+    from etl_lala_spark.operators import multimodal as mm
+
+    w, h = 6, 4
+    px = np.zeros((h, w, 3), np.uint8)
+    px[0, 0] = (9, 9, 9)        # top-left marker
+    png = mm.encode_png(w, h, px.tobytes(), channels=3)
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, media binary",
+    )
+    out = {r["doc_id"]: r for r in mm.image_augment(df, hflip=True).collect()}
+    a = np.frombuffer(out[1]["pixels"], np.uint8).reshape(4, 6, 3)
+    assert tuple(a[0, 5]) == (9, 9, 9)  # marker moved to top-right
+    assert out[2]["pixels"] is None and out[2]["width"] is None
+
+    out2 = {r["doc_id"]: r for r in mm.image_augment(df, vflip=True).collect()}
+    b = np.frombuffer(out2[1]["pixels"], np.uint8).reshape(4, 6, 3)
+    assert tuple(b[3, 0]) == (9, 9, 9)  # marker moved to bottom-left
+
+    # crop clamps: box partially outside keeps the in-frame part
+    out3 = {
+        r["doc_id"]: r
+        for r in mm.image_augment(df, crop=(4, 2, 10, 10)).collect()
+    }
+    assert (out3[1]["width"], out3[1]["height"]) == (2, 2)
