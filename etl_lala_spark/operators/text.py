@@ -407,6 +407,12 @@ def unigram_lm_train(
         .limit(max(0, vocab_size - len(chars)))
         .collect()
     )
+    if len(chars) > vocab_size:
+        raise ValueError(
+            f"vocab_size={vocab_size} is below the corpus alphabet "
+            f"({len(chars)} chars); full coverage needs at least one slot "
+            "per character"
+        )
     char_counts = {
         r["piece"]: int(r["pc"])
         for r in words.select(
@@ -420,6 +426,16 @@ def unigram_lm_train(
     counts = {r["piece"]: int(r["pc"]) for r in subs}
     counts.update(char_counts)  # chars always present
 
+    if not counts:  # empty corpus: empty model, no EM rounds
+        words.unpersist()
+        return {
+            "vocab": [],
+            "vocab_budget": vocab_size,
+            "ll_per_iter": [],
+            "chars": [],
+            "recon_violations": 0,
+            "pieces_char_total": 0,
+        }
     total = float(sum(counts.values()))
     probs = {p: c / total for p, c in counts.items()}
 

@@ -1736,3 +1736,18 @@ def test_image_augment_crop_flip_semantics(spark):
         for r in mm.image_augment(df, crop=(4, 2, 10, 10)).collect()
     }
     assert (out3[1]["width"], out3[1]["height"]) == (2, 2)
+
+
+def test_unigram_lm_train_edge_guards(spark):
+    """Budget below the alphabet must refuse loudly; an empty corpus must
+    return an empty model instead of dividing by zero."""
+    import pytest
+    from etl_lala_spark.operators.text import unigram_lm_train
+
+    df = spark.createDataFrame([(0, "abcdef")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="alphabet"):
+        unigram_lm_train(df, vocab_size=3, max_piece_len=3, iters=1)
+
+    empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    model = unigram_lm_train(empty, vocab_size=10, max_piece_len=3, iters=2)
+    assert model["vocab"] == [] and model["ll_per_iter"] == []

@@ -309,3 +309,61 @@ def test_progressive_jpeg_decoder_never_crashes_on_corruption(junk, flip_pos, fl
             assert len(px) == w * h * ch
         except (ValueError, NotImplementedError):
             pass
+
+
+# --- unigram tokenizer DP (pure Python, oracle can't see inside) ----------
+
+import math
+
+word_st = st.text(
+    alphabet=st.sampled_from("abcd"), min_size=1, max_size=8
+)
+
+
+@st.composite
+def vocab_and_word(draw):
+    word = draw(word_st)
+    chars = sorted(set("abcd"))
+    extras = draw(
+        st.lists(
+            st.text(alphabet=st.sampled_from("abcd"), min_size=2, max_size=4),
+            max_size=6,
+            unique=True,
+        )
+    )
+    logp = {}
+    for i, p in enumerate(chars + extras):
+        logp[p] = math.log(draw(st.floats(min_value=0.01, max_value=0.5)))
+    return word, logp
+
+
+@settings(max_examples=200, deadline=None)
+@given(vocab_and_word())
+def test_viterbi_segment_reconstructs_and_is_optimal(case):
+    """The DP must return a segmentation that (a) concatenates back to the
+    word, (b) scores exactly the sum of its piece log-probs, and (c) is
+    OPTIMAL — no brute-force segmentation scores strictly higher."""
+    from etl_lala_spark.operators.text import _viterbi_segment
+
+    word, logp = case
+    pieces, score = _viterbi_segment(word, logp, max_len=4)
+    assert pieces is not None, "single chars are in the vocab"
+    assert "".join(pieces) == word
+    assert abs(score - sum(logp[p] for p in pieces)) < 1e-9
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for L in range(1, min(4, len(w)) + 1):
+            head = w[:L]
+            if head in logp:
+                for rest in all_segs(w[L:]):
+                    yield [head] + rest
+
+    best = max(
+        (sum(logp[p] for p in seg) for seg in all_segs(word)),
+        default=None,
+    )
+    assert best is not None
+    assert score >= best - 1e-9
