@@ -985,8 +985,11 @@ def image_augment(
         a = np.frombuffer(px, np.uint8).reshape(h, w, ch)
         if crop is not None:
             cx, cy, cw, chh = crop
-            cx, cy = max(0, cx), max(0, cy)
-            a = a[cy : min(h, cy + chh), cx : min(w, cx + cw), :]
+            # true box∩frame intersection: a negative origin shrinks the
+            # extent instead of sliding the box right/down
+            x0, y0 = max(0, cx), max(0, cy)
+            x1, y1 = min(w, cx + cw), min(h, cy + chh)
+            a = a[y0:y1, x0:x1, :]
             if a.size == 0:
                 raise ValueError("crop box outside the frame")
         if hflip:

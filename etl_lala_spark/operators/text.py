@@ -366,26 +366,43 @@ def unigram_lm_train(
     import pandas as pd
 
     words = (
-        df.select(F.explode(F.split(F.col(text_col), r"\s+")).alias("w"))
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
     words.cache()
 
-    chars = sorted(
-        r["piece"]
+    char_counts = {
+        r["piece"]: int(r["pc"])
         for r in words.select(
-            F.explode(F.split("w", "")).alias("piece")
+            F.explode(F.split("w", "")).alias("piece"), "c"
         )
         .filter(F.col("piece") != "")
-        .distinct()
+        .groupBy("piece")
+        .agg(F.sum("c").alias("pc"))
         .collect()
-    )
+    }
+    chars = sorted(char_counts)
+    if len(chars) > vocab_size:
+        words.unpersist()
+        raise ValueError(
+            f"vocab_size={vocab_size} is below the corpus alphabet "
+            f"({len(chars)} chars); full coverage needs at least one slot "
+            "per character"
+        )
 
+    # Multi-char seed substrings only from positions with >= 2 chars left:
+    # sequence(2, 1) yields a DESCENDING [2, 1] in Spark, which would leak
+    # each word's final character into the multi-char pool at double weight.
     subs = (
-        words.select(
-            "w", "c", F.explode(F.sequence(F.lit(1), F.length("w"))).alias("i")
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            "c",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - 1)
+            ).alias("i"),
         )
         .select(
             "w",
@@ -407,22 +424,6 @@ def unigram_lm_train(
         .limit(max(0, vocab_size - len(chars)))
         .collect()
     )
-    if len(chars) > vocab_size:
-        raise ValueError(
-            f"vocab_size={vocab_size} is below the corpus alphabet "
-            f"({len(chars)} chars); full coverage needs at least one slot "
-            "per character"
-        )
-    char_counts = {
-        r["piece"]: int(r["pc"])
-        for r in words.select(
-            F.explode(F.split("w", "")).alias("piece"), "c"
-        )
-        .filter(F.col("piece") != "")
-        .groupBy("piece")
-        .agg(F.sum("c").alias("pc"))
-        .collect()
-    }
     counts = {r["piece"]: int(r["pc"]) for r in subs}
     counts.update(char_counts)  # chars always present
 
@@ -532,14 +533,19 @@ def unigram_apply(
 
     import pandas as pd
 
+    import re
+
     logp = {
         v["piece"]: math.log(v["prob"])
         for v in model["vocab"]
         if v["prob"] > 0.0
     }
     char_fallback = {c: math.log(1e-12) for c in model.get("chars", [])}
-    cols = df.columns
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", pieces string, n_pieces long"
+    # Same word boundaries as training: Java's \s is ASCII-only, so the
+    # Python side must NOT use str.split() (Unicode whitespace — NBSP etc.
+    # would silently diverge train and apply on non-ASCII corpora).
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     def tok(batches):
         for pdf in batches:
@@ -547,7 +553,9 @@ def unigram_apply(
             n_col = []
             for t in pdf[text_col]:
                 out = []
-                for w in (t or "").split():
+                for w in ws.split(t or ""):
+                    if not w:
+                        continue
                     seg, _ = _viterbi_segment(w, logp, max_piece_len)
                     if seg is None:
                         merged = {**char_fallback, **logp}

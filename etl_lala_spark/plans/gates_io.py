@@ -556,22 +556,31 @@ WITH b AS (
 f AS (SELECT l.l_partkey, l.l_suppkey, l.l_quantity, l.l_extendedprice,
              b.pmin, b.pmax, b.smin, b.smax
       FROM lineitem l, b),
-boxed AS (
-  SELECT 1 AS box_id, l_quantity AS q, l_extendedprice AS p FROM f
-   WHERE l_partkey <= pmin + (pmax - pmin) // 10
-     AND l_suppkey <= smin + (smax - smin) // 10
+agg AS (
+  -- global aggregates (one row even for an EMPTY box, n_rows = 0 and NULL
+  -- sums) so the shape matches Spark's per-box .agg() exactly; a GROUP BY
+  -- would drop empty boxes and false-fail the gate on a degenerate domain
+  SELECT 1 AS box_id, count(*) AS n, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sp
+  FROM f
+  WHERE l_partkey <= pmin + (pmax - pmin) // 10
+    AND l_suppkey <= smin + (smax - smin) // 10
   UNION ALL
-  SELECT 2, l_quantity, l_extendedprice FROM f
-   WHERE l_partkey >= pmin + 4 * ((pmax - pmin) // 10)
-     AND l_partkey <= pmin + 6 * ((pmax - pmin) // 10)
+  SELECT 2, count(*), SUM(CAST(l_quantity AS DECIMAL(18,2))),
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+  FROM f
+  WHERE l_partkey >= pmin + 4 * ((pmax - pmin) // 10)
+    AND l_partkey <= pmin + 6 * ((pmax - pmin) // 10)
   UNION ALL
-  SELECT 3, l_quantity, l_extendedprice FROM f
-   WHERE l_suppkey >= smax - (smax - smin) // 10
+  SELECT 3, count(*), SUM(CAST(l_quantity AS DECIMAL(18,2))),
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+  FROM f
+  WHERE l_suppkey >= smax - (smax - smin) // 10
 )
-SELECT box_id, CAST(count(*) AS BIGINT) AS n_rows,
-       ROUND(CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
-       ROUND(CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_price
-FROM boxed GROUP BY 1 ORDER BY 1
+SELECT box_id, CAST(n AS BIGINT) AS n_rows,
+       ROUND(CAST(sq AS DOUBLE), 2) AS sum_qty,
+       ROUND(CAST(sp AS DOUBLE), 2) AS sum_price
+FROM agg ORDER BY box_id
 """
 
 

@@ -1751,3 +1751,18 @@ def test_unigram_lm_train_edge_guards(spark):
     empty = spark.createDataFrame([(0, "")], "doc_id long, text string")
     model = unigram_lm_train(empty, vocab_size=10, max_piece_len=3, iters=2)
     assert model["vocab"] == [] and model["ll_per_iter"] == []
+
+
+def test_image_augment_negative_origin_intersects(spark):
+    """A negative crop origin must shrink the box to the frame
+    intersection, not slide it inward."""
+    import numpy as np
+    from etl_lala_spark.operators import multimodal as mm
+
+    px = np.arange(20 * 4 * 3, dtype=np.uint8).reshape(4, 20, 3)
+    png = mm.encode_png(20, 4, px.tobytes(), channels=3)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
+    out = mm.image_augment(df, crop=(-5, 0, 10, 4)).collect()[0]
+    assert (out["width"], out["height"]) == (5, 4)
+    a = np.frombuffer(out["pixels"], np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(a, px[:, :5, :])
