@@ -169,18 +169,22 @@ def main() -> None:
     # 1.3× between windows (uniform, class-independent, plan-free).
     from pyspark.sql import functions as F  # noqa: PLC0415
 
-    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-    li.agg(F.sum("l_extendedprice")).collect()  # warm
-    canary = min(
-        _canary_sample(spark, li, F) for _ in range(5)
-    )
-    print(f"# canary bare-scan+sum: min {canary:.3f}s over 5", file=sys.stderr)
-
     # Min-of-5 by default since round 4: the r3 round burned a verdict cycle
     # on steal-noise deltas that min-of-3 failed to filter (SCALE.md
     # methodology note); 5 samples on this host reliably catch a quiet
     # window per query.
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li.agg(F.sum("l_extendedprice")).collect()  # warm
+    # Same min-of-N discipline as the queries it normalizes — a canary
+    # filtered differently than the figures would skew the cross-round
+    # comparison it exists for.
+    canary = min(_canary_sample(spark, li, F) for _ in range(n_runs))
+    print(
+        f"# canary bare-scan+sum: min {canary:.3f}s over {n_runs}",
+        file=sys.stderr,
+    )
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     fixtures: dict[str, float] = {}

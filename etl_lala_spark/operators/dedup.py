@@ -698,6 +698,12 @@ def substring_dedup_runs(
     unaligned repeat slips through), this recovers every MAXIMAL run of ≥
     ``min_tokens`` consecutive tokens that also appears in another document
     — at any offset, any alignment — the unit a substring-removal pass cuts.
+    Precisely: every k-token window inside a reported run is shared with
+    SOME other document; a composite run (doc X shares its head with Y1
+    and its tail with Y2) is one island whose FULL text need not appear in
+    any single partner — exactly the region ExactSubstr removal cuts, but
+    consumers treating each run as one literal cross-doc match should use
+    ``duplicate_spans`` instead.
 
     Equivalent to the suffix-array formulation for repeats ≥ min_tokens,
     but expressed shuffle-native instead of index-native: a k-token span is
@@ -786,9 +792,14 @@ def substring_dedup_clean(
             )
         ).alias("cuts")
     )
+    # filter-out-empty matches word_spans' tokenization: split(trim(''))
+    # yields [''], which would count a phantom token for empty/whitespace
+    # docs and over-state n_tokens in corpus mass accounting
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+        F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+        ).alias("toks"),
     )
     joined = toks.join(intervals, "doc_id", "left").select(
         "doc_id",

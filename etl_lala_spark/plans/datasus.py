@@ -348,6 +348,53 @@ def datasus_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def render_dbc_fixtures(
+    spark: SparkSession,
+    sf_dir: str,
+    gate: str,
+    dbf_cols: list[str],
+    splits: list[tuple[str, int, int]],
+    n_rows: int,
+) -> str:
+    """Shared "ordered lineitem rows -> .dbc fixture files" builder for the
+    three DBC gates (roundtrip, DataSource, limit pushdown): collect the
+    first ``n_rows`` lineitem rows in (l_orderkey, l_linenumber) order,
+    project them to the requested DATASUS column set, and render each
+    ``(basename, lo, hi)`` slice as one ``.dbc`` under the gate's
+    session-scoped workdir. Bounded driver collect (fixture generation,
+    not an operator path); call inside ``fixture_region(gate)`` so the
+    bench excludes the render time."""
+    import os
+
+    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.sources.dbc import dbf_to_dbc, write_dbf
+
+    exprs = {
+        "AP_CONDIC": F.concat("l_returnflag", "l_linestatus").alias(
+            "AP_CONDIC"
+        ),
+        "AP_VL_TOTAL": F.round("l_extendedprice", 2)
+        .cast("decimal(14,2)")
+        .cast("string")
+        .alias("AP_VL_TOTAL"),
+    }
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(n_rows)
+    )
+    rows = [
+        [r[c] for c in dbf_cols]
+        for r in li.select(*[exprs[c] for c in dbf_cols]).collect()
+    ]
+    fixture_dir = os.path.join(gate_workdir(spark, gate), "fixtures")
+    os.makedirs(fixture_dir, exist_ok=True)
+    for name, lo, hi in splits:
+        with open(os.path.join(fixture_dir, name + ".dbc"), "wb") as fh:
+            fh.write(dbf_to_dbc(write_dbf(dbf_cols, rows[lo:hi])))
+    return fixture_dir
+
+
 @register(
     "datasus_dbc_roundtrip",
     oracle="""
@@ -374,38 +421,18 @@ def datasus_dbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver-side fixture write is 200 rows (generation, not the operator
     path); the decode itself runs in executors via mapInPandas."""
-    import os
-
-    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
-    from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
+    from etl_lala_spark.plans._gates import fixture_region
+    from etl_lala_spark.sources.dbc import read_dbc
 
     # Fixture build (bounded 200-row collect + DBC render) runs under the
     # session-scoped gate workdir and is accounted as fixture time, so the
     # bench measures the decode path and concurrent sessions never race on
     # a shared temp path.
     with fixture_region("datasus_dbc_roundtrip"):
-        li = (
-            load_table(spark, sf_dir, "lineitem")
-            .orderBy("l_orderkey", "l_linenumber")
-            .limit(200)
+        fixture_dir = render_dbc_fixtures(
+            spark, sf_dir, "datasus_dbc_roundtrip",
+            ["AP_CONDIC", "AP_VL_TOTAL"], [("PAPE2501", 0, 200)], n_rows=200,
         )
-        cols = ["AP_CONDIC", "AP_VL_TOTAL"]
-        rows = [
-            [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
-            for r in li.select(
-                F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
-                F.round("l_extendedprice", 2)
-                .cast("decimal(14,2)")
-                .cast("string")
-                .alias("AP_VL_TOTAL"),
-            ).collect()
-        ]
-        fixture_dir = os.path.join(
-            gate_workdir(spark, "datasus_dbc_roundtrip"), "fixtures"
-        )
-        os.makedirs(fixture_dir, exist_ok=True)
-        with open(os.path.join(fixture_dir, "PAPE2501.dbc"), "wb") as fh:
-            fh.write(dbf_to_dbc(write_dbf(cols, rows)))
 
     members = (
         spark.read.format("binaryFile")
@@ -455,36 +482,15 @@ def datasus_dbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the first 100 lineitem rows directly, pinning schema inference,
     the implode codec, partition planning, and the pruning logic under the
     hash gate."""
-    import os
-
-    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
-    from etl_lala_spark.sources.dbc import dbf_to_dbc, write_dbf
+    from etl_lala_spark.plans._gates import fixture_region
     from etl_lala_spark.sources.dbc_datasource import register_dbc_source
 
     with fixture_region("datasus_dbc_source"):
-        li = (
-            load_table(spark, sf_dir, "lineitem")
-            .orderBy("l_orderkey", "l_linenumber")
-            .limit(200)
+        fixture_dir = render_dbc_fixtures(
+            spark, sf_dir, "datasus_dbc_source",
+            ["AP_CONDIC", "AP_VL_TOTAL"],
+            [("PAPE2501", 0, 100), ("PAPE2502", 100, 200)], n_rows=200,
         )
-        cols = ["AP_CONDIC", "AP_VL_TOTAL"]
-        rows = [
-            [r["AP_CONDIC"], r["AP_VL_TOTAL"]]
-            for r in li.select(
-                F.concat("l_returnflag", "l_linestatus").alias("AP_CONDIC"),
-                F.round("l_extendedprice", 2)
-                .cast("decimal(14,2)")
-                .cast("string")
-                .alias("AP_VL_TOTAL"),
-            ).collect()
-        ]
-        fixture_dir = os.path.join(
-            gate_workdir(spark, "datasus_dbc_source"), "fixtures"
-        )
-        os.makedirs(fixture_dir, exist_ok=True)
-        for name, chunk in [("PAPE2501", rows[:100]), ("PAPE2502", rows[100:])]:
-            with open(os.path.join(fixture_dir, name + ".dbc"), "wb") as fh:
-                fh.write(dbf_to_dbc(write_dbf(cols, chunk)))
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     register_dbc_source(spark)

@@ -273,36 +273,20 @@ def dbc_limit_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the limit bounds per-task decode CPU and output rows at the
     source — the difference between sampling a 100 TB archive collection
     and decoding it."""
-    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
-    from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
+    from etl_lala_spark.plans._gates import fixture_region
+    from etl_lala_spark.plans.datasus import render_dbc_fixtures
+    from etl_lala_spark.sources.dbc import read_dbc
 
-    # Session-scoped gate workdir like the sibling gates: a shared
-    # tempfile.gettempdir() path raced between concurrent sessions on the
-    # same sf_dir and kept stale fixtures across format changes. The whole
-    # fixture build (bounded 150-row collect + DBC render) is accounted
-    # under fixture_region so the bench times the decoder, not the render.
+    # Session-scoped gate workdir like the sibling gates (shared builder in
+    # plans/datasus.py); the fixture build (bounded 150-row collect + DBC
+    # render) is accounted under fixture_region so the bench times the
+    # decoder, not the render.
     with fixture_region("dbc_limit_pushdown"):
-        li = (
-            load_table(spark, sf_dir, "lineitem")
-            .orderBy("l_orderkey", "l_linenumber")
-            .limit(150)
+        fixture_dir = render_dbc_fixtures(
+            spark, sf_dir, "dbc_limit_pushdown",
+            ["AP_VL_TOTAL"],
+            [("PAPE2501", 0, 120), ("PAPE2502", 120, 150)], n_rows=150,
         )
-        rows = [
-            [r["V"]]
-            for r in li.select(
-                F.round("l_extendedprice", 2)
-                .cast("decimal(14,2)")
-                .cast("string")
-                .alias("V")
-            ).collect()
-        ]
-        fixture_dir = os.path.join(
-            gate_workdir(spark, "dbc_limit_pushdown"), "fixtures"
-        )
-        os.makedirs(fixture_dir, exist_ok=True)
-        for name, chunk in (("PAPE2501", rows[:120]), ("PAPE2502", rows[120:])):
-            with open(os.path.join(fixture_dir, f"{name}.dbc"), "wb") as fh:
-                fh.write(dbf_to_dbc(write_dbf(["AP_VL_TOTAL"], chunk)))
 
     members = (
         spark.read.format("binaryFile")
@@ -461,7 +445,17 @@ def fetch_http_loopback(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the manifest is the DataFrame and the fetch is mapInPandas —
     one task per manifest partition, no driver byte ever moves; this gate
     runs 8 partitions' worth of concurrent loopback requests through the
-    threading server."""
+    threading server.
+
+    Gate scope (not operator scope): the loopback server binds 127.0.0.1
+    in the DRIVER process, so this certification runs in local mode —
+    on a multi-node cluster executors cannot reach it (the OPERATOR is
+    location-agnostic; point the manifest at any reachable host). The
+    503-once behavior is served from per-run server state, which assumes
+    no task retry/speculation within one gate run — true for the driver's
+    and bench's local availableNow-style execution (spark.speculation
+    defaults off); a re-run task would see 200-first and flip
+    ``attempts`` for the %6==0 rows."""
     import http.server
     import threading
 
