@@ -128,6 +128,7 @@ HEADLINE = [
     "sink_zorder_roundtrip",
     "contrastive_hard_negatives",
     "multimodal_augment_crop_flip",
+    "events_attribution_last_touch",
 ]
 
 

@@ -973,3 +973,64 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").cast("int").alias("peak_concurrency"),
         F.timestamp_micros(-peak_struct["n"]).alias("peak_ts"),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         CASE WHEN event_type <> 'purchase' THEN event_type END AS touch
+  FROM events WHERE event_type IN ('purchase', 'view', 'click')
+),
+attr AS (
+  SELECT event_type, value,
+         last_value(touch IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+  FROM tagged
+)
+SELECT coalesce(touch_type, 'none') AS touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM attr
+WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1
+""",
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (the marketing-analytics staple):
+    each purchase is credited to the user's most recent preceding touch
+    event (view or click; purchases never self-attribute), then revenue
+    rolls up per touch type. One shuffle on user_id, one window pass with
+    last(ignorenulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING — the
+    same LOCF idiom as the as-of join (`operators/relational.py:7`), so no
+    self-join and no per-purchase subquery. Deterministic: (ts, event_id)
+    is a total order per user; decimal revenue sums.
+
+    Scale: per-user partitions only (user grain, AQE skew handling
+    applies); the aggregate is 3 groups."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view", "click")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = ev.withColumn(
+        "touch_type", F.last(touch, ignorenulls=True).over(w)
+    ).filter(F.col("event_type") == "purchase")
+    return (
+        attributed.groupBy(
+            F.coalesce("touch_type", F.lit("none")).alias("touch_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("touch_type")
+    )
