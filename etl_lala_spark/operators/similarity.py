@@ -150,6 +150,76 @@ def hard_negative_mine(
     )
 
 
+def hard_negative_mine_ivf(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The 100 TB path for hard-NEGATIVE mining: anchors compare only
+    against their ``nprobe`` nearest IVF cells instead of the full corpus,
+    so mining cost drops ×(nprobe/n_cells) and the corpus (persisted
+    cell-partitioned) is read partition-pruned. Hard negatives live near
+    the anchor by definition — exactly what cell routing preserves — so
+    recall stays high; hard POSITIVES (least-similar same-label rows) are
+    inherently global and anti-local, so this variant deliberately mines
+    negatives only (use ``hard_negative_mine`` or a label-sliced exact
+    pass for positives). Approximate → pytest pins recall vs the exact
+    miner. Returns (anchor_id, kind='hard_neg', neighbor_id, cos_sim,
+    rank)."""
+    from etl_lala_spark.io import spread
+
+    codebook = ivf_codebook(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    c = ivf_assign(
+        spread(corpus, by=id_col), codebook, 1, id_col=id_col,
+        vec_col=vec_col, keep_cols=(label_col,)
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("n_label"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+        "cell",
+    )
+    q = ivf_assign(
+        anchors, codebook, nprobe, id_col=id_col, vec_col=vec_col,
+        keep_cols=(label_col,)
+    ).select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+        "cell",
+    )
+    sim = F.round(
+        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+        round_digits,
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(
+            (F.col("neighbor_id") != F.col("anchor_id"))
+            & (F.col("n_label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            F.lit("hard_neg").alias("kind"),
+            "neighbor_id",
+            sim.alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: sin-scrambled values
     keyed by (plane, dim-index). No RNG → reproducible across runs/engines."""
@@ -310,26 +380,28 @@ def ivf_assign(
     out_cells: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its ``out_cells`` nearest codebook cells —
     argmax over the broadcast one-row codebook, a narrow map with no
-    shuffle of ``df``. Returns (id_col, vec_col, cell), one row per
-    probed cell."""
+    shuffle of ``df``. Returns (id_col, vec_col, *keep_cols, cell), one
+    row per probed cell."""
     sims = F.expr(
         f"transform(cells, x -> named_struct("
         f"'s', aggregate(zip_with({vec_col}, x.cvec, "
         f"(a, b) -> cast(a as double) * b), 0D, (acc, v) -> acc + v), "
         f"'cell', x.cell))"
     )
+    extra = [F.col(c) for c in keep_cols]
     with_sims = df.crossJoin(F.broadcast(codebook)).select(
-        F.col(id_col), F.col(vec_col), sims.alias("cell_sims")
+        F.col(id_col), F.col(vec_col), *extra, sims.alias("cell_sims")
     )
     picked = F.expr(
         f"transform(slice(reverse(array_sort(cell_sims)), 1, {out_cells}), "
         f"x -> x.cell)"
     )
     return with_sims.select(
-        F.col(id_col), F.col(vec_col), F.explode(picked).alias("cell")
+        F.col(id_col), F.col(vec_col), *extra, F.explode(picked).alias("cell")
     )
 
 

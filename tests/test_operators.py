@@ -1766,3 +1766,35 @@ def test_image_augment_negative_origin_intersects(spark):
     assert (out["width"], out["height"]) == (5, 4)
     a = np.frombuffer(out["pixels"], np.uint8).reshape(4, 5, 3)
     assert np.array_equal(a, px[:, :5, :])
+
+
+def test_hard_negative_mine_ivf_recall_vs_exact(spark):
+    """The cell-routed miner must emit only other-label rows and recover
+    most of the exact miner's hard negatives (negatives are near the
+    anchor, which cell routing preserves)."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.operators.similarity import (
+        hard_negative_mine,
+        hard_negative_mine_ivf,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["anchor_id"], r["neighbor_id"])
+        for r in hard_negative_mine(emb, anchors, k=3).collect()
+        if r["kind"] == "hard_neg"
+    }
+    approx_rows = hard_negative_mine_ivf(
+        emb, anchors, k=3, n_cells=8, nprobe=4
+    ).collect()
+    labels = {r["vec_id"]: r["label"] for r in emb.collect()}
+    anchor_labels = {
+        r["vec_id"]: r["label"] for r in anchors.collect()
+    }
+    for r in approx_rows:
+        assert r["kind"] == "hard_neg"
+        assert labels[r["neighbor_id"]] != anchor_labels[r["anchor_id"]]
+    approx = {(r["anchor_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF hard-neg recall {recall:.2f} below floor"
