@@ -129,6 +129,7 @@ HEADLINE = [
     "contrastive_hard_negatives",
     "multimodal_augment_crop_flip",
     "events_attribution_last_touch",
+    "dbc_permissive_errors",
 ]
 
 

@@ -652,3 +652,84 @@ def sink_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b3 = box(3, F.col("l_suppkey") >= F.col("smax") - sspan)
     return b1.unionByName(b2).unionByName(b3).orderBy("box_id")
+
+
+_DBC_PERMISSIVE_ORACLE = """
+WITH base AS (
+  SELECT row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS rn,
+         CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(14,2)) AS VARCHAR) AS v
+  FROM (SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 150)
+),
+good AS (
+  SELECT CASE WHEN rn < 100 THEN 'PAPE2501' ELSE 'PAPE2502' END
+           AS arquivo_origem,
+         count(*) AS n, CAST(0 AS BIGINT) AS n_errors,
+         round(CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+  FROM base GROUP BY 1
+),
+bad AS (
+  SELECT 'BAD0' || i AS arquivo_origem, CAST(1 AS BIGINT) AS n,
+         CAST(1 AS BIGINT) AS n_errors, CAST(NULL AS DOUBLE) AS total
+  FROM range(1, 3) t(i)
+)
+SELECT arquivo_origem, CAST(n AS BIGINT) AS n, n_errors, total
+FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
+ORDER BY arquivo_origem
+"""
+
+
+@register("dbc_permissive_errors", oracle=_DBC_PERMISSIVE_ORACLE)
+def dbc_permissive_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 + R5 composed: the DBC decoder's PERMISSIVE error stream under
+    the correctness gate. Two valid ``.dbc`` fixtures (100 + 50 ordered
+    lineitem rows) land next to two corrupt members (pure garbage, and a
+    DBF-looking header over garbage record bytes); ``read_dbc(mode=
+    "PERMISSIVE")`` must decode the good files completely, emit exactly
+    one ``_decode_error`` row per bad file (data columns NULL), and never
+    throw — the Spark PERMISSIVE/badRecords convention that stops one
+    truncated archive member from killing a 100 TB backfill (the NDJSON
+    source's R5 twin; reference fail-fast guard:
+    src/datasus/datasus.service.ts:30-33). The oracle replays good-file
+    sums from lineitem row windows and states the bad-file error rows in
+    closed form; a decoder that drops good rows after an error, double-
+    emits error rows, or dies on garbage lands on a different hash."""
+    from etl_lala_spark.plans._gates import fixture_region
+    from etl_lala_spark.plans.datasus import render_dbc_fixtures
+    from etl_lala_spark.sources.dbc import read_dbc
+
+    with fixture_region("dbc_permissive_errors"):
+        fixture_dir = render_dbc_fixtures(
+            spark, sf_dir, "dbc_permissive_errors",
+            ["AP_VL_TOTAL"],
+            [("PAPE2501", 0, 100), ("PAPE2502", 100, 150)], n_rows=150,
+        )
+        with open(os.path.join(fixture_dir, "BAD01.dbc"), "wb") as fh:
+            fh.write(b"not a dbc at all" * 8)
+        with open(os.path.join(fixture_dir, "BAD02.dbc"), "wb") as fh:
+            # plausible DBF prefix, garbage after — exercises the
+            # decode-past-the-header failure path, not just the sniff
+            fh.write(bytes([0x03, 24, 1, 1]) + b"\xff" * 64)
+
+    members = (
+        spark.read.format("binaryFile")
+        .load(fixture_dir)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("member_basename"),
+            "content",
+        )
+    )
+    records = read_dbc(members, columns=["AP_VL_TOTAL"], mode="PERMISSIVE")
+    return (
+        records.groupBy("arquivo_origem")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("_decode_error").alias("n_errors"),
+            F.round(
+                F.sum(F.col("AP_VL_TOTAL").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total"),
+        )
+        .orderBy("arquivo_origem")
+    )

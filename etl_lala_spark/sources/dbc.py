@@ -218,6 +218,7 @@ def read_dbc(
     limit: int | None = None,
     columns: list[str] | None = None,
     project: list[str] | None = None,
+    mode: str = "FAILFAST",
 ) -> DataFrame:
     """S8 end-to-end: decode ``.dbc`` binary rows (implode-compressed DBF)
     into the all-string record table. Schema discovery needs no
@@ -226,33 +227,58 @@ def read_dbc(
     ``mapInPandas``, one task per batch of files. ``project`` prunes columns
     inside the decoder (decompression still touches every byte — implode
     output is sequential — but field slicing/decoding skips non-projected
-    fields)."""
+    fields).
+
+    ``mode="FAILFAST"`` (default) raises inside the task on a corrupt or
+    schema-mismatched file — the reference's ``sucesso !== true`` guard.
+    ``mode="PERMISSIVE"`` instead emits ONE error row per bad file (data
+    columns NULL, ``_decode_error`` = exception class + message) and keeps
+    decoding the rest — the Spark PERMISSIVE/badRecords convention the
+    NDJSON source already follows (R5), so one truncated archive member
+    cannot kill a 100 TB backfill. Pass explicit ``columns`` when the
+    FIRST file may be corrupt (schema inference reads its header)."""
+    if mode not in ("FAILFAST", "PERMISSIVE"):
+        raise ValueError(f"unknown mode {mode}")
     cols = columns if columns is not None else infer_dbf_columns(binaries, content_col)
     if project is not None:
         cols = [c for c in cols if c in project]
-    schema = T.StructType(
-        [T.StructField(c, T.StringType()) for c in cols]
-        + [T.StructField("arquivo_origem", T.StringType())]
-    )
+    permissive = mode == "PERMISSIVE"
+    out_cols = [*cols, "arquivo_origem"] + (["_decode_error"] if permissive else [])
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in out_cols])
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             frames = []
             for name, blob in zip(pdf[name_col], pdf[content_col]):
-                file_cols, rows = parse_dbf(
-                    dbc_to_dbf(bytes(blob)), limit=limit, project=project
-                )
-                if file_cols != cols:
-                    raise ValueError(
-                        f"{name}: columns {file_cols[:3]}... != expected {cols[:3]}..."
+                origem = name.rsplit(".", 1)[0]
+                try:
+                    file_cols, rows = parse_dbf(
+                        dbc_to_dbf(bytes(blob)), limit=limit, project=project
                     )
+                    if file_cols != cols:
+                        raise ValueError(
+                            f"{name}: columns {file_cols[:3]}... != "
+                            f"expected {cols[:3]}..."
+                        )
+                except Exception as ex:  # noqa: BLE001 — per-file boundary
+                    if not permissive:
+                        raise
+                    f = pd.DataFrame(
+                        [[None] * len(cols)], columns=cols, dtype=object
+                    )
+                    f["arquivo_origem"] = origem
+                    f["_decode_error"] = f"{type(ex).__name__}: {str(ex)[:100]}"
+                    frames.append(f)
+                    continue
                 f = pd.DataFrame(rows, columns=cols, dtype=str)
-                f["arquivo_origem"] = name.rsplit(".", 1)[0]
+                f["arquivo_origem"] = origem
+                if permissive:
+                    f["_decode_error"] = None
                 frames.append(f)
             yield (
                 pd.concat(frames, ignore_index=True)
                 if frames
-                else pd.DataFrame(columns=[*cols, "arquivo_origem"])
+                else pd.DataFrame(columns=out_cols)
             )
 
     return binaries.select(name_col, content_col).mapInPandas(decode, schema=schema)

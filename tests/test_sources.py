@@ -515,3 +515,38 @@ def test_reference_pipeline_full_chain(spark, tmp_path):
     assert {r.competencia for r in loaded.select("competencia").collect()} == {
         "202501", "202502",
     }
+
+
+def test_read_dbc_permissive_emits_error_rows(spark):
+    """PERMISSIVE mode: corrupt members become one _decode_error row each
+    (data columns NULL), good members decode fully; FAILFAST raises."""
+    import pytest
+
+    from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
+
+    good = dbf_to_dbc(write_dbf(["A"], [["x"], ["y"]]))
+    df = spark.createDataFrame(
+        [
+            ("ok.dbc", bytearray(good)),
+            ("trunc.dbc", bytearray(good[: len(good) // 2])),
+            ("junk.dbc", bytearray(b"definitely not a dbc file")),
+        ],
+        "member_basename string, content binary",
+    )
+    out = read_dbc(df, columns=["A"], mode="PERMISSIVE").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["arquivo_origem"], []).append(r)
+    assert [r["A"] for r in by_src["ok"]] == ["x", "y"]
+    assert all(r["_decode_error"] is None for r in by_src["ok"])
+    for bad in ("trunc", "junk"):
+        rows = by_src[bad]
+        assert len(rows) == 1
+        assert rows[0]["A"] is None
+        assert rows[0]["_decode_error"]
+
+    with pytest.raises(Exception):
+        read_dbc(df, columns=["A"]).collect()
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        read_dbc(df, columns=["A"], mode="DROPMALFORMED")
