@@ -159,6 +159,7 @@ def hard_negative_mine_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    centroid_stride: int = 37,
     round_digits: int = 4,
 ) -> DataFrame:
     """The 100 TB path for hard-NEGATIVE mining: anchors compare only
@@ -172,43 +173,19 @@ def hard_negative_mine_ivf(
     pass for positives). Approximate → pytest pins recall vs the exact
     miner. Returns (anchor_id, kind='hard_neg', neighbor_id, cos_sim,
     rank)."""
-    from etl_lala_spark.io import spread
-
-    codebook = ivf_codebook(
-        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
-    )
-    c = ivf_assign(
-        spread(corpus, by=id_col), codebook, 1, id_col=id_col,
-        vec_col=vec_col, keep_cols=(label_col,)
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(label_col).alias("n_label"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_n"),
-        "cell",
-    )
-    q = ivf_assign(
-        anchors, codebook, nprobe, id_col=id_col, vec_col=vec_col,
-        keep_cols=(label_col,)
-    ).select(
-        F.col(id_col).alias("anchor_id"),
-        F.col(label_col).alias("anchor_label"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_n"),
-        "cell",
-    )
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
         round_digits,
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(
-            (F.col("neighbor_id") != F.col("anchor_id"))
-            & (F.col("n_label") != F.col("anchor_label"))
+        ivf_routed_pairs(
+            corpus, anchors, n_cells, nprobe, id_col=id_col,
+            vec_col=vec_col, centroid_stride=centroid_stride,
+            keep_cols=(label_col,),
         )
+        .filter(F.col(label_col) != F.col(f"{label_col}_q"))
         .select(
-            "anchor_id",
+            F.col("query_id").alias("anchor_id"),
             F.lit("hard_neg").alias("kind"),
             "neighbor_id",
             sim.alias("cos_sim"),
@@ -405,6 +382,63 @@ def ivf_assign(
     )
 
 
+def ivf_routed_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_stride: int = 37,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shared IVF candidate routing (used by ``ivf_topk`` and
+    ``hard_negative_mine_ivf``): train the deterministic codebook, assign
+    the corpus to ONE cell each and the queries to their ``nprobe``
+    nearest, and join candidates on the cell key. ``keep_cols`` pass extra
+    columns through both sides (suffixed ``_q`` on the query side).
+    Returns one row per (query, candidate) pair with reusable norms:
+    (query_id, neighbor_id, q_vec, q_n, c_vec, c_n, *keep, *keep_q).
+
+    No dedup needed downstream: every corpus vector lives in exactly ONE
+    cell (out_cells=1), so a (query, neighbor) pair can only arise once
+    even though the query probes several cells — skipping dropDuplicates
+    removes a full shuffle of the candidate set."""
+    from etl_lala_spark.io import spread
+
+    codebook = ivf_codebook(
+        corpus,
+        n_cells=n_cells,
+        id_col=id_col,
+        vec_col=vec_col,
+        centroid_stride=centroid_stride,
+    )
+    c = ivf_assign(
+        spread(corpus, by=id_col), codebook, 1, id_col=id_col,
+        vec_col=vec_col, keep_cols=keep_cols,
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        norm(F.col(vec_col)).alias("c_n"),
+        "cell",
+        *keep_cols,
+    )
+    q = ivf_assign(
+        queries, codebook, nprobe, id_col=id_col, vec_col=vec_col,
+        keep_cols=keep_cols,
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        norm(F.col(vec_col)).alias("q_n"),
+        "cell",
+        *[F.col(c0).alias(f"{c0}_q") for c0 in keep_cols],
+    )
+    return (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -430,45 +464,15 @@ def ivf_topk(
     codebook (n_cells × dim floats) broadcasts trivially.
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
-    from etl_lala_spark.io import spread
-
-    codebook = ivf_codebook(
-        corpus,
-        n_cells=n_cells,
-        id_col=id_col,
-        vec_col=vec_col,
-        centroid_stride=centroid_stride,
-    )
-    c = ivf_assign(
-        spread(corpus, by=id_col), codebook, 1, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_n"),
-        "cell",
-    )
-    q = ivf_assign(
-        queries, codebook, nprobe, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_n"),
-        "cell",
-    )
     # Per-row norms reused per pair — bit-identical to the inline form.
     sim = F.round(
         dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
         round_digits,
     )
-    # No dedup needed: every corpus vector lives in exactly ONE cell
-    # (out_cells=1), so a (query, neighbor) pair can only arise once even
-    # though the query probes several cells — skipping dropDuplicates
-    # removes a full shuffle of the candidate set.
-    scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
-    )
+    scored = ivf_routed_pairs(
+        corpus, queries, n_cells, nprobe, id_col=id_col, vec_col=vec_col,
+        centroid_stride=centroid_stride,
+    ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

@@ -706,9 +706,17 @@ def dbc_permissive_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(os.path.join(fixture_dir, "BAD01.dbc"), "wb") as fh:
             fh.write(b"not a dbc at all" * 8)
         with open(os.path.join(fixture_dir, "BAD02.dbc"), "wb") as fh:
-            # plausible DBF prefix, garbage after — exercises the
-            # decode-past-the-header failure path, not just the sniff
-            fh.write(bytes([0x03, 24, 1, 1]) + b"\xff" * 64)
+            # VALID DBF header + garbage compressed payload: passes the
+            # container sniff and fails inside implode.decompress ("bad
+            # literal flag 255") — the decode-past-the-header failure
+            # path, distinct from BAD01's header sniff
+            import struct
+
+            from etl_lala_spark.sources.dbc import write_dbf
+
+            dbf = write_dbf(["AP_VL_TOTAL"], [["1.00"]])
+            hl = struct.unpack("<H", dbf[8:10])[0]
+            fh.write(dbf[:hl] + b"\x00\x00\x00\x00" + b"\xff" * 32)
 
     members = (
         spark.read.format("binaryFile")

@@ -524,12 +524,21 @@ def test_read_dbc_permissive_emits_error_rows(spark):
 
     from etl_lala_spark.sources.dbc import dbf_to_dbc, read_dbc, write_dbf
 
+    import struct
+
     good = dbf_to_dbc(write_dbf(["A"], [["x"], ["y"]]))
+    # valid header + garbage payload: passes the container sniff and fails
+    # INSIDE implode.decompress — the past-header corruption path, which
+    # trunc/junk (both header-sniff failures) do not reach
+    dbf = write_dbf(["A"], [["z"]])
+    hl = struct.unpack("<H", dbf[8:10])[0]
+    pastheader = dbf[:hl] + b"\x00\x00\x00\x00" + b"\xff" * 32
     df = spark.createDataFrame(
         [
             ("ok.dbc", bytearray(good)),
             ("trunc.dbc", bytearray(good[: len(good) // 2])),
             ("junk.dbc", bytearray(b"definitely not a dbc file")),
+            ("pastheader.dbc", bytearray(pastheader)),
         ],
         "member_basename string, content binary",
     )
@@ -539,7 +548,7 @@ def test_read_dbc_permissive_emits_error_rows(spark):
         by_src.setdefault(r["arquivo_origem"], []).append(r)
     assert [r["A"] for r in by_src["ok"]] == ["x", "y"]
     assert all(r["_decode_error"] is None for r in by_src["ok"])
-    for bad in ("trunc", "junk"):
+    for bad in ("trunc", "junk", "pastheader"):
         rows = by_src[bad]
         assert len(rows) == 1
         assert rows[0]["A"] is None
