@@ -75,9 +75,14 @@ def table_versions(table_path: str) -> list[dict]:
     if not os.path.isdir(vdir):
         return []
     out = []
-    for name in sorted(os.listdir(vdir)):
-        if not name.endswith(".json"):
-            continue
+    # Numeric order, not lexicographic: past v999999 the zero-padded name
+    # grows a digit and '1000000.json' would sort BEFORE '999999.json',
+    # freezing latest_version and wedging every writer's CAS forever.
+    names = [
+        n for n in os.listdir(vdir)
+        if n.endswith(".json") and n[:-5].isdigit()
+    ]
+    for name in sorted(names, key=lambda n: int(n[:-5])):
         try:
             with open(os.path.join(vdir, name)) as fh:
                 out.append(json.load(fh))
@@ -153,6 +158,9 @@ def _commit(table_path: str, manifest: dict) -> int:
 
 
 _ORPHAN_GRACE_S = 30.0
+# beside-table staging dirs live much longer legitimately (the parquet
+# write + stats scan happen BEFORE any claim) — sweep only ancient ones
+_STAGING_GRACE_S = 3600.0
 
 
 def _stream_high_water(manifests: list[dict]) -> int:
@@ -242,8 +250,16 @@ def write_version(
             parts = {}
             dir_rows = {}
             pcol = partition_col
+        # Reserved keys win on collision for EVERY commit shape: the
+        # partition trio must not survive from `extra` on an untracked
+        # commit, or read_partition/replace_partition would treat the
+        # table as tracked with bogus parts and prune wrongly.
+        reserved = (
+            "version", "op", "dirs", "n_rows", "schema", "ts",
+            "partition_col", "parts", "dir_rows",
+        )
         manifest = {
-            **(extra or {}),
+            **{k: v for k, v in (extra or {}).items() if k not in reserved},
             "version": version,
             "op": mode,
             "dirs": dirs,
@@ -277,18 +293,18 @@ def _stage(
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
     staged = df.sparkSession.read.parquet(staging)
-    n_new = staged.count()
-    vals = None
     if partition_col:
         from pyspark.sql import functions as F
 
-        vals = sorted(
-            r[0]
-            for r in staged.select(
-                F.col(partition_col).cast("string")
-            ).distinct().collect()
-            if r[0] is not None
-        )
+        # one scan for both facts (count + distinct partition values) —
+        # collect_set drops nulls, sort_array fixes the order
+        row = staged.agg(
+            F.count(F.lit(1)),
+            F.sort_array(F.collect_set(F.col(partition_col).cast("string"))),
+        ).first()
+        n_new, vals = int(row[0]), list(row[1])
+    else:
+        n_new, vals = staged.count(), None
     return staging, n_new, vals
 
 
@@ -363,10 +379,34 @@ def _publish(
         if hw >= 0:
             manifest["stream_batch_id"] = hw
         try:
-            return _commit(table_path, manifest)
+            os.utime(ddir)  # refresh liveness right before the CAS
+        except OSError:
+            pass
+        try:
+            committed = _commit(table_path, manifest)
         except FileExistsError:
             os.rename(ddir, staging)  # lost the manifest CAS: retry
             time.sleep(0.25 * (attempt + 1))
+            continue
+        # A writer stalled past the orphan grace (SIGSTOP, long GC, VM
+        # suspend) between claim and commit can have its claimed dir
+        # reclaimed by a rival or a vacuum sweep — committing anyway would
+        # publish a manifest naming deleted data. Verify the claim
+        # survived; if not, retract the just-linked manifest (we created
+        # it, its id cannot have been reused) and surface the loss as a
+        # concurrency conflict so read-modify-write callers re-derive.
+        if not os.path.isdir(ddir):
+            try:
+                os.remove(_manifest_path(table_path, committed))
+            except OSError:
+                pass
+            raise ConcurrentCommitError(
+                f"{table_path}: claimed dir {ddir_name} was reclaimed "
+                "during a stall between claim and commit (writer exceeded "
+                "the orphan grace window); the staged data is gone — "
+                "re-derive and retry the write"
+            )
+        return committed
     raise RuntimeError(
         f"_publish: lost the commit race 20 times at {table_path}"
     )
@@ -433,7 +473,16 @@ def replace_partition(
         if not vs:
             raise FileNotFoundError(f"no committed versions at {table_path}")
         m = vs[-1]
-        pcol = partition_col or m.get("partition_col")
+        tracked = m.get("partition_col")
+        if partition_col and tracked and partition_col != tracked:
+            # a mismatched column would intersect against the WRONG value
+            # set: nothing matches, old rows are kept, df appends — silent
+            # duplication instead of replacement
+            raise ValueError(
+                f"replace_partition partition_col {partition_col!r} != "
+                f"table's tracked {tracked!r}"
+            )
+        pcol = partition_col or tracked
         if not pcol or not m.get("parts"):
             raise ValueError(
                 f"{table_path} is not partition-tracked; write versions with "
@@ -511,7 +560,15 @@ def read_partition(
             f"{sorted(by_id)}; earlier versions may have been vacuumed)"
         )
     m = by_id[version] if version is not None else vs[-1]
-    pcol = partition_col or m.get("partition_col")
+    tracked = m.get("partition_col")
+    if partition_col and tracked and partition_col != tracked:
+        # pruning against the wrong tracked value set silently returns
+        # empty/incomplete results — refuse loudly instead
+        raise ValueError(
+            f"read_partition partition_col {partition_col!r} != table's "
+            f"tracked {tracked!r}"
+        )
+    pcol = partition_col or tracked
     if not pcol:
         raise ValueError(f"{table_path} is not partition-tracked")
     values_s = {str(v) for v in values}
@@ -534,13 +591,29 @@ def rollback(table_path: str, to_version: int) -> int:
     """Restore a previous snapshot as a NEW version (history stays intact —
     an audit can still read the bad versions). O(1): no data moves, the new
     manifest just re-points at the old version's directories."""
-    vs = table_versions(table_path)
-    by_id = {m["version"]: m for m in vs}
-    if to_version not in by_id:
-        raise ValueError(f"version {to_version} not found at {table_path}")
-    target = by_id[to_version]
     for _ in range(20):
         cur = table_versions(table_path)
+        by_id = {m["version"]: m for m in cur}
+        if to_version not in by_id:
+            raise ValueError(
+                f"version {to_version} not found at {table_path} "
+                "(it may have been vacuumed)"
+            )
+        target = by_id[to_version]
+        # A vacuum racing this rollback may have expired the target and
+        # deleted its data dirs after we read the manifest — committing
+        # would point the new latest at deleted data. Check the dirs
+        # exist right before the CAS (the re-read above also re-fetches
+        # the manifest each retry).
+        missing = [
+            d for d in target["dirs"]
+            if not os.path.isdir(os.path.join(table_path, d))
+        ]
+        if missing:
+            raise ValueError(
+                f"rollback target v{to_version} data dirs {missing} no "
+                f"longer exist at {table_path} (vacuumed); cannot restore"
+            )
         version = (cur[-1]["version"] if cur else 0) + 1
         manifest = {
             "version": version,
@@ -583,11 +656,17 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[str]:
     live = {d for m in kept for d in m["dirs"]}
     removed = []
     for m in expired:
-        os.remove(_manifest_path(table_path, m["version"]))
+        try:
+            os.remove(_manifest_path(table_path, m["version"]))
+        except FileNotFoundError:
+            pass  # a rival vacuum removed it first: idempotent
     for m in expired:
         for d in m["dirs"]:
             if d not in live and os.path.isdir(os.path.join(table_path, d)):
-                shutil.rmtree(os.path.join(table_path, d))
+                # ignore_errors: a rival vacuum deleting the same expired
+                # dir between the isdir check and here must not crash an
+                # operation that is logically idempotent
+                shutil.rmtree(os.path.join(table_path, d), ignore_errors=True)
                 removed.append(d)
     # Idempotency sweep: also delete table-level d* directories NO retained
     # manifest references and whose claim timestamp is past the orphan
@@ -617,6 +696,40 @@ def vacuum(table_path: str, keep_last: int = 2) -> list[str]:
         except OSError:
             continue
         shutil.rmtree(aside, ignore_errors=True)
+        removed.append(name)
+    # Leak sweep beside the table: a writer that crashed before claiming
+    # (or whose build error returned the claim to staging and raised)
+    # leaves a full `<table>.staging.*` parquet copy next to the table,
+    # and an interrupted reclaim can leave a half-deleted `*.orphan.*`
+    # aside dir — neither is inside table_path, so the d* sweep above
+    # never sees them. The much larger grace keeps live writers safe:
+    # staging is written long before the claim and a big parquet write
+    # plus its stats scan can legitimately take minutes.
+    parent = os.path.dirname(table_path.rstrip("/")) or "."
+    base = os.path.basename(table_path.rstrip("/"))
+    for name in os.listdir(parent):
+        if not name.startswith(f"{base}.staging."):
+            continue
+        p = os.path.join(parent, name)
+        try:
+            if now - os.stat(p).st_mtime < _STAGING_GRACE_S:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(name)
+    # half-deleted orphan asides INSIDE the table dir (from the d* sweep's
+    # own rename-aside protocol interrupted mid-rmtree)
+    for name in os.listdir(table_path):
+        if ".orphan." not in name:
+            continue
+        p = os.path.join(table_path, name)
+        try:
+            if now - os.stat(p).st_mtime < _ORPHAN_GRACE_S:
+                continue
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
         removed.append(name)
     return sorted(set(removed))
 
@@ -730,10 +843,7 @@ def stream_versioned_append(
     Returns the started StreamingQuery."""
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        applied = max(
-            (m.get("stream_batch_id", -1) for m in table_versions(table_path)),
-            default=-1,
-        )
+        applied = _stream_high_water(table_versions(table_path))
         if batch_id <= applied:
             return  # replayed batch: its manifest is already committed
         write_version(

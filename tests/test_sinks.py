@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -993,3 +994,111 @@ def test_vacuum_concurrent_pinned_readers_property(spark, out_dir):
     assert vt.vacuum(t, keep_last=2) == []
     assert {r.k for r in vt.read_version(spark, t).collect()} == {7, 8, 9}
     assert v1 == 1  # version ids are stable history
+
+
+def test_versioned_partition_col_mismatch_refused(spark, out_dir):
+    """A partition_col that disagrees with the table's tracked column must
+    raise, not silently append duplicates (replace) or return empty
+    (read)."""
+    from etl_lala_spark.sinks import versioned as V
+
+    t = os.path.join(out_dir, "pmismatch")
+    df = spark.createDataFrame(
+        [(1, "a", "SP"), (2, "b", "RJ")], "k long, v string, uf string"
+    )
+    V.write_version(df, t, partition_col="uf")
+    with pytest.raises(ValueError, match="tracked"):
+        V.replace_partition(spark, t, df, ["a"], partition_col="v")
+    with pytest.raises(ValueError, match="tracked"):
+        V.read_partition(spark, t, ["a"], partition_col="v")
+    # matching / defaulted column still works
+    assert V.read_partition(spark, t, ["SP"]).count() == 1
+
+
+def test_versioned_manifest_order_numeric_past_padding(spark, out_dir):
+    """Manifest ordering must be numeric: a 7-digit version id sorts after
+    999999, not before it lexicographically."""
+    from etl_lala_spark.sinks import versioned as V
+
+    t = os.path.join(out_dir, "numorder")
+    df = spark.createDataFrame([(1,)], "k long")
+    V.write_version(df, t)
+    # forge a v999999 and a v1000000 manifest directly (metadata-only)
+    for v in (999999, 1000000):
+        m = dict(V.table_versions(t)[-1])
+        m["version"] = v
+        V._commit(t, m)
+    assert V.latest_version(t) == 1000000
+    assert [m["version"] for m in V.table_versions(t)][-2:] == [999999, 1000000]
+
+
+def test_versioned_rollback_refuses_vacuumed_target(spark, out_dir):
+    """rollback must refuse a target whose data dirs were vacuumed instead
+    of committing a latest that points at deleted data."""
+    from etl_lala_spark.sinks import versioned as V
+
+    t = os.path.join(out_dir, "rbvac")
+    df1 = spark.createDataFrame([(1,)], "k long")
+    df2 = spark.createDataFrame([(2,)], "k long")
+    v1 = V.write_version(df1, t)
+    V.write_version(df2, t)
+    V.write_version(df2, t)
+    V.vacuum(t, keep_last=1)  # expires v1, deletes its dir
+    with pytest.raises(ValueError, match="vacuum"):
+        V.rollback(t, v1)
+
+
+def test_versioned_extra_cannot_forge_partition_tracking(spark, out_dir):
+    """Reserved manifest keys must win over `extra` on every commit shape:
+    forged parts/partition_col in extra must not make an untracked table
+    look tracked."""
+    from etl_lala_spark.sinks import versioned as V
+
+    t = os.path.join(out_dir, "extraforge")
+    df = spark.createDataFrame([(1, "SP")], "k long, uf string")
+    V.write_version(
+        df, t,
+        extra={"partition_col": "uf", "parts": {"d000001": ["XX"]}, "note": "ok"},
+    )
+    m = V.table_versions(t)[-1]
+    assert "partition_col" not in m and "parts" not in m
+    assert m["note"] == "ok"
+    with pytest.raises(ValueError, match="not partition-tracked"):
+        V.read_partition(spark, t, ["SP"])
+
+
+def test_versioned_vacuum_sweeps_leaked_staging(spark, out_dir):
+    """An ancient beside-table staging dir (crashed writer) is reclaimed by
+    vacuum; a fresh one is left alone."""
+    from etl_lala_spark.sinks import versioned as V
+
+    t = os.path.join(out_dir, "stagingleak")
+    V.write_version(spark.createDataFrame([(1,)], "k long"), t)
+    old = f"{t}.staging.99999.0"
+    new = f"{t}.staging.99999.1"
+    for p in (old, new):
+        os.makedirs(p)
+    past = time.time() - V._STAGING_GRACE_S - 10
+    os.utime(old, (past, past))
+    removed = V.vacuum(t, keep_last=5)
+    assert os.path.basename(old) in removed
+    assert not os.path.isdir(old) and os.path.isdir(new)
+
+
+def test_versioned_concurrent_vacuum_idempotent(spark, out_dir):
+    """A vacuum whose expired manifests/dirs were already deleted by a
+    rival must complete instead of crashing."""
+    from etl_lala_spark.sinks import versioned as V
+
+    t = os.path.join(out_dir, "vacrace")
+    df = spark.createDataFrame([(1,)], "k long")
+    for _ in range(4):
+        V.write_version(df, t)
+    # simulate the rival: delete one expired manifest + its dir first
+    vs = V.table_versions(t)
+    victim = vs[0]
+    os.remove(V._manifest_path(t, victim["version"]))
+    for d in victim["dirs"]:
+        shutil.rmtree(os.path.join(t, d), ignore_errors=True)
+    V.vacuum(t, keep_last=1)  # must not raise
+    assert V.latest_version(t) == vs[-1]["version"]
