@@ -51,7 +51,7 @@ def load_incremental(
     the existing partition-key list (broadcast — it is tiny), and the write
     is partitioned by ``part_col`` so downstream reads prune by month.
     """
-    created = not os.path.isdir(table_path)
+    absent_before = not os.path.isdir(table_path)
     existing = existing_partitions(spark, table_path, part_col)
 
     batch = df
@@ -59,12 +59,25 @@ def load_incremental(
         keys = tiny_df(spark, [(v,) for v in existing], f"{part_col} string")
         batch = df.join(F.broadcast(keys), part_col, "left_anti")
 
-    inserted = batch.count()
-    if inserted:
-        batch.write.mode("append").partitionBy(part_col).parquet(table_path)
+    # persist: the count and the write must see the SAME rows — without it
+    # the plan re-executes for the write and a changing/nondeterministic
+    # source could make registros_inseridos disagree with what landed
+    # (same treatment as backfill_partitions)
+    batch = batch.persist()
+    try:
+        inserted = batch.count()
+        if inserted:
+            batch.write.mode("append").partitionBy(part_col).parquet(table_path)
+    finally:
+        batch.unpersist()
 
     return LoadResult(
-        tabela={"nome": os.path.basename(table_path), "criada_agora": created},
+        # criada_agora only when the table actually materialized this run —
+        # an empty first batch skips the write and creates nothing
+        tabela={
+            "nome": os.path.basename(table_path),
+            "criada_agora": absent_before and inserted > 0,
+        },
         registros_inseridos=inserted,
         competencias_existentes=existing,
     )
@@ -85,8 +98,23 @@ def _jdbc_existing_partitions(
     probe = f"(SELECT DISTINCT {part_col} FROM {table}) AS existing_parts"
     try:
         rows = spark.read.jdbc(url=url, table=probe, properties=properties or {}).collect()
-    except Exception:
-        return [], False
+    except Exception as ex:
+        # Only a MISSING table means "first load, skip list empty". Any
+        # other probe failure (connection blip, permissions, bad part_col)
+        # must propagate: treating it as absent would skip the anti-join
+        # and re-insert the whole batch — exactly the duplication this
+        # function exists to prevent.
+        msg = str(ex).lower()
+        absent = (
+            "does not exist" in msg
+            or "not found" in msg
+            or "no such table" in msg
+            or "undefined table" in msg
+            or "table_or_view_not_found" in msg
+        )
+        if absent:
+            return [], False
+        raise
     return sorted(str(r[0]) for r in rows if r[0] is not None), True
 
 
@@ -131,12 +159,19 @@ def load_incremental_jdbc(
         keys = tiny_df(spark, [(v,) for v in existing], f"{part_col} string")
         batch = df.join(F.broadcast(keys), part_col, "left_anti")
 
-    inserted = batch.count()
-    if inserted:
-        _jdbc_append(batch, url, table, properties)
+    batch = batch.persist()  # count and append must see the same rows
+    try:
+        inserted = batch.count()
+        if inserted:
+            _jdbc_append(batch, url, table, properties)
+    finally:
+        batch.unpersist()
 
     return LoadResult(
-        tabela={"nome": table, "criada_agora": not table_exists},
+        tabela={
+            "nome": table,
+            "criada_agora": (not table_exists) and inserted > 0,
+        },
         registros_inseridos=inserted,
         competencias_existentes=existing,
     )
@@ -206,8 +241,15 @@ def stream_incremental(
     """Streaming form of the idempotent load (reference T5): each micro-batch
     flows through ``load_incremental``, so partitions already on disk are
     skipped even across restarts and replays — at-least-once delivery
-    upstream becomes effectively-once at the table. Returns the started
-    StreamingQuery (caller owns trigger/stop)."""
+    upstream becomes effectively-once at the table.
+
+    CONTRACT: the skip is PARTITION-granular, so each partition value must
+    arrive whole within one micro-batch — the reference's delivery unit (a
+    competência lands as one file). A partition whose rows straddle two
+    batches would have its second half anti-joined away. For row-granular
+    sources use ``stream_versioned_append`` (batch-id exactly-once) or
+    ``stream_dedup_ingest`` (content-fingerprint) instead. Returns the
+    started StreamingQuery (caller owns trigger/stop)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         load_incremental(batch_df.sparkSession, batch_df, table_path, part_col)
@@ -287,6 +329,28 @@ def stream_scd2(
         if batch_df.isEmpty():
             return
         spark = batch_df.sparkSession
+        backup = table_path.rstrip("/") + "._scd2prev"
+        if not os.path.isdir(table_path) and os.path.isdir(backup):
+            # a crash between the two swap renames left the table name
+            # empty with the previous history parked in the backup —
+            # restore it instead of silently restarting history from this
+            # batch alone
+            os.rename(backup, table_path)
+        # scd2_apply merges ONE update per key: a batch carrying two
+        # updates for the same key would join the current row twice and
+        # duplicate is_current rows. Collapse to the latest per key
+        # (effective_batch desc, tracked values as deterministic tiebreak).
+        from pyspark.sql import Window as W
+
+        w_latest = W.partitionBy(key).orderBy(
+            F.col("effective_batch").desc(),
+            *[F.col(c).desc() for c in tracked],
+        )
+        batch_df = (
+            batch_df.withColumn("_rn", F.row_number().over(w_latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         if os.path.isdir(table_path):
             current = spark.read.parquet(table_path)
         else:
@@ -302,7 +366,6 @@ def stream_scd2(
         shutil.rmtree(staging, ignore_errors=True)
         merged.write.mode("overwrite").parquet(staging)
         if os.path.isdir(table_path):
-            backup = table_path.rstrip("/") + "._scd2prev"
             shutil.rmtree(backup, ignore_errors=True)
             os.rename(table_path, backup)
             os.rename(staging, table_path)
@@ -339,6 +402,9 @@ def compact_partitions(
             n += sum(1 for f in files if f.endswith(".parquet"))
         return n
 
+    backup = table_path.rstrip("/") + "._precompact"
+    if not os.path.isdir(table_path) and os.path.isdir(backup):
+        os.rename(backup, table_path)  # recover a swap interrupted mid-rename
     before = count_files(table_path)
     df = spark.read.parquet(table_path)
     rows = df.count()
@@ -350,7 +416,6 @@ def compact_partitions(
         .partitionBy(part_col)
         .parquet(staging)
     )
-    backup = table_path.rstrip("/") + "._precompact"
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(table_path, backup)
     os.rename(staging, table_path)
@@ -478,22 +543,34 @@ def maintain_summary(
     Each micro-batch reduces to per-key deltas (count + sum are
     self-mergeable aggregates), merges them into the stored summary with a
     full-outer coalesce, and swaps the table atomically. A `_meta.json`
-    carries the last applied batch id, so foreachBatch replays after a
-    failure are applied exactly once — the summary stays correct under
-    at-least-once delivery (reference T6) even without the checkpoint.
+    INSIDE the table dir carries the last applied batch id and swaps in
+    atomically with the data, so foreachBatch replays after a failure are
+    applied exactly once (reference T6). Share ``checkpoint`` across
+    restarts: batch ids are only monotone within one checkpointed query
+    lineage — a fresh uncheckpointed query restarts ids at 0 and the guard
+    (correctly, by its contract) treats them as already applied.
 
     At 100 TB the summary is keys-sized (not fact-sized); the per-batch cost
     is one partial agg of the batch + one merge of two key-sized tables.
     Returns the started StreamingQuery."""
     import shutil
 
-    meta_path = summary_path.rstrip("/") + "._meta.json"
+    # meta lives INSIDE the table dir (underscore-prefixed: parquet readers
+    # ignore it like _SUCCESS), so the batch-id watermark commits in the
+    # SAME atomic rename as the merged data — a side file written after the
+    # swap left a crash window where the data landed but the watermark
+    # didn't, double-counting the batch on replay
+    def _meta_path(root: str) -> str:
+        return os.path.join(root, "_meta.json")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        backup = summary_path.rstrip("/") + "._premerge"
+        if not os.path.isdir(summary_path) and os.path.isdir(backup):
+            os.rename(backup, summary_path)  # recover interrupted swap
         last = -1
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
+        if os.path.exists(_meta_path(summary_path)):
+            with open(_meta_path(summary_path)) as fh:
                 last = json.load(fh)["last_batch_id"]
         if batch_id <= last:
             return  # replayed batch: already folded in
@@ -525,14 +602,13 @@ def maintain_summary(
         staging = summary_path.rstrip("/") + "._merging"
         shutil.rmtree(staging, ignore_errors=True)
         merged.coalesce(1).write.mode("overwrite").parquet(staging)
-        backup = summary_path.rstrip("/") + "._premerge"
+        with open(_meta_path(staging), "w") as fh:
+            json.dump({"last_batch_id": batch_id}, fh)
         shutil.rmtree(backup, ignore_errors=True)
         if os.path.isdir(summary_path):
             os.rename(summary_path, backup)
         os.rename(staging, summary_path)
         shutil.rmtree(backup, ignore_errors=True)
-        with open(meta_path, "w") as fh:
-            json.dump({"last_batch_id": batch_id}, fh)
 
     w = stream_df.writeStream.foreachBatch(merge).trigger(availableNow=True)
     if checkpoint:
@@ -800,18 +876,22 @@ def write_dataset_card(
         .agg(F.count("*").alias("n_docs"), F.sum(n_tok).alias("ws_tokens"))
         .collect()
     )
+    # empty corpus: aggregates come back NULL — emit a zero card rather
+    # than crashing on int(None)/None[0] (empty-after-filtering is a
+    # plausible pipeline state)
+    len_q = g["len_q"] if g["len_q"] is not None else [None, None, None]
     card = {
         "n_docs": g["n_docs"],
-        "total_ws_tokens": int(g["total_ws_tokens"]),
+        "total_ws_tokens": int(g["total_ws_tokens"] or 0),
         "n_distinct_contents": g["n_distinct_contents"],
         "duplicate_rate": round(1.0 - g["n_distinct_contents"] / g["n_docs"], 6)
         if g["n_docs"]
         else 0.0,
         "char_length": {
             "min": g["min_chars"],
-            "p05": g["len_q"][0],
-            "p50": g["len_q"][1],
-            "p95": g["len_q"][2],
+            "p05": len_q[0],
+            "p50": len_q[1],
+            "p95": len_q[2],
             "max": g["max_chars"],
         },
         "composition": sorted(
@@ -928,8 +1008,8 @@ def stream_neardup_ingest(
         have_index = os.path.isdir(band_path) and any(
             f.endswith(".parquet") for f in os.listdir(band_path)
         )
+        idx = spark.read.parquet(band_path) if have_index else None
         if have_index:
-            idx = spark.read.parquet(band_path)
             hist_dups = (
                 keep_bands.alias("n")
                 .join(
@@ -947,14 +1027,20 @@ def stream_neardup_ingest(
         # (4) bands first (skip docs already indexed), then rows.
         new_bands = keep_bands
         if have_index:
-            indexed_docs = spark.read.parquet(band_path).select("doc").distinct()
+            # reuse the idx frame read above — a second read.parquet would
+            # re-list the index per batch for no reason
+            indexed_docs = idx.select("doc").distinct()
             new_bands = new_bands.join(indexed_docs, "doc", "left_anti")
-        new_bands.write.mode("append").parquet(band_path)
-        novel.select(
-            F.col("doc").alias(id_col), F.col("_text").alias(text_col)
-        ).write.mode("append").parquet(table_path)
-        base.unpersist()
-        band_rows.unpersist()
+        try:
+            new_bands.write.mode("append").parquet(band_path)
+            novel.select(
+                F.col("doc").alias(id_col), F.col("_text").alias(text_col)
+            ).write.mode("append").parquet(table_path)
+        finally:
+            # a failing batch must not leave the caches pinned for the
+            # stream's lifetime (they would accumulate across retries)
+            base.unpersist()
+            band_rows.unpersist()
 
     w = stream_df.writeStream.foreachBatch(ingest).trigger(availableNow=True)
     if checkpoint:

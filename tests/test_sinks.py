@@ -1102,3 +1102,110 @@ def test_versioned_concurrent_vacuum_idempotent(spark, out_dir):
         shutil.rmtree(os.path.join(t, d), ignore_errors=True)
     V.vacuum(t, keep_last=1)  # must not raise
     assert V.latest_version(t) == vs[-1]["version"]
+
+
+def test_jdbc_probe_failure_classification(spark, monkeypatch):
+    """Only a missing-table probe error maps to 'first load'; any other
+    failure must propagate rather than defeat the skip list and duplicate
+    the batch."""
+    calls = {}
+
+    def probe_raises(msg):
+        def rd(*a, **k):
+            raise RuntimeError(msg)
+        return rd
+
+    real = writer._jdbc_existing_partitions
+    class FakeReader:
+        def __init__(self, msg): self.msg = msg
+        def jdbc(self, **k): raise RuntimeError(self.msg)
+    class FakeSpark:
+        def __init__(self, msg): self.read = FakeReader(msg)
+
+    keys, exists = real(FakeSpark('relation "t" does not exist'), "u", "t", "c", None)
+    assert keys == [] and exists is False
+    with pytest.raises(RuntimeError, match="connection refused"):
+        real(FakeSpark("connection refused"), "u", "t", "c", None)
+
+
+def test_load_incremental_empty_first_batch_not_created(spark, out_dir):
+    """An empty first load writes nothing and must not claim the table was
+    created."""
+    t = os.path.join(out_dir, "emptyfirst")
+    empty = spark.createDataFrame([], "competencia string, v long")
+    r = writer.load_incremental(spark, empty, t)
+    assert r["registros_inseridos"] == 0
+    assert r["tabela"]["criada_agora"] is False
+    assert not os.path.isdir(t)
+
+
+def test_stream_scd2_multiple_updates_one_key_single_current(spark, out_dir):
+    """Two updates for one key in ONE batch must yield exactly one open
+    (is_current) row — the latest by effective stamp — not duplicated
+    history."""
+    import pandas as pd
+
+    t = os.path.join(out_dir, "scd2multi")
+    src_dir = os.path.join(out_dir, "scd2multi_src")
+    cp = os.path.join(out_dir, "scd2multi_cp")
+    os.makedirs(src_dir)
+    pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "attr": ["a0", "a1", "b0"],
+            "effective_batch": [10, 11, 10],
+        }
+    ).to_parquet(os.path.join(src_dir, "u.parquet"))
+    stream = (
+        spark.readStream.schema("k long, attr string, effective_batch long")
+        .parquet(src_dir)
+    )
+    q = writer.stream_scd2(stream, t, key="k", tracked=["attr"], checkpoint=cp)
+    q.awaitTermination(120)
+    rows = spark.read.parquet(t).collect()
+    cur = [r for r in rows if r["is_current"]]
+    assert sorted((r["k"], r["attr"]) for r in cur) == [(1, "a1"), (2, "b0")]
+    assert len(cur) == 2
+
+
+def test_stream_scd2_recovers_interrupted_swap(spark, out_dir):
+    """If a crash left the table renamed to the backup but not replaced,
+    the next batch restores it instead of restarting history."""
+    import pandas as pd
+
+    t = os.path.join(out_dir, "scd2swap")
+    src_dir = os.path.join(out_dir, "scd2swap_src")
+    os.makedirs(src_dir)
+    pd.DataFrame(
+        {"k": [1], "attr": ["a0"], "effective_batch": [1]}
+    ).to_parquet(os.path.join(src_dir, "u1.parquet"))
+    stream = (
+        spark.readStream.schema("k long, attr string, effective_batch long")
+        .parquet(src_dir)
+    )
+    q = writer.stream_scd2(stream, t, key="k", tracked=["attr"],
+                           checkpoint=os.path.join(out_dir, "scd2swap_cp1"))
+    q.awaitTermination(120)
+    # simulate the crash window: table parked at backup, table name missing
+    os.rename(t, t + "._scd2prev")
+    pd.DataFrame(
+        {"k": [1], "attr": ["a1"], "effective_batch": [2]}
+    ).to_parquet(os.path.join(src_dir, "u2.parquet"))
+    q2 = writer.stream_scd2(stream, t, key="k", tracked=["attr"],
+                            checkpoint=os.path.join(out_dir, "scd2swap_cp2"))
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(t).collect()
+    # history preserved: a0 closed, a1 open
+    assert sorted((r["attr"], r["is_current"]) for r in rows) == [
+        ("a0", False), ("a1", True)
+    ]
+
+
+def test_dataset_card_empty_corpus(spark, out_dir):
+    """A zero-row corpus yields a zero card, not a TypeError."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string"
+    )
+    card = writer.write_dataset_card(docs, os.path.join(out_dir, "card0"))
+    assert card["n_docs"] == 0 and card["total_ws_tokens"] == 0
+    assert card["char_length"]["p50"] is None
