@@ -27,40 +27,49 @@ from pyspark.sql import functions as F
 from etl_lala_spark.operators.text import tokens
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Distinct word k-grams; docs shorter than k words contribute the whole
-    text as a single shingle (so every doc has ≥1 shingle).
-
-    Built as ONE JVM regex pass: a zero-width lookahead captures the
-    k-token window at every token start, yielding the overlapping k-grams
-    without consuming them. This replaced two earlier generations —
-    transform + element_at (quadratic: element access inside a
-    higher-order lambda re-evaluates the split per element) and chained
-    zip_with slices (linear but interpreted outside codegen) — and
-    measured 2.5× faster than the zip_with chain with byte-identical
-    output. Matches are whitespace-normalized so shingle equality is
-    separator-insensitive.
-    """
-    n = F.size(tokens(text))
+def _kgram_matches(text: Column, k: int) -> Column:
+    """ALL overlapping word k-grams in order, as ONE JVM regex pass: a
+    zero-width lookahead captures the k-token window at every token start
+    without consuming it; matches are whitespace-normalized so gram
+    equality is separator-insensitive. Shared by ``word_shingles`` /
+    ``word_spans`` (their span==shingle equality contract depends on this
+    staying one definition)."""
     pat = r"(?=(\S+(?:\s+\S+){" + str(k - 1) + r"}))\S+"
     # regexp_extract_all(..., 1) takes the lookahead's capture group.
-    grams = F.transform(
+    return F.transform(
         F.regexp_extract_all(text, F.lit(pat), F.lit(1)),
         lambda b: F.regexp_replace(b, r"\s+", " "),
     )
-    return F.array_distinct(F.when(n >= k, grams).otherwise(F.array(text)))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-grams; docs shorter than k words contribute the whole
+    (whitespace-normalized) text as a single shingle — so every doc with at
+    least one token has ≥1 shingle.
+
+    One JVM regex pass (see ``_kgram_matches``; this replaced two slower
+    generations — transform + element_at, chained zip_with — measured 2.5×
+    faster with byte-identical output). The short-doc count uses TRIMMED
+    tokens: split's leading/trailing empties previously inflated n, so a
+    whitespace-padded (k−1)-token doc took the regex path, matched
+    nothing, and vanished from every fuzzy-dedup consumer; the fallback is
+    normalized for the same reason (raw '  a b' must shingle equal to
+    'a b').
+    """
+    n = F.size(F.filter(tokens(F.trim(text)), lambda t: t != ""))
+    fallback = F.regexp_replace(F.trim(text), r"\s+", " ")
+    return F.array_distinct(
+        F.when(n >= k, _kgram_matches(text, k)).otherwise(F.array(fallback))
+    )
 
 
 def word_spans(text: Column, k: int) -> Column:
     """ALL overlapping word k-grams in order (positions + multiplicity kept —
     unlike ``word_shingles`` there is no array_distinct): the unit of
     cross-document exact-substring dedup. Same one-pass lookahead regex and
-    whitespace normalization, so a span equals the matching shingle."""
-    pat = r"(?=(\S+(?:\s+\S+){" + str(k - 1) + r"}))\S+"
-    return F.transform(
-        F.regexp_extract_all(text, F.lit(pat), F.lit(1)),
-        lambda b: F.regexp_replace(b, r"\s+", " "),
-    )
+    whitespace normalization (``_kgram_matches``), so a span equals the
+    matching shingle."""
+    return _kgram_matches(text, k)
 
 
 def duplicate_spans(
@@ -191,7 +200,9 @@ def ngram_jaccard_pairs(
     )
     cond = (a.doc_a < b.doc_b) & (a.shingle == b.shingle)
     for c in block_cols:
-        cond = cond & (F.col(f"a_{c}") == F.col(f"b_{c}"))
+        # eqNullSafe: two docs both missing a block value still pair —
+        # plain == evaluates NULL and silently drops NULL-block duplicates
+        cond = cond & (F.col(f"a_{c}").eqNullSafe(F.col(f"b_{c}")))
     inter = (
         a.join(b, cond)
         .groupBy("doc_a", "doc_b", "na", "nb")
@@ -257,8 +268,20 @@ def minhash_lsh_pairs(
     bands=8 × rows=4 over 32 hashes → candidate probability ≈
     1-(1-j^4)^8: ~0.99 at j=0.8, ~0.24 at j=0.3 — candidates are then
     verified exactly, so precision is exact and only recall is approximate.
-    Returns (doc_a, doc_b, est_jaccard, jaccard).
+    Returns (doc_a, doc_b, est_jaccard, jaccard). The internal base/
+    signature caches back the RETURNED plan, so they stay pinned until the
+    caller finishes consuming it - sessions running many dedup strategies
+    back-to-back should ``spark.catalog.clearCache()`` between them.
     """
+    if bands <= 0 or bands > n_hashes or n_hashes % bands:
+        # bands > n_hashes would make every band slice EMPTY - one global
+        # bucket and an O(n^2) self-join; a non-divisor silently drops the
+        # trailing hashes from banding while est_jaccard still divides by
+        # n_hashes, skewing the probability math the docstring states
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} "
+            "(0 < bands <= n_hashes)"
+        )
     rows = n_hashes // bands
     from etl_lala_spark.io import spread
 
@@ -447,6 +470,14 @@ def simhash_pairs(
 
     Returns (doc_a, doc_b, hamming).
     """
+    if max_hamming > 3:
+        # 4 x 16-bit chunks guarantee a shared chunk only for hamming <= 3
+        # (pigeonhole) - a larger radius would silently lose candidates
+        # that differ in all four chunks
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-chunk pigeonhole "
+            "bound (3); use more/smaller chunks for a larger radius"
+        )
     # Cached: the chunk self-join references the fingerprint table on both
     # sides; without the cache the explode+agg would run twice.
     fp = simhash_fingerprints(df, text_col, id_col).cache()
@@ -520,12 +551,13 @@ def canonical_components(
         .distinct()
         .cache()
     )
-    labels = (
+    labels0 = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("canonical", F.col("doc"))
         .cache()
     )
+    labels = labels0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc)
@@ -575,6 +607,9 @@ def canonical_components(
         if not changed:
             break
     edges.unpersist()
+    # the seed cache is superseded after round 1; the result rides the
+    # localCheckpoints, so dropping it frees executor storage
+    labels0.unpersist()
     return labels
 
 
@@ -611,7 +646,7 @@ def repeated_block_dedup(
     # separator-insensitive (matches the token-join formulation).
     pat = r"\S+(?:\s+\S+){" + str(k - 1) + r"}"
     blocks_arr = F.expr(
-        f"transform(regexp_extract_all({text_col}, r'{pat}', 0), "
+        f"transform(regexp_extract_all(`{text_col}`, r'{pat}', 0), "
         "b -> regexp_replace(b, r'\\s+', ' '))"
     )
     exploded = (
@@ -670,7 +705,7 @@ def decontaminate(
     hits = (
         c_sh.join(F.broadcast(b_sh), "shingle")
         .groupBy("doc")
-        .agg(F.countDistinct("shingle").alias("n_hits"))
+        .agg(F.count("*").alias("n_hits"))  # rows unique per (doc, shingle)
     )
     return (
         corpus.select(F.col(id_col).alias("doc"))
@@ -797,9 +832,12 @@ def substring_dedup_clean(
     # docs and over-state n_tokens in corpus mass accounting
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.filter(
-            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
-        ).alias("toks"),
+        F.coalesce(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+            ),
+            F.expr("CAST(array() AS array<string>)"),
+        ).alias("toks"),  # NULL text -> 0 tokens, not size(NULL) = -1
     )
     joined = toks.join(intervals, "doc_id", "left").select(
         "doc_id",

@@ -1798,3 +1798,65 @@ def test_hard_negative_mine_ivf_recall_vs_exact(spark):
     approx = {(r["anchor_id"], r["neighbor_id"]) for r in approx_rows}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"IVF hard-neg recall {recall:.2f} below floor"
+
+
+def test_word_shingles_whitespace_edges(spark):
+    """Whitespace-padded docs must shingle identically to their trimmed
+    forms, and a padded (k-1)-token doc must take the short-doc fallback
+    rather than vanishing."""
+    from etl_lala_spark.operators.dedup import word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, " a b"), (3, "a  b "), (4, "x y z")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: sorted(r["sh"])
+        for r in df.select(
+            "doc_id", word_shingles(F.col("text"), 3).alias("sh")
+        ).collect()
+    }
+    assert out[1] == out[2] == out[3] == ["a b"]
+    assert out[4] == ["x y z"]
+
+
+def test_dedup_parameter_guards(spark):
+    """bands must divide n_hashes; SimHash radius is pigeonhole-bounded."""
+    import pytest
+    from etl_lala_spark.operators.dedup import minhash_lsh_pairs, simhash_pairs
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, n_hashes=32, bands=40)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(df, n_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(df, max_hamming=4)
+
+
+def test_ngram_jaccard_null_blocks_pair(spark):
+    """Duplicate docs whose block column is NULL on both sides must still
+    pair (null-safe block equality)."""
+    from etl_lala_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", None),
+            (2, "the quick brown fox jumps", None),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    pairs = ngram_jaccard_pairs(df, block_cols=("lang",)).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_substring_clean_null_text_zero_tokens(spark):
+    """NULL-text docs report 0 tokens, not size(NULL) = -1."""
+    from etl_lala_spark.operators.dedup import substring_dedup_clean
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "w1 w2 w3")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in substring_dedup_clean(df, min_tokens=2).collect()}
+    assert out[1]["n_tokens"] == 0 and out[1]["n_removed"] == 0
+    assert out[2]["n_tokens"] == 3
