@@ -34,7 +34,22 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return _guarded_sim(dot(a, b), norm(a) * norm(b), None)
+
+
+def _guarded_sim(num: Column, denom: Column, round_digits: int | None) -> Column:
+    """Cosine with a zero-denominator guard: a zero-norm vector (padding
+    row, failed encode) yields NULL — never 0/0 = NaN, which Spark orders
+    ABOVE every real double, so one bad row would otherwise become the
+    rank-1 "nearest neighbor" of every query and pass any `>= threshold`
+    near-dup cut. NULL instead sorts last under desc and fails `>=`
+    comparisons; top-k call sites additionally filter NULL sims out so
+    degenerate rows never consume a rank. On corpora with no zero vectors
+    the guard is value-transparent (bit-identical doubles)."""
+    s = num / denom
+    if round_digits is not None:
+        s = F.round(s, round_digits)
+    return F.when(denom > 0, s)
 
 
 def brute_force_topk(
@@ -68,14 +83,15 @@ def brute_force_topk(
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_n"),
     )
-    sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+    sim = _guarded_sim(
+        dot(F.col("q_vec"), F.col("c_vec")), F.col("q_n") * F.col("c_n"),
         round_digits,
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return (
@@ -110,20 +126,26 @@ def hard_negative_mine(
     """
     from etl_lala_spark.io import spread
 
-    q = anchors.select(
+    # NULL-label rows are EXCLUDED from mining on both sides (matching
+    # hard_negative_mine_ivf): a row of unknown class can be confidently
+    # claimed as neither a positive nor a negative — the bare when/otherwise
+    # form would silently mine two unknown-label rows (possibly the same
+    # class) as negatives for each other. The oracle SQL carries the same
+    # `label IS NOT NULL` predicate.
+    q = anchors.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("anchor_id"),
         F.col(label_col).alias("anchor_label"),
         F.col(vec_col).alias("q_vec"),
         norm(F.col(vec_col)).alias("q_n"),
     )
-    c = spread(corpus, by=id_col).select(
+    c = spread(corpus, by=id_col).filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("n_label"),
         F.col(vec_col).alias("c_vec"),
         norm(F.col(vec_col)).alias("c_n"),
     )
-    sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+    sim = _guarded_sim(
+        dot(F.col("q_vec"), F.col("c_vec")), F.col("q_n") * F.col("c_n"),
         round_digits,
     )
     scored = (
@@ -137,6 +159,7 @@ def hard_negative_mine(
             "neighbor_id",
             sim.alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
     )
     # hard negatives rank by sim DESC (most confusable), hard positives by
     # sim ASC (least obvious same-class pair); one CASE keying keeps it a
@@ -171,15 +194,20 @@ def hard_negative_mine_ivf(
     inherently global and anti-local, so this variant deliberately mines
     negatives only (use ``hard_negative_mine`` or a label-sliced exact
     pass for positives). Approximate → pytest pins recall vs the exact
-    miner. Returns (anchor_id, kind='hard_neg', neighbor_id, cos_sim,
-    rank)."""
-    sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+    miner. NULL-label rows are excluded on BOTH sides before routing (the
+    same contract as ``hard_negative_mine``, made explicit here rather
+    than left to the label inequality's NULL semantics — a null-label
+    anchor gets no rows, not silently zero negatives after routing work).
+    Returns (anchor_id, kind='hard_neg', neighbor_id, cos_sim, rank)."""
+    sim = _guarded_sim(
+        dot(F.col("q_vec"), F.col("c_vec")), F.col("q_n") * F.col("c_n"),
         round_digits,
     )
     scored = (
         ivf_routed_pairs(
-            corpus, anchors, n_cells, nprobe, id_col=id_col,
+            corpus.filter(F.col(label_col).isNotNull()),
+            anchors.filter(F.col(label_col).isNotNull()),
+            n_cells, nprobe, id_col=id_col,
             vec_col=vec_col, centroid_stride=centroid_stride,
             keep_cols=(label_col,),
         )
@@ -190,6 +218,7 @@ def hard_negative_mine_ivf(
             "neighbor_id",
             sim.alias("cos_sim"),
         )
+        .filter(F.col("cos_sim").isNotNull())
     )
     w = W.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -262,9 +291,15 @@ def lsh_topk(
                 f"sin(pl * 7919 + d * 104729 + 0.5)))"
             ).alias("planes_mat")
         )
+        # The row norm is projected HERE, before the per-table explode —
+        # post-explode each vector exists n_tables times and the dim-element
+        # fold would run n_tables× per row (the file's norm-once discipline).
+        # Same expression tree as ``norm``, so the reused double is
+        # bit-identical to the inline form.
         projected = df.crossJoin(F.broadcast(mat_df)).select(
             F.col(idc),
             F.col(vecc),
+            norm(F.col(vecc)).alias("_n"),
             F.expr(
                 f"transform(planes_mat, p -> aggregate("
                 f"zip_with({vecc}, p, (x, w) -> cast(x as double) * w), "
@@ -282,20 +317,20 @@ def lsh_topk(
             f"shiftleft(1L, p), 0L))))"
         )
         return projected.select(
-            F.col(idc), F.col(vecc), F.explode(buckets).alias("tb")
-        ).select(idc, vecc, "tb.tbl", "tb.bucket")
+            F.col(idc), F.col(vecc), "_n", F.explode(buckets).alias("tb")
+        ).select(idc, vecc, "_n", "tb.tbl", "tb.bucket")
 
     c = bucketed(spread(corpus, by=id_col), id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        norm(F.col(vec_col)).alias("c_n"),
+        F.col("_n").alias("c_n"),
         "tbl",
         "bucket",
     )
     q = bucketed(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        norm(F.col(vec_col)).alias("q_n"),
+        F.col("_n").alias("q_n"),
         "tbl",
         "bucket",
     )
@@ -306,11 +341,13 @@ def lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     # Per-row norms reused per pair — bit-identical to the inline form.
-    sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+    sim = _guarded_sim(
+        dot(F.col("q_vec"), F.col("c_vec")), F.col("q_n") * F.col("c_n"),
         round_digits,
     )
-    scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim")).filter(
+        F.col("cos_sim").isNotNull()
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -465,14 +502,16 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cos_sim, rank).
     """
     # Per-row norms reused per pair — bit-identical to the inline form.
-    sim = F.round(
-        dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_n") * F.col("c_n")),
+    sim = _guarded_sim(
+        dot(F.col("q_vec"), F.col("c_vec")), F.col("q_n") * F.col("c_n"),
         round_digits,
     )
     scored = ivf_routed_pairs(
         corpus, queries, n_cells, nprobe, id_col=id_col, vec_col=vec_col,
         centroid_stride=centroid_stride,
-    ).select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    ).select("query_id", "neighbor_id", sim.alias("cos_sim")).filter(
+        F.col("cos_sim").isNotNull()
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -525,13 +564,28 @@ def kmeans_fit(
     """
     from etl_lala_spark.io import spread
 
-    unit = F.expr(
-        f"transform({vec_col}, a -> cast(a as double) / "
-        f"sqrt(aggregate(transform({vec_col}, b -> cast(b as double) * b), "
-        f"0D, (acc, v) -> acc + v)))"
-    )
-    vecs = spread(corpus, by=id_col).select(
-        F.col(id_col).alias("vid"), unit.alias("v")
+    # Unit-normalize in TWO projections so the norm is an attribute the
+    # divide lambda references: folding the norm inside the per-element
+    # transform re-evaluates the dim-element aggregate once PER ELEMENT
+    # (Catalyst does not hoist loop-invariant subexpressions out of HOF
+    # lambdas) — O(dim²) per row on every Lloyd scan. Same arithmetic
+    # order (sequential square-sum, sqrt, divide), so `v` is bit-identical
+    # to the fused form and assignments/centroids are unchanged.
+    vecs = (
+        spread(corpus, by=id_col)
+        .select(
+            F.col(id_col).alias("vid"),
+            F.expr(f"transform({vec_col}, a -> cast(a as double))").alias("dv"),
+        )
+        .select(
+            "vid",
+            "dv",
+            F.expr(
+                "sqrt(aggregate(transform(dv, b -> b * b), "
+                "0D, (acc, v) -> acc + v))"
+            ).alias("nn"),
+        )
+        .select("vid", F.expr("transform(dv, a -> a / nn)").alias("v"))
     )
     train = (
         vecs
@@ -664,8 +718,12 @@ def cosine_near_dup_pairs(
     cond = F.col("x.id") < F.col("y.id")
     if block_col:
         cond = cond & (F.col("x.blk") == F.col("y.blk"))
-    sim = F.round(
-        dot(F.col("x.vec"), F.col("y.vec")) / (F.col("x.n2") * F.col("y.n2")),
+    # _guarded_sim: a zero-norm row yields NULL sim, and NULL >= threshold
+    # is NULL → the filter drops the pair (NaN >= threshold would be TRUE
+    # under Spark's NaN-is-largest ordering, reporting a zero vector as a
+    # near-duplicate of every row in its block).
+    sim = _guarded_sim(
+        dot(F.col("x.vec"), F.col("y.vec")), F.col("x.n2") * F.col("y.n2"),
         round_digits,
     )
     return (
@@ -710,6 +768,13 @@ def power_iteration_pc(
         *[F.avg(x[i].cast("double")).alias(f"m{i}") for i in range(dim)],
     ).first()
     n = stats["n"]
+    if n == 0:
+        # avg() over zero rows is NULL → float(None) would raise an opaque
+        # TypeError after the scan; fail fast with the real cause instead.
+        raise ValueError(
+            "power_iteration_pc: empty corpus (an upstream filter matched "
+            "no rows?) — the mean/covariance are undefined"
+        )
     mu = [float(stats[f"m{i}"]) for i in range(dim)]
 
     v = [1.0 / dim**0.5] * dim
@@ -759,12 +824,20 @@ def top_pc_projection(
     mu_lit = F.array(*[F.lit(float(m)) for m in mu])
     v_lit = F.array(*[F.lit(float(c)) for c in v])
     centered = F.zip_with(x, mu_lit, lambda a, b: a.cast("double") - b)
-    return corpus.select(
+    # Two projections so `proj` and the centered self-dot are attributes:
+    # HOF folds are codegen-fallback expressions with no common-subexpression
+    # elimination, so the one-select form evaluates dot(centered, v) three
+    # times and dot(centered, centered) once — four dim-folds per row where
+    # two suffice. resid_sq = cc − proj² is the identical double.
+    step = corpus.select(
         F.col(id_col),
         dot(centered, v_lit).alias("proj"),
-        (dot(centered, centered) - dot(centered, v_lit) * dot(centered, v_lit)).alias(
-            "resid_sq"
-        ),
+        dot(centered, centered).alias("cc"),
+    )
+    return step.select(
+        id_col,
+        "proj",
+        (F.col("cc") - F.col("proj") * F.col("proj")).alias("resid_sq"),
     )
 
 
@@ -812,7 +885,14 @@ def kcenter_select(
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
     ).cache()
 
-    first = vecs.orderBy("vid").limit(1).collect()[0]
+    seed_rows = vecs.orderBy("vid").limit(1).collect()
+    if not seed_rows:
+        vecs.unpersist()
+        raise ValueError(
+            "kcenter_select: empty corpus — no seed point to start the "
+            "greedy selection from"
+        )
+    first = seed_rows[0]
     picks: list[tuple[int, int, float]] = [(1, first.vid, 0.0)]
     centers: list[list[float]] = [list(first.v)]
     for step in range(2, k + 1):
@@ -838,8 +918,19 @@ def kcenter_select(
         centers.append(list(far.v))
     vecs.unpersist()
 
+    # The output id column keeps the CALLER's id type (string doc ids
+    # included, as in _pq_query_luts) — a hardcoded BIGINT would crash
+    # after all k corpus scans for string ids and silently widen narrower
+    # int types, breaking exact-schema parity with the oracle.
     out = spark.createDataFrame(
-        picks, schema=f"pick_order INT, {id_col} BIGINT, d DOUBLE"
+        picks,
+        schema=T.StructType(
+            [
+                T.StructField("pick_order", T.IntegerType(), False),
+                T.StructField(id_col, corpus.schema[id_col].dataType),
+                T.StructField("d", T.DoubleType()),
+            ]
+        ),
     )
     return out.select(
         "pick_order", id_col, F.round("d", 6).alias("dist_to_selected")
@@ -865,7 +956,10 @@ def kcenter_radius(
         f"aggregate(zip_with(transform({vec_col}, x -> cast(x as double)), c, "
         "(p, q) -> (p - q) * (p - q)), 0D, (a, x) -> a + x))))"
     )
-    return float(corpus.select(F.max(mind).alias("r")).collect()[0].r)
+    r = corpus.select(F.max(mind).alias("r")).collect()[0].r
+    if r is None:  # max() over zero rows — float(None) would be opaque
+        raise ValueError("kcenter_radius: empty corpus — radius is undefined")
+    return float(r)
 
 
 def kcenter_select_sampled(
@@ -954,6 +1048,7 @@ def pq_train(
     # regardless of corpus size): a deterministic 1/mod hash-subsample
     # bounds every Lloyd iteration's scan; encode still covers the full
     # corpus in its own single pass.
+    full = corpus
     if train_sample_mod is not None:
         corpus = corpus.filter(
             F.pmod(F.xxhash64(F.col(id_col)), train_sample_mod) == 0
@@ -969,8 +1064,13 @@ def pq_train(
     # (one scan, no shuffle, no RNG), well-spread regardless of id layout
     # and guaranteed ksub rows whenever the corpus has that many (a stride
     # filter can undershoot on small corpora). Tiny driver-side collect.
+    # Seeds come from the FULL corpus, not the train subsample — stacking
+    # the 1/mod filter here would shrink the seed pool mod× and silently
+    # start every subspace with fewer than ksub centroids (the same
+    # starvation kmeans_fit guards against); sampling bounds the Lloyd
+    # scans, not initialization.
     seed_rows = (
-        corpus.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        full.orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(ksub)
         .select(dvec.alias("dv"))
         .collect()
@@ -1024,6 +1124,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: list[str] | None = None,
+    with_recon_n: bool = True,
 ) -> DataFrame:
     """Encode vectors to PQ codes: ``(id, *keep_cols, codes array<int>,
     recon_n)`` where ``recon_n`` is the reconstructed vector's L2 norm (a
@@ -1032,7 +1133,12 @@ def pq_encode(
     codebook rides a one-row broadcast. ``keep_cols`` carries extra columns
     (e.g. an IVF cell id) through the encode in the SAME pass. At 100 TB
     the encoded table is what gets persisted — 64× smaller than the float
-    corpus, scanned instead of it by every query."""
+    corpus, scanned instead of it by every query.
+
+    ``with_recon_n=False`` skips the norm fold entirely — for callers that
+    compute their own norm (``ivfpq_residual_index`` needs ``|c +
+    recon(r)|``, not ``|recon(r)|``); computing-then-dropping it would pay
+    an m-lookup + m·dsub fold per corpus row for a discarded value."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     keep = list(keep_cols or [])
@@ -1060,6 +1166,8 @@ def pq_encode(
         "transform(ds_all, ds -> cast(array_position(ds, array_min(ds)) - 1 as int))"
     )
     enc = with_ds.select(id_col, *keep, codes.alias("codes"), "cb")
+    if not with_recon_n:
+        return enc.select(id_col, *keep, "codes")
     recon2 = F.expr(
         "aggregate(zip_with(cb, codes, (bk, code) -> "
         "aggregate(element_at(bk, code + 1), 0D, (acc, v) -> acc + v * v)), "
@@ -1139,10 +1247,11 @@ def pq_adc_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(num / (F.col("q_n") * F.col("recon_n")), round_digits).alias(
-                "adc_sim"
-            ),
+            _guarded_sim(
+                num, F.col("q_n") * F.col("recon_n"), round_digits
+            ).alias("adc_sim"),
         )
+        .filter(F.col("adc_sim").isNotNull())
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -1228,10 +1337,11 @@ def ivfpq_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(num / (F.col("q_n") * F.col("recon_n")), round_digits).alias(
-                "adc_sim"
-            ),
+            _guarded_sim(
+                num, F.col("q_n") * F.col("recon_n"), round_digits
+            ).alias("adc_sim"),
         )
+        .filter(F.col("adc_sim").isNotNull())
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(
@@ -1313,10 +1423,12 @@ def ivfpq_residual_index(
         vec_col="rvec",
         train_sample_mod=train_sample_mod,
     )
-    # Encode residual codes; recon_n must be |c + recon(r)|, so recompute it
-    # here from the row's own centroid instead of pq_encode's |recon(r)|.
+    # Encode residual codes; recon_n must be |c + recon(r)|, so it is
+    # computed below from the row's own centroid — with_recon_n=False skips
+    # pq_encode's |recon(r)| fold, whose value would be discarded.
     enc = pq_encode(
-        resid, books, id_col=id_col, vec_col="rvec", keep_cols=["cell", "cvec"]
+        resid, books, id_col=id_col, vec_col="rvec",
+        keep_cols=["cell", "cvec"], with_recon_n=False,
     )
     spark = corpus.sparkSession
     cbdf = spark.createDataFrame([(books,)], schema="cb array<array<array<double>>>")
@@ -1325,8 +1437,7 @@ def ivfpq_residual_index(
         "(bk, code) -> element_at(bk, code + 1))), (c, r) -> c + r)"
     )
     index = (
-        enc.drop("recon_n")
-        .crossJoin(F.broadcast(cbdf))
+        enc.crossJoin(F.broadcast(cbdf))
         .select(
             F.col(id_col),
             "cell",
@@ -1395,12 +1506,13 @@ def ivfpq_residual_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(
-                (F.col("q_dot_cent") + resid_dot)
-                / (F.col("q_n") * F.col("recon_n")),
+            _guarded_sim(
+                F.col("q_dot_cent") + resid_dot,
+                F.col("q_n") * F.col("recon_n"),
                 round_digits,
             ).alias("adc_sim"),
         )
+        .filter(F.col("adc_sim").isNotNull())
     )
     w = W.partitionBy("query_id").orderBy(F.col("adc_sim").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(

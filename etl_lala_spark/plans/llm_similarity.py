@@ -796,7 +796,7 @@ def audit_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS anchor_id, label AS alabel, embedding AS qv
-  FROM embeddings WHERE vec_id % 100 = 0
+  FROM embeddings WHERE vec_id % 100 = 0 AND label IS NOT NULL
 ),
 scored AS (
   SELECT q.anchor_id, c.vec_id AS neighbor_id,
@@ -804,7 +804,7 @@ scored AS (
            AS kind,
          round({_DOT} / ({_NQ} * {_NC}), 4) AS cos_sim
   FROM embeddings c CROSS JOIN q
-  WHERE c.vec_id <> q.anchor_id
+  WHERE c.vec_id <> q.anchor_id AND c.label IS NOT NULL
 )
 SELECT anchor_id, kind, neighbor_id, cos_sim,
        CAST(row_number() OVER (
