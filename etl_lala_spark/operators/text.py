@@ -44,9 +44,17 @@ def bpe_token_count(col: Column) -> Column:
 
 
 def marker_hits(col: Column, markers: tuple[str, ...]) -> Column:
-    """Number of tokens that are in the marker set (array_filter, JVM-side)."""
+    """Number of tokens that are in the marker set (array_filter, JVM-side).
+
+    Tokens are case-normalized first — the marker sets are lowercase, so a
+    case-sensitive match would miss every sentence-initial 'The'/'Der'/'El',
+    systematically undercounting stop ratios and starving language-ID of
+    its strongest signals on natural-cased corpora. The DuckDB oracles
+    lower() identically."""
     lit_markers = F.array(*[F.lit(m) for m in markers])
-    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit_markers, t)))
+    return F.size(
+        F.filter(tokens(F.lower(col)), lambda t: F.array_contains(lit_markers, t))
+    )
 
 
 def stopword_count(col: Column) -> Column:
@@ -59,24 +67,39 @@ def punct_count(col: Column) -> Column:
 
 def quality_score(text: Column) -> Column:
     """Deterministic [0,1] quality heuristic: length saturation, low
-    punctuation density, healthy stopword ratio."""
+    punctuation density, healthy stopword ratio. An empty document scores
+    0.0 (lowest quality — it should be dropped by any cleaning filter),
+    not a DIVIDE_BY_ZERO abort: under Spark 4's default ANSI mode the
+    unguarded n_punct / n_chars division crashes the whole job on the
+    first zero-length text."""
     n_tok = token_count(text).cast("double")
     n_chars = F.length(text).cast("double")
     len_term = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     punct_ratio = punct_count(text).cast("double") / n_chars
+    # n_tok >= 1 for any non-empty string (split('') is ['']), so guarding
+    # n_chars alone makes both divisions safe.
     stop_ratio = stopword_count(text).cast("double") / n_tok
-    return F.round(
-        F.lit(0.4) * len_term + F.lit(0.3) * (F.lit(1.0) - punct_ratio) + F.lit(0.3) * stop_ratio,
-        4,
-    )
+    return F.when(
+        n_chars > 0,
+        F.round(
+            F.lit(0.4) * len_term
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+            + F.lit(0.3) * stop_ratio,
+            4,
+        ),
+    ).otherwise(F.when(text.isNotNull(), F.lit(0.0)))
 
 
 def predicted_lang(text: Column) -> Column:
     """Argmax over marker-word hit counts with a fixed tie order (en > de >
-    es > fr) — a deterministic n-gram-style language-ID heuristic."""
+    es > fr) — a deterministic n-gram-style language-ID heuristic. NULL
+    text yields NULL (unclassifiable), not 'fr': with null marker counts
+    every when() branch fails and the bare chain would fall through to the
+    otherwise() default, silently inflating the last language's share."""
     s = {lang: marker_hits(text, m) for lang, m in LANG_MARKERS.items()}
     return (
-        F.when(
+        F.when(text.isNull(), F.lit(None).cast("string"))
+        .when(
             (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), F.lit("en")
         )
         .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), F.lit("de"))
@@ -97,8 +120,14 @@ def word_bigrams(text: Column) -> Column:
     zip_with over two shifted slices, NOT transform+element_at: element
     access inside a higher-order lambda re-evaluates the split per element
     (see word_shingles in operators/dedup.py) — slices touch the token
-    array a constant number of times per row."""
-    toks = tokens(text)
+    array a constant number of times per row.
+
+    Empty tokens (split() emits one for leading/trailing whitespace) are
+    filtered first: a text like ' a' would otherwise yield the phantom
+    bigram ' a', which pollutes repetition signals and — worse — can win a
+    bpe_train merge election on indented corpora, electing a merge of the
+    empty token whose anchored rewrite corrupts whitespace."""
+    toks = F.filter(tokens(text), lambda t: t != F.lit(""))
     n = F.size(toks)
     return F.zip_with(
         F.slice(toks, 1, n - 1),
@@ -110,8 +139,14 @@ def word_bigrams(text: Column) -> Column:
 def dup_gram_fraction(grams: Column) -> Column:
     """Fraction of n-gram occurrences that repeat an earlier occurrence in
     the same document (Gopher-style `duplicate n-gram fraction` repetition
-    signal). Within-row only — no shuffle, runs in codegen at scan speed."""
-    return F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+    signal). Within-row only — no shuffle, runs in codegen at scan speed.
+    NULL for an empty gram array (a sub-2-token doc has no bigrams, so the
+    fraction is undefined) — the unguarded division is a DIVIDE_BY_ZERO
+    job abort under Spark 4's default ANSI mode."""
+    return F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    )
 
 
 def top_gram_fraction(grams: Column) -> Column:
@@ -133,7 +168,20 @@ def top_gram_fraction(grams: Column) -> Column:
         ),
         lambda a: a.best,
     )
-    return best.cast("double") / F.size(grams)
+    # Same empty-array guard as dup_gram_fraction: NULL, not a crash.
+    return F.when(F.size(grams) > 0, best.cast("double") / F.size(grams))
+
+
+def _merge_rewrite(a: str, b: str, sep: str) -> tuple[str, str]:
+    """The (pattern, replacement) pair for one BPE merge — shared by train
+    and apply so the anchored non-overlapping rewrite (and its
+    replacement-string escaping) can never diverge between them, which
+    would silently break the conservation law the audit pins."""
+    import re as _re
+
+    pat = f"(?<=^|\\s){_re.escape(a)} {_re.escape(b)}(?=\\s|$)"
+    repl = _re.sub(r"[\\$]", r"\\\g<0>", a + sep + b)
+    return pat, repl
 
 
 def bpe_train(
@@ -164,8 +212,6 @@ def bpe_train(
     r rewrites); at production scale checkpoint the corpus every few
     merges. Returns [{rank, pair, pair_count, applied}, ...].
     """
-    import re as _re
-
     cur = df.select(F.col(text_col).alias("t"))
     merges: list[dict] = []
     for r in range(n_merges):
@@ -181,32 +227,24 @@ def bpe_train(
             break
         g, c = top[0]["g"], int(top[0]["c"])
         a, b = g.split(" ", 1)
-        pat = f"(?<=^|\\s){_re.escape(a)} {_re.escape(b)}(?=\\s|$)"
+        pat, repl = _merge_rewrite(a, b, sep)
         applied = int(
             cur.agg(F.sum(F.regexp_count("t", F.lit(pat)))).first()[0]
         )
-        cur = cur.withColumn(
-            "t", F.regexp_replace("t", pat, _re.sub(r"[\\$]", r"\\\g<0>", a + sep + b))
-        )
+        cur = cur.withColumn("t", F.regexp_replace("t", pat, repl))
         merges.append({"rank": r, "pair": g, "pair_count": c, "applied": applied})
     return merges
 
 
 def bpe_apply(df, merges: list[dict], text_col: str = "text", sep: str = "\x01"):
     """Apply a trained merge table in rank order (same anchored
-    non-overlapping rewrite as training). Narrow map, no shuffle."""
-    import re as _re
-
+    non-overlapping rewrite as training, via the shared ``_merge_rewrite``).
+    Narrow map, no shuffle."""
     out = df.withColumn("bpe_text", F.col(text_col))
     for m in merges:
         a, b = m["pair"].split(" ", 1)
-        pat = f"(?<=^|\\s){_re.escape(a)} {_re.escape(b)}(?=\\s|$)"
-        out = out.withColumn(
-            "bpe_text",
-            F.regexp_replace(
-                "bpe_text", pat, _re.sub(r"[\\$]", r"\\\g<0>", a + sep + b)
-            ),
-        )
+        pat, repl = _merge_rewrite(a, b, sep)
+        out = out.withColumn("bpe_text", F.regexp_replace("bpe_text", pat, repl))
     return out
 
 
@@ -228,7 +266,11 @@ def importance_weights(
     unigram distributions are estimated with add-one smoothing in ONE
     shared hash agg (the target is a predicate over the same corpus, so
     both counts come from a single scan); a doc's weight is the mean
-    log-likelihood ratio of its tokens. Returns (id_col, n_tokens, weight).
+    log-likelihood ratio of its tokens. Returns (id_col, n_tokens, weight)
+    with ONE row for EVERY input document — a null/empty text scores
+    (n_tokens=0, weight=NULL) via explode_outer instead of silently
+    vanishing from the output (an inner resampling join would drop such
+    docs with no signal; a left join would get an unmarked NULL).
 
     Scale: the bucket table is ``n_buckets`` rows — a broadcast — and the
     per-doc mean is map-side combinable (tokens of a doc are co-located by
@@ -238,18 +280,24 @@ def importance_weights(
     before averaging so libm last-ulp differences cannot leak into the
     rounded weight.
     """
+    # explode_outer over the pre-filtered token array: a doc whose text is
+    # null/empty/whitespace-only keeps one row with t = NULL, so it stays
+    # scoreable downstream (n_tokens = 0) instead of dropping out.
     tok = docs.select(
         F.col(id_col),
         target_pred.alias("is_target"),
-        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
-    ).filter(F.col("t") != "")
+        F.explode_outer(
+            F.filter(tokens(F.lower(F.col(text_col))), lambda t: t != F.lit(""))
+        ).alias("t"),
+    )
     bucket = (
         F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10).cast("bigint")
         % n_buckets
     ).alias("b")
 
     stats = (
-        tok.select(bucket, "is_target")
+        tok.filter(F.col("t").isNotNull())
+        .select(bucket, "is_target")
         .groupBy("b")
         .agg(
             F.count("*").alias("c_n"),
@@ -277,12 +325,14 @@ def importance_weights(
             9,
         ).alias("logratio"),
     )
+    # LEFT join so the t=NULL marker rows (bucket NULL matches nothing)
+    # survive to the per-doc agg; count("b") counts real tokens only.
     return (
         tok.select(id_col, bucket)
-        .join(F.broadcast(lr), "b")
+        .join(F.broadcast(lr), "b", "left")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.count("b").alias("n_tokens"),
             F.round(F.avg("logratio"), 6).alias("weight"),
         )
     )
@@ -432,6 +482,7 @@ def unigram_lm_train(
         return {
             "vocab": [],
             "vocab_budget": vocab_size,
+            "max_piece_len": max_piece_len,
             "ll_per_iter": [],
             "chars": [],
             "recon_violations": 0,
@@ -506,6 +557,10 @@ def unigram_lm_train(
     return {
         "vocab": vocab,
         "vocab_budget": vocab_size,
+        # Recorded so unigram_apply segments with the SAME window the
+        # model was trained with — a caller-supplied mismatch would make
+        # long trained pieces silently unselectable at apply time.
+        "max_piece_len": max_piece_len,
         "ll_per_iter": ll_per_iter,
         "chars": chars,
         "recon_violations": recon_viol,
@@ -517,7 +572,7 @@ def unigram_apply(
     df,
     model: dict,
     text_col: str = "text",
-    max_piece_len: int = 4,
+    max_piece_len: int | None = None,
 ):
     """Tokenize a corpus with a trained unigram-LM model (the deploy half
     of `unigram_lm_train`, mirroring `bpe_apply`): per document, Viterbi-
@@ -535,12 +590,25 @@ def unigram_apply(
 
     import re
 
+    # The segmentation window defaults to what the model was TRAINED with
+    # (recorded by unigram_lm_train) — an independent default here would
+    # silently diverge train and apply whenever training used a non-default
+    # max_piece_len, making long trained pieces unselectable. An explicit
+    # caller override still wins; legacy models without the key fall back
+    # to the longest vocab piece (exactly sufficient).
+    if max_piece_len is None:
+        max_piece_len = model.get("max_piece_len") or max(
+            (len(v["piece"]) for v in model["vocab"]), default=4
+        )
     logp = {
         v["piece"]: math.log(v["prob"])
         for v in model["vocab"]
         if v["prob"] > 0.0
     }
     char_fallback = {c: math.log(1e-12) for c in model.get("chars", [])}
+    # Built ONCE — the fallback path previously rebuilt this O(vocab) dict
+    # per unsegmentable word inside the hot mapInPandas loop.
+    fallback_logp = {**char_fallback, **logp}
     schema = ", ".join(f"{c} {t}" for c, t in df.dtypes) + ", pieces string, n_pieces long"
     # Same word boundaries as training: Java's \s is ASCII-only, so the
     # Python side must NOT use str.split() (Unicode whitespace — NBSP etc.
@@ -558,8 +626,7 @@ def unigram_apply(
                         continue
                     seg, _ = _viterbi_segment(w, logp, max_piece_len)
                     if seg is None:
-                        merged = {**char_fallback, **logp}
-                        seg, _ = _viterbi_segment(w, merged, max_piece_len)
+                        seg, _ = _viterbi_segment(w, fallback_logp, max_piece_len)
                         if seg is None:
                             seg = list(w)
                     out.extend(seg)

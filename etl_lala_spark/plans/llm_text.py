@@ -17,6 +17,9 @@ from etl_lala_spark.plans import register
 
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
 _TOK_SQL = "regexp_split_to_array(text, '\\s+')"
+# Case-normalized tokens for stopword/marker matching — mirrors
+# operators/text.py:marker_hits, which lower()s before the filter.
+_LTOK_SQL = "regexp_split_to_array(lower(text), '\\s+')"
 
 
 @register(
@@ -26,7 +29,7 @@ SELECT doc_id, lang, source, n_chars,
        length(text) AS n_chars_calc,
        CAST(len({_TOK_SQL}) AS INT) AS n_tokens,
        CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS INT) AS n_punct,
-       CAST(len(list_filter({_TOK_SQL}, x -> x IN {_STOP_SQL})) AS INT) AS n_stopwords,
+       CAST(len(list_filter({_LTOK_SQL}, x -> x IN {_STOP_SQL})) AS INT) AS n_stopwords,
        round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
              / CAST(len({_TOK_SQL}) AS DOUBLE), 4) AS avg_token_len
 FROM documents
@@ -64,17 +67,21 @@ WITH stats AS (
          CAST(len({_TOK_SQL}) AS DOUBLE) AS n_tok,
          CAST(length(text) AS DOUBLE) AS n_ch,
          CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_filter({_TOK_SQL}, x -> x IN {_STOP_SQL})) AS DOUBLE) AS n_stop
+         CAST(len(list_filter({_LTOK_SQL}, x -> x IN {_STOP_SQL})) AS DOUBLE) AS n_stop
   FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         CASE WHEN n_ch > 0
+              THEN round(0.4 * least(n_tok / 100.0, 1.0)
+                         + 0.3 * (1.0 - n_punct / n_ch)
+                         + 0.3 * (n_stop / n_tok), 4)
+              ELSE 0.0 END AS quality_score
+  FROM stats
 )
-SELECT doc_id, source,
-       round(0.4 * least(n_tok / 100.0, 1.0)
-             + 0.3 * (1.0 - n_punct / n_ch)
-             + 0.3 * (n_stop / n_tok), 4) AS quality_score,
-       (round(0.4 * least(n_tok / 100.0, 1.0)
-             + 0.3 * (1.0 - n_punct / n_ch)
-             + 0.3 * (n_stop / n_tok), 4) >= 0.5) AS is_quality
-FROM stats
+SELECT doc_id, source, quality_score,
+       (quality_score >= 0.5) AS is_quality
+FROM q
 ORDER BY doc_id
 """,
 )
@@ -92,7 +99,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MARKER_SQL = {
-    lang: f"len(list_filter({_TOK_SQL}, x -> x IN {tuple(m)!r}))"
+    lang: f"len(list_filter({_LTOK_SQL}, x -> x IN {tuple(m)!r}))"
     for lang, m in tx.LANG_MARKERS.items()
 }
 
@@ -100,7 +107,7 @@ _MARKER_SQL = {
     "text_lang_id",
     oracle=f"""
 WITH scores AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text IS NULL AS no_text,
          {_MARKER_SQL['en']} AS s_en,
          {_MARKER_SQL['de']} AS s_de,
          {_MARKER_SQL['es']} AS s_es,
@@ -108,11 +115,13 @@ WITH scores AS (
   FROM documents
 )
 SELECT doc_id, lang,
-       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       CASE WHEN no_text THEN NULL
+            WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
             WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
             WHEN s_es >= s_fr THEN 'es'
             ELSE 'fr' END AS predicted_lang,
-       (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       (CASE WHEN no_text THEN NULL
+             WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
              WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
              WHEN s_es >= s_fr THEN 'es'
              ELSE 'fr' END = lang) AS is_match
@@ -194,16 +203,18 @@ kept AS (
          CAST(len({_TOK_SQL.replace('text', 'd.text')}) AS DOUBLE) AS n_tok,
          CAST(length(d.text) AS DOUBLE) AS n_ch,
          CAST(length(regexp_replace(d.text, '[^.!?,;]', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_filter({_TOK_SQL.replace('text', 'd.text')},
+         CAST(len(list_filter({_LTOK_SQL.replace('text', 'd.text')},
                               x -> x IN {_STOP_SQL})) AS DOUBLE) AS n_stop
   FROM documents d
   JOIN deduped k ON k.doc_id = d.doc_id
 ),
 scored AS (
   SELECT *,
-         round(0.4 * least(n_tok / 100.0, 1.0)
-               + 0.3 * (1.0 - n_punct / n_ch)
-               + 0.3 * (n_stop / n_tok), 4) AS q
+         CASE WHEN n_ch > 0
+              THEN round(0.4 * least(n_tok / 100.0, 1.0)
+                         + 0.3 * (1.0 - n_punct / n_ch)
+                         + 0.3 * (n_stop / n_tok), 4)
+              ELSE 0.0 END AS q
   FROM kept
 )
 SELECT lang, source,
@@ -504,7 +515,7 @@ WITH feats AS (
          least(len({_TOK_SQL}) / 100.0, 1.0) AS f_len,
          length(regexp_replace(text, '[^.!?,;]', '', 'g')) * 1.0
            / length(text) AS f_punct,
-         len(list_filter({_TOK_SQL}, t -> t IN {_STOP_SQL})) * 1.0
+         len(list_filter({_LTOK_SQL}, t -> t IN {_STOP_SQL})) * 1.0
            / len({_TOK_SQL}) AS f_stop,
          CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS f_en
   FROM documents
@@ -1017,7 +1028,8 @@ def curate_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_dup_ngram_coverage",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
   FROM documents
 ),
 g AS (
@@ -1064,7 +1076,13 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     same numbers relationally to pin the arithmetic."""
     d = load_table(spark, sf_dir, "documents")
     grams = tx.word_bigrams(F.col("text"))
-    per_doc = d.filter(F.size(F.split("text", r"\s+")) >= 2).select(
+    # Pre-filter on the same EMPTY-FILTERED token count word_bigrams uses,
+    # so a doc whose only tokens are whitespace artifacts is excluded here
+    # exactly as the oracle's len(filtered) >= 2 excludes it.
+    real_toks = F.size(
+        F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
+    )
+    per_doc = d.filter(real_toks >= 2).select(
         "source",
         tx.dup_gram_fraction(grams).alias("dup_frac"),
         tx.top_gram_fraction(grams).alias("top_frac"),
@@ -1094,12 +1112,17 @@ uni AS (
   SELECT w, count(*) AS c_w
   FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
 ),
+ftoks AS (
+  -- bigrams come from the EMPTY-FILTERED token stream (mirrors
+  -- word_bigrams); unigram counts stay raw, matching the Spark side.
+  SELECT doc_id, source, list_filter(t, x -> x <> '') AS t FROM toks
+),
 big AS (
   SELECT doc_id, source,
          t[i] || ' ' || t[i + 1] AS gram,
          t[i] AS head
   FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
-        FROM toks WHERE len(t) >= 2)
+        FROM ftoks WHERE len(t) >= 2)
 ),
 lm AS (SELECT gram, count(*) AS c_ab FROM big GROUP BY gram),
 scored AS (
@@ -1147,7 +1170,10 @@ def text_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c_w"))
     )
     big = (
-        d.filter(F.size(F.split("text", r"\s+")) >= 2)
+        d.filter(
+            F.size(F.filter(F.split("text", r"\s+"), lambda t: t != F.lit("")))
+            >= 2
+        )
         .select(
             "doc_id",
             "source",
@@ -1306,7 +1332,12 @@ def curate_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lala_spark.operators.text import importance_weights
 
     d = load_table(spark, sf_dir, "documents")
-    w = importance_weights(d, F.col("lang") == "en", n_buckets=64)
+    # importance_weights now emits token-less docs as (n_tokens=0,
+    # weight=NULL); a ranking by weight excludes them explicitly (the
+    # oracle's token-grain CTEs never see such docs at all).
+    w = importance_weights(d, F.col("lang") == "en", n_buckets=64).filter(
+        F.col("weight").isNotNull()
+    )
     top = w.orderBy(F.col("weight").desc(), "doc_id").limit(25)
     rank = F.row_number().over(W.orderBy(F.col("weight").desc(), "doc_id"))
     return top.select("doc_id", "n_tokens", "weight").withColumn(
