@@ -29,16 +29,29 @@ def asof_join_window(
     right.on <= left.on within the same ``by`` key (backward as-of,
     exact matches allowed).
 
-    Implementation: tag + union, then last(ignorenulls) over a
+    Implementation: tag + union, then ONE last(ignorenulls) over a
     (by, on, tag) ordering where right rows sort before left rows at equal
     timestamps. One shuffle, no join blowup, no Python.
+
+    The right payload rides as a single STRUCT (non-null for every right
+    row even when its fields are NULL), so last(ignorenulls) always picks
+    the most recent right ROW as a unit — per-column last() would skip a
+    genuine NULL payload value and stitch together fields from different
+    right rows (a row that never existed). Right rows with a NULL ``on``
+    are dropped (no defined position on the as-of axis) and a left row
+    with NULL ``on`` gets NULL payloads — both matching the pandas
+    strategies, which exclude those rows from pd.merge_asof.
     """
     lt = left.withColumn("_is_left", F.lit(1))
-    rt = right.select(
-        by,
-        on,
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
-    ).withColumn("_is_left", F.lit(0))
+    rt = (
+        right.filter(F.col(on).isNotNull())
+        .select(
+            by,
+            on,
+            F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
+        )
+        .withColumn("_is_left", F.lit(0))
+    )
 
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -46,16 +59,15 @@ def asof_join_window(
         .orderBy(F.col(on).asc(), F.col("_is_left").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    matched = F.last(F.col("_r"), ignorenulls=True).over(w)
     out = unioned.select(
         "*",
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
+        *[matched[c].alias(f"asof_{c}") for c in right_cols],
     )
-    return out.filter(F.col("_is_left") == 1).drop(
-        "_is_left", *[f"_r_{c}" for c in right_cols]
-    )
+    # NULL-on left rows sort before every right row (nulls first under
+    # asc), so their window prefix holds no right struct and the payloads
+    # are NULL — no special-casing needed.
+    return out.filter(F.col("_is_left") == 1).drop("_is_left", "_r")
 
 
 def asof_join_pandas(
@@ -86,21 +98,48 @@ def asof_join_pandas(
         )
         if len(lpdf) == 0:
             return pd.DataFrame(columns=[*left_cols, *[f"asof_{c}" for c in right_cols]])
-        merged = pd.merge_asof(
-            lpdf, rpdf, on=on, direction="backward", allow_exact_matches=True
-        )
-        return merged
+        return _merge_asof_nullsafe(lpdf, rpdf, on, right_cols)
 
     return both.groupBy(by).applyInPandas(merge, schema=out_schema)
+
+
+def _merge_asof_nullsafe(
+    lpdf: pd.DataFrame, rpdf: pd.DataFrame, on: str, right_cols: list[str]
+) -> pd.DataFrame:
+    """pd.merge_asof with the same NULL-``on`` contract as
+    ``asof_join_window``: right rows with a NULL key are dropped (no
+    position on the as-of axis), left rows with a NULL key keep NULL
+    payloads — merge_asof itself refuses NaT/NaN merge keys ('left keys
+    must be sorted'), which would otherwise fail the job on one bad row."""
+    rpdf = rpdf[rpdf[on].notna()]
+    l_null = lpdf[lpdf[on].isna()]
+    l_ok = lpdf[lpdf[on].notna()]
+    merged = pd.merge_asof(
+        l_ok, rpdf, on=on, direction="backward", allow_exact_matches=True
+    )
+    if len(l_null):
+        l_null = l_null.copy()
+        for c in right_cols:
+            l_null[f"asof_{c}"] = None
+        merged = pd.concat([merged, l_null], ignore_index=True)
+    return merged
 
 
 def topk_per_group(
     df: DataFrame, group_cols: list[str], order_by: list[Column], k: int
 ) -> DataFrame:
     """Deterministic per-group top-k (row_number + filter → Spark plans a
-    per-partition partial top-k before the shuffle)."""
+    per-partition partial top-k before the shuffle). Output schema equals
+    the input's — the internal rank column is dropped (leaking it broke
+    schema-sensitive consumers like unionByName/parquet appends, and
+    clobbered any existing ``rn`` column)."""
     w = W.partitionBy(*group_cols).orderBy(*order_by)
-    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    rank = "__topk_rn"
+    return (
+        df.withColumn(rank, F.row_number().over(w))
+        .filter(F.col(rank) <= k)
+        .drop(rank)
+    )
 
 
 def salted_join(
@@ -123,7 +162,21 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    if n_salts < 1:
+        # explode of an empty salt array would silently DELETE the whole
+        # replicated side (empty inner result / all-NULL left result).
+        raise ValueError(f"salted_join needs n_salts >= 1, got {n_salts}")
+    # The salt mixes a row-position component (partition id + row offset)
+    # into the row hash: a hot key whose rows are exact duplicates hashes
+    # identically on content alone, which would put ALL of them back on one
+    # (key, salt) partition — the exact straggler this rewrite removes. The
+    # position id is reproducible for a deterministic input ordering, and
+    # the salt VALUE never affects join results (the right side is
+    # replicated for every salt), only the shuffle spread.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns], F.monotonically_increasing_id()),
+        F.lit(n_salts),
+    )
     l_salted = left.withColumn("_salt", salt)
     r_rep = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
@@ -191,19 +244,45 @@ def scd2_apply(
     micro-batch (``sinks/writer.py:stream_scd2``). The reference's loader
     only ever appends (SURVEY.md §1.3); this supplies the dimension-
     versioning path a warehouse needs on top.
+
+    ``updates`` may carry multiple rows per key: they are collapsed to the
+    latest (max ``effective_col``, tracked-value tiebreak) before the
+    join, so the one-version-per-key output invariant holds for every
+    caller, not only those that pre-collapse.
     """
     null_long = F.lit(None).cast("long")
-    cur = current.filter(F.col("is_current"))
-    hist = current.filter(~F.col("is_current"))
+    # eqNullSafe split: a row whose is_current is NULL (bad backfill) goes
+    # to hist and passes through — plain filter(col)/filter(~col) both
+    # reject NULL under three-valued logic, silently LOSING the row from
+    # the returned dimension.
+    is_cur = F.col("is_current").eqNullSafe(F.lit(True))
+    cur = current.filter(is_cur)
+    hist = current.filter(~is_cur)
 
     changed_pred = F.lit(False)
     for c in tracked:
         changed_pred = changed_pred | ~F.col(c).eqNullSafe(F.col(f"u_{c}"))
 
-    upd = updates.select(
-        F.col(key),
-        F.col(effective_col).alias("u_effective"),
-        *[F.col(c).alias(f"u_{c}") for c in tracked],
+    # Collapse to ONE update per key (latest effective stamp wins; ties
+    # break on the tracked values for determinism): the left join below
+    # fans out per duplicate update, which would emit duplicate close +
+    # reopen rows — two open versions per key — with no error. Callers
+    # that pre-collapse (sinks/writer.py:stream_scd2) pay one no-op hash
+    # agg on the small side.
+    upd = (
+        updates.select(
+            F.col(key),
+            F.col(effective_col).alias("u_effective"),
+            *[F.col(c).alias(f"u_{c}") for c in tracked],
+        )
+        .groupBy(key)
+        .agg(
+            F.max_by(
+                F.struct("u_effective", *[f"u_{c}" for c in tracked]),
+                F.struct("u_effective", *[f"u_{c}" for c in tracked]),
+            ).alias("w")
+        )
+        .select(key, "w.*")
     )
     joined = cur.join(upd, on=key, how="left")
 
@@ -265,15 +344,29 @@ def check_expectations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     into a declarative rule set evaluated in ONE aggregate over ONE scan —
     at 100 TB the table is read once no matter how many rules run; adding a
     rule adds a codegen'd sum, not a pass."""
+    if not rules:
+        # stack(0) is a parse error; an empty gate is vacuously empty.
+        return df.sparkSession.createDataFrame(
+            [],
+            "rule string, n_rows bigint, n_violations bigint, "
+            "violation_rate double",
+        )
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.sum(F.when(c, 0).otherwise(1)).alias(f"v_{i}")
         for i, c in enumerate(rules.values())
     ]
     wide = df.agg(*aggs)
-    stack_args = ", ".join(f"'{name}', v_{i}" for i, name in enumerate(rules))
+    # Column-API stack, NOT an f-string selectExpr: rule names are
+    # user-supplied labels, and interpolating them into SQL text let a
+    # quote (\"isn't null\") kill the gate with a ParseException — or
+    # inject arbitrary SQL.
+    stack_args: list[Column] = []
+    for i, name in enumerate(rules):
+        stack_args += [F.lit(name), F.col(f"v_{i}")]
     return (
-        wide.selectExpr(
-            f"stack({len(rules)}, {stack_args}) AS (rule, n_violations)", "n_rows"
+        wide.select(
+            F.stack(F.lit(len(rules)), *stack_args).alias("rule", "n_violations"),
+            "n_rows",
         )
         .select(
             "rule",
@@ -312,9 +405,7 @@ def asof_join_cogrouped(
             rpdf.sort_values(on, kind="mergesort")[[on, *right_cols]]
             .rename(columns={c: f"asof_{c}" for c in right_cols})
         )
-        return pd.merge_asof(
-            lpdf, rpdf, on=on, direction="backward", allow_exact_matches=True
-        )
+        return _merge_asof_nullsafe(lpdf, rpdf, on, right_cols)
 
     return (
         left.groupBy(by)
@@ -342,16 +433,21 @@ def table_diff(
     drill-down.
     """
     def hashed(df: DataFrame, side: str) -> DataFrame:
-        # concat_ws silently DROPS null elements, which would hash
-        # (NULL, 'x') and ('x', NULL) identically — coalesce each column to
-        # a sentinel so null position is part of the fingerprint.
+        # Self-delimiting per-column tokens: '0' for NULL, '1' + md5(value)
+        # otherwise. Each token's first char determines its length, so the
+        # concatenation is prefix-decodable — no separator exists for a
+        # value to smuggle in (a plain concat_ws fingerprint classified
+        # ('x\\x1fy', 'z') and ('x', 'y\\x1fz') as identical rows), and
+        # NULL stays distinct from every string value.
         cols = [
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>"))
+            F.when(F.col(c).isNull(), F.lit("0")).otherwise(
+                F.concat(F.lit("1"), F.md5(F.col(c).cast("string")))
+            )
             for c in compare
         ]
         return df.select(
             F.col(key),
-            F.md5(F.concat_ws("\x1f", *cols)).alias(f"{side}_hash"),
+            F.md5(F.concat(*cols)).alias(f"{side}_hash"),
         )
 
     l, r = hashed(left, "l"), hashed(right, "r")
@@ -491,7 +587,11 @@ def drift_psi(
     bucket = F.least(
         F.lit(n_buckets).cast("long"), F.greatest(F.lit(1).cast("long"), raw_bucket)
     )
-    is_base = split_pred.cast("long")
+    # coalesce(pred, false): a row where the predicate is NULL (e.g. a
+    # NULL split-date) is CURRENT per the documented contract — the bare
+    # cast gives NULL, which sum() skips on BOTH sides, silently counting
+    # the row in neither population.
+    is_base = F.coalesce(split_pred, F.lit(False)).cast("long")
     hist = (
         df.crossJoin(F.broadcast(stats))
         .select(bucket.alias("bucket"), is_base.alias("is_base"))
@@ -538,7 +638,8 @@ def drift_psi_categorical(
     (the ε-smoothed log handles zero fractions). Returns
     (category, base_n, cur_n, base_frac, cur_frac, psi_term) ordered by
     category."""
-    is_base = split_pred.cast("long")
+    # Same NULL-predicate contract as drift_psi: NULL means CURRENT.
+    is_base = F.coalesce(split_pred, F.lit(False)).cast("long")
     hist = (
         df.select(F.col(value_col).alias("category"), is_base.alias("is_base"))
         .groupBy("category")

@@ -767,19 +767,25 @@ def join_theta_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH old AS (
   SELECT o_orderkey,
-         md5(concat_ws(chr(31),
-             COALESCE(o_orderstatus, chr(0) || '<null>'),
-             COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
-                      chr(0) || '<null>'))) AS l_hash
+         md5(concat(
+             CASE WHEN o_orderstatus IS NULL THEN '0'
+                  ELSE '1' || md5(o_orderstatus) END,
+             CASE WHEN o_totalprice IS NULL THEN '0'
+                  ELSE '1' || md5(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                       AS VARCHAR)) END)) AS l_hash
   FROM orders WHERE o_orderkey % 10 <> 0
 ),
 new AS (
   SELECT o_orderkey,
-         md5(concat_ws(chr(31),
-             COALESCE(o_orderstatus, chr(0) || '<null>'),
-             COALESCE(CAST(CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
-                            ELSE o_totalprice END AS DECIMAL(18,2)) AS VARCHAR),
-                      chr(0) || '<null>'))) AS r_hash
+         md5(concat(
+             CASE WHEN o_orderstatus IS NULL THEN '0'
+                  ELSE '1' || md5(o_orderstatus) END,
+             CASE WHEN o_totalprice IS NULL THEN '0'
+                  ELSE '1' || md5(CAST(CAST(CASE WHEN o_orderkey % 5 = 0
+                                                 THEN o_totalprice * 2
+                                                 ELSE o_totalprice END
+                                            AS DECIMAL(18,2))
+                                       AS VARCHAR)) END)) AS r_hash
   FROM orders WHERE o_orderkey % 7 <> 3
 ),
 diff AS (
