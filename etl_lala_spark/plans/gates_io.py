@@ -402,7 +402,7 @@ SELECT 'nation_' || n_nationkey || '.bin' AS fname,
        CASE WHEN n_nationkey % 6 IN (1, 2) THEN 'error'
             WHEN n_nationkey % 6 = 3 THEN 'skipped'
             ELSE 'ok' END AS status,
-       CAST(CASE WHEN n_nationkey % 6 IN (0, 1, 2) THEN 2
+       CAST(CASE WHEN n_nationkey % 6 IN (0, 1) THEN 2
                  WHEN n_nationkey % 6 = 3 THEN 0
                  ELSE 1 END AS INT) AS attempts,
        CAST(CASE WHEN n_nationkey % 6 IN (1, 2) THEN 0
@@ -431,8 +431,9 @@ def fetch_http_loopback(spark: SparkSession, sf_dir: str) -> DataFrame:
       succeeds after — retry-with-backoff must land ``ok`` on attempt 2;
     - ``% 6 == 1``: a permanent 404 — structured error row (R5), attempts
       exhausted at retries+1, never an exception;
-    - ``% 6 == 2``: the body exceeds ``max_bytes`` — the cap turns an
-      oversized download into an error row instead of an OOM;
+    - ``% 6 == 2``: the body exceeds ``max_bytes`` — the cap aborts the
+      chunked download mid-stream into an error row on attempt 1 (cap
+      violations are permanent, so the kernel must NOT retry them);
     - ``% 6 == 3``: the destination is pre-staged — idempotent replay
       reports ``skipped`` without touching the network;
     - otherwise: a plain 200 — ``ok`` on attempt 1 with the exact body

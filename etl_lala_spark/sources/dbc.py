@@ -153,8 +153,10 @@ def infer_dbf_columns(binaries: DataFrame, content_col: str = "content") -> list
     """Schema discovery from the first file's header (reference: per-file
     ``colunas`` reported by the converter, src/datasus/datasus.service.ts:30-33).
     One tiny driver action (header bytes only), then the decode runs fully
-    distributed with the fixed all-string schema."""
-    first = binaries.select(F.substring(F.col(content_col), 1, 4096).alias("head")).first()
+    distributed with the fixed all-string schema. The prefix is 64 KiB —
+    the DBF header length field is u16, so this covers the maximal header
+    (a 4 KiB prefix silently truncated any file past ~126 fields)."""
+    first = binaries.select(F.substring(F.col(content_col), 1, 65535).alias("head")).first()
     if first is None:
         return []
     return parse_dbf_header(bytes(first["head"]))
@@ -252,7 +254,9 @@ def read_dbc(
             for name, blob in zip(pdf[name_col], pdf[content_col]):
                 origem = name.rsplit(".", 1)[0]
                 try:
-                    file_cols, rows = parse_dbf(
+                    # Columnar decode (same fast path as read_dbf): one
+                    # latin1 call per column, no rows->columns re-transpose.
+                    file_cols, colvals = parse_dbf_columns(
                         dbc_to_dbf(bytes(blob)), limit=limit, project=project
                     )
                     if file_cols != cols:
@@ -270,7 +274,7 @@ def read_dbc(
                     f["_decode_error"] = f"{type(ex).__name__}: {str(ex)[:100]}"
                     frames.append(f)
                     continue
-                f = pd.DataFrame(rows, columns=cols, dtype=str)
+                f = pd.DataFrame(dict(zip(cols, colvals)), columns=cols)
                 f["arquivo_origem"] = origem
                 if permissive:
                     f["_decode_error"] = None

@@ -287,10 +287,21 @@ class DbcWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         import os
+        import re
 
+        # Continue numbering after any PART already present so mode=append
+        # composes: a fixed PART0000 start would silently clobber the files
+        # of every earlier write into the same directory.
+        start = 0
+        for p in globmod.glob(os.path.join(self.path, "PART*.dbc")):
+            m = re.fullmatch(r"PART(\d+)\.dbc", os.path.basename(p))
+            if m:
+                start = max(start, int(m.group(1)) + 1)
         done = [m for m in messages if m is not None and m.path]
         for i, m in enumerate(done):
-            os.replace(m.path, os.path.join(self.path, f"PART{i:04d}.dbc"))
+            os.replace(
+                m.path, os.path.join(self.path, f"PART{start + i:04d}.dbc")
+            )
 
     def abort(self, messages) -> None:
         import os
@@ -330,8 +341,14 @@ class DbcDataSource(DataSource):
         files = self._files()
         cols: list[str] = []
         for p in files:
+            # Read the DECLARED header length (u16 at offset 8) rather than
+            # a fixed prefix: a >126-field file has a header past 4 KiB and
+            # a fixed-size read would silently truncate its column list.
             with open(p, "rb") as fh:
-                head = fh.read(4096)
+                head = fh.read(32)
+                if len(head) >= 12:
+                    declared = int.from_bytes(head[8:10], "little")
+                    head += fh.read(max(0, declared - 32))
             try:
                 cols = parse_dbf_header(head)
                 if cols:

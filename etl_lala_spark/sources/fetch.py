@@ -12,7 +12,12 @@ the DBC DataSource, completing the ingest chain without leaving the engine.
 
 Semantics carried over from the reference:
 - size cap (default 500 MB): oversized bodies become structured error rows,
-  never OOM (reference's in-memory cap);
+  never OOM (reference's in-memory cap). The body streams to disk in 1 MiB
+  chunks with a running byte count, so task memory stays chunk-sized no
+  matter the cap, and the download aborts the moment the cap is crossed —
+  it does not finish pulling an oversized body just to reject it. Cap
+  violations are NON-retryable (a too-big body is permanent; retrying it
+  would re-download up to ``retries``×cap bytes for the same verdict);
 - retry with exponential backoff per URL (R2), attempts recorded;
 - idempotent re-run: a file already staged with bytes on disk is skipped
   (status ``skipped``), so replaying a manifest is a no-op — same contract
@@ -35,6 +40,12 @@ from pyspark.sql import DataFrame
 FETCH_SCHEMA = (
     "url string, dest string, n_bytes long, status string, attempts int, error string"
 )
+
+
+class _CapExceeded(ValueError):
+    """Body crossed ``max_bytes`` mid-stream: permanent, never retried.
+    Reported under the ValueError name (the documented error class for the
+    cap) so the structured-error contract is subclass-invisible."""
 
 
 def fetch_to_staging(
@@ -74,28 +85,45 @@ def fetch_to_staging(
                 if os.path.isfile(dest) and os.path.getsize(dest) > 0:
                     row.update(n_bytes=os.path.getsize(dest), status="skipped")
                 else:
+                    tmp = f"{dest}.part"
                     for attempt in range(1, retries + 2):
                         row["attempts"] = attempt
                         try:
-                            with urllib.request.urlopen(url) as resp:
-                                data = resp.read(max_bytes + 1)
-                            if len(data) > max_bytes:
-                                raise ValueError(
-                                    f"body exceeds max_bytes={max_bytes}"
-                                )
+                            # Stream to disk in chunks under a running cap:
+                            # task memory is chunk-sized, and an oversized
+                            # body aborts at cap+1 bytes, not at EOF.
+                            got = 0
+                            with urllib.request.urlopen(url) as resp, open(
+                                tmp, "wb"
+                            ) as fh:
+                                while True:
+                                    chunk = resp.read(1 << 20)
+                                    if not chunk:
+                                        break
+                                    got += len(chunk)
+                                    if got > max_bytes:
+                                        raise _CapExceeded(
+                                            f"body exceeds max_bytes={max_bytes}"
+                                        )
+                                    fh.write(chunk)
                             # write-then-rename so a killed task never leaves
                             # a half-written file that a replay would skip
-                            tmp = f"{dest}.part"
-                            with open(tmp, "wb") as fh:
-                                fh.write(data)
                             os.replace(tmp, dest)
-                            row.update(n_bytes=len(data), status="ok",
-                                       error=None)
+                            row.update(n_bytes=got, status="ok", error=None)
                             break
                         except Exception as exc:  # noqa: BLE001 — R5 contract
-                            row["error"] = f"{type(exc).__name__}: {exc}"[:500]
+                            cls = (
+                                "ValueError"
+                                if isinstance(exc, _CapExceeded)
+                                else type(exc).__name__
+                            )
+                            row["error"] = f"{cls}: {exc}"[:500]
+                            if isinstance(exc, _CapExceeded):
+                                break  # permanent: the body will never shrink
                             if attempt <= retries:
                                 time.sleep(backoff_s * (2 ** (attempt - 1)))
+                    if os.path.exists(tmp):
+                        os.remove(tmp)  # no half-file survives a failed fetch
                 for k, v in row.items():
                     out[k].append(v)
             yield pd.DataFrame(out)

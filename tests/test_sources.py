@@ -559,3 +559,107 @@ def test_read_dbc_permissive_emits_error_rows(spark):
 
     with pytest.raises(ValueError, match="unknown mode"):
         read_dbc(df, columns=["A"], mode="DROPMALFORMED")
+
+
+def test_archive_expansion_permissive_and_member_cap(spark, tmp_path):
+    """R5 on the expansion path: a corrupt archive and an over-cap member
+    become structured error rows under permissive=True (good members keep
+    flowing); FAILFAST raises on the cap; default behavior is unchanged."""
+    import pytest as _pytest
+
+    zdir = str(tmp_path / "zips")
+    os.makedirs(zdir)
+    with open(os.path.join(zdir, "good.zip"), "wb") as fh:
+        fh.write(_zip_bytes({"SMALL.dbc": b"s" * 10, "BIG.dbc": b"b" * 5000}))
+    with open(os.path.join(zdir, "corrupt.zip"), "wb") as fh:
+        fh.write(b"PK\x03\x04 this is not a valid zip archive")
+
+    archives = arc.read_binary_files(spark, zdir, glob="*.zip")
+
+    # Permissive: 1 good row + 1 cap row + 1 corrupt-archive row.
+    rows = arc.extract_archive_members(
+        archives, suffix=".dbc", max_member_bytes=1000, permissive=True
+    ).collect()
+    by_member = {r["member"]: r for r in rows}
+    ok = by_member["SMALL.dbc"]
+    assert ok["_error"] is None and ok["n_bytes"] == 10
+    cap = by_member["BIG.dbc"]
+    assert cap["content"] is None and "cap" in cap["_error"]
+    (bad,) = [r for r in rows if r["member"] is None]
+    assert bad["archive"].endswith("corrupt.zip") and bad["_error"]
+
+    # FAILFAST: the cap raises instead of emitting rows.
+    good_only = archives.filter("path like '%good.zip'")
+    with _pytest.raises(Exception, match="cap"):
+        arc.extract_archive_members(
+            good_only, suffix=".dbc", max_member_bytes=1000
+        ).collect()
+
+    # Default (no cap, fail-fast) still decodes the good archive unchanged,
+    # with the original 5-column schema (no _error column).
+    legacy = arc.extract_archive_members(good_only, suffix=".dbc")
+    assert "_error" not in legacy.columns
+    assert legacy.count() == 2
+
+
+def test_fetch_cap_exceeded_not_retried(spark, tmp_path):
+    """The max_bytes cap is permanent: even with retries budgeted, an
+    oversized body errors on attempt 1 (no re-download), reports the
+    documented ValueError class, and leaves no .part debris."""
+    from etl_lala_spark.sources.fetch import fetch_to_staging
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    (src / "big.zip").write_bytes(b"B" * 4096)
+    staging = str(tmp_path / "staging")
+    mf = spark.createDataFrame([(f"file://{src}/big.zip",)], "url string")
+    (row,) = fetch_to_staging(
+        mf, staging, max_bytes=1024, retries=3, backoff_s=0.0
+    ).collect()
+    assert row.status == "error"
+    assert row.attempts == 1  # NOT 4: cap violations never retry
+    assert row.error.startswith("ValueError:") and "max_bytes" in row.error
+    assert not os.path.exists(os.path.join(staging, "big.zip"))
+    assert not os.path.exists(os.path.join(staging, "big.zip.part"))
+
+
+def test_dbf_wide_header_inference(spark, tmp_path):
+    """A >126-field DBF has a header past 4 KiB; schema inference (both the
+    mapInPandas helper and the DataSource planner) must read the declared
+    header length, not a fixed prefix."""
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    register_dbc_source(spark)
+    cols = [f"C{i:03d}" for i in range(130)]
+    data = dbc.write_dbf(cols, [[str(i) for i in range(130)]], field_len=4)
+    assert 32 + 32 * 130 + 1 > 4096  # the regression precondition
+
+    df = spark.createDataFrame(
+        [("wide.dbf", bytearray(data))],
+        "member_basename string, content binary",
+    )
+    assert dbc.infer_dbf_columns(df) == cols
+
+    d = str(tmp_path / "wide")
+    os.makedirs(d)
+    with open(os.path.join(d, "WIDE.dbf"), "wb") as fh:
+        fh.write(data)
+    got = spark.read.format("dbc").load(d)
+    assert [f for f in got.columns if f != "arquivo_origem"] == cols
+    (r,) = got.collect()
+    assert r["C129"] == "129"
+
+
+def test_dbc_writer_append_does_not_clobber(spark, tmp_path):
+    """mode=append must continue PART numbering after existing files; a
+    second append used to silently overwrite PART0000 of the first."""
+    from etl_lala_spark.sources.dbc_datasource import register_dbc_source
+
+    register_dbc_source(spark)
+    d = str(tmp_path / "out")
+    df1 = spark.createDataFrame([("a",)], "X string").coalesce(1)
+    df2 = spark.createDataFrame([("b",)], "X string").coalesce(1)
+    df1.write.format("dbc").option("path", d).mode("append").save()
+    df2.write.format("dbc").option("path", d).mode("append").save()
+    back = spark.read.format("dbc").load(d)
+    assert sorted(r["X"] for r in back.collect()) == ["a", "b"]
