@@ -292,6 +292,9 @@ def sniff_media(data: bytes) -> tuple[str, int, int, int]:
             if data[i] != 0xFF:
                 break
             marker = data[i + 1]
+            if marker == 0xFF:  # T.81 B.1.1.2 fill byte — not a segment
+                i += 1
+                continue
             seg_len = _struct.unpack(">H", data[i + 2 : i + 4])[0]
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = _struct.unpack(">HH", data[i + 5 : i + 9])
@@ -299,9 +302,21 @@ def sniff_media(data: bytes) -> tuple[str, int, int, int]:
             i += 2 + seg_len
         return ("jpeg", 0, 0, 0)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) >= 36:
-        n_channels, sample_rate = _struct.unpack("<HI", data[22:28])
-        bits = _struct.unpack("<H", data[34:36])[0]
-        return ("wav", sample_rate, n_channels, bits)
+        # Walk the chunk list for fmt (same as decode_wav) instead of
+        # assuming it sits first: spec-legal files may carry LIST/JUNK
+        # metadata ahead of fmt, and fixed offsets would misreport them.
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            size = _struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+            if cid == b"fmt " and size >= 16:
+                n_channels, sample_rate = _struct.unpack(
+                    "<HI", data[pos + 10 : pos + 16]
+                )
+                bits = _struct.unpack("<H", data[pos + 22 : pos + 24])[0]
+                return ("wav", sample_rate, n_channels, bits)
+            pos += 8 + size + (size % 2)
+        return ("unknown", 0, 0, 0)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI " and len(data) >= 12:
         try:
             w, h, n_frames, _fps = decode_avi(data)

@@ -389,6 +389,31 @@ def test_sniff_media_real_headers(spark, sf_dir):
     assert got[5] == ("unknown", 0, 0, 0)
 
 
+def test_sniff_media_nonleading_fmt_and_jpeg_fill_bytes():
+    """Spec-legal layouts the fixed-offset sniff used to misparse: a WAV
+    whose fmt chunk follows a LIST metadata chunk (odd-size, word-aligned),
+    and a JPEG with 0xFF fill-byte padding between header segments."""
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, 2, 22050, 88200, 4, 16)
+    meta = b"INFOx"  # odd length: pad byte required
+    chunks = (b"LIST" + struct.pack("<I", len(meta)) + meta + b"\x00"
+              + b"fmt " + struct.pack("<I", 16) + fmt)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    assert mm.sniff_media(wav) == ("wav", 22050, 2, 16)
+
+    # RIFF/WAVE with no fmt chunk at all is garbage, not audio
+    nofmt = b"RIFF" + struct.pack("<I", 30) + b"WAVE" + b"JUNK" + struct.pack("<I", 18) + b"\x00" * 18
+    assert mm.sniff_media(nofmt) == ("unknown", 0, 0, 0)
+
+    jpeg = (b"\xff\xd8" + b"\xff\xff\xff\xff"  # fill bytes before APP0
+            + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
+            + b"\xff\xff"  # and between segments
+            + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 600, 800) + b"\x03" + b"\x00" * 4)
+    assert mm.sniff_media(jpeg) == ("jpeg", 800, 600, 3)
+
+
 def test_scd2_apply_closes_reopens_and_is_idempotent(spark):
     from etl_lala_spark.operators import relational as rel
 
