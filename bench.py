@@ -96,6 +96,7 @@ HEADLINE = [
     # run manifest, keep-N retention, decoder limit pushdown) and windowed
     # spectral audio features at the integer-exact DFT bins
     "archive_expand_members",
+    "archive_permissive_errors",
     "sink_json_manifest",
     "sink_retention_runs",
     "dbc_limit_pushdown",

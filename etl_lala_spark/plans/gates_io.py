@@ -742,3 +742,101 @@ def dbc_permissive_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arquivo_origem")
     )
+
+
+_ARCHIVE_PERMISSIVE_ORACLE = """
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 160)
+SELECT 'corrupt_archive' AS category,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(0 AS BIGINT) AS sum_bytes,
+       'BadZipFile' AS error_class
+FROM d WHERE doc_id % 4 = 0
+UNION ALL
+SELECT 'good', CAST(count(*) AS BIGINT),
+       CAST(sum(doc_id % 7 + 3) AS BIGINT), ''
+FROM d WHERE doc_id % 4 <> 0
+UNION ALL
+SELECT 'over_cap', CAST(count(*) AS BIGINT), CAST(0 AS BIGINT), 'ValueError'
+FROM d WHERE doc_id % 4 = 1
+ORDER BY category
+"""
+
+
+@register("archive_permissive_errors", oracle=_ARCHIVE_PERMISSIVE_ORACLE)
+def archive_permissive_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 on the S6 expansion path, under the correctness gate: per document
+    an archive is rendered in-cluster whose class is keyed on doc_id —
+
+    - ``% 4 == 0``: garbage bytes behind a PK signature (not a ZIP) — the
+      whole archive must degrade to ONE structured error row (member NULL,
+      BadZipFile class), not a task failure;
+    - ``% 4 == 1``: a real ZIP holding one good ``.dbc`` member AND one
+      member whose DECLARED size exceeds the 64-byte cap — the good member
+      must still flow while the over-cap one becomes an error row whose
+      guard read only the directory entry (the zip-bomb contract);
+    - otherwise: a real ZIP with one good member.
+
+    The real ``extract_archive_members(permissive=True, max_member_bytes)``
+    kernel expands everything in one Arrow pass; rows reduce to per-category
+    (count, byte sum, error class), which the oracle replays in closed form
+    from documents. A swallowed corrupt archive, a cap that blocks the
+    sibling good member, a mis-classified error, or a cap that inflates the
+    member before rejecting it all land on a different hash.
+
+    Scale: the cap check is metadata-only (central-directory size field),
+    so a 1 MB archive declaring a 100 GB member is rejected in O(1) —
+    the guard a 100 TB backfill needs against hostile inputs."""
+    import zipfile
+    from collections.abc import Iterator
+    from io import BytesIO
+
+    import pandas as pd
+
+    from etl_lala_spark.sources.archive import extract_archive_members
+
+    cap = 64
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 4 == 0:
+                    blob = b"PK\x03\x04 definitely not a zip " + bytes(
+                        [d % 251] * (d % 13 + 1)
+                    )
+                else:
+                    buf = BytesIO()
+                    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+                        zf.writestr(f"m{d}.dbc", b"x" * (d % 7 + 3))
+                        if d % 4 == 1:
+                            zf.writestr(f"big{d}.dbc", b"B" * (cap + 1))
+                    blob = buf.getvalue()
+                rows.append((f"mem://perm{d}.zip", blob))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    archives = docs.select("doc_id").mapInPandas(
+        build, "path string, content binary"
+    )
+    members = extract_archive_members(
+        archives, suffix=".dbc", max_member_bytes=cap, permissive=True
+    )
+    category = (
+        F.when(F.col("_error").isNull(), F.lit("good"))
+        .when(F.col("member").isNull(), F.lit("corrupt_archive"))
+        .otherwise(F.lit("over_cap"))
+    )
+    return (
+        members.groupBy(category.alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("_error").isNull(), F.col("n_bytes")).otherwise(0))
+            .cast("long")
+            .alias("sum_bytes"),
+            F.max(
+                F.coalesce(F.split("_error", ":").getItem(0), F.lit(""))
+            ).alias("error_class"),
+        )
+        .orderBy("category")
+    )
