@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_minhash",
     "ann_cosine_topk",
     "ann_cosine_lsh",
     "ann_cosine_ivf",

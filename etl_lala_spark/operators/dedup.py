@@ -856,3 +856,211 @@ def substring_dedup_clean(
         (F.size("toks") - F.size(kept)).alias("n_removed"),
         F.array_join(F.transform(kept, lambda x: x["t"]), " ").alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash: persisted signature store + batch-vs-store dedup
+# ---------------------------------------------------------------------------
+
+_INDEX_META = "_minhash_meta.json"
+
+
+def minhash_index_write(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Persist a corpus's MinHash state so later batches dedup against it
+    WITHOUT rescanning the corpus — the shape a daily increment on a 100 TB
+    collection actually runs (re-shingling the full corpus per batch is the
+    O(corpus) cost this store amortizes away).
+
+    Layout under ``path``:
+    - ``sigs/``  — one row per doc: (doc, n_shingles, hashes, sig). The
+      shingle-hash array (8 bytes per shingle — the text itself never
+      persists) is what makes EXACT Jaccard verification possible against
+      the store alone.
+    - ``bands/`` — one row per (doc, band, bucket), sorted within files by
+      (band, bucket) so parquet row-group stats prune the store side of the
+      candidate join.
+    - ``_minhash_meta.json`` — (k, n_hashes, bands): signatures are only
+      comparable under identical parameters, so the incremental reader
+      validates before joining (a silent k mismatch would report ~zero
+      similarity for true dups).
+    """
+    import json
+    import os
+
+    if bands <= 0 or bands > n_hashes or n_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide n_hashes={n_hashes} "
+            "(0 < bands <= n_hashes)"
+        )
+    rows = n_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        word_shingles(F.col(text_col), k).alias("shingles"),
+    ).select(
+        "doc",
+        F.size("shingles").alias("n_shingles"),
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
+    )
+    # minhash_signatures drops the hash array; the store must KEEP it —
+    # exact verification against the index alone depends on it.
+    sig = base.select(
+        "doc",
+        "n_shingles",
+        "hashes",
+        F.expr(
+            f"transform(sequence(0, {n_hashes - 1}), i -> "
+            f"array_min(transform(hashes, h -> xxhash64(h, i))))"
+        ).alias("sig"),
+    )
+    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    # Re-read the committed sigs (cheap columnar scan, no re-shingle) to
+    # derive the band table, so the two tables are consistent by
+    # construction even if the input plan is nondeterministic upstream.
+    committed = sig.sparkSession.read.parquet(os.path.join(path, "sigs"))
+    (
+        committed.select(
+            "doc",
+            F.expr(
+                f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
+                f"'band', b, "
+                f"'bucket', xxhash64(slice(sig, b * {rows} + 1, {rows})))))"
+            ).alias("bb"),
+        )
+        .select("doc", "bb.band", "bb.bucket")
+        .sortWithinPartitions("band", "bucket")
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "bands"))
+    )
+    with open(os.path.join(path, _INDEX_META), "w") as fh:
+        json.dump({"k": k, "n_hashes": n_hashes, "bands": bands}, fh)
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs between an INCOMING batch and a persisted corpus
+    index (``minhash_index_write``): returns (new_doc, old_doc,
+    est_jaccard, jaccard) for every batch doc whose exact Jaccard against
+    a stored doc clears ``threshold``.
+
+    Cost shape at 100 TB: the batch is shingled once; candidates come from
+    the (band, bucket) equality join against the stored band table — the
+    batch side is the small side (Spark broadcasts it under AQE), so the
+    store is STREAMED, never re-shingled, and only candidate docs' stored
+    shingle-hash arrays are exploded for the exact verification. Hash
+    parameters (k, n_hashes, bands) are READ from the store's meta file
+    rather than accepted from the caller — signatures are only comparable
+    under identical parameters, and a caller-supplied k that disagreed
+    with the store would silently report ~zero similarity for true dups."""
+    import json
+    import os
+
+    with open(os.path.join(index_path, _INDEX_META)) as fh:
+        meta = json.load(fh)
+    k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
+    rows = n_hashes // bands
+    spark = new_df.sparkSession
+    from etl_lala_spark.io import spread
+
+    base = (
+        spread(new_df.select(text_col, id_col), by=id_col)
+        .select(
+            F.col(id_col).alias("new_doc"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
+        .select(
+            "new_doc",
+            F.size("shingles").alias("n_new"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
+        )
+        .cache()
+    )
+    sig_new = (
+        minhash_signatures(
+            base.select(
+                F.col("new_doc").alias("doc"),
+                F.col("n_new").alias("n_shingles"),
+                "hashes",
+            ),
+            n_hashes,
+        )
+        .select(F.col("doc").alias("new_doc"), F.col("sig").alias("sig_new"))
+        .cache()
+    )
+    bands_new = sig_new.select(
+        "new_doc",
+        F.expr(
+            f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
+            f"'band', b, "
+            f"'bucket', xxhash64(slice(sig_new, b * {rows} + 1, {rows})))))"
+        ).alias("bb"),
+    ).select("new_doc", "bb.band", "bb.bucket")
+
+    store_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    store_sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
+
+    cand = (
+        bands_new.join(store_bands, ["band", "bucket"])
+        .select("new_doc", F.col("doc").alias("old_doc"))
+        .distinct()
+    )
+    est = F.round(
+        F.size(
+            F.filter(F.zip_with("sig_new", "sig", lambda x, y: x == y), lambda m: m)
+        )
+        / F.lit(float(n_hashes)),
+        4,
+    )
+    cand_sig = (
+        cand.join(sig_new, "new_doc")
+        .join(
+            store_sigs.select(F.col("doc").alias("old_doc"), "sig"), "old_doc"
+        )
+        .select("new_doc", "old_doc", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold * 0.5)
+    )
+
+    new_sh = base.select("new_doc", "n_new", F.explode("hashes").alias("shingle"))
+    old_sh = (
+        store_sigs.join(
+            cand_sig.select("old_doc").distinct(), store_sigs.doc == F.col("old_doc")
+        )
+        .select(
+            "old_doc",
+            F.col("n_shingles").alias("n_old"),
+            F.explode("hashes").alias("shingle"),
+        )
+    )
+    inter = (
+        new_sh.join(cand_sig.select("new_doc", "old_doc"), "new_doc")
+        .join(old_sh, ["old_doc", "shingle"])
+        .groupBy("new_doc", "old_doc", "n_new", "n_old")
+        .agg(F.count("*").alias("inter"))
+    )
+    exact = inter.select(
+        "new_doc",
+        "old_doc",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("n_new") + F.col("n_old") - F.col("inter")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    )
+    return (
+        cand_sig.join(exact, ["new_doc", "old_doc"], "left")
+        .na.fill({"jaccard": 0.0})
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_doc", "old_doc", "est_jaccard", "jaccard")
+    )

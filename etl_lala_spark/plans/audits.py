@@ -813,3 +813,54 @@ def audit_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_seeded_ok"
         ),
     )
+
+
+@register(
+    "audit_incremental_planted",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_planted,
+       CAST(count(*) AS BIGINT) AS n_planted_found,
+       1 AS all_found, 1 AS exact_jaccard_ok
+FROM documents WHERE doc_id % 10 = 0
+""",
+)
+def audit_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed twin of ``dedup_incremental_minhash``: every planted
+    exact copy in the incoming batch (doc_id % 10 == 0, re-appearing at
+    +200000) MUST be recovered against the persisted index — identical
+    text gives an identical signature, which collides in every band, and
+    the exact verification from STORED shingle hashes must report Jaccard
+    exactly 1.0 (a store that dropped or re-hashed shingles differently
+    would not). Recall 1.0 is an invariant, not a tolerance."""
+    from etl_lala_spark.plans.llm_dedup import dedup_incremental_minhash
+
+    pairs = dedup_incremental_minhash(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 200000).alias("new_doc"),
+        F.col("doc_id").alias("old_doc"),
+    )
+    found = planted.join(pairs, ["new_doc", "old_doc"], "left").select(
+        "new_doc", "jaccard"
+    )
+    return (
+        planted.agg(F.count("*").alias("n_planted"))
+        .crossJoin(
+            found.agg(
+                F.count(F.when(F.col("jaccard").isNotNull(), True)).alias(
+                    "n_planted_found"
+                ),
+                F.count(F.when(F.col("jaccard") == 1.0, True)).alias("n_exact"),
+            )
+        )
+        .select(
+            "n_planted",
+            "n_planted_found",
+            _flag(F.col("n_planted") == F.col("n_planted_found")).alias(
+                "all_found"
+            ),
+            _flag(F.col("n_planted") == F.col("n_exact")).alias(
+                "exact_jaccard_ok"
+            ),
+        )
+    )

@@ -586,3 +586,42 @@ def dedup_substring_runs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_incremental_minhash",
+    doc="rows-only: approximate candidate generation against a persisted index",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup — the daily-increment shape: the documents
+    corpus is committed ONCE as a persisted signature store
+    (``minhash_index_write``: per-doc signatures + shingle hashes + sorted
+    band buckets + parameter meta), then an INCOMING batch (exact copies of
+    every 10th doc at +200000, near-copies of every 20th at +300000) dedups
+    against the store via ``minhash_incremental_pairs`` — batch-side
+    shingling only, (band, bucket) equality join into the store, exact
+    Jaccard verified from the STORED 8-byte shingle hashes. At 100 TB this
+    is the difference between O(batch) and O(corpus) per increment; the
+    text of the historical corpus is never touched again. xxhash64
+    signatures are not SQL-expressible → rows-only driver check; the
+    oracle-backed twin is ``audit_incremental_planted``."""
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+    import os
+
+    work = gate_workdir(spark, "dedup_incremental_minhash")
+    index = os.path.join(work, "index")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    with fixture_region("dedup_incremental_minhash"):
+        dd.minhash_index_write(d, index)
+    exact_new = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    near_new = (
+        d.filter(F.col("doc_id") % 20 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 300000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" xq zz qq")))
+    )
+    batch = exact_new.unionByName(near_new)
+    return dd.minhash_incremental_pairs(batch, index, threshold=0.5).orderBy(
+        "new_doc", "old_doc"
+    )

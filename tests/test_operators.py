@@ -1885,3 +1885,51 @@ def test_substring_clean_null_text_zero_tokens(spark):
     out = {r["doc_id"]: r for r in substring_dedup_clean(df, min_tokens=2).collect()}
     assert out[1]["n_tokens"] == 0 and out[1]["n_removed"] == 0
     assert out[2]["n_tokens"] == 3
+
+
+def test_minhash_incremental_index_roundtrip(spark, tmp_path):
+    """Persisted-index dedup: an incoming batch recovers its planted exact
+    and near dups against the store with exact Jaccard, unrelated docs
+    produce no pairs, and the store is self-describing (meta-driven
+    parameters, shingle hashes persisted for exact verification)."""
+    import json
+    import os
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog near the river"),
+            (2, "pack my box with five dozen liquor jugs before the dawn breaks"),
+            (3, "how vexingly quick daft zebras jump across the frozen lake"),
+        ],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "idx")
+    dd.minhash_index_write(corpus, index)
+    meta = json.load(open(os.path.join(index, "_minhash_meta.json")))
+    assert meta == {"k": 3, "n_hashes": 32, "bands": 8}
+    sigs = spark.read.parquet(os.path.join(index, "sigs"))
+    assert {"doc", "n_shingles", "hashes", "sig"} <= set(sigs.columns)
+
+    batch = spark.createDataFrame(
+        [
+            # exact copy of doc 1
+            (101, "the quick brown fox jumps over the lazy dog near the river"),
+            # near copy of doc 2 (one appended token)
+            (102, "pack my box with five dozen liquor jugs before the dawn breaks ok"),
+            # unrelated
+            (103, "completely different sentence about spark shuffle partitions"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["new_doc"], r["old_doc"]): r
+        for r in dd.minhash_incremental_pairs(batch, index, threshold=0.5).collect()
+    }
+    assert (101, 1) in got and got[(101, 1)]["jaccard"] == 1.0
+    assert (102, 2) in got and 0.5 <= got[(102, 2)]["jaccard"] < 1.0
+    assert all(new != 103 for new, _ in got)
+
+    # a second batch against the same store: the corpus is never re-shingled,
+    # so the store read path must be stable across sessions of use
+    again = dd.minhash_incremental_pairs(batch, index, threshold=0.5).count()
+    assert again == len(got)
