@@ -224,6 +224,28 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _seeded_sig_expr(n_hashes: int) -> str:
+    """The ONE definition of the seeded-MinHash signature expression.
+    Shared by the in-session path and the persisted index (writer AND
+    incremental reader): signatures are only comparable when this formula
+    is identical on both sides, so it must never fork."""
+    return (
+        f"transform(sequence(0, {n_hashes - 1}), i -> "
+        f"array_min(transform(hashes, h -> xxhash64(h, i))))"
+    )
+
+
+def _band_bucket_expr(bands: int, rows: int, sig_col: str = "sig") -> str:
+    """The ONE definition of the LSH band-bucket expression (same sharing
+    contract as :func:`_seeded_sig_expr`): one (band, bucket) struct per
+    band, bucket = hash of the signature slice for that band."""
+    return (
+        f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
+        f"'band', b, "
+        f"'bucket', xxhash64(slice({sig_col}, b * {rows} + 1, {rows})))))"
+    )
+
+
 def minhash_signatures(
     sh: DataFrame, n_hashes: int = 32
 ) -> DataFrame:
@@ -247,10 +269,7 @@ def minhash_signatures(
     return sh.select(
         "doc",
         "n_shingles",
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}), i -> "
-            f"array_min(transform(hashes, h -> xxhash64(h, i))))"
-        ).alias("sig"),
+        F.expr(_seeded_sig_expr(n_hashes)).alias("sig"),
     )
 
 
@@ -316,11 +335,7 @@ def minhash_lsh_pairs(
     # the cached signature, so band generation costs bands × O(rows) per doc.
     band_rows = sig.select(
         "doc",
-        F.expr(
-            f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
-            f"'band', b, "
-            f"'bucket', xxhash64(slice(sig, b * {rows} + 1, {rows})))))"
-        ).alias("bb"),
+        F.expr(_band_bucket_expr(bands, rows)).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
 
     cand = (
@@ -915,10 +930,7 @@ def minhash_index_write(
         "doc",
         "n_shingles",
         "hashes",
-        F.expr(
-            f"transform(sequence(0, {n_hashes - 1}), i -> "
-            f"array_min(transform(hashes, h -> xxhash64(h, i))))"
-        ).alias("sig"),
+        F.expr(_seeded_sig_expr(n_hashes)).alias("sig"),
     )
     sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
     # Re-read the committed sigs (cheap columnar scan, no re-shingle) to
@@ -928,11 +940,7 @@ def minhash_index_write(
     (
         committed.select(
             "doc",
-            F.expr(
-                f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
-                f"'band', b, "
-                f"'bucket', xxhash64(slice(sig, b * {rows} + 1, {rows})))))"
-            ).alias("bb"),
+            F.expr(_band_bucket_expr(bands, rows)).alias("bb"),
         )
         .select("doc", "bb.band", "bb.bucket")
         .sortWithinPartitions("band", "bucket")
@@ -963,7 +971,12 @@ def minhash_incremental_pairs(
     parameters (k, n_hashes, bands) are READ from the store's meta file
     rather than accepted from the caller — signatures are only comparable
     under identical parameters, and a caller-supplied k that disagreed
-    with the store would silently report ~zero similarity for true dups."""
+    with the store would silently report ~zero similarity for true dups.
+
+    The internal batch base/signature caches back the RETURNED plan (same
+    contract as ``minhash_lsh_pairs``), so they stay pinned until the
+    caller finishes consuming it — a loop calling this once per batch
+    should ``spark.catalog.clearCache()`` between batches."""
     import json
     import os
 
@@ -1001,11 +1014,7 @@ def minhash_incremental_pairs(
     )
     bands_new = sig_new.select(
         "new_doc",
-        F.expr(
-            f"explode(transform(sequence(0, {bands - 1}), b -> named_struct("
-            f"'band', b, "
-            f"'bucket', xxhash64(slice(sig_new, b * {rows} + 1, {rows})))))"
-        ).alias("bb"),
+        F.expr(_band_bucket_expr(bands, rows, sig_col="sig_new")).alias("bb"),
     ).select("new_doc", "bb.band", "bb.bucket")
 
     store_bands = spark.read.parquet(os.path.join(index_path, "bands"))

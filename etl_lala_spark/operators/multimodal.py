@@ -309,7 +309,10 @@ def sniff_media(data: bytes) -> tuple[str, int, int, int]:
         while pos + 8 <= len(data):
             cid = data[pos : pos + 4]
             size = _struct.unpack("<I", data[pos + 4 : pos + 8])[0]
-            if cid == b"fmt " and size >= 16:
+            # Bounds-check the fmt body before unpacking: a truncated fmt
+            # chunk must degrade to unknown (the sniffer's contract), not
+            # raise struct.error and kill the scan task.
+            if cid == b"fmt " and size >= 16 and pos + 24 <= len(data):
                 n_channels, sample_rate = _struct.unpack(
                     "<HI", data[pos + 10 : pos + 16]
                 )

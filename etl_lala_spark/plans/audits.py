@@ -831,11 +831,26 @@ def audit_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     text gives an identical signature, which collides in every band, and
     the exact verification from STORED shingle hashes must report Jaccard
     exactly 1.0 (a store that dropped or re-hashed shingles differently
-    would not). Recall 1.0 is an invariant, not a tolerance."""
-    from etl_lala_spark.plans.llm_dedup import dedup_incremental_minhash
+    would not). Recall 1.0 is an invariant, not a tolerance.
 
-    pairs = dedup_incremental_minhash(spark, sf_dir)
+    Builds its OWN index under its own workdir rather than calling the
+    ``dedup_incremental_minhash`` gate fn: ``gate_workdir`` wipes the named
+    gate's scratch dir on entry, so reusing the gate's would invalidate the
+    lazy plan that gate returned earlier in the same driver round."""
+    import os
+
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+
+    work = gate_workdir(spark, "audit_incremental_planted")
+    index = os.path.join(work, "index")
     d = load_table(spark, sf_dir, "documents")
+    corpus = d.select("doc_id", "text")
+    with fixture_region("audit_incremental_planted"):
+        dd.minhash_index_write(corpus, index)
+    batch = corpus.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 200000
+    )
+    pairs = dd.minhash_incremental_pairs(batch, index, threshold=0.5)
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 200000).alias("new_doc"),
         F.col("doc_id").alias("old_doc"),

@@ -201,7 +201,11 @@ def read_dbf(
                     raise ValueError(
                         f"{name}: columns {file_cols[:3]}... != expected {cols[:3]}..."
                     )
-                f = pd.DataFrame(dict(zip(cols, colvals)), columns=cols)
+                # Positional construction: dict(zip(names, ...)) would
+                # silently collapse duplicate DBF field names (legal in the
+                # wild) onto the last duplicate's values.
+                f = pd.DataFrame(dict(enumerate(colvals)))
+                f.columns = cols
                 f["arquivo_origem"] = name.rsplit(".", 1)[0]
                 frames.append(f)
             yield (
@@ -274,7 +278,10 @@ def read_dbc(
                     f["_decode_error"] = f"{type(ex).__name__}: {str(ex)[:100]}"
                     frames.append(f)
                     continue
-                f = pd.DataFrame(dict(zip(cols, colvals)), columns=cols)
+                # Positional construction (see read_dbf): preserves data
+                # under duplicate DBF field names.
+                f = pd.DataFrame(dict(enumerate(colvals)))
+                f.columns = cols
                 f["arquivo_origem"] = origem
                 if permissive:
                     f["_decode_error"] = None

@@ -406,6 +406,13 @@ def test_sniff_media_nonleading_fmt_and_jpeg_fill_bytes():
     nofmt = b"RIFF" + struct.pack("<I", 30) + b"WAVE" + b"JUNK" + struct.pack("<I", 18) + b"\x00" * 18
     assert mm.sniff_media(nofmt) == ("unknown", 0, 0, 0)
 
+    # a TRUNCATED fmt chunk (header claims 16 bytes, body cut off) must
+    # degrade to unknown, never raise struct.error into the scan task
+    trunc = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+             + b"JUNK" + struct.pack("<I", 8) + b"\x00" * 8
+             + b"fmt " + struct.pack("<I", 16))
+    assert mm.sniff_media(trunc) == ("unknown", 0, 0, 0)
+
     jpeg = (b"\xff\xd8" + b"\xff\xff\xff\xff"  # fill bytes before APP0
             + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"
             + b"\xff\xff"  # and between segments
