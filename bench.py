@@ -132,6 +132,10 @@ HEADLINE = [
     "multimodal_augment_crop_flip",
     "events_attribution_last_touch",
     "dbc_permissive_errors",
+    # round 8: T1 constant-memory certificate — per-micro-batch engine
+    # state metrics (bounded while cumulative input grows 4x) reduced to a
+    # closed-form oracle
+    "stream_twin_bounded_state",
 ]
 
 

@@ -443,6 +443,116 @@ def stream_twin_tagged_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOUNDED_STATE_ORACLE = """
+WITH ev AS (
+  SELECT o_orderkey % 16 AS h, o_orderkey % 3 AS g FROM orders
+),
+b AS (SELECT unnest(generate_series(0, 4)) AS batch_seq)
+SELECT CAST(batch_seq AS BIGINT) AS batch_seq,
+       CAST((SELECT count(*) FROM ev
+             WHERE batch_seq < 4 AND h >= batch_seq * 4
+               AND h < batch_seq * 4 + 4) AS BIGINT) AS input_rows,
+       CAST((SELECT count(*) FROM ev
+             WHERE h < LEAST(batch_seq, 3) * 4 + 4) AS BIGINT)
+         AS input_rows_cum,
+       CAST((SELECT count(DISTINCT h * 4 + g) FROM ev
+             WHERE h >= CASE WHEN batch_seq = 0 THEN 0
+                             ELSE batch_seq * 4 - 1 END
+               AND h < LEAST(batch_seq, 3) * 4 + 4) AS BIGINT) AS state_rows
+FROM b
+ORDER BY batch_seq
+"""
+
+
+@register("stream_twin_bounded_state", oracle=_BOUNDED_STATE_ORACLE)
+def stream_twin_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 constant-memory streaming under the correctness gate (reference
+    NDJSON_IMPLEMENTADO.md:188-196: the converter holds ~10 MB while
+    streaming 1.6 M records — memory must not grow with input): a
+    monotone-event-time stream (orders mapped onto 16 hours, 4 mtime-
+    laddered files of 4 hours each, ``maxFilesPerTrigger=1``) drives a
+    watermarked 1-hour tumbling aggregation in append mode, and the gate
+    emits one row PER MICRO-BATCH from the engine's own
+    ``StreamingQueryProgress.stateOperators`` metrics:
+    (batch_seq, input_rows, input_rows_cum, state_rows).
+
+    The oracle predicts every cell in closed form from orders: cumulative
+    input grows 4-fold across the run while state_rows stays pinned at the
+    watermark horizon — G keys x K hours after batch 0, G x (K+1) hours for
+    every later data batch (the engine evicts a finalized hour exactly when
+    the watermark passes its window end: wm at batch b is the max event
+    time through batch b-1), and the final no-data commit batch (Spark's
+    availableNow flush) evicts down to the G groups of the single
+    not-yet-closed hour. A query whose state grew with input — missing
+    watermark, wrong eviction boundary, state leak — lands on different
+    state_rows in every row. This is the gateable form of the T1 bound: the
+    engine's state-row metric IS the memory claim, reduced to closed-form
+    arithmetic; the replay-collapse test at tests/test_streaming.py::
+    test_streaming_dedup_bounded_state_collapses_replay remains the pytest
+    certificate for the dedup form."""
+    import glob as globmod
+    import json
+
+    work = gate_workdir(spark, "stream_twin_bounded_state")
+    src = os.path.join(work, "src")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    nb, k, base = 4, 4, 1_704_067_200  # 4 files x 4 hours from 2024-01-01
+    ev = load_table(spark, sf_dir, "orders").select(
+        F.timestamp_seconds(
+            F.lit(base) + (F.col("o_orderkey") % (nb * k)) * 3600
+        ).alias("ts"),
+        (F.col("o_orderkey") % 3).alias("g"),
+        (F.col("o_orderkey") % (nb * k)).alias("h"),
+    )
+    t0 = 1_700_000_000  # deterministic mtime ladder: file b is b s newer
+    with fixture_region("stream_twin_bounded_state"):
+        for b in range(nb):
+            tmp = os.path.join(work, f"tmp{b}")
+            ev.filter(
+                (F.col("h") >= b * k) & (F.col("h") < (b + 1) * k)
+            ).drop("h").coalesce(1).write.mode("overwrite").parquet(tmp)
+            (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+            dest = os.path.join(src, f"f{b}.parquet")
+            os.rename(part, dest)
+            os.utime(dest, (t0 + b, t0 + b))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, g long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", "1 hour"), "g")
+        .count()
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    progress = []
+    for p in q.recentProgress:
+        if not isinstance(p, dict):
+            raw = p.json
+            p = json.loads(raw if isinstance(raw, str) else raw())
+        progress.append(p)
+    q.stop()
+    rows, cum = [], 0
+    for seq, p in enumerate(sorted(progress, key=lambda p: p["batchId"])):
+        cum += p["numInputRows"]
+        state = p["stateOperators"][0]["numRowsTotal"]
+        rows.append((seq, p["numInputRows"], cum, state))
+    return spark.createDataFrame(
+        rows, "batch_seq bigint, input_rows bigint, input_rows_cum bigint, "
+        "state_rows bigint"
+    ).orderBy("batch_seq")
+
+
 _TRIGGER_CHUNKS_ORACLE = """
 SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
        CAST(count(*) AS BIGINT) AS n_rows,
