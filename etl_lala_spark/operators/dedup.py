@@ -21,7 +21,7 @@ aggregates) — no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_lala_spark.operators.text import tokens
@@ -895,17 +895,25 @@ def minhash_index_write(
     O(corpus) cost this store amortizes away).
 
     Layout under ``path``:
-    - ``sigs/``  — one row per doc: (doc, n_shingles, hashes, sig). The
+    - ``sigs/``  — one row per doc: (doc, n_shingles, hashes, sig),
+      hash-partitioned on ``sig_part = pmod(xxhash64(doc), n_sig_parts)``
+      so doc deletion rewrites only the hit buckets, never the store. The
       shingle-hash array (8 bytes per shingle — the text itself never
       persists) is what makes EXACT Jaccard verification possible against
       the store alone.
-    - ``bands/`` — one row per (doc, band, bucket), sorted within files by
-      (band, bucket) so parquet row-group stats prune the store side of the
-      candidate join.
-    - ``_minhash_meta.json`` — (k, n_hashes, bands): signatures are only
-      comparable under identical parameters, so the incremental reader
-      validates before joining (a silent k mismatch would report ~zero
-      similarity for true dups).
+    - ``bands/`` — one row per (doc, band, bucket), PARTITIONED by band
+      (the candidate join's leading key prunes whole band directories)
+      and sorted within files by bucket so parquet row-group stats prune
+      the remaining scan.
+    - ``_minhash_meta.json`` — (k, n_hashes, bands, n_sig_parts):
+      signatures are only comparable under identical parameters, so the
+      incremental reader validates before joining (a silent k mismatch
+      would report ~zero similarity for true dups).
+
+    Lifecycle siblings (same maintenance surface as the streaming IVF
+    index): :func:`minhash_index_append` (daily increments),
+    :func:`minhash_index_compact` (small-file consolidation),
+    :func:`minhash_index_delete` (GDPR doc removal).
     """
     import json
     import os
@@ -931,24 +939,181 @@ def minhash_index_write(
         "n_shingles",
         "hashes",
         F.expr(_seeded_sig_expr(n_hashes)).alias("sig"),
+        _sig_part(F.col("doc")).alias("sig_part"),
     )
-    sig.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    sig.write.mode("overwrite").partitionBy("sig_part").parquet(
+        os.path.join(path, "sigs")
+    )
     # Re-read the committed sigs (cheap columnar scan, no re-shingle) to
     # derive the band table, so the two tables are consistent by
     # construction even if the input plan is nondeterministic upstream.
     committed = sig.sparkSession.read.parquet(os.path.join(path, "sigs"))
+    _write_bands(committed, path, bands, rows, mode="overwrite")
+    with open(os.path.join(path, _INDEX_META), "w") as fh:
+        json.dump(
+            {
+                "k": k,
+                "n_hashes": n_hashes,
+                "bands": bands,
+                "n_sig_parts": _N_SIG_PARTS,
+            },
+            fh,
+        )
+
+
+_N_SIG_PARTS = 16
+
+
+def _sig_part(doc) -> Column:
+    """Deletion-bucket partition key for the sigs table: stable hash of the
+    doc id, so a delete set touches only its buckets."""
+    return F.pmod(F.xxhash64(doc), F.lit(_N_SIG_PARTS)).cast("int")
+
+
+def _write_bands(
+    sig_df: DataFrame, path: str, bands: int, rows: int, mode: str
+) -> None:
+    """Derive and write the band table from a (committed) sigs frame:
+    partitioned by band, one shuffle task per band, rows sorted by bucket
+    within files so row-group min/max stats stay tight."""
+    import os
+
     (
-        committed.select(
+        sig_df.select(
             "doc",
             F.expr(_band_bucket_expr(bands, rows)).alias("bb"),
         )
         .select("doc", "bb.band", "bb.bucket")
+        .repartition(bands, "band")
         .sortWithinPartitions("band", "bucket")
-        .write.mode("overwrite")
+        .write.mode(mode)
+        .partitionBy("band")
         .parquet(os.path.join(path, "bands"))
     )
-    with open(os.path.join(path, _INDEX_META), "w") as fh:
-        json.dump({"k": k, "n_hashes": n_hashes, "bands": bands}, fh)
+
+
+def minhash_index_append(
+    new_df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Append a batch of docs to a persisted MinHash index — the commit
+    half of the daily increment (dedup the batch with
+    :func:`minhash_incremental_pairs`, then append the survivors so
+    TOMORROW's batch dedups against them too). Shingles only the batch;
+    parameters come from the store's meta file, so appended signatures are
+    comparable with stored ones by construction. Replay-safe like
+    ``stream_ivf_index``: the batch anti-joins on doc id against the
+    store's id column (a thin, column-pruned scan), so an at-least-once
+    redelivery appends nothing. Returns the number of docs appended.
+
+    Scale: O(batch) shingling + one id anti-join against a column-pruned
+    scan of sigs; appends land as new files in existing partitions —
+    consolidation is :func:`minhash_index_compact`'s job."""
+    import json
+    import os
+
+    with open(os.path.join(path, _INDEX_META)) as fh:
+        meta = json.load(fh)
+    k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
+    rows = n_hashes // bands
+    spark = new_df.sparkSession
+    sig = (
+        new_df.select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
+        .select(
+            "doc",
+            F.size("shingles").alias("n_shingles"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
+        )
+        .select(
+            "doc",
+            "n_shingles",
+            "hashes",
+            F.expr(_seeded_sig_expr(n_hashes)).alias("sig"),
+            _sig_part(F.col("doc")).alias("sig_part"),
+        )
+        .join(
+            spark.read.parquet(os.path.join(path, "sigs")).select("doc"),
+            "doc",
+            "left_anti",
+        )
+        # Pin the exact appended rows AND cut lineage from the sigs path:
+        # the plan anti-joins against sigs/, and Spark invalidates any
+        # cache whose plan reads a path being written (recacheByPath) — a
+        # plain persist() would silently recompute against the UPDATED
+        # store after the first write and derive an empty band table.
+        .localCheckpoint(eager=False)
+    )
+    n = sig.count()
+    if n:
+        # Bands first, sigs second: the anti-join replay guard keys on
+        # sigs, so a crash between the two writes is self-healing — the
+        # re-run re-appends both (duplicate band rows are collapsed by the
+        # reader's candidate distinct()), whereas sigs-first would make
+        # the replay skip docs whose bands never landed.
+        _write_bands(sig, path, bands, rows, mode="append")
+        sig.write.mode("append").partitionBy("sig_part").parquet(
+            os.path.join(path, "sigs")
+        )
+    sig.unpersist()
+    return n
+
+
+def minhash_index_compact(
+    spark: SparkSession, path: str, files_per_partition: int = 1
+) -> dict:
+    """Small-file consolidation for a MinHash index: daily appends leave
+    one file per (batch, partition); this rewrites each sig bucket and each
+    band directory down to ``files_per_partition`` files — re-sorting band
+    rows by bucket so the row-group pruning the reader relies on survives
+    compaction. Search-preserving by construction (same rows, same
+    partitions). Returns {"sigs": ..., "bands": ...} compaction stats."""
+    import os
+
+    from etl_lala_spark.sinks.writer import compact_partitions
+
+    return {
+        "sigs": compact_partitions(
+            spark,
+            os.path.join(path, "sigs"),
+            part_col="sig_part",
+            files_per_partition=files_per_partition,
+        ),
+        "bands": compact_partitions(
+            spark,
+            os.path.join(path, "bands"),
+            part_col="band",
+            files_per_partition=files_per_partition,
+            sort_cols=("bucket",),
+        ),
+    }
+
+
+def minhash_index_delete(spark: SparkSession, path: str, docs: DataFrame) -> dict:
+    """Targeted doc removal (GDPR / right-to-be-forgotten) from a MinHash
+    index: drops the doc's signature row (with its stored shingle hashes —
+    the content-derived data) and its band rows. ``docs`` is a one-column
+    frame of doc ids named ``doc``. Blast radius: the sig rewrite touches
+    only the hash buckets containing hits; the band rewrite touches each
+    band directory once (every doc has one row per band — that's the
+    structural floor for an LSH store), each pruned to its own partition.
+    Returns {"sigs": ..., "bands": ...} delete_rows stats."""
+    import os
+
+    from etl_lala_spark.sinks.writer import delete_rows
+
+    return {
+        "sigs": delete_rows(
+            spark, os.path.join(path, "sigs"), docs, "doc", part_col="sig_part"
+        ),
+        "bands": delete_rows(
+            spark, os.path.join(path, "bands"), docs, "doc", part_col="band"
+        ),
+    }
 
 
 def minhash_incremental_pairs(

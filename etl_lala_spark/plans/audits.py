@@ -820,18 +820,33 @@ def audit_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(count(*) AS BIGINT) AS n_planted,
        CAST(count(*) AS BIGINT) AS n_planted_found,
-       1 AS all_found, 1 AS exact_jaccard_ok
+       1 AS all_found, 1 AS exact_jaccard_ok,
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 7)
+            AS BIGINT) AS n_appended,
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 7)
+            AS BIGINT) AS n_appended_found,
+       1 AS compact_shrunk,
+       CAST((SELECT count(*) FROM documents WHERE doc_id % 10 = 5)
+            AS BIGINT) AS n_deleted,
+       CAST(0 AS BIGINT) AS n_deleted_hits
 FROM documents WHERE doc_id % 10 = 0
 """,
 )
 def audit_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-backed twin of ``dedup_incremental_minhash``: every planted
-    exact copy in the incoming batch (doc_id % 10 == 0, re-appearing at
-    +200000) MUST be recovered against the persisted index — identical
-    text gives an identical signature, which collides in every band, and
-    the exact verification from STORED shingle hashes must report Jaccard
-    exactly 1.0 (a store that dropped or re-hashed shingles differently
-    would not). Recall 1.0 is an invariant, not a tolerance.
+    """Oracle-backed twin of ``dedup_incremental_minhash``, extended to the
+    full index LIFECYCLE: build the corpus index, APPEND a day's survivors
+    (copies of every doc_id % 10 == 7 at +500000; the replayed append must
+    add zero), COMPACT it (file count must shrink, search must survive),
+    DELETE every doc_id % 10 == 5 (sig + shingle-hash + band rows gone),
+    then dedup one probe batch against the surviving store. Invariants, all
+    closed-form: every planted exact copy of a % 10 == 0 doc (+200000) is
+    recovered at Jaccard exactly 1.0 from STORED shingle hashes (a store
+    that dropped or re-hashed shingles differently would not); every probe
+    of an APPENDED doc (+600000) finds its +500000 twin at 1.0 (appends are
+    searchable through compaction); NO probe of a DELETED doc (+400000)
+    matches the deleted id (deletion is complete — the exact copy would
+    have matched at 1.0 had any trace survived). Recall 1.0 / leakage 0 are
+    invariants, not tolerances.
 
     Builds its OWN index under its own workdir rather than calling the
     ``dedup_incremental_minhash`` gate fn: ``gate_workdir`` wipes the named
@@ -847,16 +862,62 @@ def audit_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = d.select("doc_id", "text")
     with fixture_region("audit_incremental_planted"):
         dd.minhash_index_write(corpus, index)
-    batch = corpus.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 200000
+
+    # Lifecycle under test: append -> replay-append -> compact -> delete.
+    day2 = corpus.filter(F.col("doc_id") % 10 == 7).withColumn(
+        "doc_id", F.col("doc_id") + 500000
     )
-    pairs = dd.minhash_incremental_pairs(batch, index, threshold=0.5)
+    n_appended = dd.minhash_index_append(day2, index)
+    n_replayed = dd.minhash_index_append(day2, index)  # must append 0
+    comp = dd.minhash_index_compact(spark, index)
+    shrunk = (
+        n_replayed == 0
+        and comp["sigs"]["files_after"] < comp["sigs"]["files_before"]
+        and comp["bands"]["files_after"] < comp["bands"]["files_before"]
+    )
+    victims = corpus.filter(F.col("doc_id") % 10 == 5).select(
+        F.col("doc_id").alias("doc")
+    )
+    dele = dd.minhash_index_delete(spark, index, victims)
+    n_deleted = dele["sigs"]["rows_deleted"]
+
+    probe = (
+        corpus.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 10 == 5).withColumn(
+                "doc_id", F.col("doc_id") + 400000
+            )
+        )
+        .unionByName(
+            corpus.filter(F.col("doc_id") % 10 == 7).withColumn(
+                "doc_id", F.col("doc_id") + 600000
+            )
+        )
+    )
+    pairs = dd.minhash_incremental_pairs(probe, index, threshold=0.5)
     planted = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 200000).alias("new_doc"),
         F.col("doc_id").alias("old_doc"),
     )
     found = planted.join(pairs, ["new_doc", "old_doc"], "left").select(
         "new_doc", "jaccard"
+    )
+    appended_found = (
+        d.filter(F.col("doc_id") % 10 == 7)
+        .select(
+            (F.col("doc_id") + 600000).alias("new_doc"),
+            (F.col("doc_id") + 500000).alias("old_doc"),
+        )
+        .join(pairs.filter(F.col("jaccard") == 1.0), ["new_doc", "old_doc"])
+    )
+    deleted_hits = (
+        d.filter(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 400000).alias("new_doc"),
+            F.col("doc_id").alias("old_doc"),
+        )
+        .join(pairs, ["new_doc", "old_doc"])
     )
     return (
         planted.agg(F.count("*").alias("n_planted"))
@@ -868,6 +929,16 @@ def audit_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.when(F.col("jaccard") == 1.0, True)).alias("n_exact"),
             )
         )
+        .crossJoin(
+            appended_found.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_appended_found")
+            )
+        )
+        .crossJoin(
+            deleted_hits.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_deleted_hits")
+            )
+        )
         .select(
             "n_planted",
             "n_planted_found",
@@ -877,5 +948,10 @@ def audit_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             _flag(F.col("n_planted") == F.col("n_exact")).alias(
                 "exact_jaccard_ok"
             ),
+            F.lit(n_appended).cast("bigint").alias("n_appended"),
+            "n_appended_found",
+            _flag(F.lit(bool(shrunk))).alias("compact_shrunk"),
+            F.lit(n_deleted).cast("bigint").alias("n_deleted"),
+            "n_deleted_hits",
         )
     )

@@ -796,7 +796,8 @@ def audit_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH q AS (
   SELECT vec_id AS anchor_id, label AS alabel, embedding AS qv
-  FROM embeddings WHERE vec_id % 100 = 0 AND label IS NOT NULL
+  FROM embeddings
+  WHERE vec_id % 20 = 0 AND vec_id < 400 AND label IS NOT NULL
 ),
 scored AS (
   SELECT q.anchor_id, c.vec_id AS neighbor_id,
@@ -817,14 +818,19 @@ ORDER BY anchor_id, kind, rank
 """,
 )
 def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triplet mining for contrastive training data: per anchor (every
-    100th vector), the 3 most-similar OTHER-label rows (hard negatives)
-    and the 3 least-similar SAME-label rows (hard positives) — the pairs a
-    margin/InfoNCE loss learns most from. Exact cosine, broadcast anchor
-    cohort, one corpus scan, no corpus shuffle (see
-    operators/similarity.py:hard_negative_mine for the 100 TB argument)."""
+    """Triplet mining for contrastive training data: per anchor (a PINNED
+    20-vector cohort — vec_id % 20 == 0 below 400 at every SF, so the
+    bench row measures anchors x corpus at constant anchor count while
+    only the corpus scales; an every-Nth cohort would grow the pair count
+    quadratically with SF, round-7 verdict), the 3 most-similar
+    OTHER-label rows (hard negatives) and the 3 least-similar SAME-label
+    rows (hard positives) — the pairs a margin/InfoNCE loss learns most
+    from. Exact cosine, broadcast anchor cohort, one corpus scan, no
+    corpus shuffle (see operators/similarity.py:hard_negative_mine for the
+    100 TB argument; anchor cohorts too big to broadcast route through
+    hard_negative_mine_ivf)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    anchors = emb.filter((F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 400))
     return sim.hard_negative_mine(emb, anchors, k=3).orderBy(
         "anchor_id", "kind", "rank"
     )

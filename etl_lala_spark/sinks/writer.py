@@ -384,6 +384,7 @@ def compact_partitions(
     table_path: str,
     part_col: str = "competencia",
     files_per_partition: int = 1,
+    sort_cols: tuple[str, ...] = (),
 ) -> dict:
     """Small-file compaction for a partitioned table — the maintenance pass
     every incrementally-loaded 100 TB table needs (each micro-batch/month
@@ -392,6 +393,10 @@ def compact_partitions(
     Rewrites the table so each partition holds ``files_per_partition``
     files: one shuffle keyed on the partition column (hash-partitioned so
     rows co-locate), written to a staging dir then atomically swapped in.
+    ``sort_cols`` re-sorts rows within the rewritten files (after the
+    partition column), restoring the row-group min/max stats a zone-map
+    reader relies on — appends interleave sort keys, so a compaction that
+    didn't re-sort would silently destroy that pruning.
     Returns {files_before, files_after, rows}.
     """
     import shutil
@@ -410,12 +415,10 @@ def compact_partitions(
     rows = df.count()
     staging = table_path.rstrip("/") + "._compacting"
     shutil.rmtree(staging, ignore_errors=True)
-    (
-        df.repartition(files_per_partition, F.col(part_col))
-        .write.mode("overwrite")
-        .partitionBy(part_col)
-        .parquet(staging)
-    )
+    rewritten = df.repartition(files_per_partition, F.col(part_col))
+    if sort_cols:
+        rewritten = rewritten.sortWithinPartitions(part_col, *sort_cols)
+    rewritten.write.mode("overwrite").partitionBy(part_col).parquet(staging)
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(table_path, backup)
     os.rename(staging, table_path)

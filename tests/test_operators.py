@@ -1913,9 +1913,9 @@ def test_minhash_incremental_index_roundtrip(spark, tmp_path):
     index = str(tmp_path / "idx")
     dd.minhash_index_write(corpus, index)
     meta = json.load(open(os.path.join(index, "_minhash_meta.json")))
-    assert meta == {"k": 3, "n_hashes": 32, "bands": 8}
+    assert meta == {"k": 3, "n_hashes": 32, "bands": 8, "n_sig_parts": 16}
     sigs = spark.read.parquet(os.path.join(index, "sigs"))
-    assert {"doc", "n_shingles", "hashes", "sig"} <= set(sigs.columns)
+    assert {"doc", "n_shingles", "hashes", "sig", "sig_part"} <= set(sigs.columns)
 
     batch = spark.createDataFrame(
         [
@@ -1940,3 +1940,82 @@ def test_minhash_incremental_index_roundtrip(spark, tmp_path):
     # so the store read path must be stable across sessions of use
     again = dd.minhash_incremental_pairs(batch, index, threshold=0.5).count()
     assert again == len(got)
+
+
+def _mk_index_corpus(spark, n=12):
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(6)) + f" tail{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_index_append_compact_preserves_pairs(spark, tmp_path):
+    """Lifecycle: appended docs are searchable, a replayed append commits
+    nothing (at-least-once safe), and compaction shrinks the file count
+    without changing any pair the store returns."""
+    corpus = _mk_index_corpus(spark)
+    index = str(tmp_path / "idx")
+    dd.minhash_index_write(corpus, index)
+    day2 = corpus.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    assert dd.minhash_index_append(day2, index) == 4
+    assert dd.minhash_index_append(day2, index) == 0  # replay: anti-join holds
+
+    probe = corpus.withColumn("doc_id", F.col("doc_id") + 1000)
+    before = sorted(
+        map(
+            tuple,
+            dd.minhash_incremental_pairs(probe, index, threshold=0.5).collect(),
+        )
+    )
+    # every appended doc's twin probe finds BOTH the original and the
+    # appended copy at exact Jaccard 1.0
+    hits = {(a, b) for a, b, _, j in before if j == 1.0}
+    for i in (0, 3, 6, 9):
+        assert (i + 1000, i) in hits and (i + 1000, i + 100) in hits
+
+    res = dd.minhash_index_compact(spark, index)
+    assert res["sigs"]["files_after"] < res["sigs"]["files_before"]
+    assert res["bands"]["files_after"] < res["bands"]["files_before"]
+    after = sorted(
+        map(
+            tuple,
+            dd.minhash_incremental_pairs(probe, index, threshold=0.5).collect(),
+        )
+    )
+    assert after == before
+
+
+def test_minhash_index_delete_removes_doc_bounded(spark, tmp_path):
+    """GDPR deletion: the doc's signature, stored shingle hashes, and band
+    rows are all gone (an exact-copy probe no longer matches it), other
+    docs stay searchable, and the sig rewrite touches only the victim's
+    hash buckets."""
+    import os
+
+    corpus = _mk_index_corpus(spark)
+    index = str(tmp_path / "idx")
+    dd.minhash_index_write(corpus, index)
+    victims = spark.createDataFrame([(5,)], "doc bigint")
+    res = dd.minhash_index_delete(spark, index, victims)
+    assert res["sigs"]["rows_deleted"] == 1
+    assert len(res["sigs"]["partitions_rewritten"]) == 1  # one hash bucket
+    # every band directory holds one row per doc -> all bands rewritten,
+    # each as its own pruned partition
+    assert res["bands"]["rows_deleted"] == 8
+
+    sigs = spark.read.parquet(os.path.join(index, "sigs"))
+    assert sigs.filter(F.col("doc") == 5).count() == 0
+    bands = spark.read.parquet(os.path.join(index, "bands"))
+    assert bands.filter(F.col("doc") == 5).count() == 0
+
+    probe = corpus.withColumn("doc_id", F.col("doc_id") + 1000)
+    pairs = {
+        (r["new_doc"], r["old_doc"])
+        for r in dd.minhash_incremental_pairs(probe, index, threshold=0.5).collect()
+    }
+    assert (1005, 5) not in pairs  # no trace of the deleted doc
+    assert (1004, 4) in pairs  # neighbors unaffected
