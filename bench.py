@@ -136,6 +136,10 @@ HEADLINE = [
     # state metrics (bounded while cumulative input grows 4x) reduced to a
     # closed-form oracle
     "stream_twin_bounded_state",
+    # round 8: HTML boilerplate extraction (jusText family) — block
+    # segmentation + link/stopword-density classification + neighbor
+    # rescue, all closed-form
+    "text_extract_main_content",
 ]
 
 

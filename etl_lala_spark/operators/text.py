@@ -638,3 +638,198 @@ def unigram_apply(
             yield pdf
 
     return df.mapInPandas(tok, schema)
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (jusText / trafilatura family)
+# ---------------------------------------------------------------------------
+#
+# Raw web text -> main-content extraction: segment the page into blocks at
+# block-level tag boundaries, score each block by link density and stopword
+# density, classify good (content) vs bad (chrome), then rescue short blocks
+# (headings, single-line paragraphs) whose neighborhood is content — the
+# block-classification shape of Pomikalek's jusText (2011) and the
+# trafilatura default pipeline, simplified to two deterministic passes so a
+# closed-form oracle can replay every decision. All codegen expressions
+# (regexp/split/higher-order arrays + two window passes): no Python in the
+# hot path, so the same plan runs a 100 TB crawl as scan+project plus one
+# per-doc window (partitioned by doc — no global shuffle barrier).
+
+# Elements whose CONTENT is never text: dropped wholesale before block
+# segmentation (backreference \1 closes the same tag that opened).
+_DROP_ELEMENT_RE = r"(?is)<(script|style|noscript|svg|iframe)\b[^>]*>.*?</\1>"
+
+# Block-level boundary tags: a block is a maximal run of markup between any
+# of these (open or close, either case). Inline tags (<a>, <b>, <span>, ...)
+# stay inside their block.
+_BLOCK_TAG_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|blockquote|section"
+    r"|article|header|footer|nav|aside|main|figure|figcaption|br|hr)\b[^>]*>"
+)
+
+_ANCHOR_RE = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+# Classification thresholds — integer-arithmetic forms so oracles replay
+# them exactly (no float comparison at the decision boundary):
+#   bad   if 3 * anchor_chars > n_chars        (link density > 1/3)
+#   short if n_chars < 25                       (too little evidence)
+#   good  if 5 * stop_words >= n_words          (stopword density >= 0.2)
+#   bad   otherwise
+LINK_DENSITY_NUM = 3
+SHORT_BLOCK_CHARS = 25
+STOPWORD_DENSITY_DEN = 5
+
+
+def _decode_entities(col: Column) -> Column:
+    """Minimal HTML entity decode (the named entities that appear in
+    running text); applied AFTER tag stripping so '&lt;script&gt;' decodes
+    to literal text, never to markup."""
+    out = col
+    for ent, rep in (
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&amp;", "&"),  # last: '&amp;lt;' must yield '&lt;' the TEXT
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def _block_text(raw: Column) -> Column:
+    """Visible text of one block: strip remaining (inline) tags to spaces,
+    decode entities, collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            _decode_entities(F.regexp_replace(raw, r"(?s)<[^>]*>", " ")),
+            r"\s+",
+            " ",
+        )
+    )
+
+
+def html_blocks(
+    df, html_col: str = "html", id_col: str = "doc_id"
+):
+    """Segment HTML into classified blocks: one row per non-empty block —
+    (id, block_rank, text, n_chars, anchor_chars, n_words, stop_words,
+    cls in {'good','bad'}).
+
+    Pass 1 scores each block in isolation (link density beats everything:
+    a fully-linked block is chrome no matter how short); pass 2 rescues
+    'short' blocks — headings, one-line paragraphs — iff an adjacent
+    non-short block is good (lag/lead over one per-doc window, the Spark
+    form of jusText's context reclassification)."""
+    from pyspark.sql import Window as W
+
+    raw = F.col("_raw")
+    blocks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(
+                    F.regexp_replace(F.col(html_col), _DROP_ELEMENT_RE, " "),
+                    _BLOCK_TAG_RE,
+                )
+            ).alias("_pos", "_raw"),
+        )
+        .select(
+            id_col,
+            "_pos",
+            _block_text(raw).alias("text"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(raw, F.lit(_ANCHOR_RE), 1),
+                    lambda a: F.length(_block_text(a)),
+                ),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).alias("anchor_chars"),
+        )
+        .filter(F.length("text") > 0)
+        .select(
+            id_col,
+            "_pos",
+            "text",
+            F.length("text").alias("n_chars"),
+            "anchor_chars",
+            F.size(F.split(F.col("text"), TOKEN_RE)).alias("n_words"),
+            stopword_count(F.col("text")).alias("stop_words"),
+        )
+    )
+    first_pass = (
+        F.when(
+            F.col("anchor_chars") * LINK_DENSITY_NUM > F.col("n_chars"), "bad"
+        )
+        .when(F.col("n_chars") < SHORT_BLOCK_CHARS, "short")
+        .when(
+            F.col("stop_words") * STOPWORD_DENSITY_DEN >= F.col("n_words"),
+            "good",
+        )
+        .otherwise("bad")
+    )
+    scored = blocks.withColumn("_cls1", first_pass)
+    w = W.partitionBy(id_col).orderBy("_pos")
+    nonshort = F.when(F.col("_cls1") != "short", F.col("_cls1"))
+    prev_cls = F.last(nonshort, ignorenulls=True).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    next_cls = F.first(nonshort, ignorenulls=True).over(
+        w.rowsBetween(1, W.unboundedFollowing)
+    )
+    rescued = F.when(
+        F.col("_cls1") == "short",
+        F.when((prev_cls == "good") | (next_cls == "good"), "good").otherwise(
+            "bad"
+        ),
+    ).otherwise(F.col("_cls1"))
+    return (
+        scored.withColumn("cls", rescued)
+        .withColumn(
+            "block_rank",
+            F.row_number().over(W.partitionBy(id_col).orderBy("_pos")) - 1,
+        )
+        .select(
+            id_col,
+            "block_rank",
+            "text",
+            "n_chars",
+            "anchor_chars",
+            "n_words",
+            "stop_words",
+            "cls",
+        )
+    )
+
+
+def extract_main_content(
+    df, html_col: str = "html", id_col: str = "doc_id"
+):
+    """Per-document main-content extraction: the good blocks of
+    :func:`html_blocks`, re-joined in page order — (id, content text,
+    n_blocks, n_good, n_bad, content_chars, chrome_chars). A page whose
+    every block is chrome yields content = '' with zero good blocks (the
+    row survives — dropping it would silently shrink a crawl join)."""
+    good = F.col("cls") == "good"
+    ordered_good = F.array_sort(
+        F.collect_list(F.when(good, F.struct("block_rank", "text")))
+    )
+    return (
+        html_blocks(df, html_col=html_col, id_col=id_col)
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(ordered_good, lambda s: s["text"]), " "
+            ).alias("content"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum(good.cast("bigint")).alias("n_good"),
+            F.sum((~good).cast("bigint")).alias("n_bad"),
+            F.sum(F.when(good, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("content_chars"),
+            F.sum(F.when(~good, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("chrome_chars"),
+        )
+    )

@@ -1370,3 +1370,102 @@ def tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, piece string, prob double, count bigint",
     ).orderBy("rank")
+
+
+# --- HTML boilerplate extraction (jusText/trafilatura family) ---------------
+
+# The fixed literals of the constructed pages: the densities are closed-form
+# arithmetic in the literals' lengths, shared between the page builder and
+# the oracle so neither side hand-counts characters.
+_MC_PARA = (
+    "the wind and the rain keep the old mill turning while we watch from"
+    " the hill"
+)
+_MC_LINKPARA_TEXT = "we saw the old boat by the long pier and the cold sea"
+_MC_NAV_TEXT_CHARS = len("home about us now")
+_MC_FOOTER_TEXT_CHARS = len("t&c privacy contact")  # after entity decode
+
+
+@register(
+    "text_extract_main_content",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS m,
+         length(CAST(doc_id AS VARCHAR)) AS dk
+  FROM documents WHERE doc_id < 30
+)
+SELECT doc_id,
+       CAST(m + 4 AS BIGINT) AS n_blocks,
+       CAST(m + 2 AS BIGINT) AS n_good,
+       CAST(2 AS BIGINT) AS n_bad,
+       CAST((4 + dk) + m * ({len(_MC_PARA)} + 4 + dk)
+            + {len(_MC_LINKPARA_TEXT)} AS BIGINT) AS content_chars,
+       CAST({_MC_NAV_TEXT_CHARS + _MC_FOOTER_TEXT_CHARS} AS BIGINT)
+         AS chrome_chars
+FROM d
+ORDER BY doc_id
+""",
+)
+def text_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate extraction (the jusText/trafilatura main-content
+    stage — the standard first pass on raw web crawl before any text
+    quality scoring): pages are CONSTRUCTED in-cluster for a pinned
+    30-doc cohort — a nav bar (pure links), a short heading (must be
+    rescued by its content neighborhood), m = doc_id%3+1 long stopword-rich
+    paragraphs, one paragraph with an inline link (low link density — must
+    survive), a script element whose body contains fake markup (must be
+    dropped wholesale, not parsed), an HTML entity in the footer (decoded
+    AFTER tag stripping), and a pure-link footer. Every per-block decision
+    — link density > 1/3, short < 25 chars, stopword density >= 0.2,
+    neighbor rescue — lands in closed-form per-doc counts the oracle
+    derives from the literals' lengths alone. Block segmentation, entity
+    decode, density scoring and the two-pass classification are all
+    codegen expressions + one per-doc window
+    (operators/text.py:html_blocks): at 100 TB this is scan+project with
+    no global shuffle."""
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    m = k % 3 + 1
+    paras = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.concat(
+                F.lit(f"<p>{_MC_PARA} w"),
+                ks,
+                F.lit("x"),
+                i.cast("string"),
+                F.lit("</p>"),
+            ),
+        ),
+        "\n",
+    )
+    html = F.concat(
+        F.lit(
+            '<html><body>\n<script>var a = "<p>not text</p>";</script>\n'
+            '<div class="nav"><a href="/">home</a>'
+            ' <a href="/about">about us now</a></div>\n<h1>Doc '
+        ),
+        ks,
+        F.lit("</h1>\n"),
+        paras,
+        F.lit(
+            "\n<p>we saw the old boat by the"
+            ' <a href="/x">long pier</a> and the cold sea</p>\n'
+            '<div class="footer"><a href="/t">t&amp;c</a>'
+            ' <a href="/p">privacy</a> <a href="/c">contact</a></div>\n'
+            "</body></html>"
+        ),
+    )
+    pages = (
+        load_table(spark, sf_dir, "documents")
+        .filter(k < 30)
+        .select("doc_id", html.alias("html"))
+    )
+    return (
+        tx.extract_main_content(pages)
+        .select(
+            "doc_id", "n_blocks", "n_good", "n_bad", "content_chars",
+            "chrome_chars",
+        )
+        .orderBy("doc_id")
+    )

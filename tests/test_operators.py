@@ -2019,3 +2019,59 @@ def test_minhash_index_delete_removes_doc_bounded(spark, tmp_path):
     }
     assert (1005, 5) not in pairs  # no trace of the deleted doc
     assert (1004, 4) in pairs  # neighbors unaffected
+
+
+# --- HTML boilerplate extraction ------------------------------------------
+
+
+def test_html_blocks_planted_chrome_classification(spark):
+    """Every planted decision lands where designed: pure-link nav/footer ->
+    bad regardless of length; a heading next to content is rescued; a short
+    block surrounded only by chrome is NOT; script bodies containing fake
+    markup never become blocks; entities decode after tag stripping."""
+    from etl_lala_spark.operators import text as tx
+
+    body = (
+        "the wind and the rain keep the old mill turning while we watch "
+        "from the hill"
+    )
+    html = (
+        '<script>var a = "<p>fake block</p>";</script>'
+        '<div><a href="/">home</a> <a href="/a">about</a></div>'
+        "<h1>Lost</h1>"  # short, neighbors are all bad -> stays bad
+        '<div><a href="/t">terms</a> <a href="/p">privacy</a></div>'
+        "<h2>Found</h2>"  # short, next block is good -> rescued
+        f"<p>{body}</p>"
+        "<p>a &amp;lt; b is five chars of it</p>"  # decodes to 'a &lt; b ...'
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    rows = {r["block_rank"]: r for r in tx.html_blocks(df).collect()}
+    texts = [rows[i]["text"] for i in sorted(rows)]
+    assert "fake block" not in " ".join(texts)  # script dropped wholesale
+    assert [r["cls"] for _, r in sorted(rows.items())] == [
+        "bad", "bad", "bad", "good", "good", "good",
+    ]
+    assert rows[1]["text"] == "Lost" and rows[1]["cls"] == "bad"
+    assert rows[3]["text"] == "Found" and rows[3]["cls"] == "good"
+    assert rows[5]["text"] == "a &lt; b is five chars of it"
+
+
+def test_extract_main_content_all_chrome_page_survives(spark):
+    """A page that is 100% chrome yields an empty-content row (never a
+    dropped doc), and content joins good blocks in page order."""
+    from etl_lala_spark.operators import text as tx
+
+    body = (
+        "the wind and the rain keep the old mill turning while we watch "
+        "from the hill"
+    )
+    chrome = '<div><a href="/">x y z</a></div><div><a href="/b">p q r</a></div>'
+    good = f"<h1>Top</h1><p>{body} one</p><p>{body} two</p>"
+    df = spark.createDataFrame(
+        [(1, chrome), (2, chrome + good)], "doc_id long, html string"
+    )
+    got = {r["doc_id"]: r for r in tx.extract_main_content(df).collect()}
+    assert got[1]["content"] == "" and got[1]["n_good"] == 0
+    assert got[1]["n_blocks"] == 2 and got[1]["chrome_chars"] > 0
+    assert got[2]["content"] == f"Top {body} one {body} two"
+    assert got[2]["n_good"] == 3 and got[2]["n_bad"] == 2
