@@ -833,3 +833,100 @@ def extract_main_content(
             .alias("chrome_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece tokenizer training (Schuster & Nakajima 2012 / BERT family)
+# ---------------------------------------------------------------------------
+
+
+def wordpiece_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 8,
+    sep: str = "\x01",
+) -> list[dict]:
+    """Train a word-level WordPiece merge table — the third standard
+    subword family next to BPE (``bpe_train``) and unigram-LM
+    (``unigram_lm_train``). Identical distributed machinery to BPE (pair
+    counting, anchored non-overlapping rewrite via the shared
+    ``_merge_rewrite``, so the exact token-conservation law carries over);
+    the ONE difference is the merge election: WordPiece maximizes the
+    likelihood ratio score(a,b) = count(ab) / (count(a) * count(b)) — the
+    gain in a unigram LM's corpus likelihood from fusing the pair — where
+    BPE takes raw count(ab). A pair of RARE tokens that almost always
+    co-occur beats a frequent-but-independent pair.
+
+    Per round: one pair-count agg + one unigram-count agg (both
+    vocabulary-bounded, map-side combined), the argmax on the driver
+    (score desc — an IEEE-double ratio both engines compute bit-identically
+    — then pair asc, fully deterministic), one regexp_replace corpus
+    rewrite. Stop rule matches BPE: best pair must occur >= 2 times.
+    Unlike BPE's, the winning score is NOT monotone across rounds (a merge
+    shrinks its constituents' unigram counts, which can RAISE other pairs'
+    ratios), so the audit pins round 1's election to a closed-form oracle
+    instead of an ordering law. Returns
+    [{rank, pair, pair_count, count_a, count_b, score, applied}, ...];
+    apply with ``bpe_apply`` (same merge-table format).
+    """
+    cur = df.select(F.col(text_col).alias("t"))
+    merges: list[dict] = []
+    for r in range(n_merges):
+        uni = (
+            cur.select(
+                F.explode(
+                    F.filter(tokens(F.col("t")), lambda t: t != F.lit(""))
+                ).alias("u")
+            )
+            .groupBy("u")
+            .agg(F.count("*").alias("cu"))
+        )
+        pairs = (
+            cur.select(F.explode(word_bigrams(F.col("t"))).alias("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") >= 2)
+        )
+        top = (
+            pairs.join(
+                uni.select(F.col("u").alias("_a"), F.col("cu").alias("ca")),
+                F.element_at(F.split("g", " "), 1) == F.col("_a"),
+            )
+            .join(
+                uni.select(F.col("u").alias("_b"), F.col("cu").alias("cb")),
+                F.element_at(F.split("g", " "), 2) == F.col("_b"),
+            )
+            .select(
+                "g",
+                "c",
+                "ca",
+                "cb",
+                (F.col("c").cast("double") / (F.col("ca") * F.col("cb"))).alias(
+                    "score"
+                ),
+            )
+            .orderBy(F.col("score").desc(), "g")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        a, b = row["g"].split(" ", 1)
+        pat, repl = _merge_rewrite(a, b, sep)
+        applied = int(
+            cur.agg(F.sum(F.regexp_count("t", F.lit(pat)))).first()[0]
+        )
+        cur = cur.withColumn("t", F.regexp_replace("t", pat, repl))
+        merges.append(
+            {
+                "rank": r,
+                "pair": row["g"],
+                "pair_count": int(row["c"]),
+                "count_a": int(row["ca"]),
+                "count_b": int(row["cb"]),
+                "score": float(row["score"]),
+                "applied": applied,
+            }
+        )
+    return merges

@@ -955,3 +955,71 @@ def audit_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_deleted_hits",
         )
     )
+
+
+@register(
+    "audit_wordpiece_conservation",
+    oracle="""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM toks
+),
+pair AS (SELECT g, count(*) AS c FROM grams GROUP BY g HAVING count(*) >= 2),
+uni AS (SELECT u, count(*) AS cu
+        FROM (SELECT unnest(t) AS u FROM toks) GROUP BY u),
+best AS (
+  SELECT pair.g
+  FROM pair
+  JOIN uni ca ON split_part(pair.g, ' ', 1) = ca.u
+  JOIN uni cb ON split_part(pair.g, ' ', 2) = cb.u
+  ORDER BY CAST(pair.c AS DOUBLE) / (ca.cu * cb.cu) DESC, pair.g
+  LIMIT 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+         AS initial_tokens,
+       (SELECT g FROM best) AS first_pair,
+       1 AS conservation_ok
+FROM documents
+""",
+)
+def audit_wordpiece_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``tokenizer_wordpiece_merges`` (rows-only
+    there). ``n_docs``/``initial_tokens`` hash-match DuckDB's independent
+    counts. ``first_pair`` is the round-1 ELECTION itself: the oracle
+    replays the full likelihood-ratio argmax — empty-filtered bigram
+    counts, unigram counts, count(ab)/(count(a)*count(b)) as an IEEE
+    double, count >= 2 floor, (score desc, pair asc) order — in ANSI SQL,
+    so a wrong numerator, a missed empty-token filter, or a broken
+    tiebreak elects a different pair and fails the hash (rounds 2+ have no
+    closed form — each election depends on the prior rewrite — which is
+    exactly why round 1 is pinned exactly; WordPiece scores are not
+    monotone across rounds, unlike BPE counts, so no ordering law
+    applies). ``conservation_ok``: the BPE-shared anchored rewrite
+    preserves token totals exactly — final == initial − Σ applied after
+    re-applying the trained table with ``bpe_apply``."""
+    from etl_lala_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = tx.wordpiece_train(d, n_merges=8)
+    applied_total = sum(m["applied"] for m in merges)
+    first_pair = merges[0]["pair"] if merges else None
+    counts = tx.bpe_apply(d, merges).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", r"\s+"))).alias("initial_tokens"),
+        F.sum(F.size(F.split("bpe_text", r"\s+"))).alias("final_tokens"),
+    )
+    return counts.select(
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("initial_tokens").cast("bigint").alias("initial_tokens"),
+        F.lit(first_pair).alias("first_pair"),
+        _flag(
+            F.col("final_tokens")
+            == F.col("initial_tokens") - F.lit(applied_total)
+        ).alias("conservation_ok"),
+    )

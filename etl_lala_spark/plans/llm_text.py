@@ -1469,3 +1469,39 @@ def text_extract_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "tokenizer_wordpiece_merges",
+    doc="rows-only: WordPiece likelihood-ratio merge-table training",
+)
+def tokenizer_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training on the corpus
+    (`operators/text.py:wordpiece_train`): 8 merge rounds electing the pair
+    with maximal count(ab)/(count(a)*count(b)) — the unigram-LM likelihood
+    gain, BERT's subword scheme — each applied as one anchored
+    regexp_replace. Emits the learned merge table with both constituent
+    counts and the ratio. Iterative + float-scored → rows-only;
+    `audit_wordpiece_conservation` pins the token-conservation law AND the
+    round-1 election to a closed-form DuckDB replay."""
+    from etl_lala_spark.io import tiny_df
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = tx.wordpiece_train(d, n_merges=8)
+    return tiny_df(
+        spark,
+        [
+            (
+                m["rank"],
+                m["pair"],
+                m["pair_count"],
+                m["count_a"],
+                m["count_b"],
+                round(m["score"], 9),
+                m["applied"],
+            )
+            for m in merges
+        ],
+        "rank int, pair string, pair_count bigint, count_a bigint,"
+        " count_b bigint, score double, applied bigint",
+    ).orderBy("rank")

@@ -2075,3 +2075,35 @@ def test_extract_main_content_all_chrome_page_survives(spark):
     assert got[1]["n_blocks"] == 2 and got[1]["chrome_chars"] > 0
     assert got[2]["content"] == f"Top {body} one {body} two"
     assert got[2]["n_good"] == 3 and got[2]["n_bad"] == 2
+
+
+def test_wordpiece_election_differs_from_bpe(spark):
+    """The likelihood-ratio election: a rare-but-exclusive pair (q z: count
+    2, constituents count 2 each, score 0.5) beats the frequent-but-
+    independent pair (x y: count 3, constituents count 10 each, score 0.03)
+    that raw-count BPE elects — the defining WordPiece/BPE difference.
+    Conservation holds under the shared rewrite."""
+    from etl_lala_spark.operators import text as tx
+
+    rows = [
+        ("x y m x y m x y",),                 # x y: 3 adjacent occurrences
+        ("x p1 x p2 x p3 x p4 x p5 x p6 x",),  # pad x count to 10 (unique bigrams)
+        ("y r1 y r2 y r3 y r4 y r5 y r6 y",),  # pad y count to 10
+        ("q z m m q z",),                      # q z: 2 occurrences, exclusive
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    wp = tx.wordpiece_train(df, n_merges=1)
+    bpe = tx.bpe_train(df, n_merges=1)
+    assert bpe[0]["pair"] == "x y"
+    assert wp[0]["pair"] == "q z"
+    assert wp[0]["pair_count"] == 2
+    assert wp[0]["count_a"] == 2 and wp[0]["count_b"] == 2
+    assert wp[0]["score"] == 0.5 and wp[0]["applied"] == 2
+
+    # conservation: applying the table removes exactly Σ applied tokens
+    full = tx.wordpiece_train(df, n_merges=4)
+    out = tx.bpe_apply(df, full).agg(
+        F.sum(F.size(F.split("text", r"\s+"))).alias("t0"),
+        F.sum(F.size(F.split("bpe_text", r"\s+"))).alias("t1"),
+    ).first()
+    assert out["t1"] == out["t0"] - sum(m["applied"] for m in full)
