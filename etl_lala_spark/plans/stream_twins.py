@@ -527,14 +527,26 @@ def stream_twin_bounded_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "g")
         .count()
     )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("noop")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # The state store shards on spark.sql.shuffle.partitions AT FIRST
+    # BATCH and keeps that count for the query's life; this query holds
+    # <= 15 state rows, so a session-wide 32/200 would spend 5x(32..200)
+    # state-store task lifecycles on a 15-row store. Pin a small count
+    # for THIS stream only (state sizing follows key cardinality, not
+    # session width — the same decision a production job makes per
+    # stateful stream) and restore the session conf either way.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     progress = []
     for p in q.recentProgress:
         if not isinstance(p, dict):
