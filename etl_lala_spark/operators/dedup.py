@@ -924,23 +924,7 @@ def minhash_index_write(
             "(0 < bands <= n_hashes)"
         )
     rows = n_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("doc"),
-        word_shingles(F.col(text_col), k).alias("shingles"),
-    ).select(
-        "doc",
-        F.size("shingles").alias("n_shingles"),
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
-    )
-    # minhash_signatures drops the hash array; the store must KEEP it —
-    # exact verification against the index alone depends on it.
-    sig = base.select(
-        "doc",
-        "n_shingles",
-        "hashes",
-        F.expr(_seeded_sig_expr(n_hashes)).alias("sig"),
-        _sig_part(F.col("doc")).alias("sig_part"),
-    )
+    sig = _sig_frame(df, text_col, id_col, k, n_hashes, _N_SIG_PARTS)
     sig.write.mode("overwrite").partitionBy("sig_part").parquet(
         os.path.join(path, "sigs")
     )
@@ -964,10 +948,50 @@ def minhash_index_write(
 _N_SIG_PARTS = 16
 
 
-def _sig_part(doc) -> Column:
+def _sig_part(doc, n_sig_parts: int) -> Column:
     """Deletion-bucket partition key for the sigs table: stable hash of the
     doc id, so a delete set touches only its buckets."""
-    return F.pmod(F.xxhash64(doc), F.lit(_N_SIG_PARTS)).cast("int")
+    return F.pmod(F.xxhash64(doc), F.lit(n_sig_parts)).cast("int")
+
+
+def _sig_frame(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_hashes: int,
+    n_sig_parts: int,
+) -> DataFrame:
+    """The ONE definition of the store's signature frame (same sharing
+    contract as ``_seeded_sig_expr``): shingle hashing, n_shingles, seeded
+    signature, and the deletion-bucket key must be byte-identical between
+    the initial write and every append, or appended signatures silently
+    stop being comparable with stored ones. Duplicate ids within the input
+    are collapsed first — two sig rows for one doc would double the
+    exploded shingle intersection downstream and divide by zero in the
+    exact-Jaccard verify.
+
+    ``minhash_signatures`` drops the hash array; the store must KEEP it —
+    exact verification against the index alone depends on it."""
+    return (
+        df.dropDuplicates([id_col])
+        .select(
+            F.col(id_col).alias("doc"),
+            word_shingles(F.col(text_col), k).alias("shingles"),
+        )
+        .select(
+            "doc",
+            F.size("shingles").alias("n_shingles"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
+        )
+        .select(
+            "doc",
+            "n_shingles",
+            "hashes",
+            F.expr(_seeded_sig_expr(n_hashes)).alias("sig"),
+            _sig_part(F.col("doc"), n_sig_parts).alias("sig_part"),
+        )
+    )
 
 
 def _write_bands(
@@ -1020,21 +1044,18 @@ def minhash_index_append(
     rows = n_hashes // bands
     spark = new_df.sparkSession
     sig = (
-        new_df.select(
-            F.col(id_col).alias("doc"),
-            word_shingles(F.col(text_col), k).alias("shingles"),
-        )
-        .select(
-            "doc",
-            F.size("shingles").alias("n_shingles"),
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
-        )
-        .select(
-            "doc",
-            "n_shingles",
-            "hashes",
-            F.expr(_seeded_sig_expr(n_hashes)).alias("sig"),
-            _sig_part(F.col("doc")).alias("sig_part"),
+        # Every store parameter — k, n_hashes, AND the deletion-bucket
+        # modulus — comes from the store's meta, never from module
+        # constants: an append under a retuned _N_SIG_PARTS would
+        # otherwise mix two partition moduli into one layout, silently
+        # unbounding the delete path's blast radius.
+        _sig_frame(
+            new_df,
+            text_col,
+            id_col,
+            k,
+            n_hashes,
+            meta.get("n_sig_parts", _N_SIG_PARTS),
         )
         .join(
             spark.read.parquet(os.path.join(path, "sigs")).select("doc"),
@@ -1111,7 +1132,15 @@ def minhash_index_delete(spark: SparkSession, path: str, docs: DataFrame) -> dic
             spark, os.path.join(path, "sigs"), docs, "doc", part_col="sig_part"
         ),
         "bands": delete_rows(
-            spark, os.path.join(path, "bands"), docs, "doc", part_col="band"
+            spark,
+            os.path.join(path, "bands"),
+            docs,
+            "doc",
+            part_col="band",
+            # Rewritten band files must stay bucket-sorted, or the delete
+            # silently widens the row-group stats the candidate join's
+            # pruning relies on until the next compaction.
+            sort_cols=("bucket",),
         ),
     }
 
@@ -1153,7 +1182,10 @@ def minhash_incremental_pairs(
     from etl_lala_spark.io import spread
 
     base = (
-        spread(new_df.select(text_col, id_col), by=id_col)
+        # Collapse duplicate batch ids first: two rows for one new_doc
+        # would double the exploded shingle intersection and divide by
+        # zero in the exact-Jaccard verify (same guard as _sig_frame).
+        spread(new_df.select(text_col, id_col).dropDuplicates([id_col]), by=id_col)
         .select(
             F.col(id_col).alias("new_doc"),
             word_shingles(F.col(text_col), k).alias("shingles"),

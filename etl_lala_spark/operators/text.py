@@ -656,8 +656,18 @@ def unigram_apply(
 # per-doc window (partitioned by doc — no global shuffle barrier).
 
 # Elements whose CONTENT is never text: dropped wholesale before block
-# segmentation (backreference \1 closes the same tag that opened).
-_DROP_ELEMENT_RE = r"(?is)<(script|style|noscript|svg|iframe)\b[^>]*>.*?</\1>"
+# segmentation (backreference \1 closes the same tag that opened). An
+# OPENER whose closing tag never arrives consumes to end-of-input — the
+# HTML5 parser's actual behavior for raw-text elements, and the safe
+# failure mode (dropping too much beats classifying raw JS as content).
+# Comments are stripped first (commented-out markup is ubiquitous in crawl
+# data and must never produce blocks), with the same unterminated-to-EOF
+# fallback.
+_COMMENT_RE = r"(?s)(<!--.*?-->|<!--.*$)"
+_DROP_ELEMENT_RE = (
+    r"(?is)(<(script|style|noscript|svg|iframe)\b[^>]*>.*?</\2>"
+    r"|<(script|style|noscript|svg|iframe)\b[^>]*>.*$)"
+)
 
 # Block-level boundary tags: a block is a maximal run of markup between any
 # of these (open or close, either case). Inline tags (<a>, <b>, <span>, ...)
@@ -729,7 +739,11 @@ def html_blocks(
             F.col(id_col),
             F.posexplode(
                 F.split(
-                    F.regexp_replace(F.col(html_col), _DROP_ELEMENT_RE, " "),
+                    F.regexp_replace(
+                        F.regexp_replace(F.col(html_col), _COMMENT_RE, " "),
+                        _DROP_ELEMENT_RE,
+                        " ",
+                    ),
                     _BLOCK_TAG_RE,
                 )
             ).alias("_pos", "_raw"),
@@ -815,7 +829,7 @@ def extract_main_content(
     ordered_good = F.array_sort(
         F.collect_list(F.when(good, F.struct("block_rank", "text")))
     )
-    return (
+    agg = (
         html_blocks(df, html_col=html_col, id_col=id_col)
         .groupBy(id_col)
         .agg(
@@ -831,6 +845,28 @@ def extract_main_content(
             F.sum(F.when(~good, F.col("n_chars")).otherwise(F.lit(0)))
             .cast("bigint")
             .alias("chrome_chars"),
+        )
+    )
+    # Left join from the INPUT ids: a doc whose page yields zero non-empty
+    # blocks (null html, empty string, script-only chrome) has no rows in
+    # html_blocks at all — grouping alone would drop it from the output,
+    # silently shrinking any crawl join downstream.
+    return (
+        df.select(id_col)
+        .dropDuplicates([id_col])
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("content", F.lit("")).alias("content"),
+            F.coalesce("n_blocks", F.lit(0).cast("bigint")).alias("n_blocks"),
+            F.coalesce("n_good", F.lit(0).cast("bigint")).alias("n_good"),
+            F.coalesce("n_bad", F.lit(0).cast("bigint")).alias("n_bad"),
+            F.coalesce("content_chars", F.lit(0).cast("bigint")).alias(
+                "content_chars"
+            ),
+            F.coalesce("chrome_chars", F.lit(0).cast("bigint")).alias(
+                "chrome_chars"
+            ),
         )
     )
 

@@ -390,13 +390,18 @@ def compact_partitions(
     every incrementally-loaded 100 TB table needs (each micro-batch/month
     append leaves small files; scan cost grows with file count, not bytes).
 
-    Rewrites the table so each partition holds ``files_per_partition``
-    files: one shuffle keyed on the partition column (hash-partitioned so
-    rows co-locate), written to a staging dir then atomically swapped in.
-    ``sort_cols`` re-sorts rows within the rewritten files (after the
-    partition column), restoring the row-group min/max stats a zone-map
-    reader relies on — appends interleave sort keys, so a compaction that
-    didn't re-sort would silently destroy that pruning.
+    Rewrites the table so each partition holds at most
+    ``files_per_partition`` files: one shuffle keyed on (partition column,
+    file salt) so rows co-locate per output file AND distinct partitions
+    rewrite in parallel — hashing on the partition column alone would both
+    funnel the whole table through ``files_per_partition`` tasks and make
+    the >1 case a no-op (all of one partition's rows share one hash key,
+    so they land in one task and one file regardless). Written to a
+    staging dir then atomically swapped in. ``sort_cols`` re-sorts rows
+    within the rewritten files (after the partition column), restoring the
+    row-group min/max stats a zone-map reader relies on — appends
+    interleave sort keys, so a compaction that didn't re-sort would
+    silently destroy that pruning.
     Returns {files_before, files_after, rows}.
     """
     import shutil
@@ -415,7 +420,12 @@ def compact_partitions(
     rows = df.count()
     staging = table_path.rstrip("/") + "._compacting"
     shutil.rmtree(staging, ignore_errors=True)
-    rewritten = df.repartition(files_per_partition, F.col(part_col))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+    rewritten = (
+        df.withColumn("_salt", salt)
+        .repartition(F.col(part_col), F.col("_salt"))
+        .drop("_salt")
+    )
     if sort_cols:
         rewritten = rewritten.sortWithinPartitions(part_col, *sort_cols)
     rewritten.write.mode("overwrite").partitionBy(part_col).parquet(staging)
@@ -775,6 +785,7 @@ def delete_rows(
     keys: DataFrame,
     key_col: str,
     part_col: str = "competencia",
+    sort_cols: tuple[str, ...] = (),
 ) -> dict:
     """Targeted deletion (GDPR / right-to-be-forgotten) from a partitioned
     parquet table, rewriting ONLY the partitions that contain hits.
@@ -823,6 +834,10 @@ def delete_rows(
     backup = table_path.rstrip("/") + "._delete_backup"
     shutil.rmtree(tmp, ignore_errors=True)
     shutil.rmtree(backup, ignore_errors=True)
+    if sort_cols:
+        # Rewrites must preserve the table's within-file sort (zone-map
+        # row-group stats), same contract as compact_partitions.
+        kept = kept.sortWithinPartitions(part_col, *sort_cols)
     kept.write.partitionBy(part_col).parquet(tmp)
     os.makedirs(backup, exist_ok=True)
     # Phase 1: move every original out of the table root first. After this

@@ -1961,7 +1961,11 @@ def test_minhash_index_append_compact_preserves_pairs(spark, tmp_path):
     day2 = corpus.filter(F.col("doc_id") % 3 == 0).withColumn(
         "doc_id", F.col("doc_id") + 100
     )
-    assert dd.minhash_index_append(day2, index) == 4
+    # A within-batch redelivery (same doc twice in one batch) must commit
+    # ONE sig row — a duplicate would double the stored shingle explode
+    # and divide by zero in a later exact-Jaccard verify of that doc.
+    day2_with_dup = day2.unionByName(day2.limit(1))
+    assert dd.minhash_index_append(day2_with_dup, index) == 4
     assert dd.minhash_index_append(day2, index) == 0  # replay: anti-join holds
 
     probe = corpus.withColumn("doc_id", F.col("doc_id") + 1000)
@@ -2020,6 +2024,13 @@ def test_minhash_index_delete_removes_doc_bounded(spark, tmp_path):
     assert (1005, 5) not in pairs  # no trace of the deleted doc
     assert (1004, 4) in pairs  # neighbors unaffected
 
+    # the rewrite preserved the within-file bucket sort (zone-map contract)
+    import glob as globmod
+
+    for f in globmod.glob(os.path.join(index, "bands", "band=*", "*.parquet")):
+        buckets = [r.bucket for r in spark.read.parquet(f).collect()]
+        assert buckets == sorted(buckets)
+
 
 # --- HTML boilerplate extraction ------------------------------------------
 
@@ -2057,8 +2068,9 @@ def test_html_blocks_planted_chrome_classification(spark):
 
 
 def test_extract_main_content_all_chrome_page_survives(spark):
-    """A page that is 100% chrome yields an empty-content row (never a
-    dropped doc), and content joins good blocks in page order."""
+    """Every input doc yields exactly one output row: 100%-chrome pages,
+    NULL html, and script-only pages all land as empty-content rows (never
+    dropped docs), and content joins good blocks in page order."""
     from etl_lala_spark.operators import text as tx
 
     body = (
@@ -2068,13 +2080,52 @@ def test_extract_main_content_all_chrome_page_survives(spark):
     chrome = '<div><a href="/">x y z</a></div><div><a href="/b">p q r</a></div>'
     good = f"<h1>Top</h1><p>{body} one</p><p>{body} two</p>"
     df = spark.createDataFrame(
-        [(1, chrome), (2, chrome + good)], "doc_id long, html string"
+        [
+            (1, chrome),
+            (2, chrome + good),
+            (3, None),  # null html: zero blocks, row must survive
+            (4, "<script>var a = 1;</script>"),  # script-only: zero blocks
+        ],
+        "doc_id long, html string",
     )
     got = {r["doc_id"]: r for r in tx.extract_main_content(df).collect()}
+    assert sorted(got) == [1, 2, 3, 4]  # no doc dropped
     assert got[1]["content"] == "" and got[1]["n_good"] == 0
     assert got[1]["n_blocks"] == 2 and got[1]["chrome_chars"] > 0
     assert got[2]["content"] == f"Top {body} one {body} two"
     assert got[2]["n_good"] == 3 and got[2]["n_bad"] == 2
+    for d in (3, 4):
+        assert got[d]["content"] == "" and got[d]["n_blocks"] == 0
+
+
+def test_html_blocks_comments_and_unterminated_script(spark):
+    """Commented-out markup never becomes blocks (jusText/trafilatura both
+    strip comments), and an unterminated raw-text element consumes to EOF
+    — the HTML5 behavior, and the safe direction: raw JS must never be
+    classified as content."""
+    from etl_lala_spark.operators import text as tx
+
+    body = (
+        "the wind and the rain keep the old mill turning while we watch "
+        "from the hill"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, f"<!-- <p>old draft text</p> --><p>{body}</p>"),
+            (2, f"<p>{body}</p><script>var x = 'raw js text here';"),
+            (3, f"<p>{body}</p><!-- unterminated comment {body}"),
+        ],
+        "doc_id long, html string",
+    )
+    rows = tx.html_blocks(df).collect()
+    texts = " ".join(r["text"] for r in rows)
+    assert "old draft text" not in texts
+    assert "raw js" not in texts
+    assert "unterminated" not in texts
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert all(len(v) == 1 and v[0]["text"] == body for v in per_doc.values())
 
 
 def test_wordpiece_election_differs_from_bpe(spark):
