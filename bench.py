@@ -140,6 +140,9 @@ HEADLINE = [
     # segmentation + link/stopword-density classification + neighbor
     # rescue, all closed-form
     "text_extract_main_content",
+    # round 8: cross-document line dedup (RefinedWeb/FineWeb/C4 family) —
+    # doc-frequency ban + ordered reassembly, md5-of-clean-text oracle
+    "dedup_lines_crossdoc",
 ]
 
 

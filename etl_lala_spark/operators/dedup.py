@@ -1270,3 +1270,72 @@ def minhash_incremental_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("new_doc", "old_doc", "est_jaccard", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level cross-document dedup (RefinedWeb / FineWeb / C4 family)
+# ---------------------------------------------------------------------------
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document LINE dedup — the web-pipeline stage between exact
+    whole-doc dedup and fixed-block boilerplate removal (C4 removed
+    duplicated spans; RefinedWeb/FineWeb drop any line shared across
+    documents — cookie banners, nav crumbs, share buttons survive
+    main-content extraction and this is the stage that kills them).
+    A line (newline-delimited, whitespace-trimmed) occurring in at least
+    ``min_docs`` DISTINCT documents is removed from EVERY document;
+    remaining lines are re-joined in original order. Empty lines are
+    dropped (they would otherwise count as a cross-doc duplicate and
+    delete all paragraph breaks). Returns one row per input doc:
+    (id, n_lines, n_removed, clean_text) — a doc whose every line is
+    boilerplate survives with clean_text = ''.
+
+    Scale shape: one explode + hash agg keyed on the line (map-side
+    combined, vocabulary-bounded by distinct lines), one anti-join back,
+    one per-doc re-group. Everything is SQL-expressible (the oracle
+    replays it exactly); at 100 TB key the agg and join on
+    ``xxhash64(line)`` (8-byte shuffle rows instead of full strings) and
+    verify survivors against the string only on the collision-checked
+    join back — same trick as the shingle tables.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
+    ).select(id_col, "line_no", F.trim(F.col("raw")).alias("line"))
+    nonempty = lines.filter(F.col("line") != "")
+    banned = (
+        nonempty.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("docs"))
+        .filter(F.col("docs") >= min_docs)
+        .select("line")
+    )
+    kept = nonempty.join(banned, "line", "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+    per_doc = (
+        nonempty.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+                F.array_join(
+                    F.transform(ordered, lambda s: s["line"]), "\n"
+                ).alias("clean_text"),
+            ),
+            id_col,
+            "left",
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_lines",
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -631,3 +631,104 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_incremental_pairs(batch, index, threshold=0.5).orderBy(
         "new_doc", "old_doc"
     )
+
+
+# --- Line-level cross-document dedup (RefinedWeb / FineWeb / C4 family) -----
+
+_LINE_SUB = "subscribe now for more updates"
+_LINE_RIGHTS = "all rights reserved by the site"
+
+_LINE_DEDUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(0, CAST(ceil(len(t) / 8.0) AS INT) - 1),
+           i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')) AS c
+  FROM toks
+),
+pages AS (
+  SELECT doc_id,
+         c[1:1] || ['{_LINE_SUB}'] || c[2:len(c)]
+         || CASE WHEN doc_id % 2 = 0 THEN ['{_LINE_RIGHTS}']
+                 ELSE CAST([] AS VARCHAR[]) END AS lines
+  FROM chunks
+),
+lines AS (
+  SELECT doc_id, u.i AS pos, u.l AS line
+  FROM pages,
+       unnest(list_transform(generate_series(1, len(lines)),
+                             i -> {{'i': i, 'l': trim(lines[i])}})) AS t(u)
+),
+nonempty AS (SELECT * FROM lines WHERE line <> ''),
+banned AS (
+  SELECT line FROM nonempty GROUP BY line
+  HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (SELECT n.* FROM nonempty n ANTI JOIN banned b USING (line)),
+agg AS (SELECT doc_id, count(*) AS n_lines FROM nonempty GROUP BY doc_id),
+kagg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5,
+         sum(length(line)) + count(*) - 1 AS clean_chars
+  FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       CAST(a.n_lines AS BIGINT) AS n_lines,
+       CAST(a.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.clean_md5, md5('')) AS clean_md5,
+       CAST(coalesce(k.clean_chars, 0) AS BIGINT) AS clean_chars
+FROM agg a LEFT JOIN kagg k USING (doc_id)
+ORDER BY a.doc_id
+"""
+
+
+@register("dedup_lines_crossdoc", oracle=_LINE_DEDUP_ORACLE)
+def dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document line dedup (the RefinedWeb/FineWeb pipeline stage; C4
+    removed duplicated spans the same way): every doc is re-framed as
+    newline-delimited 8-word lines with planted chrome — a subscribe line
+    in EVERY doc, a rights line in every even doc — and
+    ``operators/dedup.py:line_dedup`` removes each line occurring in >= 2
+    distinct documents, re-joining survivors in order. The oracle replays
+    the ENTIRE construction and dedup in SQL — chunking arithmetic, the
+    plants, doc-frequency ban, ordered reassembly — and the md5 of each
+    doc's cleaned text must match byte-for-byte, so a dropped line, a
+    reordered join, or an off-by-one chunk boundary fails the hash. The
+    ban set also catches NATURAL 8-word chunks shared across docs (both
+    engines compute the same frequency table), so this pins corpus-driven
+    behavior, not just the plants.
+
+    Scale: one explode + map-side-combined hash agg on the line key + one
+    anti-join + one per-doc regroup; at 100 TB the agg/join key is
+    xxhash64(line) (8-byte shuffle rows), per the operator docstring."""
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(toks, i * 8 + 1, 8), " "),
+    )
+    page = F.concat(
+        F.slice(chunks, 1, 1),
+        F.array(F.lit(_LINE_SUB)),
+        F.slice(chunks, 2, F.size(chunks) - 1),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.array(F.lit(_LINE_RIGHTS))
+        ).otherwise(F.expr("CAST(array() AS array<string>)")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(page, "\n").alias("text")
+    )
+    return (
+        dd.line_dedup(docs)
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_removed",
+            F.md5("clean_text").alias("clean_md5"),
+            F.length("clean_text").cast("bigint").alias("clean_chars"),
+        )
+        .orderBy("doc_id")
+    )

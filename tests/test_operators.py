@@ -2158,3 +2158,27 @@ def test_wordpiece_election_differs_from_bpe(spark):
         F.sum(F.size(F.split("bpe_text", r"\s+"))).alias("t1"),
     ).first()
     assert out["t1"] == out["t0"] - sum(m["applied"] for m in full)
+
+
+def test_line_dedup_crossdoc_semantics(spark):
+    """Cross-doc frequency is the ban criterion: a line repeated WITHIN one
+    doc survives (df=1); a line in two docs is removed from both; a doc
+    whose every line is boilerplate survives with empty clean_text; order
+    is preserved; empty lines never count as duplicates."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha unique one\nshared banner line\nalpha unique two"),
+            (2, "beta unique one\nshared banner line\n\nbeta unique two"),
+            (3, "gamma twice\ngamma twice\ngamma other"),  # within-doc repeat
+            (4, "shared banner line"),  # all-boilerplate doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dd.line_dedup(df).collect()}
+    assert got[1]["clean_text"] == "alpha unique one\nalpha unique two"
+    assert got[1]["n_lines"] == 3 and got[1]["n_removed"] == 1
+    assert got[2]["clean_text"] == "beta unique one\nbeta unique two"
+    assert got[2]["n_lines"] == 3  # the empty line was dropped, not counted
+    assert got[3]["clean_text"] == "gamma twice\ngamma twice\ngamma other"
+    assert got[3]["n_removed"] == 0  # within-doc repeat is NOT cross-doc
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 1
