@@ -1317,9 +1317,20 @@ def line_dedup(
     )
     kept = nonempty.join(banned, "line", "left_anti")
     ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
+    # Anchor on the INPUT ids (same row-survival contract as
+    # extract_main_content): a doc with no non-empty line at all — empty
+    # text, whitespace-only — must still land as an empty output row, not
+    # silently vanish from a downstream corpus join.
     per_doc = (
-        nonempty.groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+        df.select(id_col)
+        .dropDuplicates([id_col])
+        .join(
+            nonempty.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_lines")
+            ),
+            id_col,
+            "left",
+        )
         .join(
             kept.groupBy(id_col).agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_kept"),
@@ -1331,10 +1342,11 @@ def line_dedup(
             "left",
         )
     )
+    n_lines = F.coalesce("n_lines", F.lit(0).cast("bigint"))
     return per_doc.select(
         id_col,
-        "n_lines",
-        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0).cast("bigint")))
+        n_lines.alias("n_lines"),
+        (n_lines - F.coalesce("n_kept", F.lit(0).cast("bigint")))
         .cast("bigint")
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),

@@ -966,3 +966,67 @@ def wordpiece_train(
             }
         )
     return merges
+
+
+def wordpiece_greedy_apply(
+    df,
+    vocab: set[str] | list[str],
+    text_col: str = "text",
+    unk: str = "[UNK]",
+):
+    """Greedy longest-match-first subword segmentation — BERT WordPiece's
+    INFERENCE algorithm (Devlin et al. 2019; the deploy half next to
+    ``unigram_apply``'s Viterbi form): per whitespace word, repeatedly take
+    the LONGEST vocabulary piece that prefixes the remaining suffix;
+    continuation pieces are emitted with the conventional ``##`` marker
+    (presentational only — matching is against the plain piece, so any
+    piece vocabulary works, including one trained by ``unigram_lm_train``
+    or ``wordpiece_train``). A word with an unmatchable position becomes
+    ONE ``unk`` token (the whole word, BERT's behavior) — impossible when
+    the vocab contains every character of the corpus.
+
+    Narrow ``mapInPandas``: the vocab rides in the task closure (O(vocab)
+    bytes), no shuffle, no corpus rescan — the same 100 TB shape as
+    ``unigram_apply``; greedy is O(|word| × max_piece_len) per word with
+    no DP table, which is why it is the standard serving-time tokenizer.
+    Returns the input columns plus ``pieces`` (\\x01-joined, ##-marked)
+    and ``n_pieces``."""
+    import re
+
+    vocab_set = set(vocab)
+    max_len = max((len(p) for p in vocab_set), default=1)
+    schema = (
+        ", ".join(f"{c} {t}" for c, t in df.dtypes)
+        + ", pieces string, n_pieces long"
+    )
+    # Same ASCII word boundaries as training/Viterbi apply (Java \s parity).
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def seg_word(w: str) -> list[str]:
+        out, i, n = [], 0, len(w)
+        while i < n:
+            j = min(n, i + max_len)
+            while j > i and w[i:j] not in vocab_set:
+                j -= 1
+            if j == i:  # no piece matches this position: whole word -> UNK
+                return [unk]
+            out.append(w[i:j] if i == 0 else "##" + w[i:j])
+            i = j
+        return out
+
+    def tok(batches):
+        for pdf in batches:
+            pieces_col, n_col = [], []
+            for t in pdf[text_col]:
+                out = []
+                for w in ws.split(t or ""):
+                    if w:
+                        out.extend(seg_word(w))
+                pieces_col.append("\x01".join(out))
+                n_col.append(len(out))
+            pdf = pdf.copy()
+            pdf["pieces"] = pieces_col
+            pdf["n_pieces"] = n_col
+            yield pdf
+
+    return df.mapInPandas(tok, schema)

@@ -1023,3 +1023,61 @@ def audit_wordpiece_conservation(spark: SparkSession, sf_dir: str) -> DataFrame:
             == F.col("initial_tokens") - F.lit(applied_total)
         ).alias("conservation_ok"),
     )
+
+
+@register(
+    "audit_wordpiece_apply",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')))
+            AS BIGINT) AS raw_chars,
+       1 AS recon_ok, 1 AS unk_zero_ok
+FROM documents
+""",
+)
+def audit_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``tokenizer_wordpiece_apply`` (rows-only
+    there). ``raw_chars`` — the corpus's non-whitespace char total — is
+    hash-matched against DuckDB's independent count. ``recon_ok``: greedy
+    WordPiece must be EXACTLY reconstructive — per doc, the concatenated
+    pieces minus the ## continuation markers equal the doc's
+    whitespace-stripped text, so the summed piece chars equal raw_chars
+    and no per-doc mismatch exists (a lost suffix, a doubled piece, or a
+    marker leak all flip the flag). ``unk_zero_ok``: with the vocab seeded
+    from the trainer's full character set, the greedy matcher can always
+    fall back to single chars, so not one [UNK] may appear."""
+    from etl_lala_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    model = tx.unigram_lm_train(d, vocab_size=150, max_piece_len=4, iters=2)
+    vocab = {v["piece"] for v in model["vocab"]} | set(model.get("chars", []))
+    applied = tx.wordpiece_greedy_apply(d, vocab)
+    piece_chars = F.length(
+        F.replace(
+            F.replace(F.col("pieces"), F.lit("\x01"), F.lit("")),
+            F.lit("##"),
+            F.lit(""),
+        )
+    )
+    raw_chars = F.length(
+        F.regexp_replace(F.col("text"), r"[ \t\n\x0b\f\r]+", "")
+    )
+    unk_hits = F.size(
+        F.filter(
+            F.split("pieces", "\x01"), lambda p: p == F.lit("[UNK]")
+        )
+    )
+    agg = applied.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(raw_chars).cast("bigint").alias("raw_chars"),
+        F.sum(F.when(piece_chars != raw_chars, 1).otherwise(0)).alias(
+            "n_recon_bad"
+        ),
+        F.sum(unk_hits).alias("n_unk"),
+    )
+    return agg.select(
+        "n_docs",
+        "raw_chars",
+        _flag(F.col("n_recon_bad") == 0).alias("recon_ok"),
+        _flag(F.col("n_unk") == 0).alias("unk_zero_ok"),
+    )

@@ -1505,3 +1505,28 @@ def tokenizer_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank int, pair string, pair_count bigint, count_a bigint,"
         " count_b bigint, score double, applied bigint",
     ).orderBy("rank")
+
+
+@register(
+    "tokenizer_wordpiece_apply",
+    doc="rows-only: greedy longest-match WordPiece inference over a trained vocab",
+)
+def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match-first WordPiece INFERENCE (BERT's serving-time
+    tokenizer) over a unigram-LM-trained piece vocabulary
+    (`operators/text.py:wordpiece_greedy_apply`): segments every doc,
+    emits the 20 most frequent pieces with counts. Trained-vocab-dependent
+    → rows-only; `audit_wordpiece_apply` pins the exact char-conservation
+    law and zero-UNK invariant to the oracle gate."""
+    d = load_table(spark, sf_dir, "documents")
+    model = tx.unigram_lm_train(d, vocab_size=150, max_piece_len=4, iters=2)
+    vocab = {v["piece"] for v in model["vocab"]} | set(model.get("chars", []))
+    applied = tx.wordpiece_greedy_apply(d, vocab)
+    return (
+        applied.select(F.explode(F.split("pieces", "\x01")).alias("piece"))
+        .filter(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "piece")
+        .limit(20)
+    )

@@ -2182,3 +2182,22 @@ def test_line_dedup_crossdoc_semantics(spark):
     assert got[3]["clean_text"] == "gamma twice\ngamma twice\ngamma other"
     assert got[3]["n_removed"] == 0  # within-doc repeat is NOT cross-doc
     assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 1
+
+
+def test_wordpiece_greedy_apply_longest_match_and_unk(spark):
+    """The defining greedy behavior (BERT's 'unaffable' example shape):
+    longest prefix wins at every position, continuations carry ##, a word
+    with an unmatchable position becomes ONE [UNK], and greedy can differ
+    from Viterbi-optimal segmentations."""
+    from etl_lala_spark.operators import text as tx
+
+    vocab = {"un", "aff", "able", "a", "b", "ab", "abc", "cd", "c"}
+    df = spark.createDataFrame(
+        [(1, "unaffable abcd xyz ab")], "doc_id long, text string"
+    )
+    row = tx.wordpiece_greedy_apply(df, vocab).first()
+    pieces = row["pieces"].split("\x01")
+    # greedy takes 'abc' then needs 'd' -> whole word UNK (d not in vocab);
+    # Viterbi would have found ab+cd — exactly the greedy/optimal gap.
+    assert pieces == ["un", "##aff", "##able", "[UNK]", "[UNK]", "ab"]
+    assert row["n_pieces"] == 6

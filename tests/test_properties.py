@@ -367,3 +367,85 @@ def test_viterbi_segment_reconstructs_and_is_optimal(case):
     )
     assert best is not None
     assert score >= best - 1e-9
+
+
+# --- HTML block extraction / line dedup robustness --------------------------
+#
+# The web-facing operators run on crawl garbage by definition; hypothesis
+# drives them with adversarial tag soup and asserts the structural
+# invariants that no input may break (the oracle gates pin exact values on
+# well-formed pages; these pin "never crashes, never emits nonsense" on
+# malformed ones).
+
+_frag = st.sampled_from(
+    [
+        "<p>", "</p>", "<div>", "</div>", "<a href='x'>", "</a>", "<br>",
+        "<script>", "</script>", "<!--", "-->", "<h1>", "</h1>", "&amp;",
+        "&lt;", "the old mill", "quick fox", "x", "<", ">", " ", "\n",
+        "subscribe now",
+    ]
+)
+_soup = st.lists(_frag, min_size=0, max_size=30).map("".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_soup, min_size=1, max_size=4))
+def test_html_blocks_tag_soup_invariants(spark, soups):
+    """Arbitrary tag soup: html_blocks never throws, every emitted block is
+    non-empty single-spaced text, classes are only good/bad, and per-doc
+    block ranks are dense from 0; extract_main_content returns exactly one
+    row per input doc with consistent counts."""
+    from etl_lala_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        list(enumerate(soups)), "doc_id long, html string"
+    )
+    rows = tx.html_blocks(df).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert r["cls"] in ("good", "bad")
+        assert r["n_chars"] == len(r["text"]) > 0
+        assert "  " not in r["text"] and r["text"] == r["text"].strip()
+        per_doc.setdefault(r["doc_id"], []).append(r["block_rank"])
+    for ranks in per_doc.values():
+        assert sorted(ranks) == list(range(len(ranks)))
+    out = {r["doc_id"]: r for r in tx.extract_main_content(df).collect()}
+    assert sorted(out) == list(range(len(soups)))  # one row per input doc
+    for d, r in out.items():
+        assert r["n_good"] + r["n_bad"] == r["n_blocks"]
+        assert r["n_blocks"] == len(per_doc.get(d, []))
+
+
+_line = st.sampled_from(
+    ["shared banner", "alpha beta", "gamma", "", "  ", "delta five six"]
+)
+_linedoc = st.lists(_line, min_size=0, max_size=6).map("\n".join)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_linedoc, min_size=1, max_size=5))
+def test_line_dedup_invariants(spark, docs):
+    """Arbitrary line corpora: one output row per input doc (even all-empty
+    docs), n_removed <= n_lines, surviving lines are a subset of the doc's
+    own lines in order, and every line occurring in >= 2 distinct docs is
+    gone from ALL outputs."""
+    from collections import Counter
+
+    from etl_lala_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dd.line_dedup(df).collect()}
+    assert sorted(out) == list(range(len(docs)))
+    freq = Counter()
+    for t in docs:
+        freq.update({ln.strip() for ln in t.split("\n") if ln.strip()})
+    banned = {ln for ln, c in freq.items() if c >= 2}
+    for d, t in enumerate(docs):
+        orig = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        r = out[d]
+        assert r["n_lines"] == len(orig)
+        assert 0 <= r["n_removed"] <= r["n_lines"]
+        kept = r["clean_text"].split("\n") if r["clean_text"] else []
+        assert kept == [ln for ln in orig if ln not in banned]
