@@ -1304,6 +1304,10 @@ def line_dedup(
     verify survivors against the string only on the collision-checked
     join back — same trick as the shingle tables.
     """
+    # One row per doc id (redelivery guard, same as _sig_frame): duplicate
+    # id rows would interleave doubled lines into clean_text while the
+    # distinct-doc ban frequency stayed 1 — silent text corruption.
+    df = df.dropDuplicates([id_col])
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "raw"),
@@ -1323,7 +1327,6 @@ def line_dedup(
     # silently vanish from a downstream corpus join.
     per_doc = (
         df.select(id_col)
-        .dropDuplicates([id_col])
         .join(
             nonempty.groupBy(id_col).agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_lines")

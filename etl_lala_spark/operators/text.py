@@ -656,13 +656,16 @@ def unigram_apply(
 # per-doc window (partitioned by doc — no global shuffle barrier).
 
 # Elements whose CONTENT is never text: dropped wholesale before block
-# segmentation (backreference \1 closes the same tag that opened). An
+# segmentation (backreference \2 closes the same tag that opened). An
 # OPENER whose closing tag never arrives consumes to end-of-input — the
 # HTML5 parser's actual behavior for raw-text elements, and the safe
 # failure mode (dropping too much beats classifying raw JS as content).
-# Comments are stripped first (commented-out markup is ubiquitous in crawl
-# data and must never produce blocks), with the same unterminated-to-EOF
-# fallback.
+# Comments are stripped AFTER the element drop (commented-out markup is
+# ubiquitous in crawl data and must never produce blocks; element-first
+# order matters — HTML5's script-data state treats '<!--' inside a
+# terminated <script> as script text, so comment-first would leak past
+# the </script> and delete real content), with the same
+# unterminated-to-EOF fallback.
 _COMMENT_RE = r"(?s)(<!--.*?-->|<!--.*$)"
 _DROP_ELEMENT_RE = (
     r"(?is)(<(script|style|noscript|svg|iframe)\b[^>]*>.*?</\2>"
@@ -739,9 +742,16 @@ def html_blocks(
             F.col(id_col),
             F.posexplode(
                 F.split(
+                    # Raw-text ELEMENTS drop first, comments second: HTML5's
+                    # script-data state treats '<!--' inside a terminated
+                    # <script> as script text (</script> still closes), so
+                    # comment-stripping first would leak past the closer and
+                    # delete real content after it. A <script> opener inside
+                    # a comment still over-drops to EOF — the documented
+                    # safe direction (never classify raw JS as content).
                     F.regexp_replace(
-                        F.regexp_replace(F.col(html_col), _COMMENT_RE, " "),
-                        _DROP_ELEMENT_RE,
+                        F.regexp_replace(F.col(html_col), _DROP_ELEMENT_RE, " "),
+                        _COMMENT_RE,
                         " ",
                     ),
                     _BLOCK_TAG_RE,

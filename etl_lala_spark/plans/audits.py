@@ -1052,12 +1052,22 @@ def audit_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = tx.unigram_lm_train(d, vocab_size=150, max_piece_len=4, iters=2)
     vocab = {v["piece"] for v in model["vocab"]} | set(model.get("chars", []))
     applied = tx.wordpiece_greedy_apply(d, vocab)
-    piece_chars = F.length(
-        F.replace(
-            F.replace(F.col("pieces"), F.lit("\x01"), F.lit("")),
-            F.lit("##"),
-            F.lit(""),
+    # Marker accounting by POSITION, not by substring: every word emits
+    # exactly one unmarked head piece (zero UNKs, pinned below), so the
+    # continuation count is n_pieces − n_words and the ## marker mass is
+    # exactly twice that. Deleting literal '##' substrings instead would
+    # also eat '#' chars that are genuine content (or that become adjacent
+    # across piece boundaries after the separator strip), failing the flag
+    # on a perfectly reconstructive segmentation.
+    n_words = F.size(
+        F.filter(
+            F.split(F.col("text"), r"[ \t\n\x0b\f\r]+"),
+            lambda w: w != F.lit(""),
         )
+    )
+    piece_chars = (
+        F.length(F.replace(F.col("pieces"), F.lit("\x01"), F.lit("")))
+        - (F.col("n_pieces").cast("int") - n_words) * 2
     )
     raw_chars = F.length(
         F.regexp_replace(F.col("text"), r"[ \t\n\x0b\f\r]+", "")

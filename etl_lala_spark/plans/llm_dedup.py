@@ -640,7 +640,13 @@ _LINE_RIGHTS = "all rights reserved by the site"
 
 _LINE_DEDUP_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  -- Whitespace-normalize BEFORE tokenizing: a token carrying an embedded
+  -- newline (any future corpus) would otherwise survive into a chunk,
+  -- which the Spark side's line_dedup splits into two lines while this
+  -- oracle's unnest keeps as one — engines must agree on the line grain.
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+  FROM documents
 ),
 chunks AS (
   SELECT doc_id,
@@ -704,7 +710,9 @@ def dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one explode + map-side-combined hash agg on the line key + one
     anti-join + one per-doc regroup; at 100 TB the agg/join key is
     xxhash64(line) (8-byte shuffle rows), per the operator docstring."""
-    toks = F.split(F.col("text"), " ")
+    # Same whitespace normalization as the oracle's toks CTE (see comment
+    # there): the constructed lines must contain no embedded newlines.
+    toks = F.split(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " ")
     nl = F.ceil(F.size(toks) / F.lit(8.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nl - 1),

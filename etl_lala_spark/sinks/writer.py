@@ -420,7 +420,16 @@ def compact_partitions(
     rows = df.count()
     staging = table_path.rstrip("/") + "._compacting"
     shutil.rmtree(staging, ignore_errors=True)
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(files_per_partition))
+    # Deterministic salt (hash of the full row), NOT monotonically_
+    # increasing_id(): a shuffle-map retry recomputes a nondeterministic
+    # salt differently, and reducers that already fetched the first
+    # attempt's blocks would keep them — silently duplicating/dropping
+    # rows in the rewritten table (the same recompute hazard io.spread()
+    # documents). Row-hash salting is retry-stable.
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]),
+        F.lit(files_per_partition),
+    )
     rewritten = (
         df.withColumn("_salt", salt)
         .repartition(F.col(part_col), F.col("_salt"))

@@ -2114,6 +2114,10 @@ def test_html_blocks_comments_and_unterminated_script(spark):
             (1, f"<!-- <p>old draft text</p> --><p>{body}</p>"),
             (2, f"<p>{body}</p><script>var x = 'raw js text here';"),
             (3, f"<p>{body}</p><!-- unterminated comment {body}"),
+            # HTML5 script-data state: '<!--' INSIDE a terminated script is
+            # script text, </script> still closes — the article after it
+            # must survive (element drop runs before comment strip).
+            (4, f"<script>if(a<!--b) f();</script><p>{body}</p>"),
         ],
         "doc_id long, html string",
     )
@@ -2122,6 +2126,7 @@ def test_html_blocks_comments_and_unterminated_script(spark):
     assert "old draft text" not in texts
     assert "raw js" not in texts
     assert "unterminated" not in texts
+    assert "f();" not in texts
     per_doc = {}
     for r in rows:
         per_doc.setdefault(r["doc_id"], []).append(r)
