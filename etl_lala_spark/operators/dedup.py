@@ -902,9 +902,12 @@ def minhash_index_write(
       persists) is what makes EXACT Jaccard verification possible against
       the store alone.
     - ``bands/`` — one row per (doc, band, bucket), PARTITIONED by band
-      (the candidate join's leading key prunes whole band directories)
-      and sorted within files by bucket so parquet row-group stats prune
-      the remaining scan.
+      and sorted within files by bucket. The partitioning bounds the
+      DELETE path (each band rewrites as its own pruned partition); the
+      read-side pruning lever is the bucket sort — a probe batch carries
+      rows for every band, so parquet row-group min/max stats on bucket,
+      not directory pruning, are what keep the candidate join's store
+      scan thin.
     - ``_minhash_meta.json`` — (k, n_hashes, bands, n_sig_parts):
       signatures are only comparable under identical parameters, so the
       incremental reader validates before joining (a silent k mismatch
@@ -1214,7 +1217,14 @@ def minhash_incremental_pairs(
         F.expr(_band_bucket_expr(bands, rows, sig_col="sig_new")).alias("bb"),
     ).select("new_doc", "bb.band", "bb.bucket")
 
-    store_bands = spark.read.parquet(os.path.join(index_path, "bands"))
+    # The band partition column reads back as STRING under the engine's
+    # partitionColumnTypeInference=false convention (session.py: partition
+    # values stay strings for the competência model) — normalize to int
+    # explicitly so the candidate join is a typed equality, not an
+    # implicit string/int coercion whose semantics depend on session conf.
+    store_bands = spark.read.parquet(os.path.join(index_path, "bands")).select(
+        "doc", F.col("band").cast("int").alias("band"), "bucket"
+    )
     store_sigs = spark.read.parquet(os.path.join(index_path, "sigs"))
 
     cand = (

@@ -2206,3 +2206,35 @@ def test_wordpiece_greedy_apply_longest_match_and_unk(spark):
     # Viterbi would have found ab+cd — exactly the greedy/optimal gap.
     assert pieces == ["un", "##aff", "##able", "[UNK]", "[UNK]", "ab"]
     assert row["n_pieces"] == 6
+
+
+def test_minhash_index_append_honors_store_modulus(spark, tmp_path, monkeypatch):
+    """The deletion-bucket modulus comes from the store's META, never the
+    module constant: an index written under n_sig_parts=4 must receive
+    appends bucketed mod 4 even after the constant changes — mixed moduli
+    would silently unbound the delete path's blast radius."""
+    import json
+    import os
+
+    corpus = _mk_index_corpus(spark)
+    index = str(tmp_path / "idx")
+    monkeypatch.setattr(dd, "_N_SIG_PARTS", 4)
+    dd.minhash_index_write(corpus, index)
+    assert json.load(open(os.path.join(index, "_minhash_meta.json")))[
+        "n_sig_parts"
+    ] == 4
+    monkeypatch.setattr(dd, "_N_SIG_PARTS", 16)  # constant retuned later...
+    day2 = corpus.filter(F.col("doc_id") < 3).withColumn(
+        "doc_id", F.col("doc_id") + 100
+    )
+    assert dd.minhash_index_append(day2, index) == 3
+    sigs = spark.read.parquet(os.path.join(index, "sigs"))
+    # ...but every appended row still lands under the STORE's modulus,
+    # in the exact bucket a mod-4 delete would rewrite
+    got = {r["doc"]: int(r["sig_part"]) for r in sigs.collect()}
+    assert all(0 <= p < 4 for p in got.values())
+    for doc in (100, 101, 102):
+        expected = spark.sql(
+            f"SELECT pmod(xxhash64(CAST({doc} AS BIGINT)), 4) AS p"
+        ).first()["p"]
+        assert got[doc] == expected

@@ -449,3 +449,36 @@ def test_line_dedup_invariants(spark, docs):
         assert 0 <= r["n_removed"] <= r["n_lines"]
         kept = r["clean_text"].split("\n") if r["clean_text"] else []
         assert kept == [ln for ln in orig if ln not in banned]
+
+
+_wp_word = st.text(alphabet="abc#", min_size=1, max_size=8)
+_wp_piece = st.text(alphabet="abc#", min_size=1, max_size=3)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(_wp_word, min_size=1, max_size=6),
+    st.sets(_wp_piece, min_size=1, max_size=12),
+)
+def test_wordpiece_greedy_reconstruction_property(spark, words, vocab):
+    """For ANY vocab and any words (including '#'-bearing content, the
+    marker-collision case): every segmented word reconstructs exactly by
+    stripping the leading ## of continuations, or is exactly [UNK]; greedy
+    never mixes the two within a word."""
+    from etl_lala_spark.operators import text as tx
+
+    # One word per row: each row's piece list IS that word's segmentation
+    # (no marker-based group splitting, which a head piece whose CONTENT
+    # starts with '##' would defeat).
+    df = spark.createDataFrame(
+        list(enumerate(words)), "doc_id long, text string"
+    )
+    for r in tx.wordpiece_greedy_apply(df, vocab).collect():
+        w = words[r["doc_id"]]
+        g = r["pieces"].split("\x01")
+        assert r["n_pieces"] == len(g)
+        if g == ["[UNK]"]:
+            continue
+        assert "[UNK]" not in g  # never mixed within a word
+        recon = g[0] + "".join(p[2:] for p in g[1:])
+        assert recon == w
