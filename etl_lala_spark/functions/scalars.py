@@ -51,3 +51,55 @@ def pseudonymize(col: Column, pepper: str) -> Column:
     pepper the token is not reversible by rainbow lookup. Pure codegen —
     pseudonymizing 100 TB costs one scan."""
     return F.sha2(F.concat(F.lit(pepper + "::"), col.cast("string")), 256)
+
+
+# --- URL canonicalization (FineWeb web-pipeline stage 1) ---------------------
+
+# Tracking parameters stripped before URL-level dedup — the public lists
+# (utm_* from Google Analytics, click ids from ad platforms, mailchimp ids)
+# every crawl pipeline removes. Anchored at the key: 'ref=' is tracking,
+# 'pref=' is not.
+TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|twclid|dclid|igshid|mc_cid|mc_eid"
+    r"|ref|ref_src|_ga)(=.*)?$"
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup (the FineWeb/CCNet
+    stage-1 key): lowercase scheme and host, strip userinfo, default ports
+    (:80 http / :443 https), a leading ``www.``, the fragment, and tracking
+    query parameters; sort the surviving query keys (param ORDER is not
+    identity); collapse duplicate slashes and a trailing slash in the path
+    (``/a/`` == ``/a``; bare host normalizes to path ``/``). Invalid URLs
+    → NULL (``try_parse_url``), so a malformed crawl row can't alias a
+    real page's key. Pure codegen — canonicalizing 100 TB of crawl URLs
+    costs one scan, no UDF."""
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    auth = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    host = F.regexp_replace(auth, r"^[^@]*@", "")  # strip userinfo
+    host = F.when(proto == "http", F.regexp_replace(host, r":80$", "")).when(
+        proto == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
+    host = F.regexp_replace(host, r"^www\.", "")
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(F.regexp_replace(path, r"/{2,}", "/"), r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.when(
+        proto.isNull() | host.isNull() | (host == ""), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            proto,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
+    )

@@ -1031,9 +1031,14 @@ def minhash_index_append(
     TOMORROW's batch dedups against them too). Shingles only the batch;
     parameters come from the store's meta file, so appended signatures are
     comparable with stored ones by construction. Replay-safe like
-    ``stream_ivf_index``: the batch anti-joins on doc id against the
-    store's id column (a thin, column-pruned scan), so an at-least-once
-    redelivery appends nothing. Returns the number of docs appended.
+    ``stream_ivf_index``: the batch left-joins on doc id against the
+    store's (doc, sig) columns (a thin, column-pruned scan), so an
+    at-least-once redelivery of UNCHANGED content appends nothing — and a
+    redelivered doc id whose TEXT changed (stored signature differs from
+    the batch's) raises ``ValueError`` instead of silently keeping the
+    stale signature: content updates must go through
+    :func:`minhash_index_delete` + append. Returns the number of docs
+    appended.
 
     Scale: O(batch) shingling + one id anti-join against a column-pruned
     scan of sigs; appends land as new files in existing partitions —
@@ -1046,7 +1051,7 @@ def minhash_index_append(
     k, n_hashes, bands = meta["k"], meta["n_hashes"], meta["bands"]
     rows = n_hashes // bands
     spark = new_df.sparkSession
-    sig = (
+    joined = (
         # Every store parameter — k, n_hashes, AND the deletion-bucket
         # modulus — comes from the store's meta, never from module
         # constants: an append under a retuned _N_SIG_PARTS would
@@ -1061,29 +1066,48 @@ def minhash_index_append(
             meta.get("n_sig_parts", _N_SIG_PARTS),
         )
         .join(
-            spark.read.parquet(os.path.join(path, "sigs")).select("doc"),
+            spark.read.parquet(os.path.join(path, "sigs")).select(
+                "doc", F.col("sig").alias("_stored_sig")
+            ),
             "doc",
-            "left_anti",
+            "left",
         )
         # Pin the exact appended rows AND cut lineage from the sigs path:
-        # the plan anti-joins against sigs/, and Spark invalidates any
-        # cache whose plan reads a path being written (recacheByPath) — a
-        # plain persist() would silently recompute against the UPDATED
-        # store after the first write and derive an empty band table.
+        # the plan joins against sigs/, and Spark invalidates any cache
+        # whose plan reads a path being written (recacheByPath) — a plain
+        # persist() would silently recompute against the UPDATED store
+        # after the first write and derive an empty band table.
         .localCheckpoint(eager=False)
     )
+    # Fail loudly on a redelivered id whose content changed: the stored
+    # signature is deterministic in the text, so sig != _stored_sig ⇒ the
+    # text differs (a silent no-op here would keep the stale signature
+    # forever with no error or update path — the replay guard must only
+    # swallow byte-identical redeliveries).
+    changed = joined.where(
+        F.col("_stored_sig").isNotNull() & (F.col("sig") != F.col("_stored_sig"))
+    ).count()
+    if changed:
+        joined.unpersist()
+        raise ValueError(
+            f"minhash_index_append: {changed} redelivered doc id(s) arrived "
+            "with CHANGED content; updates require minhash_index_delete + "
+            "append, not a re-append under the same id"
+        )
+    sig = joined.where(F.col("_stored_sig").isNull()).drop("_stored_sig")
     n = sig.count()
     if n:
-        # Bands first, sigs second: the anti-join replay guard keys on
-        # sigs, so a crash between the two writes is self-healing — the
-        # re-run re-appends both (duplicate band rows are collapsed by the
-        # reader's candidate distinct()), whereas sigs-first would make
-        # the replay skip docs whose bands never landed.
+        # Bands first, sigs second: the replay guard keys on sigs, so a
+        # crash between the two writes is self-healing — the re-run
+        # re-appends both (duplicate band rows are collapsed by the
+        # reader's candidate distinct() and physically removed by the next
+        # minhash_index_compact), whereas sigs-first would make the replay
+        # skip docs whose bands never landed.
         _write_bands(sig, path, bands, rows, mode="append")
         sig.write.mode("append").partitionBy("sig_part").parquet(
             os.path.join(path, "sigs")
         )
-    sig.unpersist()
+    joined.unpersist()
     return n
 
 
@@ -1094,7 +1118,12 @@ def minhash_index_compact(
     one file per (batch, partition); this rewrites each sig bucket and each
     band directory down to ``files_per_partition`` files — re-sorting band
     rows by bucket so the row-group pruning the reader relies on survives
-    compaction. Search-preserving by construction (same rows, same
+    compaction, and dropping exact-duplicate band rows (a crash between
+    :func:`minhash_index_append`'s bands and sigs writes makes the replay
+    re-append the batch's band rows; the reader's candidate distinct()
+    hides them, and this rewrite — which touches every band partition
+    anyway — is the repair path that stops the store accreting them).
+    Search-preserving by construction (same DISTINCT rows, same
     partitions). Returns {"sigs": ..., "bands": ...} compaction stats."""
     import os
 
@@ -1113,6 +1142,7 @@ def minhash_index_compact(
             part_col="band",
             files_per_partition=files_per_partition,
             sort_cols=("bucket",),
+            drop_exact_duplicates=True,
         ),
     }
 

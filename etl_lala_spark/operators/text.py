@@ -248,6 +248,101 @@ def bpe_apply(df, merges: list[dict], text_col: str = "text", sep: str = "\x01")
     return out
 
 
+# --- Byte-level BPE (GPT-2 / tiktoken family) --------------------------------
+
+
+def _byte_token_expr(word: Column) -> Column:
+    """A word as space-separated lowercase hex byte tokens ('hi' →
+    '68 69') — the byte-alphabet seeding of byte-level BPE. Hex pairs (not
+    raw bytes) keep every token printable and regex-safe for the shared
+    anchored merge rewrite; UTF-8 encoding makes the alphabet closed (256
+    symbols), so ANY text decomposes with zero out-of-vocabulary symbols —
+    the zero-UNK-by-construction property the GPT-2 tokenizer family is
+    built on."""
+    return F.trim(
+        F.regexp_replace(F.lower(F.hex(F.encode(word, "UTF-8"))), "(..)", "$1 ")
+    )
+
+
+def byte_pretokens(df, text_col: str = "text"):
+    """One row per whitespace pre-token, as a byte-token string ``t``.
+    Pre-tokenizing BEFORE the merge loop is what confines merges inside
+    words (GPT-2 does the same with its pre-tokenizer regex): bigram
+    counting over per-word rows can never see a cross-word pair, so the
+    trained table cannot contain one. Scale: one explode; the merge
+    training's bigram agg stays vocabulary-bounded and map-side combined."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    return df.select(F.explode(words).alias("w")).select(
+        _byte_token_expr(F.col("w")).alias("t")
+    )
+
+
+def byte_bpe_train(
+    df,
+    text_col: str = "text",
+    n_merges: int = 12,
+    sep: str = "\x01",
+) -> list[dict]:
+    """Train a BYTE-level BPE merge table (GPT-2/tiktoken family; Sennrich
+    et al. 2016 merges, Radford et al. 2019 byte alphabet): seed every
+    word as its UTF-8 hex byte tokens, then run the exact word-BPE merge
+    machinery (:func:`bpe_train` — same election, same anchored rewrite,
+    same conservation law) over the pre-token rows. ``pair`` entries are
+    hex byte tokens ('74 68' = b'th'). Zero UNK by construction: the seed
+    alphabet is all 256 byte values, so application can always fall back
+    to single bytes for unseen input."""
+    return bpe_train(byte_pretokens(df, text_col), "t", n_merges, sep)
+
+
+def byte_bpe_apply(
+    df,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\x01",
+):
+    """Serving-time byte-BPE apply with byte fallback: each doc's words
+    become hex byte tokens joined across words by NEWLINE (merge patterns
+    match a literal space between tokens, so a trained pair can never
+    fire across a word boundary — the train-side invariant, preserved at
+    apply time without a second explode), the merge table replays in rank
+    order, and each output piece is emitted as its contiguous hex string.
+    Bytes never covered by a merge simply remain singleton pieces — the
+    fallback path needs no vocabulary lookup, so unseen scripts/emoji
+    tokenize with zero UNKs. Adds: ``pieces`` (array of hex strings, doc
+    order), ``n_pieces``, ``n_bytes`` (Σ piece bytes). Narrow map, no
+    shuffle; reconstruction is exact — unhex(concat(pieces)) equals the
+    doc's whitespace-stripped UTF-8 bytes, the law the audit pins."""
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
+    )
+    out = df.withColumn(
+        "bpe_text",
+        F.array_join(F.transform(words, _byte_token_expr), "\n"),
+    )
+    for m in merges:
+        a, b = m["pair"].split(" ", 1)
+        pat, repl = _merge_rewrite(a, b, sep)
+        out = out.withColumn("bpe_text", F.regexp_replace("bpe_text", pat, repl))
+    pieces = F.transform(
+        F.filter(F.split("bpe_text", r"\s+"), lambda p: p != F.lit("")),
+        lambda p: F.replace(p, F.lit(sep), F.lit("")),
+    )
+    return out.select(
+        id_col,
+        text_col,
+        pieces.alias("pieces"),
+        F.size(pieces).cast("bigint").alias("n_pieces"),
+        F.aggregate(
+            pieces,
+            F.lit(0).cast("bigint"),
+            lambda acc, p: acc + (F.length(p) / 2).cast("bigint"),
+        ).alias("n_bytes"),
+    )
+
+
 def importance_weights(
     docs,
     target_pred,
@@ -731,9 +826,12 @@ def html_blocks(
 
     Pass 1 scores each block in isolation (link density beats everything:
     a fully-linked block is chrome no matter how short); pass 2 rescues
-    'short' blocks — headings, one-line paragraphs — iff an adjacent
-    non-short block is good (lag/lead over one per-doc window, the Spark
-    form of jusText's context reclassification)."""
+    'short' blocks — headings, one-line paragraphs — iff the NEAREST
+    non-short block in page order (looking both directions, at any
+    distance: last/first ignorenulls over an unbounded per-doc window) is
+    good. This is deliberately looser than jusText's strict adjacency: a
+    heading separated from its article body by a run of short chrome
+    blocks is still rescued, which is the behavior the oracle pins."""
     from pyspark.sql import Window as W
 
     raw = F.col("_raw")

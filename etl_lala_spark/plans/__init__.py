@@ -90,17 +90,19 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 6 window: round 5 closed the checked gap (208/208 ever checked,
-# 191/191 oracle-backed green), so there is nothing left worth hand-pinning
-# — the staleness-aware tiers below pick a better window than any manual
-# list would. Tier 1 front-loads the handful of new round-6 registrations
-# (sink manifest / retention / archive-expansion / limit-pushdown /
-# audio-spectral gates), and tier 3 re-verifies greens in
-# LEAST-RECENTLY-GREEN order, so the ~45 oldest r1/r2-vintage greens (set
-# ops, scalar batteries, datasus aggs) fill the rest of the driver's
-# 50-row cap. The pin list stays as the mechanism for future rounds that
-# need explicit re-checks.
-_DRIVER_WINDOW: list[str] = []
+# Round 9 window: r8 refactored the incremental-MinHash gates (full
+# append/compact/delete lifecycle, new oracle columns) AFTER their last
+# recorded driver run, so ADVICE r8 asks for recorded hash-match evidence
+# on the EXTENDED gates — their last-green staleness (r7) would otherwise
+# leave them behind the r3/r4 tail in tier 3. Everything else rides the
+# automatic tiers: tier 1 front-loads the new r9 registrations (WARC,
+# URL dedup, byte-BPE, trained lang-ID + audits) and tier 3 drains the
+# 8 queries last green in r3 (VERDICT r8 task 4).
+_DRIVER_WINDOW: list[str] = [
+    "audit_incremental_planted",
+    "dedup_incremental_minhash",
+    "contrastive_hard_negatives",
+]
 
 
 def _correctness_records() -> tuple[dict[str, int], dict[str, int]]:

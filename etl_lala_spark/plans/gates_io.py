@@ -840,3 +840,218 @@ def archive_permissive_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+# --- WARC / Common Crawl ingestion (web-pipeline ingestion stage) ------------
+
+# Response i of doc d carries body ('doc{d}:record{i};' * (i%2+1)); the gzip
+# member layout, record interleaving (warcinfo, then request/response pairs),
+# HTTP envelope arithmetic, and payload bytes are ALL closed-form in (d, i),
+# so the oracle replays every column from SQL ranges alone.
+_WARC_ORACLE = """
+WITH m AS (
+  SELECT d.doc_id, i.i
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 120) d, range(0, 3) i(i)
+  WHERE i.i <= d.doc_id % 3
+),
+c AS (
+  SELECT doc_id, i,
+         repeat('doc' || doc_id || ':record' || i || ';',
+                CAST(i % 2 + 1 AS INT)) AS body,
+         CASE WHEN i % 2 = 0 THEN 200 ELSE 404 END AS status
+  FROM m
+)
+SELECT 'mem://crawl' || doc_id || '.warc.gz' AS file,
+       CAST(2 * i + 2 AS INT) AS record_index,
+       'response' AS warc_type,
+       'http://example.com/doc' || doc_id || '/page' || i AS target_uri,
+       CAST(status AS INT) AS http_status,
+       -- HTTP block = status line CRLF + 'Content-Type: text/html' CRLF +
+       -- 'Content-Length: ' len CRLF CRLF + body
+       CAST((CASE WHEN status = 200 THEN 15 ELSE 22 END) + 2 + 25
+            + 16 + strlen(CAST(strlen(body) AS VARCHAR)) + 4
+            + strlen(body) AS BIGINT) AS content_length,
+       CAST(strlen(body) AS BIGINT) AS n_payload_bytes,
+       md5(body) AS digest
+FROM c
+ORDER BY file, record_index
+"""
+
+
+@register("web_warc_extract", oracle=_WARC_ORACLE)
+def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/Common Crawl ingestion under the correctness gate: per document
+    a REAL .warc.gz is assembled in-cluster in the Common Crawl layout —
+    every record its own gzip member: one warcinfo record (decoy), then per
+    page a request record (decoy) and a response record whose HTTP block
+    wraps a closed-form body — expanded by the real one-to-many
+    ``extract_warc_records`` kernel (sources/warc.py) filtered to
+    responses. The oracle replays the member fan-out, the ALL-records
+    ordinal (warcinfo=0, request 2i+1, response 2i+2 — a reader that
+    numbers only kept records lands on a different hash), the HTTP
+    header/payload separation arithmetic (content_length counts the whole
+    HTTP message, n_payload_bytes only the body), status-line parsing
+    (200/404 alternate), and payload bytes (md5) from SQL ranges alone.
+
+    Web-layer mirror of reference S6 archive expansion
+    (src/datasus/datasus.service.ts:390-413); same mapInPandas shape as
+    ``sources/archive.py:36``. Scale: one Arrow-batched pass, per-file
+    parallelism, no shuffle before the final order-by."""
+    import gzip
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        http_response_bytes,
+        warc_record_bytes,
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                members = [
+                    warc_record_bytes("warcinfo", b"software: etl-lala-gate")
+                ]
+                for i in range(d % 3 + 1):
+                    uri = f"http://example.com/doc{d}/page{i}"
+                    members.append(
+                        warc_record_bytes("request", b"GET / HTTP/1.1",
+                                          target_uri=uri)
+                    )
+                    body = (f"doc{d}:record{i};" * (i % 2 + 1)).encode()
+                    status = 200 if i % 2 == 0 else 404
+                    members.append(
+                        warc_record_bytes(
+                            "response", http_response_bytes(status, body),
+                            target_uri=uri,
+                        )
+                    )
+                blob = b"".join(
+                    gzip.compress(m, compresslevel=1) for m in members
+                )
+                rows.append((f"mem://crawl{d}.warc.gz", blob))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    warcs = docs.select("doc_id").mapInPandas(build, "path string, content binary")
+    recs = extract_warc_records(warcs, types=("response",))
+    return recs.select(
+        "file",
+        "record_index",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "content_length",
+        "n_payload_bytes",
+        F.md5("payload").alias("digest"),
+    ).orderBy("file", "record_index")
+
+
+_WARC_PIPELINE_ORACLE_TMPL = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS m,
+         length(CAST(doc_id AS VARCHAR)) AS dk
+  FROM documents WHERE doc_id < 30
+)
+SELECT doc_id,
+       CAST(m + 4 AS BIGINT) AS n_blocks,
+       CAST(m + 2 AS BIGINT) AS n_good,
+       CAST(2 AS BIGINT) AS n_bad,
+       CAST((4 + dk) + m * ({para_len} + 4 + dk)
+            + {link_len} AS BIGINT) AS content_chars,
+       CAST({chrome_chars} AS BIGINT) AS chrome_chars
+FROM d
+ORDER BY doc_id
+"""
+
+
+def _warc_pipeline_oracle() -> str:
+    from etl_lala_spark.plans.llm_text import (
+        _MC_FOOTER_TEXT_CHARS,
+        _MC_LINKPARA_TEXT,
+        _MC_NAV_TEXT_CHARS,
+        _MC_PARA,
+    )
+
+    return _WARC_PIPELINE_ORACLE_TMPL.format(
+        para_len=len(_MC_PARA),
+        link_len=len(_MC_LINKPARA_TEXT),
+        chrome_chars=_MC_NAV_TEXT_CHARS + _MC_FOOTER_TEXT_CHARS,
+    )
+
+
+@register("web_warc_pipeline", oracle=_warc_pipeline_oracle())
+def web_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl chain end-to-end: .warc.gz fixtures (Common Crawl
+    member-per-record layout) whose response bodies are EXACTLY the
+    constructed pages of the ``text_extract_main_content`` gate → real WARC
+    expansion (``sources/warc.py``) → HTTP body decode → real HTML
+    main-content extraction (``operators/text.py:extract_main_content``).
+    The oracle is the extraction gate's closed-form per-doc block/char
+    arithmetic, re-derived from the shared literals — so a WARC-layer bug
+    (envelope bytes leaking into the payload, body truncation, charset
+    mangling) lands on different content_chars even when record accounting
+    is right. Scale: mapInPandas expansion + codegen extraction, one
+    groupBy(doc) shuffle."""
+    import gzip
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_lala_spark.plans.llm_text import _MC_PARA
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        http_response_bytes,
+        warc_record_bytes,
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                paras = "\n".join(
+                    f"<p>{_MC_PARA} w{d}x{i}</p>" for i in range(1, d % 3 + 2)
+                )
+                html = (
+                    '<html><body>\n<script>var a = "<p>not text</p>";'
+                    '</script>\n<div class="nav"><a href="/">home</a>'
+                    f' <a href="/about">about us now</a></div>\n<h1>Doc {d}'
+                    f"</h1>\n{paras}\n<p>we saw the old boat by the"
+                    ' <a href="/x">long pier</a> and the cold sea</p>\n'
+                    '<div class="footer"><a href="/t">t&amp;c</a>'
+                    ' <a href="/p">privacy</a> <a href="/c">contact</a>'
+                    "</div>\n</body></html>"
+                )
+                rec = warc_record_bytes(
+                    "response",
+                    http_response_bytes(200, html.encode()),
+                    target_uri=f"http://example.com/doc{d}",
+                )
+                rows.append(
+                    (f"mem://pipe{d}.warc.gz", gzip.compress(rec, 1))
+                )
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    warcs = docs.select("doc_id").mapInPandas(build, "path string, content binary")
+    pages = extract_warc_records(warcs, types=("response",)).select(
+        F.regexp_extract("target_uri", r"doc(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    from etl_lala_spark.operators.text import extract_main_content
+
+    return (
+        extract_main_content(pages)
+        .select(
+            "doc_id", "n_blocks", "n_good", "n_bad", "content_chars",
+            "chrome_chars",
+        )
+        .orderBy("doc_id")
+    )

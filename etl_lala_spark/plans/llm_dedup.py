@@ -740,3 +740,80 @@ def dedup_lines_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- URL canonicalization + URL-level dedup (FineWeb stage 1) ---------------
+
+_URL_DEDUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 50 AS p, doc_id // 50 AS v
+  FROM documents WHERE doc_id < 200
+),
+c AS (
+  SELECT doc_id,
+         CASE WHEN v = 3
+              THEN 'http://example.com/page' || p || '?a=1&b=2'
+              ELSE 'http://example.com/page' || p END AS canonical_url
+  FROM d
+)
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM c GROUP BY 1 ORDER BY canonical_url
+"""
+
+
+@register("web_url_dedup", oracle=_URL_DEDUP_ORACLE)
+def web_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level exact dedup (FineWeb's stage 1,
+    before any text is fetched): four deterministic variants per page —
+    the plain form, a case/www/default-port mutation, a trailing-slash +
+    utm-tracking mutation (all three must collapse to ONE canonical key),
+    and a sorted-query + click-id + fragment mutation that canonicalizes
+    to a DIFFERENT key (real query params are identity) — keyed by
+    ``functions/scalars.py:canonicalize_url`` (pure codegen) and deduped
+    with one groupBy keeping the smallest doc_id. The oracle replays the
+    normalization outcome in SQL from the variant arithmetic alone: a
+    canonicalizer that missed a tracking param, kept the port, or failed
+    to sort query keys changes group sizes and lands on a different hash.
+
+    Scale: scan + codegen projection + one hash agg on the canonical key
+    (map-side combined); at 100 TB this is the cheapest stage of the crawl
+    pipeline and removes ~half the fetch volume before any byte of HTML
+    is processed."""
+    from etl_lala_spark.functions.scalars import canonicalize_url
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    p = (F.col("doc_id") % 50).cast("string")
+    v = (F.col("doc_id") / 50).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://example.com/page"), p))
+        .when(
+            v == 1,
+            F.concat(F.lit("HTTP://WWW.EXAMPLE.COM:80/page"), p),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://example.com/page"),
+                p,
+                F.lit("/?utm_source=x&utm_campaign=y"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://example.com/page"),
+                p,
+                F.lit("?b=2&fbclid=zz&a=1#sec"),
+            )
+        )
+    )
+    return (
+        d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -385,10 +385,17 @@ def compact_partitions(
     part_col: str = "competencia",
     files_per_partition: int = 1,
     sort_cols: tuple[str, ...] = (),
+    drop_exact_duplicates: bool = False,
 ) -> dict:
     """Small-file compaction for a partitioned table — the maintenance pass
     every incrementally-loaded 100 TB table needs (each micro-batch/month
     append leaves small files; scan cost grows with file count, not bytes).
+
+    ``drop_exact_duplicates`` collapses byte-identical rows during the
+    rewrite (the rewrite already shuffles every row, so the dedup rides the
+    same shuffle) — for stores whose readers distinct() away rows an
+    at-least-once append may have doubled, this makes compaction the
+    self-healing repair path instead of preserving the dead weight forever.
 
     Rewrites the table so each partition holds at most
     ``files_per_partition`` files: one shuffle keyed on (partition column,
@@ -417,6 +424,8 @@ def compact_partitions(
         os.rename(backup, table_path)  # recover a swap interrupted mid-rename
     before = count_files(table_path)
     df = spark.read.parquet(table_path)
+    if drop_exact_duplicates:
+        df = df.dropDuplicates()
     rows = df.count()
     staging = table_path.rstrip("/") + "._compacting"
     shutil.rmtree(staging, ignore_errors=True)

@@ -1993,6 +1993,64 @@ def test_minhash_index_append_compact_preserves_pairs(spark, tmp_path):
     assert after == before
 
 
+def test_minhash_index_append_changed_content_raises(spark, tmp_path):
+    """A redelivered doc id whose TEXT changed must fail loudly (the replay
+    guard only swallows byte-identical redeliveries) and commit nothing —
+    the store's stored signature stays the original."""
+    import pytest as _pytest
+
+    corpus = _mk_index_corpus(spark)
+    index = str(tmp_path / "idx")
+    dd.minhash_index_write(corpus, index)
+    mutated = corpus.limit(2).withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mutated content entirely new"))
+    )
+    with _pytest.raises(ValueError, match="CHANGED content"):
+        dd.minhash_index_append(mutated, index)
+    # nothing committed: sig row count unchanged, stored sig is the original
+    sigs = spark.read.parquet(str(tmp_path / "idx" / "sigs"))
+    assert sigs.count() == corpus.count()
+    assert sigs.select("doc").distinct().count() == corpus.count()
+
+
+def test_minhash_index_compact_heals_duplicate_band_rows(spark, tmp_path):
+    """Crash-window repair: duplicate band rows (bands written, sigs write
+    crashed, append replayed) are hidden by the reader's distinct() but
+    physically removed by compaction — rows shrink back to one per
+    (doc, band) and search results are unchanged."""
+    import os
+
+    corpus = _mk_index_corpus(spark)
+    index = str(tmp_path / "idx")
+    dd.minhash_index_write(corpus, index)
+    bands_path = os.path.join(index, "bands")
+    bands = spark.read.parquet(bands_path)
+    n_bands = bands.count()
+    # simulate the crash window: the band rows of two docs land twice
+    dupes = bands.where(F.col("doc").isin(0, 1)).localCheckpoint()
+    n_dupes = dupes.count()
+    dupes.write.mode("append").partitionBy("band").parquet(bands_path)
+    assert spark.read.parquet(bands_path).count() == n_bands + n_dupes
+
+    probe = corpus.withColumn("doc_id", F.col("doc_id") + 1000)
+    before = sorted(
+        map(
+            tuple,
+            dd.minhash_incremental_pairs(probe, index, threshold=0.5).collect(),
+        )
+    )
+    res = dd.minhash_index_compact(spark, index)
+    assert res["bands"]["rows"] == n_bands  # dead weight dropped, not kept
+    assert spark.read.parquet(bands_path).count() == n_bands
+    after = sorted(
+        map(
+            tuple,
+            dd.minhash_incremental_pairs(probe, index, threshold=0.5).collect(),
+        )
+    )
+    assert after == before
+
+
 def test_minhash_index_delete_removes_doc_bounded(spark, tmp_path):
     """GDPR deletion: the doc's signature, stored shingle hashes, and band
     rows are all gone (an exact-copy probe no longer matches it), other
@@ -2238,3 +2296,45 @@ def test_minhash_index_append_honors_store_modulus(spark, tmp_path, monkeypatch)
             f"SELECT pmod(xxhash64(CAST({doc} AS BIGINT)), 4) AS p"
         ).first()["p"]
         assert got[doc] == expected
+
+
+def test_canonicalize_url_adversarial(spark):
+    """URL canonicalization for URL-level dedup: case, www, default ports,
+    userinfo, fragments, tracking params, query-key order, duplicate and
+    trailing slashes — and the traps (non-default port kept, 'pref' is not
+    'ref', path case preserved, invalid URL -> NULL not a shared key)."""
+    from etl_lala_spark.functions.scalars import canonicalize_url
+
+    cases = [
+        # the same page eight ways -> one key
+        ("http://example.com/a", "http://example.com/a"),
+        ("HTTP://EXAMPLE.COM/a", "http://example.com/a"),
+        ("http://www.example.com/a", "http://example.com/a"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://user:pw@example.com/a", "http://example.com/a"),
+        ("http://example.com/a#section-2", "http://example.com/a"),
+        ("http://example.com/a?utm_source=news&utm_medium=email",
+         "http://example.com/a"),
+        ("http://example.com//a/", "http://example.com/a"),
+        # real params survive, sorted; tracking ids stripped from the middle
+        ("http://example.com/a?z=1&fbclid=abc&b=2&gclid=x&a=3",
+         "http://example.com/a?a=3&b=2&z=1"),
+        # traps
+        ("https://example.com:443/a", "https://example.com/a"),
+        ("https://example.com:80/a", "https://example.com:80/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("http://example.com/a?pref=1&ref=tw", "http://example.com/a?pref=1"),
+        ("http://example.com/A", "http://example.com/A"),
+        ("http://example.com", "http://example.com/"),
+        ("http://example.com/?", "http://example.com/"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r["c"]
+        for r in df.select(
+            canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got == [want for _, want in cases]

@@ -663,3 +663,222 @@ def test_dbc_writer_append_does_not_clobber(spark, tmp_path):
     df2.write.format("dbc").option("path", d).mode("append").save()
     back = spark.read.format("dbc").load(d)
     assert sorted(r["X"] for r in back.collect()) == ["a", "b"]
+
+
+# --- WARC / Common Crawl ingestion -------------------------------------------
+
+
+def _warc_gz(records: list[bytes]) -> bytes:
+    """Common Crawl layout: each record its own gzip member."""
+    import gzip
+
+    return b"".join(gzip.compress(r, compresslevel=1) for r in records)
+
+
+def _mk_warc_records():
+    from etl_lala_spark.sources import warc as w
+
+    uri = "http://example.com/a"
+    return [
+        w.warc_record_bytes("warcinfo", b"software: test"),
+        w.warc_record_bytes("request", b"GET /a HTTP/1.1", target_uri=uri),
+        w.warc_record_bytes(
+            "response",
+            w.http_response_bytes(200, b"<html>hello</html>"),
+            target_uri=uri,
+            record_id="<urn:uuid:1>",
+            warc_date="2024-01-01T00:00:00Z",
+        ),
+        w.warc_record_bytes(
+            "response",
+            w.http_response_bytes(404, b"gone", content_type="text/plain"),
+            target_uri="http://example.com/b",
+        ),
+    ]
+
+
+def test_warc_extract_members_offsets_and_http_split(spark):
+    """Record expansion from the member-per-record gzip layout: ALL-records
+    ordinals, self-consistent member offsets (cumulative, re-decodable),
+    HTTP envelope split off response payloads, non-response types kept
+    whole when types=None."""
+    import gzip
+    import zlib
+
+    import pandas as pd
+
+    from etl_lala_spark.sources import warc as w
+
+    records = _mk_warc_records()
+    blob = _warc_gz(records)
+    warcs = spark.createDataFrame(
+        pd.DataFrame({"path": ["mem://t.warc.gz"], "content": [blob]})
+    )
+    rows = (
+        w.extract_warc_records(warcs, types=None)
+        .orderBy("record_index")
+        .collect()
+    )
+    assert [r["record_index"] for r in rows] == [0, 1, 2, 3]
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    # member offsets: cumulative sum of member_bytes, and each compressed
+    # slice re-decodes to the record bytes we wrote
+    off = 0
+    for r, rec in zip(rows, records):
+        assert r["member_offset"] == off
+        sl = blob[r["member_offset"] : r["member_offset"] + r["member_bytes"]]
+        assert zlib.decompress(sl, 31) == rec
+        off += r["member_bytes"]
+    # HTTP split on responses: status/ctype parsed, payload is the BODY
+    assert rows[2]["http_status"] == 200
+    assert rows[2]["http_content_type"] == "text/html"
+    assert bytes(rows[2]["payload"]) == b"<html>hello</html>"
+    assert rows[2]["n_payload_bytes"] == 18
+    assert rows[2]["content_length"] > 18  # envelope counted in the block
+    assert rows[3]["http_status"] == 404
+    assert rows[3]["http_content_type"] == "text/plain"
+    # non-HTTP records pass their whole block through
+    assert rows[0]["http_status"] is None
+    assert bytes(rows[0]["payload"]) == b"software: test"
+    # default types=("response",) filter keeps ordinals from the full file
+    resp = (
+        w.extract_warc_records(warcs).orderBy("record_index").collect()
+    )
+    assert [r["record_index"] for r in resp] == [2, 3]
+    # a plain (uncompressed, concatenated) .warc parses identically
+    plain = spark.createDataFrame(
+        pd.DataFrame({"path": ["mem://t.warc"], "content": [b"".join(records)]})
+    )
+    prows = w.extract_warc_records(plain, types=None).collect()
+    assert len(prows) == 4 and all(r["member_offset"] == 0 for r in prows)
+    assert gzip.decompress(blob[: rows[0]["member_bytes"]]) == records[0]
+
+
+def test_warc_extract_permissive_errors_and_cap(spark):
+    """R5 convention at the web layer: a truncated gzip member, a malformed
+    version line, and an over-cap Content-Length each become ONE structured
+    error row; good files are unaffected; strict mode raises."""
+    import pandas as pd
+
+    from etl_lala_spark.sources import warc as w
+
+    records = _mk_warc_records()
+    good = _warc_gz(records)
+    truncated = good[: len(good) - 7]
+    bad_version = _warc_gz([b"WARF/1.0\r\nContent-Length: 0\r\n\r\n\r\n\r\n"])
+    big = _warc_gz(
+        [
+            w.warc_record_bytes(
+                "response",
+                w.http_response_bytes(200, b"B" * 300),
+                target_uri="http://example.com/big",
+            )
+        ]
+    )
+    warcs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "path": [
+                    "mem://good.warc.gz",
+                    "mem://trunc.warc.gz",
+                    "mem://badver.warc.gz",
+                    "mem://big.warc.gz",
+                ],
+                "content": [good, truncated, bad_version, big],
+            }
+        )
+    )
+    out = w.extract_warc_records(
+        warcs, types=("response",), max_payload_bytes=200, permissive=True
+    ).collect()
+    by_file: dict[str, list] = {}
+    for r in out:
+        by_file.setdefault(r["file"], []).append(r)
+    assert [r["_error"] for r in by_file["mem://good.warc.gz"]] == [None, None]
+    # truncation kills the LAST member; earlier complete records salvage
+    trunc_rows = by_file["mem://trunc.warc.gz"]
+    assert [r["_error"] is None for r in trunc_rows] == [True, False]
+    assert trunc_rows[0]["http_status"] == 200
+    tr = trunc_rows[1]
+    assert tr["_error"].startswith("ValueError") and "truncated" in tr["_error"]
+    assert tr["record_index"] is None and tr["payload"] is None
+    (bv,) = by_file["mem://badver.warc.gz"]
+    assert "bad WARC version" in bv["_error"]
+    (bg,) = by_file["mem://big.warc.gz"]
+    assert "> cap 200" in bg["_error"] and bg["payload"] is None
+    assert bg["target_uri"] == "http://example.com/big"  # headers survive
+
+    import pytest as _pytest
+
+    from py4j.protocol import Py4JJavaError
+
+    strict = w.extract_warc_records(
+        warcs.filter("path = 'mem://trunc.warc.gz'"), permissive=False
+    )
+    with _pytest.raises(Exception) as exc_info:
+        strict.collect()
+    assert "truncated" in str(exc_info.value) or isinstance(
+        exc_info.value, Py4JJavaError
+    )
+
+
+def test_warc_to_main_content_line_dedup_chain(spark):
+    """The crawl pipeline end-to-end: WARC responses -> HTML body -> good
+    blocks (extraction) at line grain -> cross-doc line dedup. Two pages
+    share a boilerplate paragraph; line_dedup removes it from BOTH (the
+    RefinedWeb/FineWeb rule) and keeps each page's unique sentence."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators import dedup as dd_ops
+    from etl_lala_spark.operators import text as tx
+    from etl_lala_spark.sources import warc as w
+
+    shared = "subscribe to our newsletter for the latest updates and offers"
+    uniq = {
+        1: "the quick brown fox jumps over the lazy dog near the river"
+           " bank today",
+        2: "a slow green turtle walks under the warm sun by the quiet"
+           " shore all day",
+    }
+    recs = [
+        w.warc_record_bytes(
+            "response",
+            w.http_response_bytes(
+                200,
+                f"<html><body><p>{u}</p><p>{shared}</p></body></html>".encode(),
+            ),
+            target_uri=f"http://example.com/doc{d}",
+        )
+        for d, u in uniq.items()
+    ]
+    warcs = spark.createDataFrame(
+        pd.DataFrame({"path": ["mem://c.warc.gz"], "content": [_warc_gz(recs)]})
+    )
+    html = w.extract_warc_records(warcs).select(
+        F.regexp_extract("target_uri", r"doc(\d+)$", 1).cast("long").alias("doc_id"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    # extraction at LINE grain: one line per good block, page order
+    good = tx.html_blocks(html).filter(F.col("cls") == "good")
+    lines = good.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("block_rank", "text"))),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    assert {
+        r["doc_id"]: r["text"].count(shared) for r in lines.collect()
+    } == {1: 1, 2: 1}
+    out = {
+        r["doc_id"]: r
+        for r in dd_ops.line_dedup(lines, min_docs=2).collect()
+    }
+    for d in (1, 2):
+        assert out[d]["n_lines"] == 2 and out[d]["n_removed"] == 1
+        assert out[d]["clean_text"] == uniq[d]
