@@ -143,6 +143,19 @@ HEADLINE = [
     # round 8: cross-document line dedup (RefinedWeb/FineWeb/C4 family) —
     # doc-frequency ban + ordered reassembly, md5-of-clean-text oracle
     "dedup_lines_crossdoc",
+    # round 9: WARC/Common Crawl ingestion (gzip member split, record
+    # parse, HTTP header/payload separation) + the crawl chain end-to-end
+    # into HTML main-content extraction
+    "web_warc_extract",
+    "web_warc_pipeline",
+    # round 9: URL canonicalization + URL-level exact dedup (FineWeb
+    # stage 1) — pure codegen normalization, one hash agg
+    "web_url_dedup",
+    # round 9: byte-level BPE training (GPT-2/tiktoken family) and the
+    # fastText-shaped trained language-ID (hashed char trigrams +
+    # one-scan-per-round one-vs-rest logistic)
+    "tokenizer_byte_bpe",
+    "langid_trained",
 ]
 
 
@@ -203,6 +216,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     fixtures: dict[str, float] = {}
+    builds: dict[str, dict[str, float]] = {}
     total = 0.0
     # Gate queries build on-disk fixtures before exercising the operator
     # under test; they account that wall time via plans._gates.fixture_region
@@ -214,26 +228,50 @@ def main() -> None:
     for name in HEADLINE:
         samples: list[float] = []
         fix_samples: list[float] = []
+        build_samples: list[float] = []
         for _ in range(n_runs):
             spark.catalog.clearCache()
             _gates.reset_fixture(name)
+            _gates.reset_build(name)
             t0 = time.perf_counter()
             fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             wall = time.perf_counter() - t0
             fix = _gates.FIXTURE_SECONDS.get(name, 0.0)
             samples.append(wall - fix)
             fix_samples.append(fix)
+            build_samples.append(_gates.BUILD_SECONDS.get(name, 0.0))
         dt = round(min(samples), 3)
         timings[name] = dt
         spreads[name] = round(statistics.pstdev(samples), 3)
         fix_min = round(min(fix_samples), 3)
         if fix_min > 0:
             fixtures[name] = fix_min
+        # ANN gates split their headline figure (which stays build+probe —
+        # the round-over-round comparable number) into *_build (driver-
+        # elected quantizer training) and *_probe (plan execution) sub-rows
+        # so a probe-path regression cannot hide inside training noise
+        # (round-8 verdict task 5). min-of-N per LEG: the legs come from
+        # the same samples but each takes its own quiet window.
+        if max(build_samples) > 0:
+            builds[name] = {
+                "build": round(min(build_samples), 3),
+                "probe": round(
+                    # samples[] is already fixture-excluded wall time
+                    min(s - b for s, b in zip(samples, build_samples)),
+                    3,
+                ),
+            }
         total += dt
         fix_note = f", fixture {fix_min:.3f}s excluded" if fix_min else ""
+        build_note = (
+            f", build {builds[name]['build']:.3f}s /"
+            f" probe {builds[name]['probe']:.3f}s"
+            if name in builds
+            else ""
+        )
         print(
             f"# {name}: min {dt:.3f}s over {n_runs} (±{spreads[name]:.3f}"
-            f"{fix_note})",
+            f"{fix_note}{build_note})",
             file=sys.stderr,
         )
 
@@ -255,6 +293,7 @@ def main() -> None:
                 "queries": timings,
                 "stddev": spreads,
                 "fixture_seconds_excluded": fixtures,
+                "build_probe_split": builds,
             },
             fh,
             indent=1,

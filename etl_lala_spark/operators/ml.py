@@ -98,3 +98,169 @@ def logistic_predict(
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+# --- Trained language-ID (fastText family) -----------------------------------
+
+
+def hashed_char_ngram_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-document hashed character n-gram frequencies — the fastText
+    feature map (Joulin et al. 2016, "Bag of Tricks for Efficient Text
+    Classification": character n-grams hashed into a fixed bucket table).
+    Lowercased char n-grams hash into ``n_buckets`` buckets (md5-derived,
+    so a DuckDB oracle reproduces the bucketing bit-exactly — same trick
+    as ``operators/text.py:importance_weights``); per-doc counts normalize
+    to frequencies so the features are length-invariant. Returns one row
+    per doc: (id_col, f0..f{n_buckets-1}).
+
+    Scale: one explode + one (doc, bucket) hash agg + a pivot whose column
+    set is the FIXED bucket table (never data-dependent) — map-side
+    combinable, no per-row Python; the model downstream is O(n_buckets)
+    floats."""
+    grams = F.expr(
+        f"transform(sequence(1, greatest(char_length({text_col}) - {n - 1},"
+        f" 0)), i -> substring(lower({text_col}), i, {n}))"
+    )
+    tok = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
+        % n_buckets
+    ).cast("int")
+    counts = (
+        tok.select(id_col, bucket.alias("b"))
+        .groupBy(id_col)
+        .pivot("b", list(range(n_buckets)))
+        .count()
+        .fillna(0)
+    )
+    total = sum(F.col(str(b)) for b in range(n_buckets))
+    return counts.select(
+        id_col,
+        *[
+            (F.col(str(b)) / total).alias(f"f{b}")
+            for b in range(n_buckets)
+        ],
+    )
+
+
+def langid_train(
+    docs: DataFrame,
+    langs: list[str],
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+    iters: int = 12,
+    lr: float = 4.0,
+) -> dict:
+    """fastText-shaped language-ID training: hashed char-trigram features,
+    one-vs-rest :func:`logistic_train` per language (linear student over
+    the hashed bag — fastText's architecture minus the embedding layer,
+    which a linear model subsumes for a fixed bucket table). Returns
+    {"langs": [...], "weights": {lang: [w0..wB]}, "losses": {lang: [...]},
+    "n_buckets": B} — O(|langs|·B) floats of driver state, like the
+    kmeans codebook.
+
+    Upgrade path from the marker-word heuristic
+    (``operators/text.py:predicted_lang``): same deployment shape (a
+    fused codegen projection, no UDF), but the decision surface is
+    LEARNED from labeled data instead of three hand-picked words per
+    language.
+
+    All |langs| heads train TOGETHER: each round is ONE corpus scan whose
+    hash agg reduces |langs|·(B+2) columnar sums (loss + B+1 gradient
+    terms per head) — not |langs|·iters separate jobs. At 100 TB the
+    round cost is one scan of the cached feature frame regardless of how
+    many languages the model covers; per-head sequential training would
+    multiply it by |langs|."""
+    feats = hashed_char_ngram_features(
+        docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    ).join(docs.select(id_col, label_col), id_col)
+    # One cached pass feeds every round: the feature build (explode +
+    # pivot) runs once, not iters times.
+    feats = feats.cache()
+    k = n_buckets
+    w = {lang: [0.0] * (k + 1) for lang in langs}
+    losses: dict[str, list[float]] = {lang: [] for lang in langs}
+    n = None
+    try:
+        for _ in range(iters + 1):
+            cols = []
+            for li, lang in enumerate(langs):
+                y = (F.col(label_col) == lang).cast("double")
+                logit = F.lit(w[lang][0])
+                for j in range(k):
+                    logit = logit + F.lit(w[lang][j + 1]) * F.col(f"f{j}")
+                p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+                # same saturation-safe log-loss as logistic_train
+                loss_term = F.when(
+                    y >= F.lit(0.5), F.log1p(F.exp(-logit))
+                ).otherwise(F.log1p(F.exp(logit)))
+                err = p - y
+                cols.append(F.sum(loss_term).alias(f"l_{li}"))
+                cols.append(F.sum(err).alias(f"g_{li}_0"))
+                cols.extend(
+                    F.sum(err * F.col(f"f{j}")).alias(f"g_{li}_{j + 1}")
+                    for j in range(k)
+                )
+            row = feats.agg(F.count(F.lit(1)).alias("n"), *cols).first()
+            n = int(row["n"])
+            for li, lang in enumerate(langs):
+                losses[lang].append(float(row[f"l_{li}"]) / n)
+                w[lang] = [
+                    w[lang][j] - lr * float(row[f"g_{li}_{j}"]) / n
+                    for j in range(k + 1)
+                ]
+    finally:
+        feats.unpersist()
+    return {
+        "langs": list(langs),
+        "weights": w,
+        "losses": losses,
+        "n_buckets": n_buckets,
+    }
+
+
+def langid_predict(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Serving-time language-ID: the one-vs-rest scores as ONE fused
+    codegen projection (logits compare monotonically with sigmoids, so
+    argmax needs no exp), ties broken by the model's language order.
+    Appends ``pred_lang``. At 100 TB inference is a scan — the same
+    deployment property as :func:`logistic_predict`."""
+    b = model["n_buckets"]
+    feats = hashed_char_ngram_features(
+        docs, text_col=text_col, id_col=id_col, n_buckets=b
+    )
+    scored = docs.join(feats, id_col, "left")
+    score_cols = []
+    for lang in model["langs"]:
+        w = model["weights"][lang]
+        logit = F.lit(w[0])
+        for j in range(b):
+            logit = logit + F.lit(w[j + 1]) * F.coalesce(
+                F.col(f"f{j}"), F.lit(0.0)
+            )
+        score_cols.append(logit.alias(f"_s_{lang}"))
+    scored = scored.select(*docs.columns, *score_cols)
+    best = None
+    for lang in model["langs"]:
+        s = F.col(f"_s_{lang}")
+        if best is None:
+            best = F.struct(s.alias("s"), F.lit(lang).alias("l"))
+        else:
+            # strict > keeps the EARLIER language on ties (deterministic)
+            best = F.when(s > best["s"], F.struct(s.alias("s"), F.lit(lang).alias("l"))).otherwise(best)
+    return scored.withColumn("pred_lang", best["l"]).drop(
+        *[f"_s_{lang}" for lang in model["langs"]]
+    )

@@ -72,3 +72,36 @@ def fixture_region(name: str):
 
 def reset_fixture(name: str) -> None:
     FIXTURE_SECONDS.pop(name, None)
+
+
+# --- index-build-time accounting ----------------------------------------------
+#
+# ANN gates TRAIN their quantizers / build their index inside the query fn
+# (Lloyd/PQ iterations are driver-elected actions), then return the lazy
+# probe plan. Both costs matter, but they scale differently — training
+# amortizes at 100 TB while the probe path is the per-query cost — so a
+# probe regression could hide inside training noise in a single wall
+# figure (round-8 verdict task 5). Gates wrap the build in
+# ``build_region(name)``; bench.py reports *_build / *_probe sub-rows in
+# BENCH_DETAIL.json while the headline figure stays build+probe (the
+# round-over-round comparable number).
+
+BUILD_SECONDS: dict[str, float] = {}
+
+
+@contextmanager
+def build_region(name: str):
+    """Accumulate wall time spent training/building an index under
+    ``name`` (reset by the bench before each timed sample via
+    ``reset_build``)."""
+    t0 = _time.perf_counter()
+    try:
+        yield
+    finally:
+        BUILD_SECONDS[name] = (
+            BUILD_SECONDS.get(name, 0.0) + _time.perf_counter() - t0
+        )
+
+
+def reset_build(name: str) -> None:
+    BUILD_SECONDS.pop(name, None)

@@ -1091,3 +1091,113 @@ def audit_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         _flag(F.col("n_recon_bad") == 0).alias("recon_ok"),
         _flag(F.col("n_unk") == 0).alias("unk_zero_ok"),
     )
+
+
+@register(
+    "audit_byte_bpe",
+    oracle="""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+hx AS (SELECT lower(hex(encode(w))) AS h FROM words),
+grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, CAST(strlen(h) / 2 AS INT) - 1),
+           i -> substr(h, 2 * i - 1, 2) || ' ' || substr(h, 2 * i + 1, 2)))
+         AS g
+  FROM hx
+),
+best AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+  ORDER BY count(*) DESC, g LIMIT 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(
+              regexp_replace(text, '\\s+', '', 'g')))) AS BIGINT)
+         AS raw_bytes,
+       (SELECT g FROM best) AS first_pair,
+       1 AS recon_ok, 1 AS conservation_ok
+FROM documents
+""",
+)
+def audit_byte_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``tokenizer_byte_bpe`` (rows-only there).
+    ``n_docs``/``raw_bytes`` (corpus UTF-8 bytes after whitespace strip)
+    hash-match DuckDB's independent counts. ``first_pair`` replays the
+    round-1 election in SQL — per-word hex byte grams, count >= 2 floor,
+    (count desc, pair asc) — so a wrong seeding (chars instead of bytes,
+    cross-word grams, case-mixed hex) elects a different pair and fails
+    the hash. ``recon_ok``: byte-BPE must be EXACTLY reconstructive —
+    per doc, unhex(concat(pieces)) equals the whitespace-stripped UTF-8
+    bytes (the byte-conservation law: Σ piece bytes == raw_bytes, checked
+    at per-doc grain, not just in sum). ``conservation_ok``: the shared
+    anchored rewrite's token law — Σ n_pieces == raw_bytes − Σ applied
+    (every application replaces two byte tokens with one)."""
+    from etl_lala_spark.operators import text as tx
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = tx.byte_bpe_train(d, n_merges=8)
+    applied_total = sum(m["applied"] for m in merges)
+    first_pair = merges[0]["pair"].replace("\x01", " ") if merges else None
+    stripped = F.regexp_replace("text", r"\s+", "")
+    agg = tx.byte_bpe_apply(d, merges).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length(stripped)).cast("bigint").alias("raw_bytes"),
+        F.sum(
+            F.when(
+                F.concat_ws("", F.col("pieces"))
+                != F.lower(F.hex(F.encode(stripped, "UTF-8"))),
+                1,
+            ).otherwise(0)
+        ).alias("n_recon_bad"),
+        F.sum("n_pieces").alias("final_pieces"),
+    )
+    return agg.select(
+        "n_docs",
+        "raw_bytes",
+        F.lit(first_pair).alias("first_pair"),
+        _flag(F.col("n_recon_bad") == 0).alias("recon_ok"),
+        _flag(
+            F.col("final_pieces") == F.col("raw_bytes") - F.lit(applied_total)
+        ).alias("conservation_ok"),
+    )
+
+
+@register(
+    "audit_langid_trained",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, ['en', 'de', 'es', 'fr'][doc_id % 4 + 1] AS lang_true
+  FROM documents WHERE doc_id < 400
+)
+SELECT lang_true,
+       lang_true AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY lang_true ORDER BY lang_true
+""",
+)
+def audit_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-backed audit for ``langid_trained`` (rows-only there): the
+    EXACT confusion counts on the planted 4-language corpus. The oracle
+    derives the diagonal from the planting arithmetic alone (language =
+    doc_id % 4 over doc_id < 400), so ANY misclassification changes the
+    row set — an off-diagonal cell appears and a diagonal count shrinks —
+    and fails rows+hash, not just a tolerance. The planted languages are
+    separated by their function words; a trained linear model over hashed
+    char trigrams recovers that margin deterministically (fixed init,
+    fixed lr/iters, no RNG)."""
+    from etl_lala_spark.operators import ml
+    from etl_lala_spark.plans.llm_text import _LANGID_LANGS, _langid_corpus
+
+    corpus = _langid_corpus(load_table(spark, sf_dir, "documents"))
+    model = ml.langid_train(
+        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16, iters=6
+    )
+    pred = ml.langid_predict(corpus, model)
+    return (
+        pred.groupBy("lang_true", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang_true", "pred_lang")
+    )

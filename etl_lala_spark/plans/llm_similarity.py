@@ -87,8 +87,11 @@ def ann_cosine_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed sample, fixed Lloyd iterations), no RNG. Approximate → rows-only
     driver check; ``audit_ann_pq`` pins code validity + recall-vs-exact
     through the oracle gate, pytest pins a tighter recall floor."""
+    from etl_lala_spark.plans._gates import build_region
+
     emb = load_table(spark, sf_dir, "embeddings")
-    books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
+    with build_region("ann_cosine_pq"):
+        books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
     enc = sim.pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.pq_adc_topk(enc, queries, books, k=5).orderBy("query_id", "rank")
@@ -108,9 +111,12 @@ def ann_cosine_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     access and the float corpus is never read at query time. Approximate →
     rows-only driver check; ``audit_ann_ivfpq`` pins integrity + recall
     through the oracle gate."""
+    from etl_lala_spark.plans._gates import build_region
+
     emb = load_table(spark, sf_dir, "embeddings")
-    books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
-    index, ivf_cb = sim.ivfpq_index(emb, books, n_cells=16)
+    with build_region("ann_cosine_ivfpq"):
+        books = sim.pq_train(emb, dim=DIM, m=8, ksub=16, iters=2)
+        index, ivf_cb = sim.ivfpq_index(emb, books, n_cells=16)
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.ivfpq_topk(index, ivf_cb, queries, books, k=5, nprobe=4).orderBy(
         "query_id", "rank"
@@ -131,10 +137,13 @@ def ann_cosine_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe-row routing table). Approximate → rows-only driver check;
     ``audit_ann_ivfpq_residual`` pins integrity + recall through the
     oracle gate."""
+    from etl_lala_spark.plans._gates import build_region
+
     emb = load_table(spark, sf_dir, "embeddings")
-    index, ivf_cb, books = sim.ivfpq_residual_index(
-        emb, dim=DIM, n_cells=16, m=8, ksub=16, iters=2
-    )
+    with build_region("ann_cosine_ivfpq_residual"):
+        index, ivf_cb, books = sim.ivfpq_residual_index(
+            emb, dim=DIM, n_cells=16, m=8, ksub=16, iters=2
+        )
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return sim.ivfpq_residual_topk(
         index, ivf_cb, queries, books, k=5, nprobe=4

@@ -1530,3 +1530,109 @@ def tokenizer_wordpiece_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "piece")
         .limit(20)
     )
+
+
+@register(
+    "tokenizer_byte_bpe",
+    doc="rows-only: byte-level BPE merge-table training (GPT-2/tiktoken family)",
+)
+def tokenizer_byte_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training on the corpus
+    (`operators/text.py:byte_bpe_train`): every word seeds as its UTF-8
+    hex byte tokens (closed 256-symbol alphabet — the GPT-2 property that
+    makes UNK impossible), then 8 rounds of the shared greedy merge
+    machinery. Emits the merge table with each merged piece decoded back
+    to text for readability. Iterative, driver-elected → rows-only;
+    `audit_byte_bpe` pins the round-1 election, the byte conservation law,
+    and exact reconstruction to the DuckDB oracle."""
+    from etl_lala_spark.io import tiny_df
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = tx.byte_bpe_train(d, n_merges=8)
+    rows = []
+    for m in merges:
+        piece_hex = m["pair"].replace(" ", "").replace("\x01", "")
+        try:
+            piece = bytes.fromhex(piece_hex).decode("utf-8")
+        except (ValueError, UnicodeDecodeError):
+            piece = None  # merge ends mid-codepoint: valid, just unprintable
+        rows.append((m["rank"], m["pair"], piece, m["pair_count"], m["applied"]))
+    return tiny_df(
+        spark,
+        rows,
+        "rank int, pair string, piece string, pair_count bigint, applied bigint",
+    ).orderBy("rank")
+
+
+# --- Trained language-ID (fastText family) -----------------------------------
+
+# Planted multilingual corpus: deterministic per-language sentences whose
+# marker words are mutually exclusive across languages (so the marker-word
+# heuristic classifies them identically — the agreement pytest pins that),
+# with per-doc variation (unique token + repetition) so hashed-trigram
+# features are not constant per class.
+_LANGID_LANGS = ["en", "de", "es", "fr"]
+_LANGID_BASE = {
+    "en": "the old man and the young dog walked of course to the market"
+          " and back",
+    "de": "der alte mann und die junge frau gingen und der hund lief die"
+          " strasse entlang",
+    "es": "el perro viejo y los gatos de una casa blanca corren una y los"
+          " dias el sol",
+    "fr": "le chien et les chats vont le matin et les soirs dans la petite"
+          " maison",
+}
+
+
+def _langid_corpus(d: DataFrame) -> DataFrame:
+    """(doc_id, lang_true, text) for doc_id < 400: language = doc_id % 4,
+    text = base sentence + unique token, repeated doc_id % 3 + 1 times."""
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LANGID_LANGS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    base = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in _LANGID_BASE.items() for x in kv]
+        ),
+        lang,
+    )
+    unit = F.concat(base, F.lit(" w"), F.col("doc_id").cast("string"))
+    return d.filter(F.col("doc_id") < 400).select(
+        "doc_id",
+        lang.alias("lang_true"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int")),
+                lambda _: unit,
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
+@register(
+    "langid_trained",
+    doc="rows-only: fastText-shaped trained language-ID (hashed char trigrams"
+        " + one-vs-rest logistic), confusion matrix on the planted corpus",
+)
+def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained language-ID (fastText family — Joulin et al. 2016): hashed
+    char-trigram features + one-vs-rest logistic regression
+    (`operators/ml.py:langid_train`), deployed as a fused codegen argmax
+    (`langid_predict`). Emits the confusion matrix over the planted
+    4-language corpus. Iterative float training → rows-only;
+    `audit_langid_trained` pins the exact confusion counts (all mass on
+    the diagonal) and the planting arithmetic to the DuckDB oracle."""
+    from etl_lala_spark.operators import ml
+
+    corpus = _langid_corpus(load_table(spark, sf_dir, "documents"))
+    model = ml.langid_train(
+        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16, iters=6
+    )
+    pred = ml.langid_predict(corpus, model)
+    return (
+        pred.groupBy("lang_true", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("lang_true", "pred_lang")
+    )

@@ -2338,3 +2338,88 @@ def test_canonicalize_url_adversarial(spark):
         ).collect()
     ]
     assert got == [want for _, want in cases]
+
+
+def test_byte_bpe_fallback_and_word_confinement(spark):
+    """Byte-level BPE: a table trained on ASCII English applies to unseen
+    scripts (CJK, emoji, accents) with exact byte reconstruction and no
+    UNK concept at all — unseen bytes stay singleton pieces; merges never
+    span a word boundary."""
+    import re
+
+    from etl_lala_spark.operators import text as tx
+
+    train = spark.createDataFrame(
+        [(i, "the cat and the hat and the rat") for i in range(5)],
+        "doc_id long, text string",
+    )
+    merges = tx.byte_bpe_train(train, n_merges=6)
+    assert merges and all(" " in m["pair"] for m in merges)
+    # cross-word confinement: 'e t' ('the cat' boundary, freq 15) must NOT
+    # be elected even though it is the most frequent adjacent byte pair in
+    # the raw stream — pre-tokenization hides it from the counter
+    assert all(
+        not m["pair"].replace("\x01", " ").startswith("65 20") for m in merges
+    )
+    serve = spark.createDataFrame(
+        [
+            (1, "the hat"),
+            (2, "猫 the 🐈"),
+            (3, "caféثم"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.byte_bpe_apply(serve, merges).collect()}
+    for d, r in out.items():
+        raw = re.sub(r"\s+", "", r["text"]).encode("utf-8")
+        assert bytes.fromhex("".join(r["pieces"])) == raw
+        assert r["n_bytes"] == len(raw)
+        assert all(len(p) % 2 == 0 for p in r["pieces"])
+    # trained merges fired on the seen word, fallback singles on the unseen
+    assert any(len(p) > 2 for p in out[1]["pieces"])
+    cjk = out[2]["pieces"]
+    assert all(len(p) == 2 for p in cjk[:3])  # 猫 = 3 singleton bytes
+
+
+def test_langid_trained_agrees_with_heuristic(spark):
+    """The trained lang-ID (hashed char trigrams + one-vs-rest logistic)
+    and the marker-word heuristic must agree on the planted corpus — the
+    upgrade changes the decision surface, not the answers on separable
+    input; and the trained model classifies held-out docs (unseen unique
+    tokens) it never saw in training."""
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.operators import ml
+    from etl_lala_spark.operators.text import predicted_lang
+    from etl_lala_spark.plans.llm_text import _LANGID_LANGS, _langid_corpus
+
+    corpus = _langid_corpus(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    # language = doc_id % 4, so split on a modulus coprime to 4: halves
+    # that both contain all four languages
+    train = corpus.filter(F.col("doc_id") < 200)
+    held_out = corpus.filter(F.col("doc_id") >= 200)
+    model = ml.langid_train(
+        train, _LANGID_LANGS, label_col="lang_true", n_buckets=16, iters=6
+    )
+    pred = ml.langid_predict(held_out, model).withColumn(
+        "heur", predicted_lang(F.col("text"))
+    )
+    agg = pred.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred_lang") == F.col("lang_true")).cast("int")).alias(
+            "right"
+        ),
+        F.sum((F.col("pred_lang") == F.col("heur")).cast("int")).alias(
+            "agree"
+        ),
+    ).first()
+    assert agg["n"] == 200
+    assert agg["right"] == agg["n"]  # held-out accuracy 1.0
+    assert agg["agree"] == agg["n"]  # full agreement with the heuristic
+    # training loss decreased for every head
+    for lang in _LANGID_LANGS:
+        ls = model["losses"][lang]
+        assert ls[-1] < ls[0]
+        assert all(b <= a + 1e-9 for a, b in zip(ls, ls[1:]))
