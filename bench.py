@@ -156,6 +156,17 @@ HEADLINE = [
     # one-scan-per-round one-vs-rest logistic)
     "tokenizer_byte_bpe",
     "langid_trained",
+    # round 9 (cont.): robots.txt URL filtering (RFC 9309
+    # groups/wildcards/precedence, rules broadcast)
+    "web_robots_filter",
+    # round 9 (cont.): Bloom-filter frontier membership — one bit_or agg
+    # build, pure-codegen bitmask probe, oracle replays bits AND the
+    # deterministic false positives
+    "web_bloom_frontier",
+    # round 9 (cont.): the crawl-scheduler composition as a streaming twin —
+    # canonicalize -> Bloom probe -> exact anti-join on the maybe-seen
+    # slice -> novel-only append, store-count-validated bitmap refresh
+    "stream_twin_url_frontier",
 ]
 
 

@@ -60,9 +60,9 @@ def pseudonymize(col: Column, pepper: str) -> Column:
 # every crawl pipeline removes. Anchored at the key: 'ref=' is tracking,
 # 'pref=' is not.
 TRACKING_PARAM_RE = (
-    r"^(utm_[^=]*|gclid|fbclid|msclkid|twclid|dclid|igshid|mc_cid|mc_eid"
+    r"(?i)^(utm_[^=]*|gclid|fbclid|msclkid|twclid|dclid|igshid|mc_cid|mc_eid"
     r"|ref|ref_src|_ga)(=.*)?$"
-)
+)  # (?i): campaign links arrive with UTM_SOURCE=/FBCLID= casings too
 
 
 def canonicalize_url(url: Column) -> Column:

@@ -1394,3 +1394,4 @@ def line_dedup(
         .alias("n_removed"),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+

@@ -123,9 +123,15 @@ def hashed_char_ngram_features(
     set is the FIXED bucket table (never data-dependent) — map-side
     combinable, no per-row Python; the model downstream is O(n_buckets)
     floats."""
+    # Guarded on length >= n: sequence(1, 0) is DESCENDING [1, 0] in Spark
+    # (step defaults to -1 when stop < start), which would fabricate two
+    # phantom grams for every text shorter than n — an empty doc must have
+    # an empty gram array, not a garbage feature vector.
     grams = F.expr(
-        f"transform(sequence(1, greatest(char_length({text_col}) - {n - 1},"
-        f" 0)), i -> substring(lower({text_col}), i, {n}))"
+        f"CASE WHEN char_length({text_col}) >= {n} THEN"
+        f" transform(sequence(1, char_length({text_col}) - {n - 1}),"
+        f" i -> substring(lower({text_col}), i, {n}))"
+        f" ELSE CAST(array() AS ARRAY<STRING>) END"
     )
     tok = df.select(F.col(id_col), F.explode(grams).alias("g"))
     bucket = (
@@ -211,12 +217,20 @@ def langid_train(
                 )
             row = feats.agg(F.count(F.lit(1)).alias("n"), *cols).first()
             n = int(row["n"])
+            grads = {}
             for li, lang in enumerate(langs):
                 losses[lang].append(float(row[f"l_{li}"]) / n)
-                w[lang] = [
-                    w[lang][j] - lr * float(row[f"g_{li}_{j}"]) / n
-                    for j in range(k + 1)
+                grads[lang] = [
+                    float(row[f"g_{li}_{j}"]) / n for j in range(k + 1)
                 ]
+                w[lang] = [
+                    wj - lr * gj for wj, gj in zip(w[lang], grads[lang])
+                ]
+        # Same convention as logistic_train: the loop ran iters+1 times to
+        # measure the final model's loss; roll back the last update so the
+        # returned weights are the model losses[-1] describes.
+        for lang in langs:
+            w[lang] = [wj + lr * gj for wj, gj in zip(w[lang], grads[lang])]
     finally:
         feats.unpersist()
     return {

@@ -300,7 +300,6 @@ def byte_bpe_apply(
     df,
     merges: list[dict],
     text_col: str = "text",
-    id_col: str = "doc_id",
     sep: str = "\x01",
 ):
     """Serving-time byte-BPE apply with byte fallback: each doc's words
@@ -330,9 +329,10 @@ def byte_bpe_apply(
         F.filter(F.split("bpe_text", r"\s+"), lambda p: p != F.lit("")),
         lambda p: F.replace(p, F.lit(sep), F.lit("")),
     )
+    # Preserve every input column (the bpe_apply convention): callers keep
+    # their ids, urls, labels — only the working bpe_text column is dropped.
     return out.select(
-        id_col,
-        text_col,
+        *df.columns,
         pieces.alias("pieces"),
         F.size(pieces).cast("bigint").alias("n_pieces"),
         F.aggregate(

@@ -1,0 +1,369 @@
+"""Web crawl politeness / URL-filtering operators (robots.txt, RFC 9309).
+
+The crawl-side counterpart of ``sources/warc.py``: a fetch pipeline must
+filter its URL frontier through each host's robots.txt BEFORE fetching
+(CCNet/FineWeb inherit this from Common Crawl's own crawler). Both halves
+are pure DataFrame ops — parsing is one posexplode + window pass per
+robots file, matching is a broadcast join + codegen regex — so the URL
+frontier (the 100 TB side) is never shuffled and never touched by Python.
+
+Semantics implemented (RFC 9309, the Robots Exclusion Protocol):
+- groups: one or more ``User-agent`` lines followed by ``Allow`` /
+  ``Disallow`` rules; a ``User-agent`` line whose predecessor is NOT a
+  user-agent line starts a new group; comments (#) stripped; field names
+  case-insensitive; agent tokens case-insensitive; paths case-SENSITIVE.
+- agent selection: all groups naming the crawler's token exactly; if none
+  on that host, the ``*`` groups; a host with no robots rows ⇒ allowed.
+- rule matching: ``*`` matches any span, ``$`` anchors the end; the
+  longest-pattern match wins; Allow wins a length tie; no match ⇒ allowed.
+  An empty Disallow value (``Disallow:``) matches nothing per the RFC.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def parse_robots(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Parse robots.txt bodies into a rules table: one row per
+    (host, group_id, agents, directive, path, path_len). Entirely codegen:
+    posexplode lines → strip comments → split field:value → group ids via
+    a running sum over one per-host window (a User-agent line not preceded
+    by another User-agent line opens a group) → agents collected per group
+    and attached to each rule row. The output is small (rules, not URLs) —
+    it broadcasts into :func:`robots_allowed`."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    parsed = (
+        lines.filter(F.col("line") != "")
+        .select(
+            "host",
+            "pos",
+            F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias(
+                "field"
+            ),
+            F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+        )
+        .filter(F.col("field").isin("user-agent", "allow", "disallow"))
+    )
+    w = W.partitionBy("host").orderBy("pos")
+    grouped = parsed.withColumn(
+        "group_id",
+        F.sum(
+            (
+                (F.col("field") == "user-agent")
+                & (F.coalesce(F.lag("field").over(w), F.lit("")) != "user-agent")
+            ).cast("int")
+        ).over(w),
+    )
+    agents = grouped.filter(F.col("field") == "user-agent").groupBy(
+        "host", "group_id"
+    ).agg(F.collect_set(F.lower("value")).alias("agents"))
+    rules = grouped.filter(
+        F.col("field").isin("allow", "disallow") & (F.col("value") != "")
+    )
+    return rules.join(agents, ["host", "group_id"]).select(
+        "host",
+        "group_id",
+        "agents",
+        F.col("field").alias("directive"),
+        F.col("value").alias("path"),
+        F.length("value").alias("path_len"),
+    )
+
+
+def _rule_regex(path: Column | str = "path") -> Column:
+    """Translate a robots path pattern to an anchored Java regex, in
+    codegen: escape regex metacharacters, then ``*`` → ``.*`` and a
+    trailing ``$`` back to the end anchor."""
+    p = F.col(path) if isinstance(path, str) else path
+    esc = F.regexp_replace(p, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    # un-escape a TRAILING $ back to the end anchor (replacement-side $ is
+    # a group reference in Java, hence the \\$ escape for a literal one)
+    return F.concat(F.lit("^"), F.regexp_replace(wild, r"\\\$$", "\\$"))
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    path_col: str = "path",
+) -> DataFrame:
+    """Filter a URL frontier through parsed robots rules for ``agent``.
+    Adds ``allowed`` (boolean) and ``matched_rule`` (the winning pattern,
+    NULL when no rule matched). Group selection per RFC 9309: the host's
+    exact-agent groups if any exist, else its ``*`` groups; longest
+    matching pattern wins, Allow wins ties, no match ⇒ allowed.
+
+    Scale: ``rules`` is per-host configuration — it broadcasts; the
+    frontier side is one scan through a broadcast left join + one
+    aggregation keyed by the frontier row (map-side combinable). The regex
+    per rule is translated in codegen, no Python."""
+    a = F.lit(agent.lower())
+    exact_hosts = (
+        rules.filter(F.array_contains("agents", a))
+        .select("host")
+        .distinct()
+        .withColumnRenamed("host", "_ehost")
+    )
+    chosen = (
+        rules.join(exact_hosts, rules["host"] == F.col("_ehost"), "left")
+        .filter(
+            F.when(
+                F.col("_ehost").isNotNull(), F.array_contains("agents", a)
+            ).otherwise(F.array_contains("agents", "*"))
+        )
+        .select(
+            F.col("host").alias("_rhost"),
+            F.col("directive").alias("_rdir"),
+            F.col("path").alias("_rpath"),
+            F.col("path_len").alias("_rlen"),
+            _rule_regex("path").alias("_rre"),
+        )
+    )
+    joined = urls.join(
+        F.broadcast(chosen),
+        (F.col(host_col) == F.col("_rhost"))
+        & F.rlike(F.col(path_col), F.col("_rre")),
+        "left",
+    )
+    # longest pattern wins; Allow beats Disallow at equal length (struct
+    # max compares fields in order; the tie-break is the is_allow flag,
+    # not the directive string — 'allow' < 'disallow' alphabetically)
+    best = F.max(
+        F.when(
+            F.col("_rpath").isNotNull(),
+            F.struct(
+                F.col("_rlen").alias("l"),
+                (F.col("_rdir") == "allow").cast("int").alias("is_allow"),
+                F.col("_rpath").alias("pattern"),
+                F.col("_rdir").alias("directive"),
+            ),
+        )
+    ).alias("best")
+    out = joined.groupBy(*urls.columns).agg(best)
+    return out.select(
+        *urls.columns,
+        F.coalesce(
+            F.col("best.directive") == "allow", F.lit(True)
+        ).alias("allowed"),
+        F.col("best.pattern").alias("matched_rule"),
+    )
+
+
+# --- Bloom-filter membership (seen-URL frontier dedup) ------------------------
+#
+# A crawl frontier at 100 TB cannot afford an exact anti-join against every
+# URL ever fetched on every batch; the standard move (every large crawler,
+# and Spark's own BloomFilterAggregate under AQE join pruning) is a Bloom
+# filter over the seen set: bits build in one agg, probe is a codegen
+# bitmask test, false POSITIVES only (a false positive skips a re-fetch —
+# cheap; a false negative would re-fetch — impossible by construction).
+# Bit positions derive from md5 (like importance_weights' buckets) so a
+# DuckDB oracle replays build AND probe bit-exactly.
+
+
+def _bloom_positions(key, n_bits: int, k: int):
+    """k bit positions for a key: independent 31-bit integers from disjoint
+    md5 hex windows (8 hex chars each, k ≤ 3 with one md5; salted md5s
+    beyond), each mod n_bits. conv()'s 64-bit parse of 8 hex chars cannot
+    overflow, and the salt keeps window reuse independent."""
+    pos = []
+    for i in range(k):
+        salt, win = divmod(i, 3)
+        h = F.md5(
+            F.concat(F.lit(f"s{salt}:"), F.col(key) if isinstance(key, str) else key)
+        )
+        pos.append(
+            (
+                F.conv(F.substring(h, 1 + 8 * win, 8), 16, 10).cast("bigint")
+                % n_bits
+            ).cast("int")
+        )
+    return pos
+
+
+def bloom_build(
+    df: DataFrame, key_col: str = "url", n_bits: int = 4096, k: int = 3
+) -> list[int]:
+    """Build a Bloom filter over a key column: ONE distributed aggregation
+    (explode k positions per key → per-word bit_or, map-side combined)
+    returning the bitmap as ``n_bits/64`` Python ints — O(n_bits) driver
+    state that re-broadcasts into :func:`bloom_probe` as literals, the
+    same state discipline as the kmeans codebook. False-positive rate for
+    n keys ≈ (1 − e^(−k·n/m))^k; size m to the seen-set budget."""
+    n_words = (n_bits + 63) // 64
+    pos = F.explode(F.array(*_bloom_positions(key_col, n_bits, k))).alias("p")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            # shiftleft's bit count must be an expression here (the Python
+            # helper only takes literals), hence expr()
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_probe(
+    df: DataFrame,
+    bitmap: list[int],
+    key_col: str = "url",
+    n_bits: int = 4096,
+    k: int = 3,
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Probe a built Bloom filter: appends ``out_col`` (true = possibly
+    seen, false = DEFINITELY new). Pure codegen — the bitmap enters the
+    plan as an array literal and each key tests k bits with element_at +
+    shiftright; at 100 TB the probe is a scan, no join, no shuffle. The
+    contract (zero false negatives) is what makes the filter safe as a
+    frontier pre-filter: 'new' rows are exactly right, 'seen' rows go to
+    the exact path only if a re-check matters."""
+    out = df.withColumn(
+        "_bm", F.array(*[F.lit(w).cast("bigint") for w in bitmap])
+    )
+    tests = []
+    for i, p in enumerate(_bloom_positions(key_col, n_bits, k)):
+        out = out.withColumn(f"_bp{i}", p)
+        tests.append(
+            f"(shiftright(element_at(_bm, CAST(_bp{i} / 64 AS INT) + 1),"
+            f" CAST(_bp{i} % 64 AS INT)) & 1) = 1"
+        )
+    return out.withColumn(out_col, F.expr(" AND ".join(tests))).drop(
+        "_bm", *[f"_bp{i}" for i in range(k)]
+    )
+
+
+def stream_url_frontier(
+    stream_urls: DataFrame,
+    store_path: str,
+    url_col: str = "url",
+    n_bits: int = 4096,
+    k: int = 3,
+    checkpoint: str | None = None,
+):
+    """Streaming URL-frontier maintenance — the crawl-scheduler composition
+    of this module's pieces: each micro-batch of discovered URLs is
+    CANONICALIZED (:func:`~etl_lala_spark.functions.scalars.canonicalize_url`),
+    probed against a Bloom cache of the seen set, and only genuinely novel
+    canonical URLs are appended to the frontier store (one parquet row per
+    URL with the batch id that first saw it). Invalid URLs (NULL canonical)
+    are dropped — a malformed link can't enter the frontier.
+
+    Exactly-once discipline (reference T5/T6 family, same guards as
+    ``sinks/writer.py:maintain_summary``):
+    - novelty is decided by an anti-join against the STORE (the exact
+      truth); the Bloom bitmap only PRUNES that join — rows the filter
+      calls definitely-new skip the store scan entirely, rows it calls
+      maybe-seen take the exact path, so a false positive costs one probe,
+      never a lost URL, and an at-least-once batch replay appends nothing.
+    - the bitmap is a CACHE with a self-healing validity check: its meta
+      records the store row count it was built from; on each batch, if the
+      count disagrees with the store (a crash landed between store append
+      and bitmap update), the batch falls back to the exact path for ALL
+      rows and the bitmap is rebuilt — store-first write ordering plus
+      rebuild-on-mismatch means a stale bitmap can delay pruning but never
+      drop or duplicate a URL.
+
+    Scale: per batch one codegen canonicalization + one bitmap probe
+    (no-join scan) + an anti-join only for the maybe-seen slice; the store
+    append is novel-rows-sized. The bitmap is O(n_bits) driver state.
+    Returns the started StreamingQuery."""
+    import json as _json
+    import os as _os
+
+    from etl_lala_spark.functions.scalars import canonicalize_url
+
+    bloom_meta = store_path.rstrip("/") + "._bloom.json"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        canon = (
+            batch_df.select(canonicalize_url(F.col(url_col)).alias("url"))
+            .filter(F.col("url").isNotNull())
+            .dropDuplicates(["url"])
+        )
+        store_exists = _os.path.isdir(store_path)
+        store_rows = (
+            spark.read.parquet(store_path).count() if store_exists else 0
+        )
+        bitmap = None
+        if store_exists and _os.path.exists(bloom_meta):
+            with open(bloom_meta) as fh:
+                meta = _json.load(fh)
+            if meta["store_rows"] == store_rows:
+                bitmap = meta["bitmap"]  # cache valid: store-count matches
+        if bitmap is not None:
+            probed = bloom_probe(
+                canon, bitmap, key_col="url", n_bits=n_bits, k=k
+            ).localCheckpoint()  # pin: the plan below reads AND writes store
+            definite_new = probed.filter(~F.col("maybe_seen")).drop(
+                "maybe_seen"
+            )
+            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+            exact_new = maybe.join(
+                spark.read.parquet(store_path).select("url"),
+                "url",
+                "left_anti",
+            )
+            novel = definite_new.unionByName(exact_new)
+        elif store_exists:
+            # no (valid) bitmap: exact path for every row, then rebuild
+            novel = canon.localCheckpoint().join(
+                spark.read.parquet(store_path).select("url"),
+                "url",
+                "left_anti",
+            )
+        else:
+            novel = canon
+        novel = novel.localCheckpoint()  # one computation: count + write
+        if novel.count():
+            novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(store_path)
+        # store-first ordering: rebuild the bitmap from the STORE it must
+        # describe (never from the batch — a lost meta write then only
+        # costs a rebuild, and an over-eager one can't exist)
+        new_count = spark.read.parquet(store_path).count()
+        tmp = bloom_meta + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump(
+                {
+                    "store_rows": new_count,
+                    "bitmap": bloom_build(
+                        spark.read.parquet(store_path).select("url"),
+                        key_col="url",
+                        n_bits=n_bits,
+                        k=k,
+                    ),
+                },
+                fh,
+            )
+        _os.replace(tmp, bloom_meta)
+
+    w = stream_urls.writeStream.foreachBatch(process).trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()

@@ -1055,3 +1055,148 @@ def web_warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- robots.txt URL filtering (RFC 9309, crawl politeness) -------------------
+
+_ROBOTS_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 10 AS h, (doc_id // 10) % 5 AS v
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       'site' || h || '.example.com' AS host,
+       CASE v
+         WHEN 0 THEN '/public/page' || doc_id
+         WHEN 1 THEN '/private/doc' || doc_id
+         WHEN 2 THEN '/private/open' || doc_id
+         WHEN 3 THEN '/even' || doc_id || 'page'
+         ELSE '/PRIVATE/x' || doc_id
+       END AS path,
+       CASE WHEN v = 1 THEN false
+            WHEN v = 3 AND h % 2 = 0 THEN false
+            ELSE true END AS allowed,
+       CASE WHEN v = 1 THEN '/private/'
+            WHEN v = 2 THEN '/private/open'
+            WHEN v = 3 AND h % 2 = 0 THEN '/even*page$'
+       END AS matched_rule
+FROM d
+ORDER BY doc_id
+"""
+
+
+@register("web_robots_filter", oracle=_ROBOTS_ORACLE)
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt URL filtering (RFC 9309 — the crawl-politeness stage in
+    front of every fetch frontier): ten hosts publish CONSTRUCTED robots
+    bodies (comments, a crawler-specific group with a Disallow prefix, a
+    longer Allow override, an even-host-only wildcard+anchor rule, and a
+    deny-all ``*`` group that must NOT apply to the named crawler), parsed
+    by the real ``operators/web.py:parse_robots`` and applied to a
+    300-URL frontier by ``robots_allowed``. The oracle states every
+    decision in closed form from the variant arithmetic: group selection,
+    longest-match precedence, Allow-beats-Disallow ties, ``*``/``$``
+    wildcard semantics, and path case-sensitivity each have a URL variant
+    whose row flips if that rule breaks.
+
+    Scale: rules are per-host configuration (broadcast); the frontier side
+    is one scan through a broadcast join + one per-URL aggregation —
+    Python never touches a URL."""
+    from etl_lala_spark.operators import web
+
+    hosts = spark.range(10).select(
+        F.concat(F.lit("site"), F.col("id"), F.lit(".example.com")).alias(
+            "host"
+        ),
+        F.concat(
+            F.lit(
+                "# crawl policy\nUser-agent: graftbot\nDisallow: /private/\n"
+                "Allow: /private/open\n"
+            ),
+            F.when(
+                F.col("id") % 2 == 0, F.lit("Disallow: /even*page$\n")
+            ).otherwise(F.lit("")),
+            F.lit("\nUser-agent: *\nDisallow: /\n"),
+        ).alias("robots_txt"),
+    )
+    rules = web.parse_robots(hosts)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ds = F.col("doc_id").cast("string")
+    h = F.col("doc_id") % 10
+    v = (F.col("doc_id") / 10).cast("int") % 5
+    urls = d.select(
+        "doc_id",
+        F.concat(F.lit("site"), h, F.lit(".example.com")).alias("host"),
+        F.when(v == 0, F.concat(F.lit("/public/page"), ds))
+        .when(v == 1, F.concat(F.lit("/private/doc"), ds))
+        .when(v == 2, F.concat(F.lit("/private/open"), ds))
+        .when(v == 3, F.concat(F.lit("/even"), ds, F.lit("page")))
+        .otherwise(F.concat(F.lit("/PRIVATE/x"), ds))
+        .alias("path"),
+    )
+    return web.robots_allowed(urls, rules, agent="graftbot").orderBy("doc_id")
+
+
+# --- Bloom-filter frontier dedup (seen-URL membership) -----------------------
+
+_BLOOM_M = 4096  # bits; with n=400 seen keys and k=3, FP ≈ 1.6%
+
+
+def _bloom_oracle() -> str:
+    pos = "(('0x' || substr(md5('s0:' || url), {o}, 8))::BIGINT) % {m}"
+    p = [pos.format(o=1 + 8 * i, m=_BLOOM_M) for i in range(3)]
+    return f"""
+WITH seen AS (
+  SELECT 'http://example.com/page' || doc_id AS url
+  FROM documents WHERE doc_id < 400
+),
+bits AS (
+  SELECT DISTINCT unnest([{p[0]}, {p[1]}, {p[2]}]) AS p FROM seen
+),
+probe AS (
+  SELECT doc_id, 'http://example.com/page' || doc_id AS url
+  FROM documents WHERE doc_id >= 200 AND doc_id < 600
+)
+SELECT doc_id,
+       ({p[0]}) IN (SELECT p FROM bits)
+       AND ({p[1]}) IN (SELECT p FROM bits)
+       AND ({p[2]}) IN (SELECT p FROM bits) AS maybe_seen
+FROM probe ORDER BY doc_id
+"""
+
+
+@register("web_bloom_frontier", oracle=_bloom_oracle())
+def web_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter frontier dedup (the seen-URL membership structure every
+    large crawler keeps — and the same structure Spark's AQE uses for
+    runtime join pruning): 400 seen URLs build a 4096-bit filter in ONE
+    map-side-combined bit_or aggregation (`operators/web.py:bloom_build`),
+    and a probe batch overlapping half seen / half novel tests membership
+    as a pure-codegen bitmask scan (`bloom_probe` — the bitmap enters the
+    plan as literals; no join, no shuffle). The oracle REPLAYS the filter
+    itself: md5-derived bit positions, the distinct bit set, and the
+    3-way conjunction — so every row matches bit-exactly, INCLUDING the
+    ~1.6% deterministic false positives among the novel half (a false
+    negative is impossible by construction; the oracle would catch one as
+    a row mismatch on the seen half).
+
+    Scale: the filter is O(m) driver state like a kmeans codebook; sizing
+    m to the seen-set budget keeps the probe a constant-cost scan at any
+    corpus size, which is why a frontier pre-filter beats an exact
+    anti-join against every URL ever fetched."""
+    from etl_lala_spark.operators import web
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://example.com/page"), F.col("doc_id")).alias(
+        "url"
+    )
+    seen = d.filter(F.col("doc_id") < 400).select(url)
+    bitmap = web.bloom_build(seen, n_bits=_BLOOM_M, k=3)
+    probe = d.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 600)
+    ).select("doc_id", url)
+    return (
+        web.bloom_probe(probe, bitmap, n_bits=_BLOOM_M, k=3)
+        .select("doc_id", "maybe_seen")
+        .orderBy("doc_id")
+    )

@@ -646,3 +646,98 @@ def stream_twin_trigger_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_URL_FRONTIER_ORACLE = """
+WITH b(batch_id, lo, hi) AS (
+  VALUES (0, 0, 100), (1, 100, 200), (2, 200, 250)
+),
+novel AS (
+  SELECT batch_id, 'http://example.com/page' || p.p AS url
+  FROM b, LATERAL (SELECT unnest(generate_series(lo, hi - 1)) AS p) p
+)
+SELECT batch_id,
+       CAST(count(*) AS BIGINT) AS n_novel,
+       md5(string_agg(url, ',' ORDER BY url)) AS urls_md5
+FROM novel GROUP BY batch_id ORDER BY batch_id
+"""
+
+
+@register("stream_twin_url_frontier", oracle=_URL_FRONTIER_ORACLE)
+def stream_twin_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-frontier twin — the round-9 crawl composition end to
+    end: four mtime-laddered micro-batches of 100 discovered URLs each
+    (docs 100b..100b+99; canonical page = doc % 250, so batch 2 is half
+    replay and batch 3 entirely replay) flow through
+    ``operators/web.py:stream_url_frontier`` — per batch: canonicalization
+    (four URL VARIANTS per page exercise case/www/port, trailing-slash +
+    utm, and fragment normalization), Bloom-cache probe, exact anti-join
+    on the maybe-seen slice, novel-only append, store-count-validated
+    bitmap refresh. The oracle predicts the final store exactly: which
+    batch first saw every canonical page (100/100/50 novel; batch 3
+    appends nothing and so has no row) and the md5 of each batch's sorted
+    URL list — a canonicalization miss, a Bloom false NEGATIVE, a replay
+    leak, or a stale-bitmap drop all land on different rows."""
+    import glob as globmod
+
+    work = gate_workdir(spark, "stream_twin_url_frontier")
+    src = os.path.join(work, "src")
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    p = (F.col("doc_id") % 250).cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://example.com/page"), p))
+        .when(v == 1, F.concat(F.lit("HTTP://WWW.EXAMPLE.COM:80/page"), p))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://example.com/page"), p, F.lit("/?utm_source=x")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://example.com/page"), p, F.lit("#frag"))
+        )
+    )
+    t0 = 1_700_000_000
+    with fixture_region("stream_twin_url_frontier"):
+        for b in range(4):
+            tmp = os.path.join(work, f"tmp{b}")
+            (
+                d.filter(
+                    (F.col("doc_id") >= b * 100)
+                    & (F.col("doc_id") < (b + 1) * 100)
+                )
+                .select(url.alias("url"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+            dest = os.path.join(src, f"f{b}.parquet")
+            os.rename(part, dest)
+            os.utime(dest, (t0 + b, t0 + b))
+
+    from etl_lala_spark.operators.web import stream_url_frontier
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_url_frontier(stream, store, checkpoint=ckpt)
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.read.parquet(store)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_novel"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("url")))
+            ).alias("urls_md5"),
+        )
+        .orderBy("batch_id")
+    )

@@ -426,7 +426,6 @@ def compact_partitions(
     df = spark.read.parquet(table_path)
     if drop_exact_duplicates:
         df = df.dropDuplicates()
-    rows = df.count()
     staging = table_path.rstrip("/") + "._compacting"
     shutil.rmtree(staging, ignore_errors=True)
     # Deterministic salt (hash of the full row), NOT monotonically_
@@ -447,6 +446,10 @@ def compact_partitions(
     if sort_cols:
         rewritten = rewritten.sortWithinPartitions(part_col, *sort_cols)
     rewritten.write.mode("overwrite").partitionBy(part_col).parquet(staging)
+    # Row stat from the WRITTEN output, not a pre-pass over the input: a
+    # separate df.count() would re-run the (possibly deduping) shuffle a
+    # second time, doubling the maintenance pass's cost for a statistic.
+    rows = spark.read.parquet(staging).count()
     shutil.rmtree(backup, ignore_errors=True)
     os.rename(table_path, backup)
     os.rename(staging, table_path)

@@ -67,15 +67,82 @@ def _iter_gzip_members(blob: bytes):
 
 
 def _parse_headers(block: bytes) -> tuple[dict[str, str], str]:
-    """(lower-cased header map, raw header text) of one CRLF header block."""
+    """(lower-cased header map, raw header text) of one header block.
+    Line endings are universal (splitlines): real crawls contain bare-LF
+    responses, and a CRLF-only split would collapse their headers into one
+    value."""
     text = block.decode("latin-1")
     headers: dict[str, str] = {}
-    for line in text.split("\r\n"):
-        line = line.rstrip("\n")
+    for line in text.splitlines():
         if ":" in line:
             k, v = line.split(":", 1)
             headers[k.strip().lower()] = v.strip()
     return headers, text
+
+
+def _find_blank_line(block: bytes) -> tuple[int, int]:
+    """(offset, separator length) of the first blank line — CRLF CRLF per
+    spec, bare LF LF tolerated (both occur in crawled HTTP) — or (-1, 0)."""
+    i_crlf = block.find(b"\r\n\r\n")
+    i_lf = block.find(b"\n\n")
+    if i_crlf < 0 and i_lf < 0:
+        return -1, 0
+    if i_crlf >= 0 and (i_lf < 0 or i_crlf <= i_lf):
+        return i_crlf, 4
+    return i_lf, 2
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Reassemble a Transfer-Encoding: chunked body (hex size line, chunk
+    bytes, CRLF; terminated by a 0 chunk). Raises ValueError on broken
+    framing — at the web layer a mis-framed body must become an error row,
+    not silently pass chunk-size lines off as page text."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\n", pos)
+        if nl < 0:
+            raise ValueError("chunked body: missing size line")
+        size_field = body[pos:nl].strip().split(b";")[0]
+        try:
+            size = int(size_field, 16)
+        except ValueError as exc:
+            raise ValueError(
+                f"chunked body: bad size line {size_field[:16]!r}"
+            ) from exc
+        pos = nl + 1
+        if size == 0:
+            return bytes(out)  # trailers, if any, are ignored
+        if pos + size > len(body):
+            raise ValueError("chunked body: chunk overruns buffer")
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif body[pos : pos + 1] == b"\n":
+            pos += 1
+
+
+def _decode_body(headers: dict[str, str], body: bytes) -> bytes:
+    """Undo the HTTP wire encodings a crawled response carries: chunked
+    transfer framing first, then gzip/deflate content coding — otherwise
+    chunk-size hex lines or compressed bytes flow into the text pipeline
+    as 'content'. Unknown codings raise (→ structured error row under
+    permissive mode)."""
+    te = headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        body = _dechunk(body)
+    ce = headers.get("content-encoding", "").lower().strip()
+    if ce in ("", "identity"):
+        return body
+    if ce in ("gzip", "x-gzip"):
+        return zlib.decompress(body, 31)
+    if ce == "deflate":
+        try:
+            return zlib.decompress(body)  # zlib-wrapped (the spec form)
+        except zlib.error:
+            return zlib.decompress(body, -15)  # raw deflate (common bug)
+    raise ValueError(f"unsupported Content-Encoding: {ce}")
 
 
 def _parse_warc_records(buf: bytes, base_offset: int, member_bytes: int):
@@ -127,23 +194,27 @@ def _parse_warc_records(buf: bytes, base_offset: int, member_bytes: int):
 
 
 def _split_http_response(block: bytes):
-    """(status, content_type, raw header text, body) of an HTTP/1.x response
-    block; (None, None, None, block) when the block isn't an HTTP message
-    (non-response records pass through whole)."""
+    """(status, content_type, raw header text, decoded body) of an HTTP/1.x
+    response block; (None, None, None, block) when the block isn't an HTTP
+    message (non-response records pass through whole). Line endings are
+    CRLF per spec with bare-LF tolerated (real crawls contain both); the
+    body is wire-decoded (chunked / gzip / deflate — ``_decode_body``),
+    which may raise ValueError on broken framing."""
     if not block.startswith(b"HTTP/"):
         return None, None, None, block
-    head_end = block.find(b"\r\n\r\n")
+    head_end, sep = _find_blank_line(block)
     if head_end < 0:
         return None, None, None, block
     head = block[:head_end]
-    status_line, _, header_rest = head.partition(b"\r\n")
+    status_line, _, header_rest = head.replace(b"\r\n", b"\n").partition(b"\n")
     parts = status_line.split(None, 2)
     try:
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, None, None, block
     headers, raw = _parse_headers(header_rest)
-    return status, headers.get("content-type"), raw, block[head_end + 4 :]
+    body = _decode_body(headers, block[head_end + sep :])
+    return status, headers.get("content-type"), raw, body
 
 
 def warc_record_bytes(

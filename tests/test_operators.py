@@ -2315,6 +2315,8 @@ def test_canonicalize_url_adversarial(spark):
         ("http://example.com/a#section-2", "http://example.com/a"),
         ("http://example.com/a?utm_source=news&utm_medium=email",
          "http://example.com/a"),
+        ("http://example.com/a?UTM_SOURCE=news&FBCLID=x",
+         "http://example.com/a"),
         ("http://example.com//a/", "http://example.com/a"),
         # real params survive, sorted; tracking ids stripped from the middle
         ("http://example.com/a?z=1&fbclid=abc&b=2&gclid=x&a=3",
@@ -2382,7 +2384,7 @@ def test_byte_bpe_fallback_and_word_confinement(spark):
     assert all(len(p) == 2 for p in cjk[:3])  # 猫 = 3 singleton bytes
 
 
-def test_langid_trained_agrees_with_heuristic(spark):
+def test_langid_trained_agrees_with_heuristic(spark, sf_dir):
     """The trained lang-ID (hashed char trigrams + one-vs-rest logistic)
     and the marker-word heuristic must agree on the planted corpus — the
     upgrade changes the decision surface, not the answers on separable
@@ -2393,9 +2395,7 @@ def test_langid_trained_agrees_with_heuristic(spark):
     from etl_lala_spark.operators.text import predicted_lang
     from etl_lala_spark.plans.llm_text import _LANGID_LANGS, _langid_corpus
 
-    corpus = _langid_corpus(
-        load_table(spark, "/root/testdata/sf0.001", "documents")
-    )
+    corpus = _langid_corpus(load_table(spark, sf_dir, "documents"))
     # language = doc_id % 4, so split on a modulus coprime to 4: halves
     # that both contain all four languages
     train = corpus.filter(F.col("doc_id") < 200)
@@ -2423,3 +2423,115 @@ def test_langid_trained_agrees_with_heuristic(spark):
         ls = model["losses"][lang]
         assert ls[-1] < ls[0]
         assert all(b <= a + 1e-9 for a, b in zip(ls, ls[1:]))
+
+
+def test_decontaminate_plants_and_containment(spark):
+    """Eval-set decontamination at the GPT-3 13-gram grain: a doc sharing
+    ONE 13-gram with the benchmark is flagged; n-grams are containment,
+    not similarity — a doc made of benchmark words in a different order
+    stays clean; short docs fall back to whole-text equality."""
+    from etl_lala_spark.operators import dedup as dd_ops
+
+    w = [f"w{i}" for i in range(40)]
+    bench_snippet = " ".join(w[:13])
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(w)),                         # contains the snippet
+            (2, "padding " + bench_snippet),          # contains it mid-doc
+            (3, " ".join(reversed(w))),               # same words, no 13-gram
+            (4, " ".join(w[20:40])),                  # disjoint window
+            (5, "tiny doc"),                          # short-doc fallback
+            (6, "exact eval answer"),                 # equals a short bench
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(101, bench_snippet), (102, "exact eval answer")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd_ops.decontaminate(corpus, bench, k=13).collect()
+    }
+    assert {d: out[d]["contaminated"] for d in out} == {
+        1: True, 2: True, 3: False, 4: False, 5: False, 6: True,
+    }
+    assert out[1]["n_hits"] == 1  # exactly the planted gram
+
+
+def test_robots_rules_semantics(spark):
+    """RFC 9309 corner cases: group selection (named group shadows the
+    deny-all * group), longest-match precedence, Allow tie-break,
+    * / $ wildcards, path case-sensitivity, empty Disallow matches
+    nothing, hosts without robots allow everything."""
+    from etl_lala_spark.operators import web
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a",
+                "# policy\nUser-agent: GraftBot\nDisallow: /private/\n"
+                "Allow: /private/open\nDisallow: /even*page$\n"
+                "Disallow:\n\nUser-agent: *\nDisallow: /",
+            ),
+            ("b", "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok"),
+        ],
+        "host string, robots_txt string",
+    )
+    rules = web.parse_robots(robots)
+    # empty Disallow dropped at parse time (matches nothing per the RFC)
+    assert rules.filter("path = ''").count() == 0
+    urls = spark.createDataFrame(
+        [
+            ("a", "/public/x"),
+            ("a", "/private/doc"),
+            ("a", "/private/open/doc"),
+            ("a", "/even9page"),
+            ("a", "/even9page2"),
+            ("a", "/PRIVATE/x"),
+            ("b", "/tmp/x"),
+            ("b", "/tmp/okay"),
+            ("c", "/anything"),
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r["host"], r["path"]): (r["allowed"], r["matched_rule"])
+        for r in web.robots_allowed(urls, rules, agent="graftbot").collect()
+    }
+    assert got == {
+        ("a", "/public/x"): (True, None),
+        ("a", "/private/doc"): (False, "/private/"),
+        ("a", "/private/open/doc"): (True, "/private/open"),
+        ("a", "/even9page"): (False, "/even*page$"),
+        ("a", "/even9page2"): (True, None),
+        ("a", "/PRIVATE/x"): (True, None),
+        ("b", "/tmp/x"): (False, "/tmp/"),
+        ("b", "/tmp/okay"): (True, "/tmp/ok"),
+        ("c", "/anything"): (True, None),
+    }
+
+
+def test_bloom_filter_no_false_negatives(spark):
+    """Bloom frontier filter: every seen key probes true (false negatives
+    are impossible by construction), and the false-positive rate on novel
+    keys stays near the (1 - e^(-kn/m))^k theory value."""
+    import math
+
+    from etl_lala_spark.operators import web
+
+    n, m, k = 500, 8192, 3
+    seen = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(n)], "url string"
+    )
+    bitmap = web.bloom_build(seen, n_bits=m, k=k)
+    assert len(bitmap) == m // 64
+    probe = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(2 * n)], "url string"
+    )
+    rows = web.bloom_probe(probe, bitmap, n_bits=m, k=k).collect()
+    flags = {int(r["url"].rsplit("/", 1)[1]): r["maybe_seen"] for r in rows}
+    assert all(flags[i] for i in range(n))  # zero false negatives
+    fp = sum(1 for i in range(n, 2 * n) if flags[i])
+    theory = (1 - math.exp(-k * n / m)) ** k
+    assert fp / n < 5 * theory + 0.01  # generous bound; ~0.4% expected

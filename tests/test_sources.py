@@ -882,3 +882,83 @@ def test_warc_to_main_content_line_dedup_chain(spark):
     for d in (1, 2):
         assert out[d]["n_lines"] == 2 and out[d]["n_removed"] == 1
         assert out[d]["clean_text"] == uniq[d]
+
+
+def test_warc_http_wire_decodings(spark):
+    """Crawled HTTP arrives wearing wire encodings: chunked transfer
+    framing, gzip/deflate content coding, and bare-LF envelopes. Each must
+    decode to the page bytes (never leak chunk-size lines / compressed
+    bytes / the HTTP envelope into 'content'); broken chunk framing becomes
+    a structured error row."""
+    import gzip as _gzip
+    import zlib
+
+    import pandas as pd
+
+    from etl_lala_spark.sources import warc as w
+
+    page = b"<html><body>decoded page text</body></html>"
+    chunked = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n"
+        + b"a\r\n" + page[:10] + b"\r\n"
+        + hex(len(page) - 10)[2:].encode() + b"\r\n" + page[10:] + b"\r\n"
+        + b"0\r\n\r\n"
+    )
+    gz_body = _gzip.compress(page)
+    gzipped = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nContent-Length: "
+        + str(len(gz_body)).encode() + b"\r\n\r\n" + gz_body
+    )
+    _raw = zlib.compressobj(wbits=-15)
+    raw_deflate_body = _raw.compress(page) + _raw.flush()
+    deflated_raw = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + raw_deflate_body
+    )
+    deflated = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n"
+        + zlib.compress(page)
+    )
+    lf_only = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n" + page
+    bad_chunk = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"ZZ\r\nnot hex\r\n0\r\n\r\n"
+    )
+    recs = {
+        "chunked": chunked,
+        "gzipped": gzipped,
+        "deflated": deflated,
+        "deflated_raw": deflated_raw,
+        "lf_only": lf_only,
+        "bad_chunk": bad_chunk,
+    }
+    warcs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "path": [f"mem://{k}.warc.gz" for k in recs],
+                "content": [
+                    _warc_gz(
+                        [
+                            w.warc_record_bytes(
+                                "response", blk,
+                                target_uri=f"http://example.com/{k}",
+                            )
+                        ]
+                    )
+                    for k, blk in recs.items()
+                ],
+            }
+        )
+    )
+    rows = {
+        r["file"].split("//")[1].split(".")[0]: r
+        for r in w.extract_warc_records(warcs, permissive=True).collect()
+    }
+    for k in ("chunked", "gzipped", "deflated", "deflated_raw", "lf_only"):
+        assert rows[k]["_error"] is None, (k, rows[k]["_error"])
+        assert bytes(rows[k]["payload"]) == page, k
+        assert rows[k]["http_status"] == 200
+    assert rows["lf_only"]["http_content_type"] == "text/html"
+    assert "bad size line" in rows["bad_chunk"]["_error"]

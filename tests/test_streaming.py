@@ -813,3 +813,66 @@ def test_stream_versioned_append_exactly_once(spark, tmp_path):
     run(None)
     assert [m["version"] for m in vt.table_versions(table)] == [1, 2]
     assert {r.k for r in vt.read_version(spark, table).collect()} == {1, 2, 3}
+
+
+def test_stream_url_frontier_self_heals_stale_bloom(spark, tmp_path):
+    """The frontier's Bloom bitmap is a cache with a validity check: when a
+    crash lands between store append and bitmap refresh (simulated by
+    appending to the store behind the bitmap's back), the next batch must
+    fall back to the exact path — the behind-the-back URL is NOT
+    re-appended, novel URLs still land, and the bitmap meta is rebuilt to
+    the new store count."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators.web import stream_url_frontier
+
+    src = os.path.join(str(tmp_path), "src")
+    store = os.path.join(str(tmp_path), "store")
+    os.makedirs(src)
+
+    def run_batch(name, urls):
+        spark.createDataFrame([(u,) for u in urls], "url string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, name))
+        stream = (
+            spark.readStream.schema("url string")
+            .option("maxFilesPerTrigger", 16)
+            .parquet(os.path.join(src, name))
+        )
+        q = stream_url_frontier(stream, store, n_bits=1024)
+        q.awaitTermination(120)
+        q.stop()
+
+    run_batch("b0", ["http://a/x", "HTTP://A/y", "not a url"])
+    rows0 = {r["url"] for r in spark.read.parquet(store).collect()}
+    assert rows0 == {"http://a/x", "http://a/y"}  # canonicalized, no junk
+    meta_path = store + "._bloom.json"
+    meta = json.load(open(meta_path))
+    assert meta["store_rows"] == 2
+
+    # crash window: a URL lands in the store while the bitmap stays stale
+    spark.createDataFrame(
+        [("http://a/ghost", 99)], "url string, batch_id int"
+    ).write.mode("append").parquet(store)
+    assert json.load(open(meta_path))["store_rows"] == 2  # now stale
+
+    run_batch("b1", ["http://a/ghost", "http://a/x", "http://a/new"])
+    out = spark.read.parquet(store)
+    by_url = {
+        r["url"]: r["cnt"]
+        for r in out.groupBy("url")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    # ghost not duplicated (exact fallback), replay not duplicated,
+    # novel appended exactly once
+    assert by_url == {
+        "http://a/x": 1,
+        "http://a/y": 1,
+        "http://a/ghost": 1,
+        "http://a/new": 1,
+    }
+    assert json.load(open(meta_path))["store_rows"] == 4  # rebuilt
