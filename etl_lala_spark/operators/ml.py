@@ -133,11 +133,20 @@ def hashed_char_ngram_features(
         f" i -> substring(lower({text_col}), i, {n}))"
         f" ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    tok = df.select(F.col(id_col), F.explode(grams).alias("g"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("bigint")
-        % n_buckets
-    ).cast("int")
+    # explode_OUTER keeps zero-gram docs (shorter than n, empty, null) as
+    # one marker row — the contract is one feature row per input doc, and
+    # an inner explode would silently exclude such docs from training
+    # denominators downstream
+    tok = df.select(F.col(id_col), F.explode_outer(grams).alias("g"))
+    bucket = F.when(
+        F.col("g").isNotNull(),
+        (
+            F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % n_buckets
+        ).cast("int"),
+    )
     counts = (
         tok.select(id_col, bucket.alias("b"))
         .groupBy(id_col)
@@ -146,10 +155,13 @@ def hashed_char_ngram_features(
         .fillna(0)
     )
     total = sum(F.col(str(b)) for b in range(n_buckets))
+    # a zero-gram doc gets the all-zero vector, not a 0/0 NULL cascade
     return counts.select(
         id_col,
         *[
-            (F.col(str(b)) / total).alias(f"f{b}")
+            F.when(total > 0, F.col(str(b)) / total)
+            .otherwise(F.lit(0.0))
+            .alias(f"f{b}")
             for b in range(n_buckets)
         ],
     )

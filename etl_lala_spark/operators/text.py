@@ -314,19 +314,27 @@ def byte_bpe_apply(
     order), ``n_pieces``, ``n_bytes`` (Σ piece bytes). Narrow map, no
     shuffle; reconstruction is exact — unhex(concat(pieces)) equals the
     doc's whitespace-stripped UTF-8 bytes, the law the audit pins."""
+    work = "_byte_bpe_work"
+    reserved = {"pieces", "n_pieces", "n_bytes", work}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"byte_bpe_apply: input columns {sorted(clash)} collide with "
+            "the output/working columns; rename them first"
+        )
     words = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit("")
     )
     out = df.withColumn(
-        "bpe_text",
+        work,
         F.array_join(F.transform(words, _byte_token_expr), "\n"),
     )
     for m in merges:
         a, b = m["pair"].split(" ", 1)
         pat, repl = _merge_rewrite(a, b, sep)
-        out = out.withColumn("bpe_text", F.regexp_replace("bpe_text", pat, repl))
+        out = out.withColumn(work, F.regexp_replace(work, pat, repl))
     pieces = F.transform(
-        F.filter(F.split("bpe_text", r"\s+"), lambda p: p != F.lit("")),
+        F.filter(F.split(work, r"\s+"), lambda p: p != F.lit("")),
         lambda p: F.replace(p, F.lit(sep), F.lit("")),
     )
     # Preserve every input column (the bpe_apply convention): callers keep

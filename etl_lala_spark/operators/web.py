@@ -21,7 +21,7 @@ Semantics implemented (RFC 9309, the Robots Exclusion Protocol):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -72,7 +72,12 @@ def parse_robots(
     rules = grouped.filter(
         F.col("field").isin("allow", "disallow") & (F.col("value") != "")
     )
-    return rules.join(agents, ["host", "group_id"]).select(
+    # LEFT join from the GROUPS: a group with no surviving rules (the very
+    # common 'User-agent: X / Disallow:' allow-everything idiom) must keep
+    # one sentinel row (NULL directive/path) — group EXISTENCE is what
+    # shadows the * group during agent selection; deriving groups from rule
+    # rows would invert that robots.txt to deny-all for X.
+    return agents.join(rules, ["host", "group_id"], "left").select(
         "host",
         "group_id",
         "agents",
@@ -102,15 +107,18 @@ def robots_allowed(
     path_col: str = "path",
 ) -> DataFrame:
     """Filter a URL frontier through parsed robots rules for ``agent``.
-    Adds ``allowed`` (boolean) and ``matched_rule`` (the winning pattern,
-    NULL when no rule matched). Group selection per RFC 9309: the host's
-    exact-agent groups if any exist, else its ``*`` groups; longest
-    matching pattern wins, Allow wins ties, no match ⇒ allowed.
+    Appends ``allowed`` (boolean) and ``matched_rule`` (the winning
+    pattern, NULL when no rule matched) — row-preserving: duplicate
+    frontier rows stay duplicates. Group selection per RFC 9309: the
+    host's exact-agent groups if any exist (a rule-LESS exact group counts
+    — it shadows ``*`` and allows everything), else its ``*`` groups;
+    longest matching pattern wins, Allow wins ties, no match ⇒ allowed.
 
-    Scale: ``rules`` is per-host configuration — it broadcasts; the
-    frontier side is one scan through a broadcast left join + one
-    aggregation keyed by the frontier row (map-side combinable). The regex
-    per rule is translated in codegen, no Python."""
+    Scale: the rules collapse to ONE array row per host and broadcast;
+    the frontier side is a single scan through the broadcast equi-join —
+    no shuffle, no regrouping — with per-rule matching and the
+    longest/Allow precedence computed by array higher-order functions in
+    codegen, no Python."""
     a = F.lit(agent.lower())
     exact_hosts = (
         rules.filter(F.array_contains("agents", a))
@@ -118,48 +126,52 @@ def robots_allowed(
         .distinct()
         .withColumnRenamed("host", "_ehost")
     )
-    chosen = (
+    # one row per host: the chosen group's rules as an array of structs
+    # whose FIELD ORDER (len, is_allow, pattern, directive) makes
+    # array_max the precedence rule — longest first, Allow on ties
+    per_host = (
         rules.join(exact_hosts, rules["host"] == F.col("_ehost"), "left")
         .filter(
             F.when(
                 F.col("_ehost").isNotNull(), F.array_contains("agents", a)
             ).otherwise(F.array_contains("agents", "*"))
         )
-        .select(
-            F.col("host").alias("_rhost"),
-            F.col("directive").alias("_rdir"),
-            F.col("path").alias("_rpath"),
-            F.col("path_len").alias("_rlen"),
-            _rule_regex("path").alias("_rre"),
+        .filter(F.col("path").isNotNull())  # drop rule-less sentinel rows
+        .groupBy(F.col("host").alias("_rhost"))
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("path_len").alias("l"),
+                    (F.col("directive") == "allow").cast("int").alias(
+                        "is_allow"
+                    ),
+                    F.col("path").alias("pattern"),
+                    F.col("directive").alias("directive"),
+                    _rule_regex("path").alias("re"),
+                )
+            ).alias("_rules")
         )
     )
     joined = urls.join(
-        F.broadcast(chosen),
-        (F.col(host_col) == F.col("_rhost"))
-        & F.rlike(F.col(path_col), F.col("_rre")),
-        "left",
+        F.broadcast(per_host), F.col(host_col) == F.col("_rhost"), "left"
     )
-    # longest pattern wins; Allow beats Disallow at equal length (struct
-    # max compares fields in order; the tie-break is the is_allow flag,
-    # not the directive string — 'allow' < 'disallow' alphabetically)
-    best = F.max(
-        F.when(
-            F.col("_rpath").isNotNull(),
-            F.struct(
-                F.col("_rlen").alias("l"),
-                (F.col("_rdir") == "allow").cast("int").alias("is_allow"),
-                F.col("_rpath").alias("pattern"),
-                F.col("_rdir").alias("directive"),
-            ),
-        )
-    ).alias("best")
-    out = joined.groupBy(*urls.columns).agg(best)
-    return out.select(
-        *urls.columns,
+    matched = F.filter(
         F.coalesce(
-            F.col("best.directive") == "allow", F.lit(True)
-        ).alias("allowed"),
-        F.col("best.pattern").alias("matched_rule"),
+            "_rules",
+            F.array().cast(
+                "array<struct<l:int,is_allow:int,pattern:string,"
+                "directive:string,re:string>>"
+            ),
+        ),
+        lambda r: F.rlike(F.col(path_col), r["re"]),
+    )
+    best = F.array_max(matched)
+    return joined.select(
+        *urls.columns,
+        F.coalesce(best["directive"] == "allow", F.lit(True)).alias(
+            "allowed"
+        ),
+        best["pattern"].alias("matched_rule"),
     )
 
 
@@ -339,26 +351,35 @@ def stream_url_frontier(
         else:
             novel = canon
         novel = novel.localCheckpoint()  # one computation: count + write
-        if novel.count():
+        n_novel = novel.count()
+        if n_novel:
             novel.withColumn("batch_id", F.lit(batch_id)).write.mode(
                 "append"
             ).parquet(store_path)
-        # store-first ordering: rebuild the bitmap from the STORE it must
-        # describe (never from the batch — a lost meta write then only
-        # costs a rebuild, and an over-eager one can't exist)
-        new_count = spark.read.parquet(store_path).count()
+        elif not _os.path.isdir(store_path):
+            return  # first batch had no valid URLs: nothing to describe
+        if bitmap is not None and n_novel == 0:
+            return  # cache valid, store unchanged: nothing to refresh
+        # store-first ordering: refresh the bitmap only AFTER the append
+        # lands (a lost meta write then only costs a validity-check
+        # rebuild; an over-eager bitmap can't exist). With a valid cache
+        # the refresh is INCREMENTAL — OR the novel keys' bits into the
+        # cached words, no store scan; only an invalidated cache pays the
+        # full rebuild.
+        if bitmap is not None:
+            delta = bloom_build(novel, key_col="url", n_bits=n_bits, k=k)
+            new_bitmap = [a | b for a, b in zip(bitmap, delta)]
+        else:
+            new_bitmap = bloom_build(
+                spark.read.parquet(store_path).select("url"),
+                key_col="url",
+                n_bits=n_bits,
+                k=k,
+            )
         tmp = bloom_meta + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump(
-                {
-                    "store_rows": new_count,
-                    "bitmap": bloom_build(
-                        spark.read.parquet(store_path).select("url"),
-                        key_col="url",
-                        n_bits=n_bits,
-                        k=k,
-                    ),
-                },
+                {"store_rows": store_rows + n_novel, "bitmap": new_bitmap},
                 fh,
             )
         _os.replace(tmp, bloom_meta)

@@ -339,9 +339,21 @@ def extract_warc_records(
                                     payload=None,
                                 )
                                 continue
-                            status, ctype, hraw, body = _split_http_response(
-                                rec["block"]
-                            )
+                            # body wire-decode failures are PER-RECORD: one
+                            # mis-framed chunked body must become one error
+                            # row, never abort the file's remaining records
+                            try:
+                                status, ctype, hraw, body = (
+                                    _split_http_response(rec["block"])
+                                )
+                            except (ValueError, zlib.error) as exc:
+                                if not permissive:
+                                    raise
+                                emit(
+                                    path, i, rec, payload=None,
+                                    err=f"{type(exc).__name__}: {exc}"[:500],
+                                )
+                                continue
                             emit(
                                 path, i, rec,
                                 http_status=status,

@@ -2475,12 +2475,17 @@ def test_robots_rules_semantics(spark):
                 "Disallow:\n\nUser-agent: *\nDisallow: /",
             ),
             ("b", "User-agent: *\nDisallow: /tmp/\nAllow: /tmp/ok"),
+            # the allow-everything idiom: a rule-LESS named group must
+            # shadow the deny-all * group (group existence, not rule rows)
+            ("d", "User-agent: graftbot\nDisallow:\n\nUser-agent: *\nDisallow: /"),
         ],
         "host string, robots_txt string",
     )
     rules = web.parse_robots(robots)
-    # empty Disallow dropped at parse time (matches nothing per the RFC)
+    # empty Disallow dropped at parse time (matches nothing per the RFC);
+    # the rule-less group survives as a sentinel row (agent selection)
     assert rules.filter("path = ''").count() == 0
+    assert rules.filter("host = 'd' and path is null").count() == 1
     urls = spark.createDataFrame(
         [
             ("a", "/public/x"),
@@ -2492,12 +2497,16 @@ def test_robots_rules_semantics(spark):
             ("b", "/tmp/x"),
             ("b", "/tmp/okay"),
             ("c", "/anything"),
+            ("d", "/anything"),
+            ("d", "/anything"),  # duplicate frontier row: must survive
         ],
         "host string, path string",
     )
+    out = web.robots_allowed(urls, rules, agent="graftbot").collect()
+    assert len(out) == len(urls.collect())  # row-preserving
     got = {
         (r["host"], r["path"]): (r["allowed"], r["matched_rule"])
-        for r in web.robots_allowed(urls, rules, agent="graftbot").collect()
+        for r in out
     }
     assert got == {
         ("a", "/public/x"): (True, None),
@@ -2509,6 +2518,7 @@ def test_robots_rules_semantics(spark):
         ("b", "/tmp/x"): (False, "/tmp/"),
         ("b", "/tmp/okay"): (True, "/tmp/ok"),
         ("c", "/anything"): (True, None),
+        ("d", "/anything"): (True, None),  # rule-less group shadows *
     }
 
 

@@ -962,3 +962,41 @@ def test_warc_http_wire_decodings(spark):
         assert rows[k]["http_status"] == 200
     assert rows["lf_only"]["http_content_type"] == "text/html"
     assert "bad size line" in rows["bad_chunk"]["_error"]
+
+
+def test_warc_record_level_decode_error_isolation(spark):
+    """One mis-framed chunked body inside a multi-record WARC becomes one
+    error row; the file's OTHER records still decode (per-record, not
+    per-file, error boundary)."""
+    import pandas as pd
+
+    from etl_lala_spark.sources import warc as w
+
+    good1 = w.warc_record_bytes(
+        "response", w.http_response_bytes(200, b"first page"),
+        target_uri="http://e/1",
+    )
+    bad = w.warc_record_bytes(
+        "response",
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nZZ\r\nx\r\n0\r\n\r\n",
+        target_uri="http://e/2",
+    )
+    good2 = w.warc_record_bytes(
+        "response", w.http_response_bytes(200, b"third page"),
+        target_uri="http://e/3",
+    )
+    warcs = spark.createDataFrame(
+        pd.DataFrame(
+            {"path": ["mem://m.warc.gz"], "content": [_warc_gz([good1, bad, good2])]}
+        )
+    )
+    rows = sorted(
+        w.extract_warc_records(warcs, permissive=True).collect(),
+        key=lambda r: r["record_index"],
+    )
+    assert [r["record_index"] for r in rows] == [0, 1, 2]
+    assert bytes(rows[0]["payload"]) == b"first page"
+    assert rows[1]["_error"] and "bad size line" in rows[1]["_error"]
+    assert rows[1]["target_uri"] == "http://e/2"  # headers survive
+    assert bytes(rows[2]["payload"]) == b"third page"
+    assert rows[2]["_error"] is None

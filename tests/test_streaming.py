@@ -876,3 +876,35 @@ def test_stream_url_frontier_self_heals_stale_bloom(spark, tmp_path):
         "http://a/new": 1,
     }
     assert json.load(open(meta_path))["store_rows"] == 4  # rebuilt
+
+
+def test_stream_url_frontier_empty_first_batch(spark, tmp_path):
+    """A first micro-batch with no valid URLs must not crash the query (no
+    store to describe yet); the next batch then seeds the store."""
+    import os
+
+    from etl_lala_spark.operators.web import stream_url_frontier
+
+    src = os.path.join(str(tmp_path), "src")
+    store = os.path.join(str(tmp_path), "store")
+    os.makedirs(src)
+
+    def run_batch(name, urls):
+        spark.createDataFrame([(u,) for u in urls], "url string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, name))
+        stream = (
+            spark.readStream.schema("url string")
+            .option("maxFilesPerTrigger", 16)
+            .parquet(os.path.join(src, name))
+        )
+        q = stream_url_frontier(stream, store, n_bits=1024)
+        q.awaitTermination(120)
+        q.stop()
+
+    run_batch("b0", ["not a url", "also not one"])
+    assert not os.path.isdir(store)
+    run_batch("b1", ["http://a/x"])
+    assert {r["url"] for r in spark.read.parquet(store).collect()} == {
+        "http://a/x"
+    }
