@@ -167,6 +167,10 @@ HEADLINE = [
     # canonicalize -> Bloom probe -> exact anti-join on the maybe-seen
     # slice -> novel-only append, store-count-validated bitmap refresh
     "stream_twin_url_frontier",
+    # round 9 (cont.): outlink extraction + RFC 3986 resolution (crawl URL
+    # discovery) and ftfy-family encoding repair (mojibake), both codegen
+    "web_link_graph",
+    "text_fix_mojibake",
 ]
 
 

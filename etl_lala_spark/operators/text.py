@@ -1146,3 +1146,61 @@ def wordpiece_greedy_apply(
             yield pdf
 
     return df.mapInPandas(tok, schema)
+
+
+# --- Encoding repair (ftfy-family mojibake fixing) ----------------------------
+
+# The 27 characters Windows-1252 assigns in the 0x80-0x9F block. Text that
+# was UTF-8 but got decoded as cp1252 shows these (the classic mangled
+# smart quote); to reinterpret the original bytes JVM-side (Spark's
+# encode() supports ISO-8859-1 but not cp1252) they first translate back
+# to the Latin-1 control characters occupying the same byte values.
+_CP1252_CHARS = bytes(
+    b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+).decode("cp1252")
+_CP1252_BYTES = "".join(
+    chr(b) for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+)
+
+# A mojibake SIGNATURE: a UTF-8 lead byte rendered as its Latin-1 char
+# (U+00C2-U+00F4), followed by a continuation byte's char (U+0080-U+00BF)
+# - real language essentially never puts those letters directly before C1
+# controls or the continuation-range punctuation.
+_MOJIBAKE_RE = "[\u00c2-\u00f4][\u0080-\u00bf]"
+
+# Any character outside Latin-1's byte range: such a string cannot be a
+# Latin-1 misdecode (and Spark 4's ANSI encode() would THROW on it, not
+# substitute '?'), so it must never reach the re-encode.
+_NON_LATIN1_RE = "[^\u0000-\u00ff]"
+
+
+def fix_mojibake(col: Column, passes: int = 1) -> Column:
+    """Repair UTF-8-decoded-as-Latin-1/cp1252 mojibake (the ftfy
+    fix_encoding family - 'cafÃ©' -> 'café'): translate cp1252-visible
+    bytes back to their Latin-1 positions, re-encode as Latin-1
+    (recovering the ORIGINAL byte stream - every Latin-1 char maps to
+    exactly one byte, so the string's bytes come back exactly), and
+    re-decode as UTF-8. The repair applies ONLY when (a) the mojibake
+    signature is present, (b) every character is in Latin-1's byte range
+    (a string with real non-Latin-1 text cannot be a Latin-1 misdecode -
+    and ANSI encode() would abort the job on it, so the branch is guarded
+    BEFORE the encode is evaluated), and (c) the recovered bytes are
+    valid UTF-8 (``is_valid_utf8`` - the bytes really were UTF-8).
+    Anything else passes through UNCHANGED: the operator can only ever
+    remove mojibake, never introduce damage; clean text is a fixed point.
+
+    ``passes`` > 1 repairs N-times-mangled text (each pass unwinds one
+    decode error), like ftfy's fixing loop. Pure codegen - repairing
+    100 TB is a scan, no UDF."""
+    out = col
+    for _ in range(passes):
+        pre = F.translate(out, _CP1252_CHARS, _CP1252_BYTES)
+        cond = pre.rlike(_MOJIBAKE_RE) & ~pre.rlike(_NON_LATIN1_RE)
+        latin = F.encode(pre, "ISO-8859-1")
+        # nested when(): the encode/decode expressions are evaluated only
+        # on rows whose guard holds (If takes one branch per row)
+        fixed = F.when(
+            cond, F.when(F.is_valid_utf8(latin), F.decode(latin, "UTF-8"))
+        )
+        out = F.coalesce(fixed, out)
+    return out

@@ -388,3 +388,78 @@ def stream_url_frontier(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+# --- Outlink extraction + URL resolution (crawl discovery) --------------------
+
+
+_HREF_RE = r"""(?i)<a\s[^>]*href\s*=\s*["']([^"']*)["']"""
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", base_col: str = "url"
+) -> DataFrame:
+    """One row per outgoing link of every page — the URL-DISCOVERY stage
+    that closes the crawl loop (discover here → canonicalize → robots
+    filter → Bloom frontier → fetch → WARC → extract). Keeps every input
+    column and appends ``link``, the href resolved to an ABSOLUTE URL
+    against the page's base URL per RFC 3986's reference resolution:
+
+    - absolute ``http(s)://…`` kept as-is; every other scheme
+      (``mailto:``, ``javascript:``, ``data:`` …) is dropped — a crawler
+      can't fetch them;
+    - protocol-relative ``//host/path`` takes the base's scheme;
+    - root-relative ``/path`` joins the base's origin;
+    - query-only ``?q`` replaces the base's query;
+    - relative paths join the base's directory, with dot-segment removal
+      (``.`` / ``..``) applied as a bounded rewrite (8 passes — deeper
+      ``../`` chains than 8 are pathological in real markup and resolve
+      conservatively toward the root);
+    - fragment-only / empty hrefs are dropped; ``&amp;`` entities in
+      hrefs are decoded (HTML attribute values are entity-encoded).
+
+    Everything is codegen (regexp_extract_all + explode + when-chain);
+    pair with ``canonicalize_url`` downstream for dedup keys. At 100 TB
+    this is one scan with a one-to-many explode — no shuffle, no Python.
+    """
+    href = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(_HREF_RE), F.lit(1))
+    ).alias("_href")
+    out = df.select(*df.columns, href).withColumn(
+        "_href", F.replace(F.col("_href"), F.lit("&amp;"), F.lit("&"))
+    )
+    base = F.col(base_col)
+    h = F.col("_href")
+    scheme = F.regexp_extract(base, r"^(https?):", 1)
+    origin = F.regexp_extract(base, r"^(https?://[^/?#]+)", 1)
+    # base directory: strip query/fragment, then everything after the last
+    # '/' of the path; a bare origin gets '/'
+    base_nofrag = F.regexp_replace(base, r"[?#].*$", "")
+    base_dir = F.when(
+        F.regexp_extract(base_nofrag, r"^https?://[^/]+(/.*)$", 1) == "",
+        F.concat(origin, F.lit("/")),
+    ).otherwise(F.regexp_replace(base_nofrag, r"[^/]*$", ""))
+    resolved = (
+        F.when(h.rlike(r"^https?://"), h)
+        .when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*:"), F.lit(None))  # other scheme
+        .when(h.rlike(r"^//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.rlike(r"^/"), F.concat(origin, h))
+        .when(h.rlike(r"^\?"), F.concat(F.regexp_replace(base_nofrag, r"\?.*$", ""), h))
+        .when((h == "") | h.rlike(r"^#"), F.lit(None))
+        .otherwise(F.concat(base_dir, h))
+    )
+    # bounded dot-segment removal on the PATH (never touches the authority:
+    # the pattern requires a '/' before the segment and the origin has no
+    # slash after its host until the path starts)
+    for _ in range(8):
+        resolved = F.regexp_replace(
+            F.regexp_replace(resolved, r"(?<=//[^/]{1,256}/)\.\./", ""),
+            r"/(\./)+", "/",
+        )
+        resolved = F.regexp_replace(resolved, r"/[^/.][^/]*/\.\./", "/")
+        resolved = F.regexp_replace(resolved, r"/\.(/|$)", "/")
+    return (
+        out.withColumn("link", resolved)
+        .filter(F.col("link").isNotNull())
+        .drop("_href")
+    )

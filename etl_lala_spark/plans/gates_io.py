@@ -1200,3 +1200,78 @@ def web_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "maybe_seen")
         .orderBy("doc_id")
     )
+
+
+# --- Outlink extraction + resolution (crawl URL discovery) -------------------
+
+_LINK_GRAPH_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS h, doc_id % 3 AS c
+  FROM documents WHERE doc_id < 300
+),
+links AS (
+  SELECT doc_id, 'http://hub.example.com/abs' || doc_id AS link FROM d
+  UNION ALL
+  SELECT doc_id, 'http://cdn.example.com/lib' || c FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || h || '.example.com/root' || doc_id FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || h || '.example.com/dir/rel' || doc_id FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || h || '.example.com/up' || doc_id FROM d
+  UNION ALL
+  SELECT doc_id, 'http://site' || h || '.example.com/q' || doc_id
+                 || '?a=1&b=2' FROM d
+)
+SELECT doc_id, link FROM links ORDER BY doc_id, link
+"""
+
+
+@register("web_link_graph", oracle=_LINK_GRAPH_ORACLE)
+def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction + RFC 3986 reference resolution (the crawl's URL
+    DISCOVERY stage — the edge list every link graph, PageRank prior, and
+    frontier feed starts from): 300 constructed pages carry one href per
+    resolution class — absolute (kept), ``mailto:`` and fragment-only
+    (dropped), protocol-relative (base scheme), root-relative (origin
+    join), plain relative (directory join), ``../`` (dot-segment
+    removal), and an entity-encoded unsorted query with a tracking param
+    (``&amp;`` decode + ``canonicalize_url``) — through the real
+    ``operators/web.py:extract_links`` + canonicalization. The oracle
+    states every resolved link in closed form: a wrong base directory, a
+    kept mailto, a missed entity decode, or an unsorted query lands on
+    different rows.
+
+    Scale: one scan + one-to-many explode, codegen end to end — link
+    extraction over 100 TB of HTML is embarrassingly parallel and feeds
+    the (host, host) edge aggregate with one groupBy."""
+    from etl_lala_spark.functions.scalars import canonicalize_url
+    from etl_lala_spark.operators.web import extract_links
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ds = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 5).cast("string")
+    c = (F.col("doc_id") % 3).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="http://hub.example.com/abs'), ds,
+        F.lit('">a</a> <a href="mailto:x@example.com">m</a>'),
+        F.lit('<a href="//cdn.example.com/lib'), c,
+        F.lit('">c</a> <a href="/root'), ds,
+        F.lit('">r</a> <a href="rel'), ds,
+        F.lit('">l</a> <a href="../up'), ds,
+        F.lit('">u</a> <a href="#section">f</a><a href="/q'), ds,
+        F.lit('?b=2&amp;utm_source=z&amp;a=1">q</a></body></html>'),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), h, F.lit(".example.com/dir/page"), ds,
+            F.lit(".html"),
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return (
+        extract_links(pages)
+        .select("doc_id", canonicalize_url(F.col("link")).alias("link"))
+        .orderBy("doc_id", "link")
+    )

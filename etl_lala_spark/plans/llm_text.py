@@ -1636,3 +1636,49 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .orderBy("lang_true", "pred_lang")
     )
+
+
+@register(
+    "text_fix_mojibake",
+    oracle="""
+SELECT doc_id,
+       CAST(n_chars + 1 + CASE doc_id % 3
+            WHEN 0 THEN 14 WHEN 1 THEN 15
+            ELSE 17 END AS BIGINT) AS clean_chars,
+       1 AS repaired_ok, 1 AS double_ok, 1 AS fixpoint_ok
+FROM documents WHERE doc_id < 300 ORDER BY doc_id
+""",
+)
+def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair (ftfy fix_encoding family — the mojibake pass every
+    web-text pipeline runs before tokenization): per document a CLEAN text
+    (the doc's text + an accented snippet: French, em-dash German,
+    Spanish by doc_id % 3) is MANGLED in-plan — decode(encode(clean,
+    UTF-8), ISO-8859-1), the exact misdecode that produces 'cafÃ©' — once
+    and twice, then repaired by ``operators/text.py:fix_mojibake`` (one
+    pass and two passes). Flags, all pinned to 1 by the oracle:
+    single-pass repair restores the clean text byte-for-byte, the double
+    mangle unwinds under passes=2, and clean text is a FIXED POINT (the
+    signature guard means repair can never touch undamaged text —
+    ``clean_chars`` hash-matches the planting arithmetic so the cohort
+    itself is verified). Everything — mangle, signature detection,
+    Latin-1 round-trip, UTF-8 validation, repair — is codegen; at 100 TB
+    this stage is one scan."""
+    from etl_lala_spark.operators.text import fix_mojibake
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    snippet = F.element_at(
+        F.array(*[F.lit(x) for x in ['café été crème', 'naïve — déjà vu', 'señor über piñata']]),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    clean = F.concat(F.col("text"), F.lit(" "), snippet)
+    mangle = lambda c: F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")  # noqa: E731
+    m1 = mangle(clean)
+    m2 = mangle(mangle(clean))
+    return d.select(
+        "doc_id",
+        F.length(clean).cast("bigint").alias("clean_chars"),
+        (fix_mojibake(m1) == clean).cast("int").alias("repaired_ok"),
+        (fix_mojibake(m2, passes=2) == clean).cast("int").alias("double_ok"),
+        (fix_mojibake(clean) == clean).cast("int").alias("fixpoint_ok"),
+    ).orderBy("doc_id")

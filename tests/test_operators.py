@@ -2545,3 +2545,86 @@ def test_bloom_filter_no_false_negatives(spark):
     fp = sum(1 for i in range(n, 2 * n) if flags[i])
     theory = (1 - math.exp(-k * n / m)) ** k
     assert fp / n < 5 * theory + 0.01  # generous bound; ~0.4% expected
+
+
+def test_extract_links_resolution_cases(spark):
+    """RFC 3986 reference resolution: absolute kept, non-http schemes and
+    fragment-only dropped, protocol/root/query-relative joins, directory
+    join with dot-segment removal, &amp; entity decode, multiple links per
+    page, row columns preserved."""
+    from etl_lala_spark.operators.web import extract_links
+
+    html = (
+        '<a href="http://abs.example.com/x">a</a>'
+        "<A HREF='//cdn.example.com/lib'>b</A>"
+        '<a class="z" href="/rooted">c</a>'
+        '<a href="relative/page">d</a>'
+        '<a href="../up">e</a>'
+        '<a href="./same">f</a>'
+        '<a href="?q=1">g</a>'
+        '<a href="#frag">h</a>'
+        '<a href="">i</a>'
+        '<a href="mailto:x@y.com">j</a>'
+        '<a href="javascript:void(0)">k</a>'
+        '<a href="/q?a=1&amp;b=2">l</a>'
+    )
+    df = spark.createDataFrame(
+        [(7, "https://site.example.com/dir/sub/page.html?old=1#top", html)],
+        "doc_id long, url string, html string",
+    )
+    out = extract_links(df)
+    assert set(out.columns) == {"doc_id", "url", "html", "link"}
+    links = sorted(r["link"] for r in out.collect())
+    assert links == sorted(
+        [
+            "http://abs.example.com/x",
+            "https://cdn.example.com/lib",
+            "https://site.example.com/rooted",
+            "https://site.example.com/dir/sub/relative/page",
+            "https://site.example.com/dir/up",
+            "https://site.example.com/dir/sub/same",
+            "https://site.example.com/dir/sub/page.html?q=1",
+            "https://site.example.com/q?a=1&b=2",
+        ]
+    )
+    assert all(r["doc_id"] == 7 for r in out.collect())
+
+
+def test_fix_mojibake_repair_and_fixed_point(spark):
+    """Encoding repair: latin-1 and cp1252 misdecodes restore exactly,
+    double mangling unwinds under passes=2, and the guard makes clean text
+    — including real non-latin-1 text and a legitimate 'Ã' before a space
+    — a fixed point."""
+    from etl_lala_spark.operators.text import fix_mojibake
+
+    clean = [
+        "café au lait",
+        "naïve — déjà vu",
+        "猫 \U0001f408 über",
+        "Ã is a real letter",
+        "plain ascii",
+    ]
+    rows = []
+    for i, c in enumerate(clean):
+        m1 = c.encode("utf-8").decode("latin-1")
+        try:
+            mcp = c.encode("utf-8").decode("cp1252")
+        except UnicodeDecodeError:
+            mcp = m1
+        rows.append((i, c, m1, m1.encode("utf-8").decode("latin-1"), mcp))
+    df = spark.createDataFrame(
+        rows, "i long, clean string, m1 string, m2 string, mcp string"
+    )
+    out = df.select(
+        "i",
+        "clean",
+        fix_mojibake(F.col("m1")).alias("f1"),
+        fix_mojibake(F.col("m2"), passes=2).alias("f2"),
+        fix_mojibake(F.col("mcp")).alias("fcp"),
+        fix_mojibake(F.col("clean")).alias("fx"),
+    )
+    for r in out.collect():
+        assert r["f1"] == r["clean"], r
+        assert r["f2"] == r["clean"], r
+        assert r["fcp"] == r["clean"], r
+        assert r["fx"] == r["clean"], r  # fixed point, never damages
