@@ -208,31 +208,53 @@ def bpe_train(
     application replaces two tokens with one, so
     final_token_total == initial_token_total − Σ applied.
 
-    Plan depth grows by one regexp_replace per round (round r re-evaluates
-    r rewrites); at production scale checkpoint the corpus every few
-    merges. Returns [{rank, pair, pair_count, applied}, ...].
+    The working corpus is PERSISTED every round with the applied-count
+    fused into the rewrite projection: round r evaluates exactly ONE
+    regexp pass over cached rows (election agg + count-and-rewrite scan)
+    instead of re-deriving an r-deep rewrite chain from the source scan —
+    the rewrite cost is O(n_merges · corpus), not O(n_merges² · corpus).
+    The cache is released round-over-round and on exit (each round's live
+    footprint is one corpus copy), so at production scale memory-and-disk
+    persistence per merge IS the checkpoint discipline.
+    Returns [{rank, pair, pair_count, applied}, ...].
     """
-    cur = df.select(F.col(text_col).alias("t"))
+    # Seed-time repartition: the source is often a handful of files (ONE at
+    # small SF), and every narrow rewrite round inherits that layout — the
+    # one up-front corpus shuffle is what lets all n_merges regexp passes
+    # run cluster-wide instead of on len(files) cores.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    cur = df.select(F.col(text_col).alias("t")).repartition(par).persist()
     merges: list[dict] = []
-    for r in range(n_merges):
-        top = (
-            cur.select(F.explode(word_bigrams(F.col("t"))).alias("g"))
-            .groupBy("g")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.col("c").desc(), "g")
-            .limit(1)
-            .collect()
-        )
-        if not top or top[0]["c"] < 2:
-            break
-        g, c = top[0]["g"], int(top[0]["c"])
-        a, b = g.split(" ", 1)
-        pat, repl = _merge_rewrite(a, b, sep)
-        applied = int(
-            cur.agg(F.sum(F.regexp_count("t", F.lit(pat)))).first()[0]
-        )
-        cur = cur.withColumn("t", F.regexp_replace("t", pat, repl))
-        merges.append({"rank": r, "pair": g, "pair_count": c, "applied": applied})
+    try:
+        for r in range(n_merges):
+            top = (
+                cur.select(F.explode(word_bigrams(F.col("t"))).alias("g"))
+                .groupBy("g")
+                .agg(F.count("*").alias("c"))
+                .orderBy(F.col("c").desc(), "g")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] < 2:
+                break
+            g, c = top[0]["g"], int(top[0]["c"])
+            a, b = g.split(" ", 1)
+            pat, repl = _merge_rewrite(a, b, sep)
+            # One scan computes the pre-rewrite applied count AND the
+            # rewritten corpus; persisting it makes this round's regexp the
+            # last one ever evaluated over these rows.
+            nxt = cur.select(
+                F.regexp_count("t", F.lit(pat)).alias("_applied"),
+                F.regexp_replace("t", pat, repl).alias("t"),
+            ).persist()
+            applied = int(nxt.agg(F.sum("_applied")).first()[0])
+            cur.unpersist()  # after nxt materialized — never re-derive the chain
+            cur = nxt
+            merges.append(
+                {"rank": r, "pair": g, "pair_count": c, "applied": applied}
+            )
+    finally:
+        cur.unpersist()
     return merges
 
 
