@@ -171,6 +171,11 @@ HEADLINE = [
     # discovery) and ftfy-family encoding repair (mojibake), both codegen
     "web_link_graph",
     "text_fix_mojibake",
+    # round 9 (cont.): CDX/Common Crawl index-first access — CDXJ parse
+    # (codegen, permissive) + newest-good-capture selection (one key-grain
+    # hash agg) + per-WARC-file fetch work units
+    "web_cdx_select",
+    "web_cdx_fetch_plan",
 ]
 
 

@@ -463,3 +463,118 @@ def extract_links(
         .filter(F.col("link").isNotNull())
         .drop("_href")
     )
+
+# --- CDX / Common Crawl index selection ---------------------------------------
+#
+# Common Crawl publishes a CDX(J) index alongside its WARCs: one line per
+# capture, "<SURT key> <14-digit timestamp> <JSON>", where the JSON names the
+# capture's url/mime/status and the (filename, offset, length) byte range of
+# its WARC record. The standard access pattern (cdx_toolkit, cc-index) is:
+# parse the index, SELECT the captures you want (dedup to the newest good
+# capture per URL key), and fetch only those byte ranges — never the whole
+# crawl. These three stages are the missing front-of-the-front-door above
+# sources/warc.py's record extraction.
+
+#: Capture metadata carried by a CDXJ line's JSON payload. Numeric fields
+#: arrive as JSON strings in the real index; cast after parse.
+_CDXJ_JSON_SCHEMA = (
+    "url string, mime string, status string, digest string,"
+    " length string, offset string, filename string"
+)
+
+
+def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse CDXJ index lines into typed capture rows — PERMISSIVE, in the
+    repo's R5 structured-error-stream idiom: a line that is not
+    ``<surt> <14-digit ts> <json object>`` (or whose JSON fails to parse /
+    lacks a url) keeps one row with data columns NULL and ``_error`` set,
+    so a corrupt index shard surfaces as data instead of killing the job.
+
+    Output: (surt, ts, url, mime, status, digest, length, offset,
+    filename, _error). Pure codegen — regexp_extract for the three fields,
+    ``from_json`` for the payload; parsing a multi-TB index is one scan,
+    no shuffle, no Python."""
+    line = F.col(line_col)
+    surt = F.regexp_extract(line, r"^(\S+) \d{14} \{", 1)
+    ts = F.regexp_extract(line, r"^\S+ (\d{14}) \{", 1)
+    js = F.regexp_extract(line, r"^\S+ \d{14} (\{.*\})\s*$", 1)
+    parsed = df.select(
+        *df.columns,
+        F.when(surt != "", surt).alias("_surt"),
+        F.when(ts != "", ts.cast("bigint")).alias("_ts"),
+        F.when(js != "", F.from_json(js, _CDXJ_JSON_SCHEMA)).alias("_j"),
+    )
+    j = F.col("_j")
+    err = (
+        F.when(F.col("_surt").isNull() | F.col("_ts").isNull(), "malformed_line")
+        .when(j.isNull() | j["url"].isNull(), "bad_json")
+    )
+    return parsed.select(
+        *df.columns,
+        F.when(err.isNull(), F.col("_surt")).alias("surt"),
+        F.when(err.isNull(), F.col("_ts")).alias("ts"),
+        *[
+            F.when(err.isNull(), j[f]).alias(f)
+            for f in ("url", "mime", "digest", "filename")
+        ],
+        F.when(err.isNull(), j["status"].cast("int")).alias("status"),
+        F.when(err.isNull(), j["length"].cast("bigint")).alias("length"),
+        F.when(err.isNull(), j["offset"].cast("bigint")).alias("offset"),
+        err.alias("_error"),
+    )
+
+
+def select_captures(
+    parsed: DataFrame,
+    statuses: tuple[int, ...] = (200,),
+    mimes: tuple[str, ...] = ("text/html",),
+) -> DataFrame:
+    """Capture selection: keep well-formed captures matching ``statuses``
+    and ``mimes``, then dedup each SURT key to its NEWEST capture
+    (timestamp desc, offset desc tiebreak — fully deterministic even if an
+    index lists one capture twice). One filter + one map-side-combinable
+    ``max_by``-shaped hash agg on the key; appends ``n_captures`` (how
+    many good captures the key had — the recrawl-frequency signal). The
+    index is the only thing shuffled, and only once, at key grain."""
+    good = parsed.filter(
+        F.col("_error").isNull()
+        & F.col("status").isin(*statuses)
+        & F.col("mime").isin(*mimes)
+    )
+    pick = F.max(
+        F.struct("ts", "offset", "url", "mime", "status", "digest", "length", "filename")
+    ).alias("_pick")
+    return (
+        good.groupBy("surt")
+        .agg(pick, F.count(F.lit(1)).alias("n_captures"))
+        .select(
+            "surt",
+            F.col("_pick.ts").alias("ts"),
+            F.col("_pick.url").alias("url"),
+            F.col("_pick.mime").alias("mime"),
+            F.col("_pick.status").alias("status"),
+            F.col("_pick.digest").alias("digest"),
+            F.col("_pick.length").alias("length"),
+            F.col("_pick.offset").alias("offset"),
+            F.col("_pick.filename").alias("filename"),
+            "n_captures",
+        )
+    )
+
+
+def cdx_fetch_plan(selected: DataFrame) -> DataFrame:
+    """Roll selected captures up to per-WARC-file fetch work units:
+    (filename, n_records, total_bytes, min_offset, max_offset). This is
+    the unit list a range-fetching stage schedules (sources/fetch.py one
+    level down) — records of one file fetch together, so a 100 TB crawl
+    pull is (files touched) × one ranged read, not (captures) × one HTTP
+    round trip. One hash agg, broadcast-sized output."""
+    return (
+        selected.groupBy("filename")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.sum("length").alias("total_bytes"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+    )

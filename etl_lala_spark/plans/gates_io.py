@@ -1275,3 +1275,136 @@ def web_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", canonicalize_url(F.col("link")).alias("link"))
         .orderBy("doc_id", "link")
     )
+
+
+# --- CDX / Common Crawl index selection (web-pipeline stage 0) ----------------
+
+# Capture i of doc d: ts = 20240101000000 + 100*d + i, status alternates
+# 200/503, offset/length/digest closed-form in (d, i); docs % 5 == 0 are
+# non-HTML (excluded), docs % 7 == 0 contribute two malformed index lines
+# (dropped as _error rows). Selection keeps the NEWEST 200+text/html capture
+# per SURT key: i* = m if m even else m - 1, n_captures = m/2 + 1.
+_CDX_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS m,
+         CASE WHEN doc_id % 3 % 2 = 0 THEN doc_id % 3
+              ELSE doc_id % 3 - 1 END AS sel
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+)
+SELECT 'com,example)/doc' || doc_id AS surt,
+       CAST(20240101000000 + doc_id * 100 + sel AS BIGINT) AS ts,
+       'http://example.com/doc' || doc_id AS url,
+       CAST(200 AS INT) AS status,
+       'sha1:D' || doc_id || 'C' || sel AS digest,
+       CAST(500 + sel AS BIGINT) AS length,
+       CAST(doc_id * 1000 + sel * 100 AS BIGINT) AS offset,
+       'crawl/seg' || doc_id % 4 || '.warc.gz' AS filename,
+       CAST(m // 2 + 1 AS BIGINT) AS n_captures
+FROM d
+ORDER BY surt
+"""
+
+
+def _cdx_lines(d: DataFrame) -> DataFrame:
+    """Closed-form CDXJ index lines for the gates: per doc < 200, captures
+    i in 0..doc_id % 3 (status 200/503 alternating, mime text/html except
+    docs % 5 == 0 → application/pdf), plus two malformed lines per
+    doc % 7 == 0 (free text and a bad-JSON payload)."""
+    ds = F.col("doc_id").cast("string")
+    i = F.col("i").cast("string")
+    json = F.concat(
+        F.lit('{"url": "http://example.com/doc'), ds,
+        F.lit('", "mime": "'),
+        F.when(F.col("doc_id") % 5 == 0, "application/pdf").otherwise("text/html"),
+        F.lit('", "status": "'),
+        F.when(F.col("i") % 2 == 0, "200").otherwise("503"),
+        F.lit('", "digest": "sha1:D'), ds, F.lit("C"), i,
+        F.lit('", "length": "'), (F.lit(500) + F.col("i")).cast("string"),
+        F.lit('", "offset": "'),
+        (F.col("doc_id") * 1000 + F.col("i") * 100).cast("string"),
+        F.lit('", "filename": "crawl/seg'), (F.col("doc_id") % 4).cast("string"),
+        F.lit('.warc.gz"}'),
+    )
+    captures = d.select(
+        F.explode(F.sequence(F.lit(0), F.col("doc_id") % 3)).alias("i"),
+        F.concat(
+            F.lit("com,example)/doc"), ds, F.lit(" "),
+            (F.lit(20240101000000) + F.col("doc_id") * 100 + F.col("i")).cast("string"),
+            F.lit(" "), json,
+        ).alias("line"),
+    ).select("line")
+    bad = d.filter(F.col("doc_id") % 7 == 0).select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("corrupt index shard row "), ds),
+                F.concat(
+                    F.lit("com,example)/bad"), ds,
+                    F.lit(" 20240101000000 {not json at all"),
+                ),
+            )
+        ).alias("line")
+    )
+    return captures.unionAll(bad)
+
+
+@register("web_cdx_select", oracle=_CDX_ORACLE)
+def web_cdx_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX(J) index parsing + capture selection (Common Crawl's index-first
+    access pattern — cdx_toolkit / cc-index family): closed-form CDXJ
+    lines (multiple captures per URL with alternating HTTP status, non-HTML
+    docs, and injected malformed/bad-JSON lines) flow through the real
+    ``operators/web.py:parse_cdxj`` → ``select_captures`` kernels. The
+    oracle states the surviving capture per SURT key in closed form:
+    keeping a 503 or a PDF capture, electing by offset instead of newest
+    timestamp, dropping the dedup tiebreak, failing to reject a malformed
+    line, or mangling a JSON field all land on different rows.
+
+    Scale: parsing is one codegen scan of the index (no Python, no
+    shuffle); selection is the index's ONLY shuffle, one map-side-combined
+    hash agg at URL-key grain. The 100 TB crawl itself is never touched —
+    that is the point of index-first access."""
+    from etl_lala_spark.operators.web import parse_cdxj, select_captures
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sel = select_captures(parse_cdxj(_cdx_lines(d)))
+    return sel.select(
+        "surt", "ts", "url", "status", "digest", "length", "offset",
+        "filename", "n_captures",
+    ).orderBy("surt")
+
+
+_CDX_PLAN_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 % 2 = 0 THEN doc_id % 3
+              ELSE doc_id % 3 - 1 END AS sel
+  FROM documents WHERE doc_id < 200 AND doc_id % 5 <> 0
+)
+SELECT 'crawl/seg' || doc_id % 4 || '.warc.gz' AS filename,
+       CAST(count(*) AS BIGINT) AS n_records,
+       CAST(sum(500 + sel) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id * 1000 + sel * 100) AS BIGINT) AS min_offset,
+       CAST(max(doc_id * 1000 + sel * 100) AS BIGINT) AS max_offset
+FROM d
+GROUP BY 1
+ORDER BY filename
+"""
+
+
+@register("web_cdx_fetch_plan", oracle=_CDX_PLAN_ORACLE)
+def web_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-WARC-file fetch work units rolled up from the CDX selection
+    (``operators/web.py:cdx_fetch_plan``) — the scheduling unit of a
+    range-fetching stage: records of one file fetch together, so pulling
+    selected content out of a 100 TB crawl costs (files touched) ranged
+    reads, not (captures) HTTP round trips. The oracle replays the
+    byte/offset arithmetic per file in closed form."""
+    from etl_lala_spark.operators.web import (
+        cdx_fetch_plan,
+        parse_cdxj,
+        select_captures,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    plan = cdx_fetch_plan(select_captures(parse_cdxj(_cdx_lines(d))))
+    return plan.orderBy("filename")

@@ -2628,3 +2628,56 @@ def test_fix_mojibake_repair_and_fixed_point(spark):
         assert r["f2"] == r["clean"], r
         assert r["fcp"] == r["clean"], r
         assert r["fx"] == r["clean"], r  # fixed point, never damages
+
+
+def test_parse_cdxj_permissive_and_select_newest(spark):
+    """CDXJ parsing: good lines type fully; a structurally-broken line and
+    a bad-JSON payload each keep one _error row with data columns NULL.
+    Selection keeps the newest 200+text/html capture per SURT key with a
+    deterministic (ts, offset) tiebreak and counts good captures."""
+    from etl_lala_spark.operators.web import (
+        cdx_fetch_plan,
+        parse_cdxj,
+        select_captures,
+    )
+
+    def j(url, mime, status, off, ln, fn="crawl/a.warc.gz"):
+        return (
+            f'{{"url": "{url}", "mime": "{mime}", "status": "{status}",'
+            f' "digest": "sha1:X", "length": "{ln}", "offset": "{off}",'
+            f' "filename": "{fn}"}}'
+        )
+
+    lines = [
+        # key1: three captures — newest good one wins, 503 ignored
+        "com,ex)/a 20240101000000 " + j("http://ex.com/a", "text/html", 200, 10, 5),
+        "com,ex)/a 20240102000000 " + j("http://ex.com/a", "text/html", 503, 20, 5),
+        "com,ex)/a 20240103000000 " + j("http://ex.com/a", "text/html", 200, 30, 7),
+        # key1 DUPLICATE of the newest ts with a lower offset: tiebreak
+        "com,ex)/a 20240103000000 " + j("http://ex.com/a", "text/html", 200, 25, 7),
+        # key2: only capture is a PDF — excluded entirely
+        "com,ex)/b 20240101000000 " + j("http://ex.com/b", "application/pdf", 200, 1, 1),
+        # malformed shapes
+        "not a cdx line",
+        "com,ex)/c 20240101000000 {definitely not json",
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "line string")
+    parsed = parse_cdxj(df)
+    errs = {r["line"]: r["_error"] for r in parsed.filter("_error is not null").collect()}
+    assert errs == {
+        "not a cdx line": "malformed_line",
+        "com,ex)/c 20240101000000 {definitely not json": "bad_json",
+    }
+    bad = parsed.filter("_error is not null").collect()
+    assert all(r["surt"] is None and r["ts"] is None and r["url"] is None for r in bad)
+    good = parsed.filter("_error is null")
+    assert good.count() == 5
+    sel = select_captures(good).collect()
+    assert len(sel) == 1
+    r = sel[0]
+    assert (r["surt"], r["ts"], r["offset"], r["n_captures"]) == (
+        "com,ex)/a", 20240103000000, 30, 3,
+    )
+    plan = cdx_fetch_plan(select_captures(good)).collect()
+    assert len(plan) == 1 and plan[0]["n_records"] == 1
+    assert plan[0]["total_bytes"] == 7
