@@ -176,6 +176,10 @@ HEADLINE = [
     # hash agg) + per-WARC-file fetch work units
     "web_cdx_select",
     "web_cdx_fetch_plan",
+    # round 9 (cont.): C4/UT1/FineWeb document cleaning — registrable-domain
+    # (eTLD+1) blocklist via broadcast join + whole-token multiset badword
+    # stats via literal-array codegen
+    "web_domain_badword_filter",
 ]
 
 

@@ -1226,3 +1226,43 @@ def fix_mojibake(col: Column, passes: int = 1) -> Column:
         )
         out = F.coalesce(fixed, out)
     return out
+
+
+def badword_stats(
+    df,
+    badwords: list[str],
+    text_col: str = "text",
+) -> "DataFrame":
+    """Lexicon-hit statistics for the C4 'bad words' document filter
+    (Raffel et al. 2020 drop any page containing a listed word; FineWeb
+    keeps a fractional threshold instead). Appends ``n_tokens``
+    (whitespace tokens), ``n_badwords`` (MULTISET count — every
+    occurrence, not distinct hits, so a threshold on the fraction means
+    what it says), and ``badword_frac``. Matching is lowercase
+    whole-token, so 'class' never trips a list containing 'ass'.
+
+    The lexicon enters the plan as a literal array (C4's list is a few
+    hundred words); the per-token membership test is a codegen
+    array_contains — one scan, no shuffle, no Python. A multi-million-term
+    lexicon should go through the explode + broadcast-join path instead
+    (the :func:`~etl_lala_spark.operators.web.domain_blocklist_filter`
+    shape)."""
+    lex = F.lit(sorted({w.lower() for w in badwords}))
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_tokens = F.size(toks).cast("bigint")
+    n_bad = F.size(
+        F.filter(toks, lambda t: F.array_contains(lex, t))
+    ).cast("bigint")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_badwords", n_bad)
+        .withColumn(
+            "badword_frac",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("n_badwords") / F.col("n_tokens"), 6),
+            ).otherwise(F.lit(None).cast("double")),
+        )
+    )

@@ -578,3 +578,40 @@ def cdx_fetch_plan(selected: DataFrame) -> DataFrame:
             F.max("offset").alias("max_offset"),
         )
     )
+
+
+# --- Domain-blocklist filtering (C4 / UT1 / FineWeb cleaning stage) ------------
+
+
+def domain_blocklist_filter(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Flag documents whose URL's registrable domain is on a blocklist —
+    the C4/FineWeb adult-and-spam domain filter (UT1 blacklist family).
+    Appends ``host``, ``reg_domain``
+    (:func:`~etl_lala_spark.functions.scalars.registered_domain`) and
+    ``blocked_domain`` (boolean; an unparseable URL is NOT blocked — it
+    should fail the URL-validity filter, not impersonate a listed
+    domain). The blocklist joins BROADCAST at registrable-domain grain
+    (UT1 is ~4M rows — megabytes), so the corpus is never shuffled:
+    filtering 100 TB is one scan through one broadcast hash join."""
+    from etl_lala_spark.functions.scalars import registered_domain
+
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    bl = F.broadcast(
+        blocklist.select(
+            F.lower(F.col(domain_col)).alias("_bl_domain"),
+            F.lit(True).alias("_bl_hit"),
+        ).dropDuplicates(["_bl_domain"])
+    )
+    flagged = (
+        urls.withColumn("host", host)
+        .withColumn("reg_domain", registered_domain(F.col("host")))
+        .join(bl, F.col("reg_domain") == F.col("_bl_domain"), "left")
+    )
+    return flagged.withColumn(
+        "blocked_domain", F.coalesce(F.col("_bl_hit"), F.lit(False))
+    ).drop("_bl_domain", "_bl_hit")

@@ -1408,3 +1408,119 @@ def web_cdx_fetch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     plan = cdx_fetch_plan(select_captures(parse_cdxj(_cdx_lines(d))))
     return plan.orderBy("filename")
+
+
+# --- Domain-blocklist + badword filtering (C4 / UT1 / FineWeb cleaning) -------
+
+# URL shape per doc (k = doc_id % 6) exercises every registered-domain
+# branch: subdomain of a listed .com (k=0, blocked iff d%7 < 4), cased+port
+# subdomain under a two-label public suffix (k=1, blocked iff d%5 < 3),
+# clean .org (k=2), deep subdomain (k=3), single-label host (k=4), a host
+# that IS a public suffix (k=5). Badwords are appended to the real document
+# text (1× for d%3==0, 2× for d%4==0), so n_badwords is closed-form while
+# n_tokens replays the real tokenization.
+_BLOCKLIST_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS k, doc_id % 7 AS t7, doc_id % 5 AS t5,
+         text
+           || CASE WHEN doc_id % 3 = 0 THEN ' badwordalpha' ELSE '' END
+           || CASE WHEN doc_id % 4 = 0 THEN ' badwordbeta badwordbeta'
+              ELSE '' END AS txt
+  FROM documents WHERE doc_id < 300
+),
+f AS (
+  SELECT doc_id,
+         CASE k
+           WHEN 0 THEN 'ads.tracker' || t7 || '.com'
+           WHEN 1 THEN 'www.badshop' || t5 || '.co.uk'
+           WHEN 2 THEN 'clean' || doc_id || '.org'
+           WHEN 3 THEN 'a.b.c.clean' || doc_id || '.com'
+           WHEN 4 THEN 'localhost'
+           ELSE 'co.uk' END AS host,
+         CASE k
+           WHEN 0 THEN 'tracker' || t7 || '.com'
+           WHEN 1 THEN 'badshop' || t5 || '.co.uk'
+           WHEN 2 THEN 'clean' || doc_id || '.org'
+           WHEN 3 THEN 'clean' || doc_id || '.com'
+           WHEN 4 THEN 'localhost'
+           ELSE 'co.uk' END AS reg_domain,
+         (k = 0 AND t7 < 4) OR (k = 1 AND t5 < 3) AS blocked_domain,
+         CAST(len(list_filter(regexp_split_to_array(lower(txt), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS BIGINT)
+           AS n_badwords
+  FROM d
+)
+SELECT doc_id, host, reg_domain, blocked_domain, n_tokens, n_badwords,
+       round(n_badwords / n_tokens, 6) AS badword_frac,
+       CASE WHEN blocked_domain THEN 'blocked_domain'
+            WHEN n_badwords > 0 THEN 'badwords'
+            ELSE 'kept' END AS verdict
+FROM f
+ORDER BY doc_id
+"""
+
+
+@register("web_domain_badword_filter", oracle=_BLOCKLIST_ORACLE)
+def web_domain_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/UT1/FineWeb document-cleaning filter pair under one gate:
+    registrable-domain blocklisting
+    (``operators/web.py:domain_blocklist_filter`` over
+    ``functions/scalars.py:registered_domain``) and lexicon badword
+    statistics (``operators/text.py:badword_stats``). URLs exercise every
+    eTLD+1 branch (subdomain, cased host + port, two-label public suffix,
+    deep subdomain, single label, suffix-as-host); the blocklist carries a
+    cased duplicate to pin its own normalization; badwords are appended
+    to the REAL document text so the multiset count is closed-form while
+    the token denominator replays real tokenization. A wrong suffix rule,
+    a substring (non-whole-token) badword match, a distinct-not-multiset
+    count, or a dropped port all land on different rows.
+
+    Scale: blocklist joins broadcast at domain grain (UT1 ~4M rows =
+    megabytes); the lexicon is a literal array in codegen — filtering
+    100 TB is one scan, zero corpus shuffles."""
+    from etl_lala_spark.operators.text import badword_stats
+    from etl_lala_spark.operators.web import domain_blocklist_filter
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ds = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 6
+    url = (
+        F.when(k == 0, F.concat(F.lit("http://ads.tracker"),
+                                (F.col("doc_id") % 7).cast("string"),
+                                F.lit(".com/x")))
+        .when(k == 1, F.concat(F.lit("http://WWW.BadShop"),
+                               (F.col("doc_id") % 5).cast("string"),
+                               F.lit(".co.uk:8080/p")))
+        .when(k == 2, F.concat(F.lit("http://clean"), ds, F.lit(".org/x")))
+        .when(k == 3, F.concat(F.lit("http://a.b.c.clean"), ds, F.lit(".com/")))
+        .when(k == 4, F.lit("http://localhost/x"))
+        .otherwise(F.lit("http://co.uk/x"))
+    )
+    txt = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, " badwordalpha").otherwise(""),
+        F.when(F.col("doc_id") % 4 == 0, " badwordbeta badwordbeta").otherwise(""),
+    )
+    docs = d.select("doc_id", url.alias("url"), txt.alias("text"))
+    blocklist = spark.createDataFrame(
+        [(f"tracker{i}.com",) for i in range(4)]
+        + [(f"badshop{i}.co.uk",) for i in range(3)]
+        + [("Tracker2.Com",), ("never-seen.example",)],
+        "domain string",
+    )
+    flagged = badword_stats(
+        domain_blocklist_filter(docs, blocklist),
+        badwords=["badwordalpha", "BADWORDBETA"],
+    )
+    verdict = (
+        F.when(F.col("blocked_domain"), "blocked_domain")
+        .when(F.col("n_badwords") > 0, "badwords")
+        .otherwise("kept")
+    )
+    return flagged.select(
+        "doc_id", "host", "reg_domain", "blocked_domain",
+        "n_tokens", "n_badwords", "badword_frac",
+        verdict.alias("verdict"),
+    ).orderBy("doc_id")

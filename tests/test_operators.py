@@ -2681,3 +2681,52 @@ def test_parse_cdxj_permissive_and_select_newest(spark):
     plan = cdx_fetch_plan(select_captures(good)).collect()
     assert len(plan) == 1 and plan[0]["n_records"] == 1
     assert plan[0]["total_bytes"] == 7
+
+
+def test_registered_domain_and_blocklist_filter(spark):
+    """eTLD+1 extraction branches (subdomain, two-label public suffix,
+    single label, suffix-as-host, port, case) and blocklist semantics
+    (lowercased, deduped, unparseable URL not blocked)."""
+    from etl_lala_spark.functions.scalars import registered_domain
+    from etl_lala_spark.operators.web import domain_blocklist_filter
+
+    cases = [
+        ("http://ads.tracker.com/x", "tracker.com", True),
+        ("https://Shop.Example.CO.UK:8443/p", "example.co.uk", True),
+        ("http://deep.a.b.clean.org/", "clean.org", False),
+        ("http://localhost/x", "localhost", False),
+        ("http://co.uk/x", "co.uk", False),
+        ("not a url at all", None, False),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _, _) in enumerate(cases)],
+                               "i long, url string")
+    bl = spark.createDataFrame(
+        [("tracker.com",), ("EXAMPLE.co.uk",), ("Tracker.Com",)],
+        "domain string",
+    )
+    out = {r["i"]: r for r in domain_blocklist_filter(df, bl).collect()}
+    for i, (_, reg, blocked) in enumerate(cases):
+        assert out[i]["reg_domain"] == reg, (i, out[i])
+        assert out[i]["blocked_domain"] is blocked, (i, out[i])
+    # the cased duplicate must not fan out rows
+    assert len(out) == len(cases)
+
+
+def test_badword_stats_whole_token_multiset(spark):
+    """Badword counting is whole-token (no substring trips) and multiset
+    (every occurrence); empty text gets a NULL fraction, not a crash."""
+    from etl_lala_spark.operators.text import badword_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "the class assembled BADx bad bad"),
+            (1, "clean text only"),
+            (2, ""),
+        ],
+        "i long, text string",
+    )
+    out = {r["i"]: r for r in badword_stats(df, ["bad", "ASS"]).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_badwords"]) == (6, 2)
+    assert out[0]["badword_frac"] == round(2 / 6, 6)
+    assert (out[1]["n_badwords"], out[1]["badword_frac"]) == (0, 0.0)
+    assert (out[2]["n_tokens"], out[2]["badword_frac"]) == (0, None)
