@@ -180,6 +180,9 @@ HEADLINE = [
     # (eTLD+1) blocklist via broadcast join + whole-token multiset badword
     # stats via literal-array codegen
     "web_domain_badword_filter",
+    # round 9 (cont.): seeded deterministic global shuffle + size-targeted
+    # shard export via a distributed prefix sum (no single-partition window)
+    "curate_shard_export",
 ]
 
 

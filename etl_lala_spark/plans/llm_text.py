@@ -1682,3 +1682,45 @@ def text_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fix_mojibake(m2, passes=2) == clean).cast("int").alias("double_ok"),
         (fix_mojibake(clean) == clean).cast("int").alias("fixpoint_ok"),
     ).orderBy("doc_id")
+
+
+@register(
+    "curate_shard_export",
+    oracle="""
+WITH k AS (
+  SELECT doc_id, md5('r9:' || doc_id) AS shuffle_key,
+         CAST(octet_length(encode(text)) AS BIGINT) AS doc_bytes
+  FROM documents
+),
+c AS (
+  SELECT *, sum(doc_bytes) OVER (ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_bytes
+  FROM k
+)
+SELECT CAST(floor((cum_bytes - doc_bytes) / 16384) AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_bytes) AS BIGINT) AS shard_bytes_actual,
+       min(shuffle_key) AS min_key,
+       max(shuffle_key) AS max_key
+FROM c
+GROUP BY 1
+ORDER BY shard
+""",
+)
+def curate_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle + size-targeted shard export
+    (``sinks/writer.py:shard_assignments`` → ``shard_manifest``) — the
+    release stage of a training-data pipeline (WebDataset/Dolma-style
+    fixed-byte shards in a reproducible seed-keyed order). The engine
+    computes the GLOBAL byte running sum as a distributed prefix sum
+    (range-bucket by the sort key's first byte → per-bucket totals →
+    driver prefix offsets → within-bucket window), while the oracle runs
+    the textbook single-window definition — the gate IS the equivalence
+    proof between the scalable plan and the naive one. A wrong bucket
+    order, a lost byte at a bucket boundary, or a non-deterministic
+    tiebreak shifts a shard boundary and lands on different rows."""
+    from etl_lala_spark.sinks.writer import shard_assignments, shard_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    asg = shard_assignments(d, shard_bytes=16384, seed="r9")
+    return shard_manifest(asg).orderBy("shard")

@@ -1085,3 +1085,87 @@ def stream_neardup_ingest(
     if checkpoint:
         w = w.option("checkpointLocation", checkpoint)
     return w.start()
+
+
+def shard_assignments(
+    df: "DataFrame",
+    shard_bytes: int,
+    seed: str = "0",
+    id_col: str = "doc_id",
+    size_col: str | None = None,
+    text_col: str = "text",
+    n_range_buckets: int = 256,
+) -> "DataFrame":
+    """Deterministic seeded global shuffle + size-targeted shard assignment
+    — the delivery stage of a training-data pipeline (fixed-size .jsonl.gz
+    / tar shards in a reproducible, seed-keyed order; WebDataset/Dolma
+    release convention). Every doc gets ``shuffle_key`` (md5 of
+    seed:doc-id — changing the seed is a fresh epoch-quality reshuffle,
+    same plan), ``cum_bytes`` (its LAST byte's position in the
+    key-ordered corpus) and ``shard`` (greedy byte packing: a shard takes
+    docs until ``shard_bytes`` is crossed, overflowing by at most one doc
+    — the streaming-pack tradeoff ``curate_sequence_packing`` documents).
+
+    The global running sum is a DISTRIBUTED PREFIX SUM, not a
+    single-partition window (``orderBy`` with no ``partitionBy`` collapses
+    100 TB onto one task — the anti-pattern this operator exists to
+    avoid): (1) rows range-bucket by their key's first byte — a PREFIX of
+    the sort key, so bucket order refines key order; (2) one hash agg
+    computes per-bucket byte totals (``n_range_buckets`` rows — driver
+    math by construction) whose running sum gives each bucket its global
+    byte offset; (3) a window WITHIN each bucket adds the offset. Shuffle
+    cost: one corpus shuffle on the bucket key; every other piece is a
+    broadcast join or arithmetic."""
+    from pyspark.sql import Window as W
+
+    size = (
+        F.col(size_col).cast("bigint")
+        if size_col
+        else F.octet_length(F.col(text_col)).cast("bigint")
+    )
+    key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    keyed = df.withColumn("shuffle_key", key).withColumn("_bytes", size)
+    bucket = F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    keyed = keyed.withColumn("_bucket", bucket)
+    # (2) bucket totals -> exclusive prefix offsets (n_range_buckets rows;
+    # the collect is bounded by construction, never by the data)
+    totals = {
+        int(r["_bucket"]): int(r["s"])
+        for r in keyed.groupBy("_bucket").agg(F.sum("_bytes").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for b in range(n_range_buckets):
+        offsets.append((b, acc))
+        acc += totals.get(b, 0)
+    spark = df.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(offsets, "_bucket int, _offset long")
+    )
+    w = (
+        W.partitionBy("_bucket")
+        .orderBy("shuffle_key", id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        keyed.join(off, "_bucket")
+        .withColumn("cum_bytes", F.col("_offset") + F.sum("_bytes").over(w))
+        .withColumn(
+            "shard",
+            F.floor((F.col("cum_bytes") - F.col("_bytes")) / F.lit(int(shard_bytes)))
+            .cast("bigint"),
+        )
+    )
+    return out.withColumnRenamed("_bytes", "doc_bytes").drop("_bucket", "_offset")
+
+
+def shard_manifest(assignments: "DataFrame") -> "DataFrame":
+    """Per-shard release manifest over :func:`shard_assignments` output:
+    (shard, n_docs, shard_bytes_actual, min_key, max_key). One hash agg;
+    the manifest is what a release publishes next to the shard files so a
+    consumer can verify completeness without reading the data."""
+    return assignments.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("doc_bytes").cast("bigint").alias("shard_bytes_actual"),
+        F.min("shuffle_key").alias("min_key"),
+        F.max("shuffle_key").alias("max_key"),
+    )

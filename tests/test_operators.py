@@ -2730,3 +2730,40 @@ def test_badword_stats_whole_token_multiset(spark):
     assert out[0]["badword_frac"] == round(2 / 6, 6)
     assert (out[1]["n_badwords"], out[1]["badword_frac"]) == (0, 0.0)
     assert (out[2]["n_tokens"], out[2]["badword_frac"]) == (0, None)
+
+
+def test_shard_assignments_distributed_prefix_sum(spark):
+    """shard_assignments' bucketed prefix sum must equal the naive global
+    running sum; greedy packing overflows each shard by at most one doc;
+    changing the seed is a different (but deterministic) permutation."""
+    import hashlib
+
+    from etl_lala_spark.sinks.writer import shard_assignments, shard_manifest
+
+    rows = [(i, "x" * (17 + (i * 13) % 101)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    budget = 1000
+    out = shard_assignments(df, shard_bytes=budget, seed="s1").collect()
+
+    def key(seed, i):
+        return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+
+    naive = sorted(rows, key=lambda r: (key("s1", r[0]), r[0]))
+    cum, expect = 0, {}
+    for i, text in naive:
+        b = len(text)
+        expect[i] = (cum // budget, cum + b)  # (shard by start offset, cum)
+        cum += b
+    got = {r["doc_id"]: r for r in out}
+    assert len(got) == 400
+    for i, (shard, cumb) in expect.items():
+        assert got[i]["shard"] == shard, i
+        assert got[i]["cum_bytes"] == cumb, i
+    # at-most-one-doc overflow per shard
+    for m in shard_manifest(shard_assignments(df, budget, seed="s1")).collect():
+        assert m["shard_bytes_actual"] < budget + 118
+    # seed change permutes but stays a permutation of the same docs
+    out2 = {r["doc_id"]: r["shuffle_key"]
+            for r in shard_assignments(df, budget, seed="s2").collect()}
+    assert set(out2) == set(got)
+    assert any(out2[i] != got[i]["shuffle_key"] for i in got)
