@@ -183,6 +183,9 @@ HEADLINE = [
     # round 9 (cont.): seeded deterministic global shuffle + size-targeted
     # shard export via a distributed prefix sum (no single-partition window)
     "curate_shard_export",
+    # round 9 (cont.): rule-based sentence segmentation with abbreviation
+    # guard — pure codegen one-to-many explode (RAG/sentence-dedup prestage)
+    "text_sentence_split",
 ]
 
 

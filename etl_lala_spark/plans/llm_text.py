@@ -1724,3 +1724,48 @@ def curate_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     asg = shard_assignments(d, shard_bytes=16384, seed="r9")
     return shard_manifest(asg).orderBy("shard")
+
+
+@register(
+    "text_sentence_split",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id % 10 AS m FROM documents WHERE doc_id < 250),
+s AS (SELECT doc_id, m, unnest(range(0, 7)) AS sentence_id FROM d)
+SELECT doc_id, CAST(sentence_id AS INT) AS sentence_id,
+       CASE sentence_id
+         WHEN 0 THEN 'Dr. Smith saw w' || doc_id || '.'
+         WHEN 1 THEN 'It was late!'
+         WHEN 2 THEN 'Was it?'
+         WHEN 3 THEN 'See fig. ' || m || ' now.'
+         WHEN 4 THEN 'Hmm...'
+         WHEN 5 THEN 'Yes.'
+         ELSE 'End ' || doc_id END AS sentence
+FROM s
+ORDER BY doc_id, sentence_id
+""",
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based sentence segmentation
+    (``operators/text.py:split_sentences``) under a closed-form gate:
+    constructed paragraphs exercise the abbreviation guard (title 'Dr.',
+    mid-sentence 'fig. N'), all three terminators, an ellipsis run
+    (splits ONCE, terminator kept), and an unterminated final sentence.
+    The oracle STATES every output sentence per doc — stating rather than
+    replaying the regexes keeps Java-vs-RE2 engine quirks out of the
+    comparison, so a broken guard, a split inside 'Dr.', a lost
+    terminator, or an id shift lands on different rows."""
+    from etl_lala_spark.operators.text import split_sentences
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    ds = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Dr. Smith saw w"), ds,
+        F.lit(". It was late! Was it? See fig. "),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" now. Hmm... Yes. End "), ds,
+    )
+    return (
+        split_sentences(d.select("doc_id", text.alias("text")))
+        .select("doc_id", "sentence_id", "sentence")
+        .orderBy("doc_id", "sentence_id")
+    )

@@ -2767,3 +2767,34 @@ def test_shard_assignments_distributed_prefix_sum(spark):
             for r in shard_assignments(df, budget, seed="s2").collect()}
     assert set(out2) == set(got)
     assert any(out2[i] != got[i]["shuffle_key"] for i in got)
+
+
+def test_split_sentences_rules(spark):
+    """Sentence splitting: abbreviation guard (cased, multi-dot 'e.g.'),
+    ellipsis splits once keeping its run, unterminated tail kept, empty
+    and whitespace-only texts produce no rows, ids stable."""
+    from etl_lala_spark.operators.text import split_sentences
+
+    df = spark.createDataFrame(
+        [
+            (0, "MR. Jones met Dr. Who. E.g. this stays. Done."),
+            (1, "One... Two!! Three?  Four"),
+            (2, ""),
+            (3, "   "),
+            (4, "No. 5 is fine. Next one."),
+        ],
+        "i long, text string",
+    )
+    out = split_sentences(df)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["i"], []).append((r["sentence_id"], r["sentence"]))
+    for k in got:
+        got[k].sort()
+    assert [s for _, s in got[0]] == [
+        "MR. Jones met Dr. Who.", "E.g. this stays.", "Done.",
+    ]
+    assert [s for _, s in got[1]] == ["One...", "Two!!", "Three?", "Four"]
+    assert 2 not in got and 3 not in got
+    assert [s for _, s in got[4]] == ["No. 5 is fine.", "Next one."]
+    assert set(out.columns) == {"i", "text", "sentence_id", "sentence"}
