@@ -186,6 +186,9 @@ HEADLINE = [
     # round 9 (cont.): rule-based sentence segmentation with abbreviation
     # guard — pure codegen one-to-many explode (RAG/sentence-dedup prestage)
     "text_sentence_split",
+    # round 9 (cont.): sitemap XML parsing (crawl seed discovery) — tolerant
+    # codegen parse (entity/CDATA semantics), urlset + sitemapindex
+    "web_sitemap_parse",
 ]
 
 

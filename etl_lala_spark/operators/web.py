@@ -615,3 +615,71 @@ def domain_blocklist_filter(
     return flagged.withColumn(
         "blocked_domain", F.coalesce(F.col("_bl_hit"), F.lit(False))
     ).drop("_bl_domain", "_bl_hit")
+
+
+# --- Sitemap parsing (crawl seed discovery) ------------------------------------
+
+
+def _xml_entity_decode(col: Column) -> Column:
+    """Decode the five predefined XML entities. ``&amp;`` decodes LAST so
+    ``&amp;lt;`` correctly yields the literal text ``&lt;``."""
+    out = col
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
+
+
+def _sitemap_field(frag: Column, tag: str) -> Column:
+    """Text content of ``<tag>`` inside an entry fragment: CDATA content
+    is taken verbatim (the XML rule — CDATA is never entity-decoded),
+    plain content is entity-decoded; missing/empty → NULL."""
+    raw = F.trim(F.regexp_extract(frag, f"(?s)<{tag}[^>]*>(.*?)</{tag}>", 1))
+    cdata = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
+    val = F.when(cdata != "", cdata).otherwise(_xml_entity_decode(raw))
+    return F.when(val != "", val)
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """Parse sitemap XML (sitemaps.org protocol) into one row per entry —
+    the crawl's SEED-DISCOVERY stage (robots.txt points at sitemaps;
+    sitemaps enumerate the URLs worth fetching). Appends ``kind``
+    (``urlset`` for page lists, ``sitemapindex`` for index files whose
+    locs are more sitemaps — the caller loops those back through fetch),
+    ``entry_index``, ``loc``, ``lastmod`` (string, NULL when absent) and
+    ``priority`` (double, NULL when absent or non-numeric).
+
+    Deliberately REGEXP-based, not ``F.xpath_*``: Hive's xpath UDF throws
+    (aborting the whole job) on the first malformed fragment, and
+    web-scale sitemap corpora always contain bare ampersands, truncated
+    files, and stray markup — one bad row must not kill a 100 TB pass.
+    The tolerant parse handles namespaced roots (fields match by local
+    tag), entity-encoded and CDATA locs (CDATA verbatim per the XML
+    rule, plain text entity-decoded), and yields NULL fields instead of
+    errors elsewhere. Pure codegen: one scan + one-to-many explode, no
+    shuffle, no Python."""
+    kind = F.when(
+        F.col(xml_col).rlike(r"(?s)<\s*(\w+:)?sitemapindex[\s>]"),
+        F.lit("sitemapindex"),
+    ).otherwise(F.lit("urlset"))
+    frags = F.regexp_extract_all(
+        F.col(xml_col),
+        F.lit(r"(?s)<(?:url|sitemap)(?:\s[^>]*)?>.*?</(?:url|sitemap)\s*>"),
+        F.lit(0),
+    )
+    out = df.select(
+        *df.columns,
+        kind.alias("kind"),
+        F.posexplode(frags).alias("entry_index", "_frag"),
+    )
+    prio = _sitemap_field(F.col("_frag"), "priority")
+    return out.select(
+        *df.columns,
+        "kind",
+        "entry_index",
+        _sitemap_field(F.col("_frag"), "loc").alias("loc"),
+        _sitemap_field(F.col("_frag"), "lastmod").alias("lastmod"),
+        F.when(prio.rlike(r"^[0-9]*\.?[0-9]+$"), prio.cast("double")).alias(
+            "priority"
+        ),
+    )

@@ -1524,3 +1524,116 @@ def web_domain_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens", "n_badwords", "badword_frac",
         verdict.alias("verdict"),
     ).orderBy("doc_id")
+
+
+# --- Sitemap parsing (crawl seed discovery) -------------------------------------
+
+# Even docs are namespaced urlsets with d % 3 + 1 entries (entry 0 full,
+# entry 1 entity-encoded loc with no lastmod/priority, entry 2 CDATA loc —
+# verbatim, never entity-decoded); odd docs are sitemapindex files with
+# d % 2 + 1 gzipped-sitemap refs. The oracle STATES every parsed field
+# closed-form (no XML engine on the DuckDB side at all).
+_SITEMAP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS m3, doc_id % 2 AS m2, doc_id % 9 AS m9
+  FROM documents WHERE doc_id < 250
+),
+u AS (
+  SELECT doc_id, 'urlset' AS kind, unnest(range(0, m3 + 1)) AS entry_index,
+         m9 FROM d WHERE doc_id % 2 = 0
+),
+s AS (
+  SELECT doc_id, 'sitemapindex' AS kind, unnest(range(0, m2 + 1)) AS entry_index,
+         m9 FROM d WHERE doc_id % 2 = 1
+),
+url_rows AS (
+  SELECT doc_id, kind, CAST(entry_index AS INT) AS entry_index,
+         CASE entry_index
+           WHEN 0 THEN 'http://site' || doc_id || '.com/p0'
+           WHEN 1 THEN 'http://site' || doc_id || '.com/p1?a=1&b=2'
+           ELSE 'http://site' || doc_id || '.com/c?x=1&y=2' END AS loc,
+         CASE entry_index
+           WHEN 0 THEN '2024-01-01'
+           WHEN 2 THEN '2024-02-02' END AS lastmod,
+         CASE entry_index
+           WHEN 0 THEN (m9 + 1) / 10.0 END AS priority
+  FROM u
+),
+idx_rows AS (
+  SELECT doc_id, kind, CAST(entry_index AS INT) AS entry_index,
+         'http://site' || doc_id || '.com/sitemap' || entry_index
+           || '.xml.gz' AS loc,
+         '2024-03-0' || entry_index + 1 AS lastmod,
+         CAST(NULL AS DOUBLE) AS priority
+  FROM s
+)
+SELECT * FROM url_rows UNION ALL SELECT * FROM idx_rows
+ORDER BY doc_id, entry_index
+"""
+
+
+@register("web_sitemap_parse", oracle=_SITEMAP_ORACLE)
+def web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (``operators/web.py:parse_sitemap``) under a
+    closed-form gate: namespaced ``urlset`` documents (full entry,
+    entity-encoded loc with absent optional fields, CDATA loc that must
+    stay VERBATIM) and ``sitemapindex`` documents (refs to more
+    sitemaps) are constructed in-plan; the oracle states every parsed
+    field. A kind misdetection, an entity decode inside CDATA, a missed
+    decode outside it, a phantom row from an absent field, or an
+    entry-order shift lands on different rows.
+
+    Scale: tolerant regexp parse in pure codegen (the docstring records
+    why NOT Hive xpath: it aborts the job on the first malformed
+    fragment) — one scan + one-to-many explode over a crawl's sitemap
+    corpus, no shuffle."""
+    from etl_lala_spark.operators.web import parse_sitemap
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    ds = F.col("doc_id").cast("string")
+    p = ((F.col("doc_id") % 9) + 1).cast("string")
+    e0 = F.concat(
+        F.lit("<url><loc>http://site"), ds,
+        F.lit(".com/p0</loc><lastmod>2024-01-01</lastmod><priority>0."), p,
+        F.lit("</priority></url>"),
+    )
+    e1 = F.concat(
+        F.lit('<url data-x="1"><loc>http://site'), ds,
+        F.lit(".com/p1?a=1&amp;b=2</loc></url>"),
+    )
+    e2 = F.concat(
+        F.lit("<url><loc><![CDATA[http://site"), ds,
+        F.lit(".com/c?x=1&y=2]]></loc><lastmod>2024-02-02</lastmod></url>"),
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset'
+              ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        e0,
+        F.when(F.col("doc_id") % 3 >= 1, e1).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 >= 2, e2).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    idx = F.concat(
+        F.lit('<?xml version="1.0"?><sitemapindex'
+              ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.col("doc_id") % 2),
+                lambda i: F.concat(
+                    F.lit("<sitemap><loc>http://site"), ds,
+                    F.lit(".com/sitemap"), i.cast("string"),
+                    F.lit(".xml.gz</loc><lastmod>2024-03-0"),
+                    (i + 1).cast("string"),
+                    F.lit("</lastmod></sitemap>"),
+                ),
+            ),
+        ),
+        F.lit("</sitemapindex>"),
+    )
+    xml = F.when(F.col("doc_id") % 2 == 0, urlset).otherwise(idx)
+    return (
+        parse_sitemap(d.select("doc_id", xml.alias("xml")))
+        .select("doc_id", "kind", "entry_index", "loc", "lastmod", "priority")
+        .orderBy("doc_id", "entry_index")
+    )

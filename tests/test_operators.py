@@ -2798,3 +2798,36 @@ def test_split_sentences_rules(spark):
     assert 2 not in got and 3 not in got
     assert [s for _, s in got[4]] == ["No. 5 is fine.", "Next one."]
     assert set(out.columns) == {"i", "text", "sentence_id", "sentence"}
+
+
+def test_parse_sitemap_tolerant(spark):
+    """Sitemap parsing survives the crawl-garbage cases that abort Hive
+    xpath: truncated XML, bare ampersands, stray markup. Entities decode
+    outside CDATA only; &amp;lt; yields literal '&lt;'; non-numeric
+    priority maps to NULL; an index file is detected by root."""
+    from etl_lala_spark.operators.web import parse_sitemap
+
+    rows = [
+        (0, "<urlset><url><loc>http://a.com/x?p=1&amp;q=2</loc>"
+            "<priority>not-a-number</priority></url></urlset>"),
+        (1, "<urlset><url><loc>http://b.com/&amp;lt;odd&amp;gt;</loc></url>"
+            "<url><loc><![CDATA[http://b.com/cd?a=1&b=2]]></loc></url></urlset>"),
+        (2, "<urlset><url><loc>http://trunc.com/ok</loc></url><url><loc>http://cut"),
+        (3, "<sitemapindex><sitemap><loc>http://c.com/s.xml</loc></sitemap>"
+            "</sitemapindex>"),
+        (4, "bare & garbage, no entries at all"),
+        (5, "<urlset><url><lastmod>2024-01-01</lastmod></url></urlset>"),
+    ]
+    df = spark.createDataFrame(rows, "i long, xml string")
+    out = {}
+    for r in parse_sitemap(df).collect():
+        out.setdefault(r["i"], []).append(r)
+    assert out[0][0]["loc"] == "http://a.com/x?p=1&q=2"
+    assert out[0][0]["priority"] is None
+    locs1 = sorted(r["loc"] for r in out[1])
+    assert locs1 == ["http://b.com/&lt;odd&gt;", "http://b.com/cd?a=1&b=2"]
+    assert [r["loc"] for r in out[2]] == ["http://trunc.com/ok"]  # truncated tail dropped
+    assert out[3][0]["kind"] == "sitemapindex"
+    assert out[3][0]["loc"] == "http://c.com/s.xml"
+    assert 4 not in out  # garbage yields zero rows, not a crash
+    assert out[5][0]["loc"] is None and out[5][0]["lastmod"] == "2024-01-01"
