@@ -189,6 +189,9 @@ HEADLINE = [
     # round 9 (cont.): sitemap XML parsing (crawl seed discovery) — tolerant
     # codegen parse (entity/CDATA semantics), urlset + sitemapindex
     "web_sitemap_parse",
+    # round 9 (cont.): the Gopher A1.1 document-quality rule battery
+    # (word/char/symbol/line/stopword rules), within-row codegen
+    "text_gopher_rules",
 ]
 
 

@@ -1304,3 +1304,108 @@ def split_sentences(df, text_col: str = "text"):
         .filter(F.col("sentence") != "")
         .drop("_s")
     )
+
+
+#: The stopword-presence lexicon of Gopher rule A1.1-7 (Rae et al. 2021):
+#: a document must contain at least 2 of these to look like running prose.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+):
+    """The Gopher document-quality rule battery (Rae et al. 2021, A1.1 —
+    the rule set C4's successors, Dolma, and FineWeb's 'Gopher filters'
+    reuse): per document, word count bounds, mean word length bounds,
+    symbol-to-word ratio (# and ellipsis), bullet-started and
+    ellipsis-ended line fractions, alphabetic-word fraction, and
+    required-stopword presence. Appends the raw metrics (fractions
+    rounded to 6), one boolean per rule, and ``keep`` (all rules pass).
+    Degenerate inputs fail closed: a wordless doc fails the word-count
+    rule, a lineless doc's line rules pass vacuously (no lines to
+    offend), and no division ever touches a zero denominator.
+
+    Entirely within-row codegen (splits + folds + regexp counts) — the
+    battery adds zero shuffles and filters 100 TB at scan speed."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("bigint")
+    word_chars = F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast(
+        "bigint"
+    )
+    mean_wl = F.when(n_words > 0, F.round(word_chars / n_words, 6))
+    symbols = (
+        F.regexp_count(F.col(text_col), F.lit("#"))
+        + F.regexp_count(F.col(text_col), F.lit(r"\.\.\.|…"))
+    ).cast("bigint")
+    sym_ratio = F.when(n_words > 0, F.round(symbols / n_words, 6))
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), F.trim),
+        lambda ln: ln != F.lit(""),
+    )
+    n_lines = F.size(lines).cast("bigint")
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.round(
+            F.size(F.filter(lines, lambda ln: ln.rlike(r"^[-*•‣▪]"))) / n_lines, 6
+        ),
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.round(
+            F.size(F.filter(lines, lambda ln: ln.rlike(r"(\.\.\.|…)$"))) / n_lines,
+            6,
+        ),
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.round(
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / n_words, 6
+        ),
+    )
+    stop_lit = F.lit(list(GOPHER_STOPWORDS))
+    lwords = F.array_distinct(F.transform(words, F.lower))
+    stop_hits = F.size(
+        F.filter(stop_lit, lambda s: F.array_contains(lwords, s))
+    ).cast("bigint")
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_word_ratio", sym_ratio)
+        .withColumn("bullet_line_frac", bullet_frac)
+        .withColumn("ellipsis_line_frac", ellipsis_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("stop_hits", stop_hits)
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_word_ratio") <= max_symbol_word_ratio,
+        "r_bullet_lines": F.coalesce(
+            F.col("bullet_line_frac") <= max_bullet_line_frac, F.lit(True)
+        ),
+        "r_ellipsis_lines": F.coalesce(
+            F.col("ellipsis_line_frac") <= max_ellipsis_line_frac, F.lit(True)
+        ),
+        "r_alpha_words": F.col("alpha_word_frac") >= min_alpha_word_frac,
+        "r_stopwords": F.col("stop_hits") >= min_stop_hits,
+    }
+    keep = F.lit(True)
+    for name, cond in rules.items():
+        cond = F.coalesce(cond, F.lit(False)) if name not in (
+            "r_bullet_lines", "r_ellipsis_lines"
+        ) else cond
+        out = out.withColumn(name, cond)
+        keep = keep & F.col(name)
+    return out.withColumn("keep", keep)

@@ -1769,3 +1769,115 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "sentence_id", "sentence")
         .orderBy("doc_id", "sentence_id")
     )
+
+
+@register(
+    "text_gopher_rules",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 4 = 0
+              THEN chr(10) || '- bullet one' || chr(10) || '* bullet two'
+                   || chr(10) || '• bullet three' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'trailing thought...' || chr(10) || 'another…'
+              ELSE '' END
+           || CASE WHEN doc_id % 6 = 0
+              THEN chr(10) || '## ### #hash#tag' ELSE '' END
+           || CASE WHEN doc_id % 2 = 0
+              THEN ' the cost of that and more to be clear with what we have'
+              ELSE '' END AS txt
+  FROM documents WHERE doc_id < 300
+),
+m AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> ''))
+           AS n_words,
+         length(regexp_replace(txt, '\\s+', '', 'g')) AS word_chars,
+         len(regexp_extract_all(txt, '#'))
+           + len(regexp_extract_all(txt, '\\.\\.\\.|…')) AS symbols,
+         list_filter(list_transform(regexp_split_to_array(txt, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(txt, '\\s+'), x -> x <> '') AS words
+  FROM d
+),
+f AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         round(word_chars / n_words, 6) AS mean_word_len,
+         round(symbols / n_words, 6) AS symbol_word_ratio,
+         CASE WHEN len(lines) > 0 THEN
+           round(len(list_filter(lines, x -> regexp_matches(x, '^[-*•‣▪]')))
+                 / len(lines), 6) END AS bullet_line_frac,
+         CASE WHEN len(lines) > 0 THEN
+           round(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$')))
+                 / len(lines), 6) END AS ellipsis_line_frac,
+         round(len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+               / n_words, 6) AS alpha_word_frac,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(list_distinct(list_transform(words,
+                                               x -> lower(x))), s)))
+           AS BIGINT) AS stop_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, bullet_line_frac,
+       ellipsis_line_frac, alpha_word_frac, stop_hits,
+       n_words BETWEEN 30 AND 100000 AS r_word_count,
+       coalesce(mean_word_len BETWEEN 3.0 AND 10.0, FALSE) AS r_mean_word_len,
+       coalesce(symbol_word_ratio <= 0.1, FALSE) AS r_symbol_ratio,
+       coalesce(bullet_line_frac <= 0.9, TRUE) AS r_bullet_lines,
+       coalesce(ellipsis_line_frac <= 0.3, TRUE) AS r_ellipsis_lines,
+       coalesce(alpha_word_frac >= 0.8, FALSE) AS r_alpha_words,
+       stop_hits >= 2 AS r_stopwords,
+       (n_words BETWEEN 30 AND 100000)
+         AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, FALSE)
+         AND coalesce(symbol_word_ratio <= 0.1, FALSE)
+         AND coalesce(bullet_line_frac <= 0.9, TRUE)
+         AND coalesce(ellipsis_line_frac <= 0.3, TRUE)
+         AND coalesce(alpha_word_frac >= 0.8, FALSE)
+         AND stop_hits >= 2 AS keep
+FROM f
+ORDER BY doc_id
+""",
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher A1.1 document-quality rule battery
+    (``operators/text.py:gopher_quality_rules`` — the named rule set
+    Dolma and FineWeb reuse) over real document text with in-plan
+    injections that force both branches of the line rules (bullet runs,
+    ellipsis-terminated lines, hash bursts). The oracle replays every
+    metric — word/char arithmetic, non-overlapping symbol counts, line
+    trims, alphabetic-word and stopword-presence sets — and every
+    threshold decision including the vacuous-pass NULL semantics of the
+    line rules. One within-row codegen scan, zero shuffles."""
+    from etl_lala_spark.operators.text import gopher_quality_rules
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    txt = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            "\n- bullet one\n* bullet two\n• bullet three",
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0, "\ntrailing thought...\nanother…"
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 6 == 0, "\n## ### #hash#tag").otherwise(""),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            " the cost of that and more to be clear with what we have",
+        ).otherwise(""),
+    )
+    return (
+        gopher_quality_rules(
+            d.select("doc_id", txt.alias("text")), min_words=30
+        )
+        .select(
+            "doc_id", "n_words", "mean_word_len", "symbol_word_ratio",
+            "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+            "stop_hits", "r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+            "r_stopwords", "keep",
+        )
+        .orderBy("doc_id")
+    )

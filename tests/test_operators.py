@@ -2831,3 +2831,37 @@ def test_parse_sitemap_tolerant(spark):
     assert out[3][0]["loc"] == "http://c.com/s.xml"
     assert 4 not in out  # garbage yields zero rows, not a crash
     assert out[5][0]["loc"] is None and out[5][0]["lastmod"] == "2024-01-01"
+
+
+def test_gopher_quality_rules_battery(spark):
+    """Gopher A1.1 rule battery: a healthy prose doc keeps; word-count,
+    symbol-ratio, bullet-line, ellipsis-line, alpha-word, and stopword
+    rules each fail on a targeted doc; empty text fails closed without a
+    division crash; lineless docs pass line rules vacuously."""
+    from etl_lala_spark.operators.text import gopher_quality_rules
+
+    prose = ("the quick brown fox and the lazy dog agreed that they have "
+             "to be patient with every word of this plain sentence ") * 3
+    docs = [
+        (0, prose),
+        (1, "tiny doc with the and of that to be have"),           # too few words
+        (2, prose + " " + "### ## #" * 40),                        # symbol ratio
+        (3, prose + "\n" + "\n".join("- b%d" % i for i in range(60))),  # bullets
+        (4, prose + "\n" + "\n".join("x%d..." % i for i in range(60))), # ellipses
+        (5, ("12 34 56 78 90 " * 12) + "the of and to be that have with"),  # alpha
+        (6, ("lorem ipsum dolor sit amet " * 12)),                 # no stopwords
+        (7, ""),
+    ]
+    df = spark.createDataFrame(docs, "i long, text string")
+    out = {r["i"]: r for r in gopher_quality_rules(df, min_words=40).collect()}
+    assert out[0]["keep"] is True
+    assert out[1]["r_word_count"] is False and out[1]["keep"] is False
+    assert out[2]["r_symbol_ratio"] is False
+    assert out[3]["r_bullet_lines"] is False
+    assert out[4]["r_ellipsis_lines"] is False
+    assert out[5]["r_alpha_words"] is False
+    assert out[6]["r_stopwords"] is False
+    assert out[7]["n_words"] == 0 and out[7]["keep"] is False
+    assert out[7]["mean_word_len"] is None
+    # lineless prose: line fractions defined (one line), rules pass
+    assert out[0]["bullet_line_frac"] == 0.0
