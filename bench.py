@@ -192,6 +192,9 @@ HEADLINE = [
     # round 9 (cont.): the Gopher A1.1 document-quality rule battery
     # (word/char/symbol/line/stopword rules), within-row codegen
     "text_gopher_rules",
+    # round 9 (cont.): SURT key generation — our URLs onto the CDX index's
+    # key space, so corpus-vs-index joins are one equality join
+    "web_surt_keys",
 ]
 
 

@@ -147,3 +147,24 @@ def registered_domain(host: Column) -> Column:
         .when(last2.isin(*TWO_LABEL_SUFFIXES), last3)
         .otherwise(last2)
     )
+
+
+def surt_key(url: Column) -> Column:
+    """The SURT (Sort-friendly URI Reordering Transform) form of a URL —
+    the key the Common Crawl CDX index sorts on (``com,example)/path?q=1``;
+    Heritrix/webarchive-commons convention): canonicalize first
+    (:func:`canonicalize_url` — lowercase, strip www/ports/tracking
+    params, sort query keys), then reverse the host labels comma-joined
+    and append ``)`` plus path-and-query. Joining your own URL corpus
+    against a CDX index (``operators/web.py:parse_cdxj`` emits this key)
+    is one equality join on this column. Invalid URLs → NULL, same as
+    canonicalization. Pure codegen."""
+    canon = canonicalize_url(url)
+    host = F.regexp_extract(canon, r"^https?://([^/?#]+)", 1)
+    rest = F.regexp_extract(canon, r"^https?://[^/?#]+(.*)$", 1)
+    return F.when(
+        canon.isNotNull(),
+        F.concat(
+            F.array_join(F.reverse(F.split(host, r"\.")), ","), F.lit(")"), rest
+        ),
+    )

@@ -1637,3 +1637,46 @@ def web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "kind", "entry_index", "loc", "lastmod", "priority")
         .orderBy("doc_id", "entry_index")
     )
+
+
+# One URL variant per doc per class; canonicalization collapses the variant
+# noise (case, www, default port, tracking params, unsorted query, dup
+# slashes) so every class's SURT is closed-form.
+_SURT_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 5 AS k FROM documents WHERE doc_id < 250)
+SELECT doc_id,
+       CASE k
+         WHEN 0 THEN 'com,example,shop)/aisle' || doc_id
+         WHEN 1 THEN 'org,archive)/item' || doc_id || '?a=1&b=2'
+         WHEN 2 THEN 'uk,co,news)/story' || doc_id
+         WHEN 3 THEN 'com,example)/'
+         ELSE NULL END AS surt
+FROM d
+ORDER BY doc_id
+"""
+
+
+@register("web_surt_keys", oracle=_SURT_ORACLE)
+def web_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT key generation (``functions/scalars.py:surt_key``) — the
+    missing half of index-first crawling: ``web_cdx_select`` parses the
+    index's SURT keys, this gate proves OUR urls map onto the same key
+    space, so corpus-vs-index joins are one equality join. URL variants
+    per class (cased host + default port, unsorted query with a tracking
+    param, two-label public-suffix host, bare origin with duplicate
+    slashes, and an invalid URL → NULL) each collapse to a closed-form
+    key."""
+    from etl_lala_spark.functions.scalars import surt_key
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    ds = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 5
+    url = (
+        F.when(k == 0, F.concat(F.lit("http://Shop.Example.COM:80/aisle"), ds))
+        .when(k == 1, F.concat(F.lit("https://www.archive.org/item"), ds,
+                               F.lit("?b=2&utm_source=x&a=1")))
+        .when(k == 2, F.concat(F.lit("http://news.co.uk/story"), ds))
+        .when(k == 3, F.lit("http://example.com//"))
+        .otherwise(F.lit("not a url"))
+    )
+    return d.select("doc_id", surt_key(url).alias("surt")).orderBy("doc_id")

@@ -2865,3 +2865,24 @@ def test_gopher_quality_rules_battery(spark):
     assert out[7]["mean_word_len"] is None
     # lineless prose: line fractions defined (one line), rules pass
     assert out[0]["bullet_line_frac"] == 0.0
+
+
+def test_surt_key_matches_cdx_key_space(spark):
+    """surt_key: host reversal, canonicalization collapse (case, www,
+    default port, tracking params, query sort), NULL on invalid — and the
+    round trip: the SURT of a capture's own url equals the index key it
+    was listed under (the corpus-vs-index join invariant)."""
+    from etl_lala_spark.functions.scalars import surt_key
+
+    cases = [
+        ("http://Shop.Example.COM:80/a/b", "com,example,shop)/a/b"),
+        ("https://www.archive.org/x?b=2&utm_source=s&a=1",
+         "org,archive)/x?a=1&b=2"),
+        ("http://example.com", "com,example)/"),
+        ("garbage", None),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["s"] for r in df.select("i", surt_key("url").alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i])
