@@ -1247,7 +1247,10 @@ def badword_stats(
     lexicon should go through the explode + broadcast-join path instead
     (the :func:`~etl_lala_spark.operators.web.domain_blocklist_filter`
     shape)."""
-    lex = F.lit(sorted({w.lower() for w in badwords}))
+    terms = sorted({w.lower() for w in badwords})
+    if not terms:
+        raise ValueError("badword_stats: the lexicon is empty")
+    lex = F.lit(terms)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
@@ -1291,9 +1294,11 @@ def split_sentences(df, text_col: str = "text"):
     ``sentence``. One scan + one-to-many explode — 100 TB segments in
     codegen with no shuffle and no Python."""
     abbr = "|".join(a.replace(".", r"\.") for a in SENT_ABBREVS)
-    protected = F.regexp_replace(
-        F.col(text_col), f"(?i)\\b({abbr})\\.", "$1\x02"
-    )
+    # Crawl text can already contain the \x01/\x02 control bytes used as
+    # working markers — strip them first so garbage bytes can't fabricate
+    # sentence boundaries or phantom periods.
+    clean = F.translate(F.col(text_col), "\x01\x02", "")
+    protected = F.regexp_replace(clean, f"(?i)\\b({abbr})\\.", "$1\x02")
     marked = F.regexp_replace(protected, r"([.!?]+)\s+", "$1\x01")
     out = df.select(
         *df.columns,

@@ -494,6 +494,16 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
     filename, _error). Pure codegen — regexp_extract for the three fields,
     ``from_json`` for the payload; parsing a multi-TB index is one scan,
     no shuffle, no Python."""
+    reserved = {
+        "surt", "ts", "url", "mime", "digest", "filename", "status",
+        "length", "offset", "_error", "_surt", "_ts", "_j",
+    }
+    clash = (reserved & set(df.columns)) - {line_col}
+    if clash:
+        raise ValueError(
+            f"parse_cdxj: input columns {sorted(clash)} collide with the "
+            "output/working columns; rename them first"
+        )
     line = F.col(line_col)
     surt = F.regexp_extract(line, r"^(\S+) \d{14} \{", 1)
     ts = F.regexp_extract(line, r"^\S+ (\d{14}) \{", 1)
@@ -634,7 +644,9 @@ def _sitemap_field(frag: Column, tag: str) -> Column:
     """Text content of ``<tag>`` inside an entry fragment: CDATA content
     is taken verbatim (the XML rule — CDATA is never entity-decoded),
     plain content is entity-decoded; missing/empty → NULL."""
-    raw = F.trim(F.regexp_extract(frag, f"(?s)<{tag}[^>]*>(.*?)</{tag}>", 1))
+    raw = F.trim(
+        F.regexp_extract(frag, f"(?s)<{tag}(?:\\s[^>]*)?>(.*?)</{tag}\\s*>", 1)
+    )
     cdata = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
     val = F.when(cdata != "", cdata).otherwise(_xml_entity_decode(raw))
     return F.when(val != "", val)

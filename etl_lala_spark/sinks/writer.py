@@ -1124,8 +1124,14 @@ def shard_assignments(
         else F.octet_length(F.col(text_col)).cast("bigint")
     )
     key = F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string")))
+    if not 1 <= n_range_buckets <= 256:
+        raise ValueError("shard_assignments: n_range_buckets must be in 1..256")
     keyed = df.withColumn("shuffle_key", key).withColumn("_bytes", size)
-    bucket = F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    # First-byte bucket scaled monotonically onto 0..n_range_buckets-1 so
+    # bucket order always refines key order (a modulo here would interleave
+    # buckets and silently corrupt the global prefix sum).
+    byte0 = F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
+    bucket = F.floor(byte0 * F.lit(n_range_buckets) / F.lit(256)).cast("int")
     keyed = keyed.withColumn("_bucket", bucket)
     # (2) bucket totals -> exclusive prefix offsets (n_range_buckets rows;
     # the collect is bounded by construction, never by the data)

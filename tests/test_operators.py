@@ -2886,3 +2886,49 @@ def test_surt_key_matches_cdx_key_space(spark):
     got = {r["i"]: r["s"] for r in df.select("i", surt_key("url").alias("s")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i])
+
+
+def test_round9_review_hardening(spark):
+    """Review fixes: parse_cdxj rejects colliding input columns;
+    badword_stats rejects an empty lexicon; shard_assignments with a
+    non-256 bucket count loses no rows and keeps the global order;
+    split_sentences ignores pre-existing control bytes; sitemap field
+    extraction does not match tag-name prefixes ('<localized>' is not
+    '<loc>')."""
+    import pytest as _pytest
+
+    from etl_lala_spark.operators.text import badword_stats, split_sentences
+    from etl_lala_spark.operators.web import parse_cdxj, parse_sitemap
+    from etl_lala_spark.sinks.writer import shard_assignments
+
+    with _pytest.raises(ValueError, match="collide"):
+        parse_cdxj(spark.createDataFrame([("x", "u")], "line string, url string"))
+    with _pytest.raises(ValueError, match="empty"):
+        badword_stats(spark.createDataFrame([("t",)], "text string"), [])
+
+    docs = spark.createDataFrame(
+        [(i, "y" * (11 + i % 37)) for i in range(200)], "doc_id long, text string"
+    )
+    a256 = shard_assignments(docs, 500, seed="z", n_range_buckets=256).collect()
+    a16 = shard_assignments(docs, 500, seed="z", n_range_buckets=16).collect()
+    assert len(a16) == 200
+    assert {(r["doc_id"], r["cum_bytes"], r["shard"]) for r in a16} == {
+        (r["doc_id"], r["cum_bytes"], r["shard"]) for r in a256
+    }
+
+    s = split_sentences(
+        spark.createDataFrame([(0, "A\x01 b\x02c ends. Next one.")],
+                              "i long, text string")
+    ).collect()
+    assert [r["sentence"] for r in sorted(s, key=lambda r: r["sentence_id"])] == [
+        "A bc ends.", "Next one.",
+    ]
+
+    sm = parse_sitemap(
+        spark.createDataFrame(
+            [(0, "<urlset><url><localized>nope</localized>"
+                 "<loc>http://x.com/ok</loc></url></urlset>")],
+            "i long, xml string",
+        )
+    ).collect()
+    assert len(sm) == 1 and sm[0]["loc"] == "http://x.com/ok"
