@@ -195,6 +195,9 @@ HEADLINE = [
     # round 9 (cont.): SURT key generation — our URLs onto the CDX index's
     # key space, so corpus-vs-index joins are one equality join
     "web_surt_keys",
+    # round 9 (cont.): recrawl delta — key-grain full-outer digest compare
+    # between two crawl snapshots (fetch only added+changed)
+    "web_cdx_delta",
 ]
 
 

@@ -695,3 +695,34 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
             "priority"
         ),
     )
+
+
+def cdx_snapshot_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Recrawl delta between two capture-selection snapshots
+    (:func:`select_captures` outputs): per SURT key, ``change`` is
+    ``added`` / ``vanished`` / ``changed`` (content digest differs) /
+    ``unchanged``. The incremental-crawl planning stage: feeding only the
+    added+changed slice into :func:`cdx_fetch_plan` turns a monthly
+    100 TB refetch into a delta-sized one. One key-grain full-outer join
+    — both sides are already deduped to one row per key, so the join is
+    shuffle-bounded by the KEY space, never by captures."""
+    o = old.select(
+        "surt",
+        F.col("ts").alias("old_ts"),
+        F.col("digest").alias("old_digest"),
+    )
+    n = new.select(
+        "surt",
+        F.col("ts").alias("new_ts"),
+        F.col("digest").alias("new_digest"),
+    )
+    change = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "vanished")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        .otherwise("unchanged")
+    )
+    return o.join(n, "surt", "full_outer").select(
+        "surt", change.alias("change"),
+        "old_ts", "new_ts", "old_digest", "new_digest",
+    )

@@ -1680,3 +1680,79 @@ def web_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("not a url"))
     )
     return d.select("doc_id", surt_key(url).alias("surt")).orderBy("doc_id")
+
+
+# Old snapshot covers docs 0..199, new covers 50..249; content changed for
+# doc % 3 == 0 → 0..49 vanished, 200..249 added, the overlap changed /
+# unchanged by digest.
+_CDX_DELTA_ORACLE = """
+SELECT 'com,example)/doc' || doc_id AS surt,
+       CASE WHEN doc_id < 50 THEN 'vanished'
+            WHEN doc_id >= 200 THEN 'added'
+            WHEN doc_id % 3 = 0 THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       CASE WHEN doc_id < 200
+            THEN CAST(20240101000000 + doc_id AS BIGINT) END AS old_ts,
+       CASE WHEN doc_id >= 50
+            THEN CAST(20240601000000 + doc_id AS BIGINT) END AS new_ts,
+       CASE WHEN doc_id < 200 THEN 'sha1:A' || doc_id END AS old_digest,
+       CASE WHEN doc_id >= 50 THEN
+         CASE WHEN doc_id % 3 = 0 THEN 'sha1:B' ELSE 'sha1:A' END || doc_id
+       END AS new_digest
+FROM documents WHERE doc_id < 250
+ORDER BY surt
+"""
+
+
+def _cdx_snapshot_lines(d: DataFrame, ts_base: int, digest: F.Column) -> DataFrame:
+    """One good CDXJ line per doc: ts = ts_base + doc_id, closed-form
+    capture metadata, the given digest expression."""
+    ds = F.col("doc_id").cast("string")
+    return d.select(
+        F.concat(
+            F.lit("com,example)/doc"), ds, F.lit(" "),
+            (F.lit(ts_base) + F.col("doc_id")).cast("string"),
+            F.lit(' {"url": "http://example.com/doc'), ds,
+            F.lit('", "mime": "text/html", "status": "200", "digest": "'),
+            digest,
+            F.lit('", "length": "500", "offset": "'), (F.col("doc_id") * 100).cast("string"),
+            F.lit('", "filename": "crawl/seg'), (F.col("doc_id") % 4).cast("string"),
+            F.lit('.warc.gz"}'),
+        ).alias("line")
+    )
+
+
+@register("web_cdx_delta", oracle=_CDX_DELTA_ORACLE)
+def web_cdx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta (``operators/web.py:cdx_snapshot_delta``): two crawl
+    snapshots flow through the real parse → select pipeline, then a
+    key-grain full-outer digest compare labels every SURT added /
+    vanished / changed / unchanged — the incremental-crawl planning stage
+    that turns a monthly full refetch into a delta-sized one (feed the
+    added+changed slice into ``cdx_fetch_plan``). The oracle states every
+    label and both snapshots' timestamps/digests closed-form; a join that
+    drops one side, a digest compare with NULL leakage, or a label swap
+    lands on different rows.
+
+    Scale: both inputs are one-row-per-key selections, so the full-outer
+    join shuffles the KEY space only — never captures, never content."""
+    from etl_lala_spark.operators.web import (
+        cdx_snapshot_delta,
+        parse_cdxj,
+        select_captures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    old = select_captures(parse_cdxj(_cdx_snapshot_lines(
+        docs.filter(F.col("doc_id") < 200), 20240101000000,
+        F.concat(F.lit("sha1:A"), ds),
+    )))
+    new = select_captures(parse_cdxj(_cdx_snapshot_lines(
+        docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 250)),
+        20240601000000,
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, "sha1:B").otherwise("sha1:A"), ds
+        ),
+    )))
+    return cdx_snapshot_delta(old, new).orderBy("surt")

@@ -2932,3 +2932,24 @@ def test_round9_review_hardening(spark):
         )
     ).collect()
     assert len(sm) == 1 and sm[0]["loc"] == "http://x.com/ok"
+
+
+def test_cdx_snapshot_delta_labels(spark):
+    """Snapshot delta: added / vanished / changed / unchanged, with NULLs
+    only on the absent side."""
+    from etl_lala_spark.operators.web import cdx_snapshot_delta
+
+    old = spark.createDataFrame(
+        [("k1", 1, "d1"), ("k2", 2, "d2"), ("k3", 3, "d3")],
+        "surt string, ts long, digest string",
+    )
+    new = spark.createDataFrame(
+        [("k2", 12, "d2"), ("k3", 13, "dX"), ("k4", 14, "d4")],
+        "surt string, ts long, digest string",
+    )
+    got = {r["surt"]: r for r in cdx_snapshot_delta(old, new).collect()}
+    assert got["k1"]["change"] == "vanished" and got["k1"]["new_ts"] is None
+    assert got["k2"]["change"] == "unchanged"
+    assert got["k3"]["change"] == "changed" and got["k3"]["new_digest"] == "dX"
+    assert got["k4"]["change"] == "added" and got["k4"]["old_digest"] is None
+    assert len(got) == 4
