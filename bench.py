@@ -198,6 +198,9 @@ HEADLINE = [
     # round 9 (cont.): recrawl delta — key-grain full-outer digest compare
     # between two crawl snapshots (fetch only added+changed)
     "web_cdx_delta",
+    # round 9 (cont.): politeness scheduling — per-host fetch waves (one
+    # per-host window; the only shuffle is the crawl's natural host key)
+    "web_politeness_waves",
 ]
 
 

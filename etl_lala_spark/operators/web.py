@@ -726,3 +726,35 @@ def cdx_snapshot_delta(old: DataFrame, new: DataFrame) -> DataFrame:
         "surt", change.alias("change"),
         "old_ts", "new_ts", "old_digest", "new_digest",
     )
+
+
+def politeness_waves(
+    frontier: DataFrame,
+    per_host_per_wave: int = 1,
+    url_col: str = "url",
+) -> DataFrame:
+    """Assign each frontier URL a politeness WAVE — the crawl-scheduling
+    step between frontier dedup and fetch: a polite crawler hits one host
+    at most ``per_host_per_wave`` times per scheduling round, so wave k
+    holds at most that many URLs of any single host and the fetcher
+    simply iterates waves. Appends ``host``, ``host_rank`` (deterministic
+    per-host order: canonical URL asc) and ``wave`` (0-based). Hosts are
+    independent, so the ONLY shuffle is the per-host window partition —
+    the natural key distribution of a crawl (many hosts, bounded pages
+    each); a mega-host skews its partition, which is exactly the host a
+    polite schedule serializes anyway (its depth, not the cluster, is the
+    bottleneck — wave count = pages/host ÷ rate by design)."""
+    from pyspark.sql import Window as W
+
+    host = F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    w = W.partitionBy("host").orderBy(url_col)
+    return (
+        frontier.withColumn("host", host)
+        .withColumn("host_rank", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "wave",
+            F.floor(F.col("host_rank") / F.lit(int(per_host_per_wave))).cast(
+                "bigint"
+            ),
+        )
+    )

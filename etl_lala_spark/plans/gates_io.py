@@ -1756,3 +1756,49 @@ def web_cdx_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )))
     return cdx_snapshot_delta(old, new).orderBy("surt")
+
+
+# Host h = doc % 7 gets one URL per doc — host sizes vary with the doc
+# range, so waves per host replay as row_number arithmetic over the known
+# per-host URL ordering (path = zero-padded doc id, making lexicographic
+# order equal numeric order).
+_POLITENESS_ORACLE = """
+WITH f AS (
+  SELECT doc_id, 'host' || doc_id % 7 || '.example.com' AS host,
+         'http://host' || doc_id % 7 || '.example.com/p'
+           || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS url
+  FROM documents WHERE doc_id < 300
+),
+r AS (
+  SELECT doc_id, url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS host_rank
+  FROM f
+)
+SELECT doc_id, url, host, CAST(host_rank AS INT) AS host_rank,
+       CAST(host_rank // 3 AS BIGINT) AS wave
+FROM r
+ORDER BY doc_id
+"""
+
+
+@register("web_politeness_waves", oracle=_POLITENESS_ORACLE)
+def web_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (``operators/web.py:politeness_waves``): a
+    300-URL frontier over 7 hosts of unequal size, 3 fetches per host per
+    wave. The oracle replays the per-host ranking and wave arithmetic
+    (zero-padded paths make the deterministic order SQL-replayable); a
+    rank off-by-one, a global (non-per-host) numbering, or a wrong wave
+    division lands on different rows."""
+    from etl_lala_spark.operators.web import politeness_waves
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    url = F.concat(
+        F.lit("http://host"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/p"),
+        F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+    )
+    return (
+        politeness_waves(d.select("doc_id", url.alias("url")), per_host_per_wave=3)
+        .select("doc_id", "url", "host", "host_rank", "wave")
+        .orderBy("doc_id")
+    )

@@ -2953,3 +2953,23 @@ def test_cdx_snapshot_delta_labels(spark):
     assert got["k3"]["change"] == "changed" and got["k3"]["new_digest"] == "dX"
     assert got["k4"]["change"] == "added" and got["k4"]["old_digest"] is None
     assert len(got) == 4
+
+
+def test_politeness_waves_caps_per_host(spark):
+    """No wave contains more than per_host_per_wave URLs of one host;
+    ranking is per-host and deterministic; unparseable URLs group under a
+    NULL host rather than vanishing."""
+    from etl_lala_spark.operators.web import politeness_waves
+
+    urls = [(i, f"http://h{i % 3}.com/p{i:03d}") for i in range(30)]
+    urls.append((30, "garbage-url"))
+    df = spark.createDataFrame(urls, "i long, url string")
+    out = politeness_waves(df, per_host_per_wave=2).collect()
+    assert len(out) == 31
+    from collections import Counter
+    per = Counter((r["host"], r["wave"]) for r in out)
+    assert max(per.values()) <= 2
+    # host h0.com has ids 0,3,...,27 → 10 urls → waves 0..4
+    h0 = sorted(r["wave"] for r in out if r["host"] == "h0.com")
+    assert h0 == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4]
+    assert any(r["host"] is None for r in out)
