@@ -201,6 +201,9 @@ HEADLINE = [
     # round 9 (cont.): politeness scheduling — per-host fetch waves (one
     # per-host window; the only shuffle is the crawl's natural host key)
     "web_politeness_waves",
+    # round 9 (cont.): streaming latest-capture index maintenance — the
+    # streaming twin of web_cdx_select (append winners + replay-safe resolve)
+    "stream_twin_cdx_latest",
 ]
 
 

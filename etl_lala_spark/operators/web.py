@@ -758,3 +758,57 @@ def politeness_waves(
             ),
         )
     )
+
+
+def stream_cdx_latest(stream: DataFrame, store_path: str, checkpoint: str):
+    """Streaming latest-capture index maintenance — the streaming twin of
+    :func:`select_captures`: each micro-batch of raw CDXJ lines parses,
+    selects its own newest-good capture per SURT, and APPENDS the batch
+    winners (stamped with the micro-batch id) to a persisted store;
+    :func:`cdx_latest_resolve` reads the store back to one row per key.
+    Append-plus-resolve (not rewrite-per-batch) keeps per-batch work
+    O(batch): the store is never rewritten, exactly the
+    ``minhash_index_append`` discipline — and because winners carry
+    ``batch_id``, an at-least-once redelivery is dropped at read time
+    instead of corrupting version counts."""
+    from pyspark.sql import functions as F  # noqa: F811 (local clarity)
+
+    def upsert(batch_df, epoch_id: int) -> None:
+        sel = select_captures(parse_cdxj(batch_df))
+        (
+            sel.withColumn("batch_id", F.lit(epoch_id).cast("long"))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def cdx_latest_resolve(spark, store_path: str) -> DataFrame:
+    """Resolve a :func:`stream_cdx_latest` store to the newest capture per
+    SURT: replay-safe dropDuplicates on (surt, batch_id), then one
+    map-side-combinable max-struct agg. ``n_versions`` counts distinct
+    batch appearances of the key (the recrawl-churn signal)."""
+    df = spark.read.parquet(store_path).dropDuplicates(["surt", "batch_id"])
+    pick = F.max(
+        F.struct(
+            "ts", "offset", "url", "mime", "status", "digest", "length",
+            "filename",
+        )
+    ).alias("_pick")
+    return (
+        df.groupBy("surt")
+        .agg(pick, F.count(F.lit(1)).cast("bigint").alias("n_versions"))
+        .select(
+            "surt",
+            F.col("_pick.ts").alias("ts"),
+            F.col("_pick.url").alias("url"),
+            F.col("_pick.digest").alias("digest"),
+            "n_versions",
+        )
+    )

@@ -741,3 +741,92 @@ def stream_twin_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch_id")
     )
+
+
+# Batch 0: docs 0..199 (ts base A); batch 1: docs 100..299 (base B, newer);
+# batch 2: docs 200..349, key = doc % 300 (base C, newest — docs 300..349
+# re-touch keys 0..49). Winner and version count per key are closed-form:
+# keys 0..49 → C+300+k (2 versions), 50..99 → A+k (1), 100..199 → B+k (2),
+# 200..299 → C+k (2).
+_CDX_LATEST_ORACLE = """
+WITH k AS (SELECT unnest(range(0, 300)) AS key)
+SELECT 'com,example)/doc' || key AS surt,
+       CAST(CASE WHEN key < 50 THEN 20240301000000 + 300 + key
+                 WHEN key < 100 THEN 20240101000000 + key
+                 WHEN key < 200 THEN 20240201000000 + key
+                 ELSE 20240301000000 + key END AS BIGINT) AS ts,
+       'http://example.com/doc' ||
+         CASE WHEN key < 50 THEN 300 + key ELSE key END AS url,
+       CASE WHEN key < 50 THEN 'sha1:C' || (300 + key)
+            WHEN key < 100 THEN 'sha1:A' || key
+            WHEN key < 200 THEN 'sha1:B' || key
+            ELSE 'sha1:C' || key END AS digest,
+       CAST(CASE WHEN key >= 50 AND key < 100 THEN 1 ELSE 2 END AS BIGINT)
+         AS n_versions
+FROM k
+ORDER BY surt
+"""
+
+
+@register("stream_twin_cdx_latest", oracle=_CDX_LATEST_ORACLE)
+def stream_twin_cdx_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-capture index maintenance
+    (``operators/web.py:stream_cdx_latest`` → ``cdx_latest_resolve``) —
+    the streaming twin of ``web_cdx_select``: three mtime-laddered
+    micro-batches of raw CDXJ lines with overlapping key ranges and a
+    wrap-around (batch 2 re-touches the oldest keys with the newest
+    timestamps); each batch appends its own per-key winners stamped with
+    the micro-batch id, and the reader resolves newest-per-key with a
+    replay-safe (surt, batch_id) dedup. The oracle states every key's
+    winning timestamp/url/digest AND its distinct-batch version count —
+    a lost append, a replayed batch double-count, or a max on the wrong
+    field (offset instead of ts) lands on different rows."""
+    import glob as globmod
+
+    from etl_lala_spark.operators.web import cdx_latest_resolve, stream_cdx_latest
+
+    work = gate_workdir(spark, "stream_twin_cdx_latest")
+    src = os.path.join(work, "src")
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    docs = load_table(spark, sf_dir, "documents")
+    batches = (
+        (0, 0, 200, 20240101000000, "sha1:A"),
+        (1, 100, 300, 20240201000000, "sha1:B"),
+        (2, 200, 350, 20240301000000, "sha1:C"),
+    )
+    t0 = 1_700_000_000
+    with fixture_region("stream_twin_cdx_latest"):
+        for b, lo, hi, base, dig in batches:
+            d = docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+            ds = F.col("doc_id").cast("string")
+            key = (F.col("doc_id") % 300).cast("string")
+            line = F.concat(
+                F.lit("com,example)/doc"), key, F.lit(" "),
+                (F.lit(base) + F.col("doc_id")).cast("string"),
+                F.lit(' {"url": "http://example.com/doc'), ds,
+                F.lit('", "mime": "text/html", "status": "200", "digest": "'),
+                F.lit(dig), ds,
+                F.lit('", "length": "500", "offset": "'),
+                (F.col("doc_id") * 10).cast("string"),
+                F.lit('", "filename": "crawl/seg0.warc.gz"}'),
+            )
+            tmp = os.path.join(work, f"tmp{b}")
+            d.select(line.alias("line")).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+            dest = os.path.join(src, f"f{b}.parquet")
+            os.rename(part, dest)
+            os.utime(dest, (t0 + b, t0 + b))
+
+        stream = (
+            spark.readStream.schema("line string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_cdx_latest(stream, store, checkpoint=ckpt)
+        q.awaitTermination(300)
+        q.stop()
+    return cdx_latest_resolve(spark, store).orderBy("surt")

@@ -908,3 +908,31 @@ def test_stream_url_frontier_empty_first_batch(spark, tmp_path):
     assert {r["url"] for r in spark.read.parquet(store).collect()} == {
         "http://a/x"
     }
+
+
+def test_stream_cdx_latest_replay_safe(spark, tmp_path):
+    """An at-least-once redelivery (same batch winners appended twice under
+    one batch_id) changes neither the resolved winners nor n_versions."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators.web import cdx_latest_resolve
+
+    store = str(tmp_path / "store")
+    rows = [
+        ("k1", 10, "u1", "text/html", 200, "d1", 5, 0, "f", 0),
+        ("k1", 20, "u1b", "text/html", 200, "d2", 5, 1, "f", 1),
+        ("k2", 30, "u2", "text/html", 200, "d3", 5, 2, "f", 0),
+    ]
+    schema = ("surt string, ts long, url string, mime string, status int,"
+              " digest string, length long, offset long, filename string,"
+              " batch_id long")
+    df = spark.createDataFrame(rows, schema)
+    df.write.mode("append").parquet(store)
+    base = {(r["surt"], r["ts"], r["n_versions"])
+            for r in cdx_latest_resolve(spark, store).collect()}
+    assert base == {("k1", 20, 2), ("k2", 30, 1)}
+    # redeliver batch 0's rows verbatim
+    df.filter(F.col("batch_id") == 0).write.mode("append").parquet(store)
+    replay = {(r["surt"], r["ts"], r["n_versions"])
+              for r in cdx_latest_resolve(spark, store).collect()}
+    assert replay == base
