@@ -204,6 +204,10 @@ HEADLINE = [
     # round 9 (cont.): streaming latest-capture index maintenance — the
     # streaming twin of web_cdx_select (append winners + replay-safe resolve)
     "stream_twin_cdx_latest",
+    # round 9 (cont.): anchor-text pairs (DPR-family weak supervision) and
+    # per-page HTML metadata (title/description/canonical/noindex/lang)
+    "web_anchor_texts",
+    "web_page_meta",
 ]
 
 

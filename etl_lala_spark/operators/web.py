@@ -428,8 +428,18 @@ def extract_links(
     out = df.select(*df.columns, href).withColumn(
         "_href", F.replace(F.col("_href"), F.lit("&amp;"), F.lit("&"))
     )
-    base = F.col(base_col)
-    h = F.col("_href")
+    resolved = _resolve_href(F.col("_href"), F.col(base_col))
+    return (
+        out.withColumn("link", resolved)
+        .filter(F.col("link").isNotNull())
+        .drop("_href")
+    )
+
+
+def _resolve_href(h: Column, base: Column) -> Column:
+    """RFC 3986 reference resolution of one href against a base URL (the
+    when-chain shared by :func:`extract_links` and
+    :func:`extract_anchors`); NULL for unfetchable or empty references."""
     scheme = F.regexp_extract(base, r"^(https?):", 1)
     origin = F.regexp_extract(base, r"^(https?://[^/?#]+)", 1)
     # base directory: strip query/fragment, then everything after the last
@@ -458,11 +468,7 @@ def extract_links(
         )
         resolved = F.regexp_replace(resolved, r"/[^/.][^/]*/\.\./", "/")
         resolved = F.regexp_replace(resolved, r"/\.(/|$)", "/")
-    return (
-        out.withColumn("link", resolved)
-        .filter(F.col("link").isNotNull())
-        .drop("_href")
-    )
+    return resolved
 
 # --- CDX / Common Crawl index selection ---------------------------------------
 #
@@ -811,4 +817,107 @@ def cdx_latest_resolve(spark, store_path: str) -> DataFrame:
             F.col("_pick.digest").alias("digest"),
             "n_versions",
         )
+    )
+
+
+# Whole <a …>…</a> elements (non-greedy inner), for anchor-TEXT extraction.
+_ANCHOR_RE = r"""(?is)<a\s[^>]*href\s*=\s*["'][^"']*["'][^>]*>.*?</a\s*>"""
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str = "html", base_col: str = "url"
+) -> DataFrame:
+    """Anchor-TEXT extraction: one row per link with both the resolved
+    target (``link`` — same RFC 3986 resolution as :func:`extract_links`)
+    and the human-readable ``anchor_text`` (inner markup stripped,
+    entities decoded, whitespace collapsed; empty/image-only anchors →
+    NULL text, the row is kept). Anchor text is classic weak supervision —
+    (anchor_text, link) pairs are query-document training data
+    (DPR-family retrieval corpora are built from exactly this signal) and
+    the anchor-text aggregate per target is a relevance prior. Same
+    codegen one-to-many shape as ``extract_links``: one scan, no shuffle,
+    no Python."""
+    from etl_lala_spark.functions.scalars import canonicalize_url  # noqa: F401
+
+    el = F.explode(
+        F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), F.lit(0))
+    ).alias("_a")
+    out = df.select(*df.columns, el)
+    href = F.replace(
+        F.regexp_extract("_a", _HREF_RE, 1), F.lit("&amp;"), F.lit("&")
+    )
+    inner = F.regexp_extract("_a", r"(?is)>(.*)</a\s*>$", 1)
+    text = F.trim(
+        F.regexp_replace(
+            _xml_entity_decode(F.regexp_replace(inner, r"(?s)<[^>]*>", " ")),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        out.withColumn("link", _resolve_href(href, F.col(base_col)))
+        .withColumn("anchor_text", F.when(text != "", text))
+        .filter(F.col("link").isNotNull())
+        .drop("_a")
+    )
+
+
+def extract_page_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Per-page HTML metadata — the fields every web pipeline keeps next
+    to the text: ``title`` (entities decoded, whitespace collapsed),
+    ``meta_description``, ``canonical_url`` (``<link rel=canonical>`` —
+    the site's OWN dedup hint, used alongside URL canonicalization),
+    ``robots_noindex`` (``<meta name=robots>`` lists ``noindex`` — pages
+    a compliant corpus drops), and ``html_lang`` (the ``<html lang>``
+    attribute — the author's language claim, a prior for trained
+    lang-ID). Attribute order and quote style vary in the wild, so each
+    field extracts the whole tag first (either attribute order), then
+    the wanted attribute from it; everything missing → NULL. Tolerant
+    regexp codegen, same failure-mode rationale as
+    :func:`parse_sitemap`: one bad page degrades one row, never the job."""
+
+    def tag(name_attr: str, name_val: str, tagname: str = "meta") -> Column:
+        return F.regexp_extract(
+            F.col(html_col),
+            f"(?is)<{tagname}\\s[^>]*{name_attr}\\s*=\\s*[\"']{name_val}[\"'][^>]*>",
+            0,
+        )
+
+    def attr(tag_col: Column, attr_name: str) -> Column:
+        v = F.trim(
+            F.regexp_extract(
+                tag_col, f"(?is){attr_name}\\s*=\\s*[\"']([^\"']*)[\"']", 1
+            )
+        )
+        return F.when(v != "", _xml_entity_decode(v))
+
+    title = F.trim(
+        F.regexp_replace(
+            _xml_entity_decode(
+                F.regexp_extract(
+                    F.col(html_col), r"(?is)<title[^>]*>(.*?)</title\s*>", 1
+                )
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    robots_content = attr(tag("name", "robots"), "content")
+    lang = F.trim(
+        F.regexp_extract(
+            F.col(html_col), r"(?is)<html\s[^>]*\blang\s*=\s*[\"']([^\"']*)[\"']", 1
+        )
+    )
+    return (
+        df.withColumn("title", F.when(title != "", title))
+        .withColumn("meta_description", attr(tag("name", "description"), "content"))
+        .withColumn("canonical_url", attr(tag("rel", "canonical", "link"), "href"))
+        .withColumn(
+            "robots_noindex",
+            F.coalesce(
+                F.lower(robots_content).rlike(r"(^|[,\s])noindex([,\s]|$)"),
+                F.lit(False),
+            ),
+        )
+        .withColumn("html_lang", F.when(lang != "", F.lower(lang)))
     )

@@ -1802,3 +1802,131 @@ def web_politeness_waves(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "url", "host", "host_rank", "wave")
         .orderBy("doc_id")
     )
+
+
+# Each page carries one anchor per class: markup-wrapped text (tags stripped,
+# whitespace collapsed), an entity-encoded text, an image-only anchor (NULL
+# text, row kept), and a relative href (resolved against the page base).
+_ANCHORS_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 3 AS m FROM documents WHERE doc_id < 200),
+a AS (
+  SELECT doc_id, unnest(range(0, 4)) AS j, m FROM d
+)
+SELECT doc_id,
+       CASE j
+         WHEN 0 THEN 'http://hub.example.com/t' || doc_id
+         WHEN 1 THEN 'http://hub.example.com/e' || doc_id
+         WHEN 2 THEN 'http://hub.example.com/img' || doc_id
+         ELSE 'http://site' || m || '.example.com/dir/rel' || doc_id END AS link,
+       CASE j
+         WHEN 0 THEN 'Read the full story ' || doc_id
+         WHEN 1 THEN 'Q&A <live> now'
+         WHEN 2 THEN NULL
+         ELSE 'rel ' || doc_id END AS anchor_text
+FROM a
+ORDER BY doc_id, link
+"""
+
+
+@register("web_anchor_texts", oracle=_ANCHORS_ORACLE)
+def web_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text extraction (``operators/web.py:extract_anchors``) —
+    (anchor_text, link) pairs are DPR-family weak supervision and the
+    per-target anchor aggregate is a retrieval prior. Four anchors per
+    constructed page: markup inside the anchor (stripped to spaced text),
+    entity-encoded text (&amp;/&lt;/&gt; decode), an image-only anchor
+    (NULL text, row KEPT — dropping it would bias the link graph), and a
+    relative href resolved against the page base. The oracle states every
+    (link, text) pair closed-form."""
+    from etl_lala_spark.operators.web import extract_anchors
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ds = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 3).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="http://hub.example.com/t'), ds,
+        F.lit('"> Read <b>the</b>\n  full <i>story</i> '), ds,
+        F.lit('</a><a href="http://hub.example.com/e'), ds,
+        F.lit('">Q&amp;A &lt;live&gt; now</a>'),
+        F.lit('<a href="http://hub.example.com/img'), ds,
+        F.lit('"><img src="x.png"/></a>'),
+        F.lit('<a href="rel'), ds, F.lit('">rel '), ds,
+        F.lit("</a></body></html>"),
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), m, F.lit(".example.com/dir/page.html")
+        ).alias("url"),
+        html.alias("html"),
+    )
+    return (
+        extract_anchors(pages)
+        .select("doc_id", "link", "anchor_text")
+        .orderBy("doc_id", "link")
+    )
+
+
+# Per-doc page variants: k=0 full metadata (attribute order flipped on the
+# description tag, cased names), k=1 noindex,follow robots, k=2 titled page
+# with entities + whitespace run, k=3 bare page (all NULL/false).
+_PAGE_META_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id < 300)
+SELECT doc_id,
+       CASE k WHEN 0 THEN 'Doc ' || doc_id
+              WHEN 1 THEN 'Hidden ' || doc_id
+              WHEN 2 THEN 'A & B <fine> ' || doc_id END AS title,
+       CASE k WHEN 0 THEN 'All about doc ' || doc_id END AS meta_description,
+       CASE k WHEN 0 THEN 'http://example.com/canonical/' || doc_id
+         END AS canonical_url,
+       k = 1 AS robots_noindex,
+       CASE k WHEN 0 THEN 'en' WHEN 2 THEN 'pt-br' END AS html_lang
+FROM d
+ORDER BY doc_id
+"""
+
+
+@register("web_page_meta", oracle=_PAGE_META_ORACLE)
+def web_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-metadata extraction (``operators/web.py:extract_page_meta``):
+    title (entities + whitespace normalization), meta description with
+    FLIPPED attribute order and cased names, ``<link rel=canonical>``
+    (the site's own dedup hint), ``noindex`` detection inside a
+    multi-token robots value, and the ``<html lang>`` claim (lowercased).
+    The oracle states every field per page class; a field read from the
+    wrong attribute, a substring noindex match ('noindexing' must not
+    trip), or a missed entity decode lands on different rows."""
+    from etl_lala_spark.operators.web import extract_page_meta
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ds = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 4
+    html = (
+        F.when(k == 0, F.concat(
+            F.lit('<html lang="EN"><head><title>Doc '), ds,
+            F.lit('</title><META content="All about doc '), ds,
+            F.lit('" name="description"><link rel="canonical"'
+                  ' href="http://example.com/canonical/'), ds,
+            F.lit('"></head><body>x</body></html>'),
+        ))
+        .when(k == 1, F.concat(
+            F.lit("<html><head><title>Hidden "), ds,
+            F.lit('</title><meta name="robots" content="noindex, follow">'
+                  "</head><body>x</body></html>"),
+        ))
+        .when(k == 2, F.concat(
+            F.lit('<html LANG="pt-BR"><head><title>  A &amp; B &lt;fine&gt;\n'
+                  "   "), ds,
+            F.lit('</title><meta name="robots" content="noindexing-tool">'
+                  "</head><body>x</body></html>"),
+        ))
+        .otherwise(F.lit("<html><head></head><body>plain</body></html>"))
+    )
+    return (
+        extract_page_meta(d.select("doc_id", html.alias("html")))
+        .select(
+            "doc_id", "title", "meta_description", "canonical_url",
+            "robots_noindex", "html_lang",
+        )
+        .orderBy("doc_id")
+    )

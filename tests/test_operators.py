@@ -2973,3 +2973,54 @@ def test_politeness_waves_caps_per_host(spark):
     h0 = sorted(r["wave"] for r in out if r["host"] == "h0.com")
     assert h0 == [0, 0, 1, 1, 2, 2, 3, 3, 4, 4]
     assert any(r["host"] is None for r in out)
+
+
+def test_extract_anchors_text_and_resolution(spark):
+    """Anchor text: markup stripped to spaced text, entities decoded,
+    whitespace collapsed, image-only anchors keep the row with NULL text,
+    hrefs resolve like extract_links (same when-chain)."""
+    from etl_lala_spark.operators.web import extract_anchors
+
+    html = (
+        '<a href="/x"> Go <b>deep</b>er\n now </a>'
+        '<a href="rel/y">Q&amp;A</a>'
+        '<a href="http://a.com/z"><img src="i.png"></a>'
+        '<a href="mailto:n@a.com">skip me</a>'
+    )
+    df = spark.createDataFrame(
+        [(1, "https://s.com/dir/p.html", html)],
+        "i long, url string, html string",
+    )
+    rows = {r["link"]: r["anchor_text"] for r in extract_anchors(df).collect()}
+    assert rows == {
+        "https://s.com/x": "Go deep er now",
+        "https://s.com/dir/rel/y": "Q&A",
+        "http://a.com/z": None,
+    }
+
+
+def test_extract_page_meta_fields(spark):
+    """Page metadata: flipped attribute order, cased tag/attr names,
+    multi-token robots values (substring 'noindexing' must not trip),
+    entity+whitespace title normalization, lang lowercased, absent fields
+    NULL."""
+    from etl_lala_spark.operators.web import extract_page_meta
+
+    pages = [
+        (0, '<html lang="EN-us"><head><title> A &amp; B\n C </title>'
+            '<META content="desc here" NAME="description">'
+            '<link href="http://c.com/main" rel="canonical">'
+            '<meta name="robots" content="NOFOLLOW, NOINDEX"></head></html>'),
+        (1, '<html><head><meta name="robots" content="noindexing-tool">'
+            "</head></html>"),
+        (2, "<html><body>nothing here</body></html>"),
+    ]
+    df = spark.createDataFrame(pages, "i long, html string")
+    out = {r["i"]: r for r in extract_page_meta(df).collect()}
+    assert out[0]["title"] == "A & B C"
+    assert out[0]["meta_description"] == "desc here"
+    assert out[0]["canonical_url"] == "http://c.com/main"
+    assert out[0]["robots_noindex"] is True
+    assert out[0]["html_lang"] == "en-us"
+    assert out[1]["robots_noindex"] is False  # substring must not trip
+    assert out[2]["title"] is None and out[2]["canonical_url"] is None
