@@ -208,6 +208,9 @@ HEADLINE = [
     # per-page HTML metadata (title/description/canonical/noindex/lang)
     "web_anchor_texts",
     "web_page_meta",
+    # round 9 (cont.): SFT/chat-transcript hygiene — parse + alternation /
+    # target / empty-content checks, per-role char folds, all within-row
+    "chat_turn_quality",
 ]
 
 

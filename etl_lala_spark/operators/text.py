@@ -1414,3 +1414,72 @@ def gopher_quality_rules(
         out = out.withColumn(name, cond)
         keep = keep & F.col(name)
     return out.withColumn("keep", keep)
+
+
+#: messages array of an SFT/chat-format record ({"role","content"} turns).
+CHAT_SCHEMA = "array<struct<role string, content string>>"
+
+
+def chat_turn_stats(df, json_col: str = "messages_json"):
+    """Instruction-data (SFT) transcript hygiene — the chat-format
+    counterpart of the pretraining quality battery: parse a JSON
+    ``messages`` array and append the checks every fine-tuning pipeline
+    runs before training. Columns: ``parse_ok`` (malformed JSON rows are
+    kept, flagged, with stats NULL), ``n_turns`` (system excluded),
+    ``has_system``, ``roles_ok`` (after an optional leading system turn,
+    roles must strictly alternate user/assistant starting at user),
+    ``ends_assistant`` (a trailing user turn has no training target),
+    ``has_empty_content``, ``user_chars`` / ``assistant_chars`` (codegen
+    folds), and ``keep`` (all checks pass). One scan, within-row
+    higher-order functions only — no shuffle, no Python."""
+    msgs = F.from_json(F.col(json_col), CHAT_SCHEMA)
+    parse_ok = msgs.isNotNull() & (F.size(msgs) > 0)
+    has_system = parse_ok & (F.element_at(msgs, 1)["role"] == "system")
+    body = F.when(
+        has_system, F.slice(msgs, 2, F.greatest(F.size(msgs) - 1, F.lit(0)))
+    ).otherwise(msgs)
+    n_turns = F.size(body)
+    # strict alternation: turn i (1-based) must be user when i is odd,
+    # assistant when even; an empty body fails (nothing to train on)
+    idx = F.sequence(F.lit(1), n_turns)
+    roles_ok = F.when(
+        parse_ok & (n_turns > 0),
+        F.forall(
+            F.zip_with(
+                body,
+                idx,
+                lambda m, i: m["role"]
+                == F.when(i % 2 == 1, "user").otherwise("assistant"),
+            ),
+            lambda ok: ok,
+        ),
+    ).otherwise(F.lit(False))
+    ends_assistant = F.coalesce(
+        F.element_at(body, -1)["role"] == "assistant", F.lit(False)
+    )
+    empty = F.exists(
+        msgs, lambda m: m["content"].isNull() | (F.trim(m["content"]) == "")
+    )
+    def chars(role: str):
+        return F.aggregate(
+            F.filter(body, lambda m: m["role"] == role),
+            F.lit(0).cast("bigint"),
+            lambda acc, m: acc + F.coalesce(F.length(m["content"]), F.lit(0)),
+        )
+    out = (
+        df.withColumn("parse_ok", F.coalesce(parse_ok, F.lit(False)))
+        .withColumn("has_system", F.when(parse_ok, has_system))
+        .withColumn("n_turns", F.when(parse_ok, n_turns.cast("bigint")))
+        .withColumn("roles_ok", roles_ok)
+        .withColumn("ends_assistant", F.when(parse_ok, ends_assistant))
+        .withColumn("has_empty_content", F.when(parse_ok, empty))
+        .withColumn("user_chars", F.when(parse_ok, chars("user")))
+        .withColumn("assistant_chars", F.when(parse_ok, chars("assistant")))
+    )
+    keep = (
+        F.col("parse_ok")
+        & F.col("roles_ok")
+        & F.coalesce(F.col("ends_assistant"), F.lit(False))
+        & ~F.coalesce(F.col("has_empty_content"), F.lit(True))
+    )
+    return out.withColumn("keep", keep)

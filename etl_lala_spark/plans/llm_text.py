@@ -1881,3 +1881,75 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "chat_turn_quality",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS k, length(CAST(doc_id AS VARCHAR)) AS dk
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       k <> 4 AS parse_ok,
+       CASE WHEN k = 4 THEN NULL ELSE k = 1 END AS has_system,
+       CASE k WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 2 WHEN 3 THEN 2
+         END AS n_turns,
+       k IN (0, 1, 3) AS roles_ok,
+       CASE WHEN k = 4 THEN NULL ELSE k IN (0, 1, 3) END AS ends_assistant,
+       CASE WHEN k = 4 THEN NULL ELSE k = 3 END AS has_empty_content,
+       CAST(CASE k WHEN 0 THEN 3 + dk WHEN 1 THEN 5 + dk WHEN 2 THEN 4
+                   WHEN 3 THEN 2 + dk END AS BIGINT) AS user_chars,
+       CAST(CASE k WHEN 0 THEN 7 + dk WHEN 1 THEN 5 + dk WHEN 2 THEN 0
+                   WHEN 3 THEN 0 END AS BIGINT) AS assistant_chars,
+       k IN (0, 1) AS keep
+FROM d
+ORDER BY doc_id
+""",
+)
+def chat_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-data (SFT) transcript hygiene
+    (``operators/text.py:chat_turn_stats``) — the chat-format data
+    modality: five record classes (valid 2-turn, system + 4 valid turns,
+    a user→user alternation violation, an empty assistant target, and
+    malformed JSON kept as a flagged row) with every check and both
+    per-role character folds stated closed-form by the oracle. A system
+    turn counted as a body turn, a missed alternation violation, a
+    trailing-user keep, or a dropped malformed row lands on different
+    rows. One scan, within-row higher-order functions, no shuffle."""
+    from etl_lala_spark.operators.text import chat_turn_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ds = F.col("doc_id").cast("string")
+    k = F.col("doc_id") % 5
+    j = (
+        F.when(k == 0, F.concat(
+            F.lit('[{"role":"user","content":"hi '), ds,
+            F.lit('"},{"role":"assistant","content":"hello '), ds,
+            F.lit('!"}]'),
+        ))
+        .when(k == 1, F.concat(
+            F.lit('[{"role":"system","content":"s"},'
+                  '{"role":"user","content":"u1 '), ds,
+            F.lit('"},{"role":"assistant","content":"a1"},'
+                  '{"role":"user","content":"u2"},'
+                  '{"role":"assistant","content":"a2 '), ds,
+            F.lit('"}]'),
+        ))
+        .when(k == 2, F.lit('[{"role":"user","content":"x1"},'
+                            '{"role":"user","content":"x2"}]'))
+        .when(k == 3, F.concat(
+            F.lit('[{"role":"user","content":"q '), ds,
+            F.lit('"},{"role":"assistant","content":""}]'),
+        ))
+        .otherwise(F.lit("{not json"))
+    )
+    return (
+        chat_turn_stats(d.select("doc_id", j.alias("messages_json")))
+        .select(
+            "doc_id", "parse_ok", "has_system", "n_turns", "roles_ok",
+            "ends_assistant", "has_empty_content", "user_chars",
+            "assistant_chars", "keep",
+        )
+        .orderBy("doc_id")
+    )

@@ -3024,3 +3024,29 @@ def test_extract_page_meta_fields(spark):
     assert out[0]["html_lang"] == "en-us"
     assert out[1]["robots_noindex"] is False  # substring must not trip
     assert out[2]["title"] is None and out[2]["canonical_url"] is None
+
+
+def test_chat_turn_stats_checks(spark):
+    """SFT transcript checks: alternation, trailing-user rejection,
+    system handling, empty content, malformed JSON kept as flagged row,
+    empty array fails parse_ok."""
+    from etl_lala_spark.operators.text import chat_turn_stats
+
+    recs = [
+        (0, '[{"role":"user","content":"q"},{"role":"assistant","content":"a"}]'),
+        (1, '[{"role":"system","content":"s"},{"role":"user","content":"q"}]'),
+        (2, '[{"role":"assistant","content":"a"}]'),
+        (3, "not json"),
+        (4, "[]"),
+    ]
+    df = spark.createDataFrame(recs, "i long, messages_json string")
+    out = {r["i"]: r for r in chat_turn_stats(df).collect()}
+    assert out[0]["keep"] is True and out[0]["n_turns"] == 2
+    # system + trailing user: roles_ok (alternation fine so far) but no target
+    assert out[1]["has_system"] is True and out[1]["n_turns"] == 1
+    assert out[1]["ends_assistant"] is False and out[1]["keep"] is False
+    # assistant-first violates alternation
+    assert out[2]["roles_ok"] is False and out[2]["keep"] is False
+    assert out[3]["parse_ok"] is False and out[3]["n_turns"] is None
+    assert out[4]["parse_ok"] is False and out[4]["keep"] is False
+    assert len(out) == 5
