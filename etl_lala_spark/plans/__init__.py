@@ -95,9 +95,14 @@ def _load_all() -> None:
 # recorded driver run, so ADVICE r8 asks for recorded hash-match evidence
 # on the EXTENDED gates — their last-green staleness (r7) would otherwise
 # leave them behind the r3/r4 tail in tier 3. Everything else rides the
-# automatic tiers: tier 1 front-loads the new r9 registrations (WARC,
-# URL dedup, byte-BPE, trained lang-ID + audits) and tier 3 drains the
-# 8 queries last green in r3 (VERDICT r8 task 4).
+# automatic tiers: tier 1 front-loads the 26 new r9 registrations (the
+# crawl chain: WARC, URL dedup, CDX select/fetch-plan/delta, SURT,
+# sitemap, robots, Bloom + URL-frontier and CDX-latest stream twins,
+# link graph, anchors, page meta, politeness waves, domain/badword
+# filter; text/curation: byte-BPE, trained lang-ID + audits, mojibake,
+# sentence split, Gopher rules, shard export, chat hygiene) and tier 3
+# drains the 8 queries last green in r3 (VERDICT r8 task 4) — all 34 fit
+# the 50-row window with 13 slots left for the r4 backlog.
 _DRIVER_WINDOW: list[str] = [
     "audit_incremental_planted",
     "dedup_incremental_minhash",
