@@ -211,6 +211,9 @@ HEADLINE = [
     # round 9 (cont.): SFT/chat-transcript hygiene — parse + alternation /
     # target / empty-content checks, per-role char folds, all within-row
     "chat_turn_quality",
+    # round 9 (cont.): the crawl scheduling chain END TO END — sitemap →
+    # canonicalize → robots → seen anti-join → politeness waves
+    "web_crawl_schedule",
 ]
 
 

@@ -1930,3 +1930,93 @@ def web_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Sitemap entry 0 is fetchable, entry 1 sits under a robots-disallowed
+# prefix; docs % 4 == 0 are already in the seen store. Survivors and their
+# politeness waves replay as SQL over the same construction (string-order
+# ranking is byte-wise ASCII on both engines).
+_CRAWL_SCHEDULE_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS h FROM documents
+  WHERE doc_id < 120 AND doc_id % 4 <> 0
+),
+f AS (
+  SELECT 'http://host' || h || '.example.com/ok/p' || doc_id AS url,
+         'host' || h || '.example.com' AS host
+  FROM d
+),
+r AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS host_rank
+  FROM f
+)
+SELECT url, host, CAST(host_rank AS INT) AS host_rank,
+       CAST(host_rank // 2 AS BIGINT) AS wave
+FROM r
+ORDER BY url
+"""
+
+
+@register("web_crawl_schedule", oracle=_CRAWL_SCHEDULE_ORACLE)
+def web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl scheduling chain END TO END, every stage the real
+    operator: sitemap parse (seed discovery) → ``canonicalize_url`` →
+    robots filter (a ``Disallow: /private/`` prefix kills sitemap entry
+    1) → seen-store anti-join (docs % 4 == 0 already fetched; the exact
+    join is the correctness path the Bloom bitmap merely caches, see
+    ``stream_twin_url_frontier``) → ``politeness_waves`` (2 fetches per
+    host per wave). The oracle replays the surviving URL set and every
+    (host_rank, wave) assignment. Composition is the point: a stage that
+    canonicalizes differently from the seen store, leaks a disallowed
+    path, or ranks pre-filter rows lands on different rows.
+
+    Scale: one sitemap scan + explode, one broadcast robots join, one
+    key-grain anti-join, one per-host window — the frontier is shuffled
+    exactly twice (seen-join key, host window), never the corpus."""
+    from etl_lala_spark.functions.scalars import canonicalize_url
+    from etl_lala_spark.operators.web import (
+        parse_robots,
+        parse_sitemap,
+        politeness_waves,
+        robots_allowed,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    ds = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 3).cast("string")
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+              "<url><loc>http://host"), h, F.lit(".example.com/ok/p"), ds,
+        F.lit("</loc></url><url><loc>http://host"), h,
+        F.lit(".example.com/private/s"), ds,
+        F.lit("</loc></url></urlset>"),
+    )
+    entries = parse_sitemap(d.select("doc_id", xml.alias("xml")))
+    urls = entries.select(
+        "doc_id", canonicalize_url(F.col("loc")).alias("url")
+    ).filter(F.col("url").isNotNull())
+    robots = spark.createDataFrame(
+        [(f"host{i}.example.com", "User-agent: *\nDisallow: /private/")
+         for i in range(3)],
+        "host string, robots_txt string",
+    )
+    with_parts = urls.withColumn(
+        "host", F.lower(F.try_parse_url("url", F.lit("HOST")))
+    ).withColumn("path", F.try_parse_url("url", F.lit("PATH")))
+    allowed = (
+        robots_allowed(with_parts, parse_robots(robots))
+        .filter(F.col("allowed"))
+        .drop("allowed", "matched_rule", "host", "path")
+    )
+    seen = d.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/ok/p"), ds
+        ).alias("url")
+    )
+    frontier = allowed.join(seen, "url", "left_anti")
+    return (
+        politeness_waves(frontier, per_host_per_wave=2)
+        .select("url", "host", "host_rank", "wave")
+        .orderBy("url")
+    )
