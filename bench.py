@@ -214,6 +214,8 @@ HEADLINE = [
     # round 9 (cont.): the crawl scheduling chain END TO END — sitemap →
     # canonicalize → robots → seen anti-join → politeness waves
     "web_crawl_schedule",
+    # round 9 (cont.): sitemap discovery from robots.txt Sitemap: directives
+    "web_robots_sitemaps",
 ]
 
 

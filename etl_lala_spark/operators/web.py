@@ -921,3 +921,29 @@ def extract_page_meta(df: DataFrame, html_col: str = "html") -> DataFrame:
         )
         .withColumn("html_lang", F.when(lang != "", F.lower(lang)))
     )
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` directives from robots.txt — the discovery hop BEFORE
+    :func:`parse_sitemap` (robots.txt names the sitemaps; sitemaps name
+    the URLs): one row per (host, sitemap_url). Per the protocol the
+    directive is group-INDEPENDENT (it binds to the file, not to any
+    User-agent group), its field name is case-insensitive, and its value
+    is an absolute URL taken verbatim (comments stripped, whitespace
+    trimmed). Duplicate directives collapse. Same one-scan posexplode
+    shape as :func:`parse_robots`."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    url = F.trim(F.regexp_extract("line", r"(?i)^sitemap\s*:\s*(.+)$", 1))
+    return (
+        lines.select("host", url.alias("sitemap_url"))
+        .filter(F.col("sitemap_url") != "")
+        .dropDuplicates(["host", "sitemap_url"])
+    )

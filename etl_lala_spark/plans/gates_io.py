@@ -2020,3 +2020,56 @@ def web_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("url", "host", "host_rank", "wave")
         .orderBy("url")
     )
+
+
+# Host h = doc % 5: one Sitemap directive inside a User-agent group (group
+# independence), one cased SITEMAP: directive outside any group for h % 2
+# == 0, a commented-out directive that must NOT surface, and a duplicate
+# that must collapse.
+_ROBOTS_SITEMAPS_ORACLE = """
+WITH h AS (SELECT DISTINCT doc_id % 5 AS h FROM documents WHERE doc_id < 200),
+rows_ AS (
+  SELECT 'host' || h || '.example.com' AS host,
+         'http://host' || h || '.example.com/sitemap.xml' AS sitemap_url
+  FROM h
+  UNION ALL
+  SELECT 'host' || h || '.example.com',
+         'http://host' || h || '.example.com/news.xml.gz'
+  FROM h WHERE h % 2 = 0
+)
+SELECT host, sitemap_url FROM rows_ ORDER BY host, sitemap_url
+"""
+
+
+@register("web_robots_sitemaps", oracle=_ROBOTS_SITEMAPS_ORACLE)
+def web_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery from robots.txt
+    (``operators/web.py:robots_sitemaps``) — the hop that closes the
+    seed-discovery loop (robots → sitemap URL → ``parse_sitemap`` →
+    frontier). Directives appear inside a User-agent group (they are
+    group-independent per the protocol), as a CASED ``SITEMAP:`` outside
+    any group, commented out (must not surface), and duplicated (must
+    collapse). The oracle states the (host, url) set closed-form."""
+    from etl_lala_spark.operators.web import robots_sitemaps
+
+    # exactly one robots row per host: docs 0..4 ARE the five hosts
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 5)
+    h = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.lit("User-agent: *\nDisallow: /private/\nSitemap: http://host"), h,
+        F.lit(".example.com/sitemap.xml\n# Sitemap: http://host"), h,
+        F.lit(".example.com/ignored.xml\nSitemap: http://host"), h,
+        F.lit(".example.com/sitemap.xml\n"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("\nSITEMAP:   http://host"), h,
+                F.lit(".example.com/news.xml.gz"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    robots = d.select(
+        F.concat(F.lit("host"), h, F.lit(".example.com")).alias("host"),
+        txt.alias("robots_txt"),
+    )
+    return robots_sitemaps(robots).orderBy("host", "sitemap_url")

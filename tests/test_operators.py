@@ -3050,3 +3050,26 @@ def test_chat_turn_stats_checks(spark):
     assert out[3]["parse_ok"] is False and out[3]["n_turns"] is None
     assert out[4]["parse_ok"] is False and out[4]["keep"] is False
     assert len(out) == 5
+
+
+def test_robots_sitemaps_directives(spark):
+    """Sitemap directives: group-independent, case-insensitive field
+    name, comments stripped, duplicates collapsed, hosts without a
+    directive absent."""
+    from etl_lala_spark.operators.web import robots_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: x\nDisallow: /\nSitemap: http://a.com/s.xml\n"
+                      "sitemap: http://a.com/s.xml\nSITEMAP:http://a.com/t.xml"),
+            ("b.com", "# Sitemap: http://b.com/hidden.xml\nUser-agent: *\n"
+                      "Disallow:"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = sorted((r["host"], r["sitemap_url"])
+                 for r in robots_sitemaps(robots).collect())
+    assert got == [
+        ("a.com", "http://a.com/s.xml"),
+        ("a.com", "http://a.com/t.xml"),
+    ]
