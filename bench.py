@@ -216,6 +216,10 @@ HEADLINE = [
     "web_crawl_schedule",
     # round 9 (cont.): sitemap discovery from robots.txt Sitemap: directives
     "web_robots_sitemaps",
+    # round 9 (cont.): WHATWG-order charset resolution + typographic
+    # punctuation folding (the pre-tokenization normalization)
+    "web_charset_detect",
+    "text_normalize_punct",
 ]
 
 

@@ -1483,3 +1483,34 @@ def chat_turn_stats(df, json_col: str = "messages_json"):
         & ~F.coalesce(F.col("has_empty_content"), F.lit(True))
     )
     return out.withColumn("keep", keep)
+
+
+#: 1:1 unicode-punctuation folds (smart quotes, dashes, spaces) applied as
+#: one translate; multi-char folds (ellipsis) follow as replaces.
+_PUNCT_FOLD_1TO1 = {
+    "‘": "'", "’": "'", "‚": "'", "′": "'",
+    "“": '"', "”": '"', "„": '"', "″": '"',
+    "–": "-", "—": "-", "―": "-", "−": "-",
+    " ": " ", " ": " ", " ": " ", " ": " ",
+    " ": " ", "　": " ",
+}
+_PUNCT_FOLD_MULTI = (("…", "..."),)
+
+
+def normalize_punct(col: Column) -> Column:
+    """Fold typographic unicode punctuation to its ASCII form — the
+    pre-tokenization normalization every tokenizer pipeline applies so
+    ``“word”`` and ``"word"`` share subwords and dedup keys: smart
+    quotes/primes → ``'``/``"``, en/em/horizontal-bar dashes and minus →
+    ``-``, no-break and typographic spaces → space, ellipsis → ``...``.
+    One ``translate`` (all 1:1 folds in a single pass) plus one replace
+    per multi-char fold — pure codegen, zero-cost at any corpus size.
+    Deliberately NOT full NFKC: these folds are unambiguous punctuation
+    identities; letter-level compatibility folding (ligatures, full-width
+    forms) changes linguistic content and belongs to an explicit opt-in."""
+    src = "".join(_PUNCT_FOLD_1TO1)
+    dst = "".join(_PUNCT_FOLD_1TO1.values())
+    out = F.translate(col, src, dst)
+    for a, b in _PUNCT_FOLD_MULTI:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out

@@ -947,3 +947,60 @@ def robots_sitemaps(
         .filter(F.col("sitemap_url") != "")
         .dropDuplicates(["host", "sitemap_url"])
     )
+
+
+def detect_charset(
+    df: DataFrame,
+    content_type_col: str = "content_type",
+    html_col: str = "html",
+    default: str = "utf-8",
+) -> DataFrame:
+    """Charset resolution for fetched pages, in the WHATWG/browser
+    precedence order: the ``Content-Type`` header's ``charset`` parameter
+    wins, then ``<meta charset=…>``, then the legacy
+    ``<meta http-equiv="Content-Type" content="…; charset=…">``, else the
+    ``default``. Appends ``charset`` (lowercased, quotes stripped) and
+    ``charset_source`` (``header`` / ``meta`` / ``http_equiv`` /
+    ``default``) — the column :func:`~etl_lala_spark.operators.text
+    .fix_mojibake` consumers key their repair decision on (a page DECLARED
+    cp1252 but decoded as utf-8 is exactly the mojibake signature).
+    Tolerant regexp codegen, per-row degrade, one scan."""
+    hdr = F.lower(F.trim(F.regexp_extract(
+        F.col(content_type_col), r"(?i);\s*charset\s*=\s*\"?([^\";\s]+)\"?", 1
+    )))
+    # the bare form's charset is a direct ATTRIBUTE; the legacy form's sits
+    # inside content="…" — extract the first charset-bearing meta tag and
+    # accept it as bare only when it has no content= attribute
+    meta_tag = F.regexp_extract(
+        F.col(html_col), r"(?is)<meta\s[^>]*\bcharset\s*=[^>]*>", 0
+    )
+    meta_raw = F.lower(F.trim(F.regexp_extract(
+        meta_tag, r"(?i)\bcharset\s*=\s*[\"']?([^\"'>\s/]+)", 1
+    )))
+    meta = F.when(
+        ~F.lower(meta_tag).rlike(r"content\s*="), meta_raw
+    ).otherwise(F.lit(""))
+    # the legacy form nests charset= inside the content attribute; require
+    # the http-equiv tag so a stray charset= in body text can't win
+    equiv_tag = F.regexp_extract(
+        F.col(html_col),
+        r"(?is)<meta\s[^>]*http-equiv\s*=\s*[\"']content-type[\"'][^>]*>", 0
+    )
+    equiv = F.lower(F.trim(F.regexp_extract(
+        equiv_tag, r"(?i)charset\s*=\s*\"?([^\";\s]+)\"?", 1
+    )))
+    charset = (
+        F.when(hdr != "", hdr)
+        .when(meta != "", meta)
+        .when(equiv != "", equiv)
+        .otherwise(F.lit(default))
+    )
+    source = (
+        F.when(hdr != "", "header")
+        .when(meta != "", "meta")
+        .when(equiv != "", "http_equiv")
+        .otherwise(F.lit("default"))
+    )
+    return df.withColumn("charset", charset).withColumn(
+        "charset_source", source
+    )

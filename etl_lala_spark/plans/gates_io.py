@@ -2073,3 +2073,54 @@ def web_robots_sitemaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         txt.alias("robots_txt"),
     )
     return robots_sitemaps(robots).orderBy("host", "sitemap_url")
+
+
+# k = doc % 4: header charset (quoted, cased — wins over a conflicting
+# meta), bare meta charset, legacy http-equiv (a stray body 'charset='
+# must NOT win), nothing → default. Every resolution stated closed-form.
+_CHARSET_ORACLE = """
+WITH d AS (SELECT doc_id, doc_id % 4 AS k FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       CASE k WHEN 0 THEN 'iso-8859-1'
+              WHEN 1 THEN 'windows-1252'
+              WHEN 2 THEN 'shift_jis'
+              ELSE 'utf-8' END AS charset,
+       CASE k WHEN 0 THEN 'header'
+              WHEN 1 THEN 'meta'
+              WHEN 2 THEN 'http_equiv'
+              ELSE 'default' END AS charset_source
+FROM d
+ORDER BY doc_id
+"""
+
+
+@register("web_charset_detect", oracle=_CHARSET_ORACLE)
+def web_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset resolution (``operators/web.py:detect_charset``) in the
+    WHATWG precedence order: a quoted, cased header parameter beats a
+    conflicting ``<meta charset>``; a bare meta charset beats the legacy
+    http-equiv form; a stray ``charset=`` in body text never wins; no
+    declaration resolves to the default. Feeds the mojibake-repair
+    decision (declared-vs-decoded mismatch is the repair signature)."""
+    from etl_lala_spark.operators.web import detect_charset
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k = F.col("doc_id") % 4
+    ct = (
+        F.when(k == 0, F.lit('text/html; charset="ISO-8859-1"'))
+        .otherwise(F.lit("text/html"))
+    )
+    html = (
+        F.when(k == 0, F.lit('<html><head><meta charset="utf-8"></head>x</html>'))
+        .when(k == 1, F.lit("<html><head><META CHARSET=windows-1252></head></html>"))
+        .when(k == 2, F.lit(
+            '<html><head><meta http-equiv="Content-Type"'
+            ' content="text/html; charset=Shift_JIS"></head>'
+            "<body>the word charset=fake appears in text</body></html>"))
+        .otherwise(F.lit("<html><body>charset=decoy only in body</body></html>"))
+    )
+    return (
+        detect_charset(d.select("doc_id", ct.alias("content_type"), html.alias("html")))
+        .select("doc_id", "charset", "charset_source")
+        .orderBy("doc_id")
+    )

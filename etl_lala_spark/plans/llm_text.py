@@ -1953,3 +1953,36 @@ def chat_turn_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_normalize_punct",
+    oracle="""
+SELECT doc_id,
+       'he said ''hi'' and "bye" - twice - at  home... done' AS normalized,
+       CAST(strlen('he said ''hi'' and "bye" - twice - at  home... done')
+         AS BIGINT) AS n_chars
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+""",
+)
+def text_normalize_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typographic-punctuation folding
+    (``operators/text.py:normalize_punct``): curly quotes → straight,
+    en/em dashes → hyphen, no-break space → space, ellipsis → three
+    dots — the pre-tokenization normalization that makes ``“word”`` and
+    ``"word"`` share subwords. The constructed input exercises every fold
+    class; the oracle states the folded string and its byte length (the
+    ellipsis fold CHANGES length — a translate-only implementation that
+    maps … to one char fails the length)."""
+    from etl_lala_spark.operators.text import normalize_punct
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    raw = F.lit("he said ‘hi’ and “bye” – twice"
+                " — at  home… done")
+    norm = normalize_punct(raw)
+    return d.select(
+        "doc_id",
+        norm.alias("normalized"),
+        F.octet_length(norm).cast("bigint").alias("n_chars"),
+    ).orderBy("doc_id")

@@ -3073,3 +3073,43 @@ def test_robots_sitemaps_directives(spark):
         ("a.com", "http://a.com/s.xml"),
         ("a.com", "http://a.com/t.xml"),
     ]
+
+
+def test_detect_charset_precedence(spark):
+    """WHATWG order: header param beats meta; bare meta beats http-equiv;
+    a charset= inside content= is never read as a bare meta; body decoys
+    never win; no declaration -> default."""
+    from etl_lala_spark.operators.web import detect_charset
+
+    rows = [
+        (0, 'text/html; charset=UTF-16', '<meta charset="latin-1">'),
+        (1, "text/html", "<meta charset=KOI8-R>"),
+        (2, "text/html",
+         '<meta http-equiv="content-type" content="text/html; charset=big5">'),
+        (3, "text/html", "body says charset=evil"),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, content_type string, html string")
+    out = {r["i"]: (r["charset"], r["charset_source"])
+           for r in detect_charset(df).collect()}
+    assert out[0] == ("utf-16", "header")
+    assert out[1] == ("koi8-r", "meta")
+    assert out[2] == ("big5", "http_equiv")
+    assert out[3] == ("utf-8", "default")
+    assert out[4] == ("utf-8", "default")
+
+
+def test_normalize_punct_folds(spark):
+    """Quotes/dashes/spaces fold 1:1, ellipsis folds to three dots, ASCII
+    is a fixed point."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators.text import normalize_punct
+
+    df = spark.createDataFrame(
+        [(0, "‘a’ “b” – — … x y"), (1, "plain 'ascii' - ... ok")],
+        "i long, t string",
+    )
+    out = {r["i"]: r["n"] for r in df.select("i", normalize_punct(F.col("t")).alias("n")).collect()}
+    assert out[0] == "'a' \"b\" - - ... x y"
+    assert out[1] == "plain 'ascii' - ... ok"
