@@ -220,6 +220,9 @@ HEADLINE = [
     # punctuation folding (the pre-tokenization normalization)
     "web_charset_detect",
     "text_normalize_punct",
+    # round 9 (cont.): time-aware politeness — Crawl-delay parse (max wins)
+    # + wave x per-host delay fetch offsets
+    "web_politeness_schedule",
 ]
 
 

@@ -1004,3 +1004,64 @@ def detect_charset(
     return df.withColumn("charset", charset).withColumn(
         "charset_source", source
     )
+
+
+def robots_crawl_delays(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Crawl-delay`` seconds per host (de facto directive — not in RFC
+    9309; engines disagree on group binding, so this takes the MAX value
+    declared anywhere in the host's file: the most conservative reading a
+    polite crawler can adopt). Non-numeric values are ignored; hosts with
+    no valid directive are absent (callers coalesce a default). One
+    posexplode scan + a hosts-sized max agg."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    val = F.regexp_extract("line", r"(?i)^crawl-delay\s*:\s*([0-9]+(?:\.[0-9]+)?)\s*$", 1)
+    return (
+        lines.select("host", val.alias("v"))
+        .filter(F.col("v") != "")
+        .groupBy("host")
+        .agg(F.max(F.col("v").cast("double")).alias("crawl_delay_s"))
+    )
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    per_host_per_wave: int = 1,
+    default_delay_s: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Time-aware politeness schedule: :func:`politeness_waves` assignment
+    joined with per-host :func:`robots_crawl_delays`, emitting
+    ``not_before_s`` = wave × the host's crawl delay (default when the
+    host declares none) — the earliest offset, from schedule start, at
+    which the fetcher may issue the request without violating the host's
+    declared rate. Delays are hosts-sized and broadcast; the frontier
+    still shuffles only on the per-host window."""
+    waved = politeness_waves(
+        frontier, per_host_per_wave=per_host_per_wave, url_col=url_col
+    )
+    d = F.broadcast(
+        delays.select(
+            F.col("host").alias("_dhost"), F.col("crawl_delay_s").alias("_delay")
+        )
+    )
+    return (
+        waved.join(d, F.col("host") == F.col("_dhost"), "left")
+        .withColumn(
+            "not_before_s",
+            F.round(
+                F.col("wave")
+                * F.coalesce(F.col("_delay"), F.lit(float(default_delay_s))),
+                6,
+            ),
+        )
+        .drop("_dhost", "_delay")
+    )

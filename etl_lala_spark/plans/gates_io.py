@@ -2124,3 +2124,71 @@ def web_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "charset", "charset_source")
         .orderBy("doc_id")
     )
+
+
+# Hosts 0..4: host h declares Crawl-delay h*2 (host 0's directives are a
+# non-numeric value and a commented line — both ignored, default applies);
+# host 3 declares two values (3 and 6 — the conservative max wins). URL u
+# of host h lands in wave u // 2; not_before = wave * delay.
+_CRAWL_DELAY_ORACLE = """
+WITH hosts AS (SELECT unnest(range(0, 5)) AS h),
+urls AS (
+  SELECT h, unnest(range(0, 6)) AS u FROM hosts
+),
+sched AS (
+  SELECT 'http://host' || h || '.example.com/p' || u AS url,
+         'host' || h || '.example.com' AS host,
+         CAST(u AS INT) AS host_rank,
+         CAST(u // 2 AS BIGINT) AS wave,
+         CASE WHEN h = 0 THEN 1.0
+              WHEN h = 3 THEN 6.0
+              ELSE h * 2.0 END AS delay
+  FROM urls
+)
+SELECT url, host, host_rank, wave,
+       CAST(round(wave * delay, 6) AS DOUBLE) AS not_before_s
+FROM sched
+ORDER BY url
+"""
+
+
+@register("web_politeness_schedule", oracle=_CRAWL_DELAY_ORACLE)
+def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-aware crawl scheduling: ``robots_crawl_delays`` (non-numeric
+    and commented directives ignored, duplicate directives resolve to the
+    conservative max, absent hosts take the default) feeding
+    ``politeness_schedule`` (wave × per-host delay). Five hosts with six
+    URLs each, two fetches per wave; the oracle replays every
+    ``not_before_s`` offset. URLs use 0-padded-free single digits so
+    string rank order equals numeric order."""
+    from etl_lala_spark.operators.web import (
+        politeness_schedule,
+        robots_crawl_delays,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    h = (F.col("doc_id") % 5).cast("string")
+    u = (F.col("doc_id") / 5).cast("int").cast("string")
+    frontier = d.select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/p"), u
+        ).alias("url")
+    )
+    robots = spark.createDataFrame(
+        [
+            ("host0.example.com",
+             "Crawl-delay: fast\n# Crawl-delay: 9\nUser-agent: *\nDisallow:"),
+            ("host1.example.com", "User-agent: *\nCrawl-delay: 2"),
+            ("host2.example.com", "crawl-delay:4"),
+            ("host3.example.com", "Crawl-delay: 3\nCrawl-delay: 6"),
+            ("host4.example.com", "CRAWL-DELAY: 8.0"),
+        ],
+        "host string, robots_txt string",
+    )
+    sched = politeness_schedule(
+        frontier, robots_crawl_delays(robots), per_host_per_wave=2,
+        default_delay_s=1.0,
+    )
+    return sched.select(
+        "url", "host", "host_rank", "wave", "not_before_s"
+    ).orderBy("url")

@@ -3113,3 +3113,37 @@ def test_normalize_punct_folds(spark):
     out = {r["i"]: r["n"] for r in df.select("i", normalize_punct(F.col("t")).alias("n")).collect()}
     assert out[0] == "'a' \"b\" - - ... x y"
     assert out[1] == "plain 'ascii' - ... ok"
+
+
+def test_robots_crawl_delays_and_schedule(spark):
+    """Crawl-delay parsing: non-numeric and commented directives ignored,
+    duplicates take the conservative max, cased field accepted; the
+    schedule multiplies wave by the host's delay with a default for
+    undeclared hosts."""
+    from etl_lala_spark.operators.web import (
+        politeness_schedule,
+        robots_crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "Crawl-delay: 2\nCrawl-delay: 5\n# Crawl-delay: 99"),
+            ("b.com", "CRAWL-DELAY: 1.5"),
+            ("c.com", "Crawl-delay: soon"),
+        ],
+        "host string, robots_txt string",
+    )
+    delays = {r["host"]: r["crawl_delay_s"]
+              for r in robots_crawl_delays(robots).collect()}
+    assert delays == {"a.com": 5.0, "b.com": 1.5}
+    frontier = spark.createDataFrame(
+        [(f"http://a.com/p{i}",) for i in range(4)]
+        + [(f"http://x.com/p{i}",) for i in range(2)],
+        "url string",
+    )
+    sched = {(r["host"], r["wave"]): r["not_before_s"]
+             for r in politeness_schedule(
+                 frontier, robots_crawl_delays(robots),
+                 per_host_per_wave=2, default_delay_s=0.5).collect()}
+    assert sched[("a.com", 0)] == 0.0 and sched[("a.com", 1)] == 5.0
+    assert sched[("x.com", 0)] == 0.0  # undeclared host, default applies
