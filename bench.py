@@ -223,6 +223,10 @@ HEADLINE = [
     # round 9 (cont.): time-aware politeness — Crawl-delay parse (max wins)
     # + wave x per-host delay fetch offsets
     "web_politeness_schedule",
+    # round 9 (cont.): the Common Crawl access pattern end to end over real
+    # I/O — CDX offsets -> ranged HTTP fetch (206 + 200-fallback) -> WARC
+    # record decode, bytes moved = sum of selected member lengths
+    "web_cdx_ranged_fetch",
 ]
 
 

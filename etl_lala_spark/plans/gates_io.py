@@ -2192,3 +2192,203 @@ def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sched.select(
         "url", "host", "host_rank", "wave", "not_before_s"
     ).orderBy("url")
+
+
+# The complete index-first loop: real WARC files on disk, a CDX index with
+# REAL byte offsets, capture selection, ranged HTTP fetch of ONLY the
+# selected members over loopback, WARC record extraction, digest check.
+# Response i of doc d carries body 'doc{d}:record{i};' (i even → selected);
+# files of docs % 10 == 0 are served WITHOUT range support (200-prefix
+# fallback), all others honor Range (206).
+_CDX_RANGED_ORACLE = """
+WITH m AS (
+  SELECT d.doc_id, i.i
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 40) d, range(0, 3) i(i)
+  WHERE i.i <= d.doc_id % 3 AND i.i % 2 = 0
+),
+c AS (
+  SELECT doc_id, i, 'doc' || doc_id || ':record' || i || ';' AS body FROM m
+)
+SELECT 'com,example)/doc' || doc_id || '/page' || i AS surt,
+       CAST(CASE WHEN doc_id % 10 = 0 THEN 200 ELSE 206 END AS INT)
+         AS fetch_status,
+       CAST(200 AS INT) AS http_status,
+       CAST(strlen(body) AS BIGINT) AS n_payload_bytes,
+       md5(body) AS digest
+FROM c
+ORDER BY surt
+"""
+
+
+@register("web_cdx_ranged_fetch", oracle=_CDX_RANGED_ORACLE)
+def web_cdx_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl access pattern END TO END over real I/O: WARC
+    files written to disk (warcinfo + request/response members, every
+    record its own gzip member), a CDXJ index carrying the files' REAL
+    byte offsets, ``parse_cdxj`` → ``select_captures`` (only the 200 +
+    text/html captures survive), ``sources/fetch.py:fetch_ranges``
+    pulling ONLY the selected members' byte ranges over live loopback
+    HTTP (files of docs % 10 == 0 are served by a range-less 200 handler
+    — the local-slice fallback path — all others get true 206 partial
+    content), and ``extract_warc_records`` decoding each fetched member
+    back to its HTTP payload. The oracle states per selected capture the
+    fetch path taken (206 vs 200), the ARCHIVED HTTP status, the payload
+    size, and its md5 — a wrong offset in the index, an off-by-one range,
+    a fallback slice error, or a member decoded from the wrong position
+    lands on a different hash.
+
+    Scale: this gate IS the 100 TB argument — bytes moved = Σ selected
+    member lengths (the point of index-first access); the fetch is one
+    mapInPandas task per plan partition, and extraction is the same
+    Arrow-batched one-to-many kernel as ``web_warc_extract``."""
+    import gzip
+    import http.server
+    import re as _re
+    import threading
+
+    from etl_lala_spark.operators.web import parse_cdxj, select_captures
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+    from etl_lala_spark.sources.fetch import fetch_ranges
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        http_response_bytes,
+        warc_record_bytes,
+    )
+
+    with fixture_region("web_cdx_ranged_fetch"):
+        work = gate_workdir(spark, "web_cdx_ranged_fetch")
+        warcdir = os.path.join(work, "warcs")
+        os.makedirs(warcdir)
+        doc_ids = [
+            int(r["doc_id"])
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id")
+            .collect()
+        ]
+        cdx_lines = []
+        for d in sorted(doc_ids):
+            members = [
+                gzip.compress(
+                    warc_record_bytes("warcinfo", b"software: etl-lala-gate"),
+                    compresslevel=1,
+                )
+            ]
+            caps = []  # (i, offset, length) of response members
+            pos = len(members[0])
+            for i in range(d % 3 + 1):
+                uri = f"http://example.com/doc{d}/page{i}"
+                req = gzip.compress(
+                    warc_record_bytes("request", b"GET / HTTP/1.1",
+                                      target_uri=uri),
+                    compresslevel=1,
+                )
+                body = (f"doc{d}:record{i};" * (i % 2 + 1)).encode()
+                status = 200 if i % 2 == 0 else 404
+                resp = gzip.compress(
+                    warc_record_bytes(
+                        "response", http_response_bytes(status, body),
+                        target_uri=uri,
+                    ),
+                    compresslevel=1,
+                )
+                pos += len(req)
+                caps.append((i, status, pos, len(resp)))
+                pos += len(resp)
+                members.extend([req, resp])
+            with open(os.path.join(warcdir, f"crawl{d}.warc.gz"), "wb") as fh:
+                fh.write(b"".join(members))
+            for i, status, off, ln in caps:
+                cdx_lines.append(
+                    f"com,example)/doc{d}/page{i} 2024010100{i:04d} "
+                    f'{{"url": "http://example.com/doc{d}/page{i}",'
+                    f' "mime": "text/html", "status": "{status}",'
+                    f' "digest": "sha1:D{d}C{i}", "length": "{ln}",'
+                    f' "offset": "{off}",'
+                    f' "filename": "crawl{d}.warc.gz"}}'
+                )
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            fn = os.path.join(warcdir, self.path.lstrip("/"))
+            try:
+                with open(fn, "rb") as fh:
+                    data = fh.read()
+            except OSError:
+                self.send_error(404)
+                return
+            d = int(_re.search(r"crawl(\d+)\.warc\.gz$", self.path).group(1))
+            rng = self.headers.get("Range")
+            if rng and d % 10 != 0:
+                m = _re.match(r"bytes=(\d+)-(\d+)$", rng)
+                lo, hi = int(m.group(1)), int(m.group(2))
+                body = data[lo : hi + 1]
+                self.send_response(206)
+                self.send_header(
+                    "Content-Range", f"bytes {lo}-{hi}/{len(data)}"
+                )
+            else:
+                body = data  # range-less server: full body, client slices
+                self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        idx = spark.createDataFrame([(x,) for x in cdx_lines], "line string")
+        sel = select_captures(parse_cdxj(idx)).withColumn(
+            "url",
+            F.concat(F.lit(f"http://127.0.0.1:{port}/"), F.col("filename")),
+        )
+        fetched = fetch_ranges(
+            sel.select("url", "offset", "length"), max_bytes=1 << 20
+        )
+        got = fetched.filter(F.col("status") == "ok")
+        recs = extract_warc_records(
+            got.select(
+                F.concat("url", F.lit("#"), F.col("offset").cast("string")).alias(
+                    "path"
+                ),
+                F.col("content"),
+            ).withColumnRenamed("path", "path"),
+            types=("response",),
+        )
+        out = (
+            recs.select(
+                F.concat(
+                    F.lit("com,example)"),
+                    F.regexp_extract("target_uri", r"(/doc\d+/page\d+)$", 1),
+                ).alias("surt"),
+                "http_status",
+                F.col("n_payload_bytes"),
+                F.md5("payload").alias("digest"),
+                "file",
+            )
+            .join(
+                got.select(
+                    F.concat(
+                        "url", F.lit("#"), F.col("offset").cast("string")
+                    ).alias("file"),
+                    "fetch_status",
+                ),
+                "file",
+            )
+            .select(
+                "surt", "fetch_status", "http_status", "n_payload_bytes",
+                "digest",
+            )
+        )
+        # materialize while the loopback server is alive (the returned
+        # DataFrame is lazy); same pattern as fetch_http_loopback
+        out.write.mode("overwrite").parquet(os.path.join(work, "out"))
+    finally:
+        server.shutdown()
+        server.server_close()
+    return spark.read.parquet(os.path.join(work, "out")).orderBy("surt")

@@ -130,3 +130,118 @@ def fetch_to_staging(
 
     cols = [url_col] + ([name_col] if name_col else [])
     return manifest.select(*cols).mapInPandas(fetch_batch, schema=FETCH_SCHEMA)
+
+
+RANGE_FETCH_SCHEMA = (
+    "url string, offset long, length long, content binary,"
+    " fetch_status int, status string, attempts int, error string"
+)
+
+
+def fetch_ranges(
+    plan: DataFrame,
+    url_col: str = "url",
+    offset_col: str = "offset",
+    length_col: str = "length",
+    max_bytes: int = 64 * 1024 * 1024,
+    retries: int = 2,
+    backoff_s: float = 0.5,
+) -> DataFrame:
+    """Ranged HTTP fetch — one ``Range: bytes=o..o+n-1`` request per
+    (url, offset, length) work unit. This is the CDX index-first read
+    path (``operators/web.py:cdx_fetch_plan`` / ``select_captures``):
+    each selected capture is one gzip member's byte range inside a WARC
+    file, so pulling selected content out of a 100 TB crawl moves
+    ``Σ length`` bytes — never whole files. Semantics:
+
+    - a ``206 Partial Content`` body is the range, verbatim;
+    - a ``200`` from a server without range support degrades correctly:
+      the prefix streams in under the cap and the range is sliced
+      locally (``fetch_status`` records which path served the bytes);
+    - a range longer than ``max_bytes`` is a permanent error row (no
+      request made); a body shorter than the requested range is
+      ``short_range`` (a corrupt index must surface, not truncate
+      silently);
+    - HTTP/network failures retry with backoff and land as structured
+      error rows (R5) — one dead URL cannot kill a 10k-range job.
+
+    Executor-side ``mapInPandas`` like :func:`fetch_to_staging`; output
+    keeps (url, offset, length) so callers join results back to their
+    selection at key grain."""
+
+    def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+        import urllib.request
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "url", "offset", "length", "content", "fetch_status",
+                    "status", "attempts", "error",
+                )
+            }
+            for url, off, ln in zip(
+                pdf[url_col], pdf[offset_col], pdf[length_col]
+            ):
+                off, ln = int(off), int(ln)
+                row = dict(url=url, offset=off, length=ln, content=None,
+                           fetch_status=None, status="error", attempts=0,
+                           error=None)
+                if ln > max_bytes:
+                    row["error"] = f"ValueError: range exceeds max_bytes={max_bytes}"
+                else:
+                    for attempt in range(1, retries + 2):
+                        row["attempts"] = attempt
+                        try:
+                            req = urllib.request.Request(
+                                url,
+                                headers={"Range": f"bytes={off}-{off + ln - 1}"},
+                            )
+                            with urllib.request.urlopen(req) as resp:
+                                code = int(resp.status)
+                                if code == 206:
+                                    body = resp.read(ln + 1)
+                                else:
+                                    # no range support: stream the prefix
+                                    # under the cap, slice locally
+                                    need, got = off + ln, b""
+                                    while len(got) < need:
+                                        chunk = resp.read(
+                                            min(1 << 20, need - len(got))
+                                        )
+                                        if not chunk:
+                                            break
+                                        got += chunk
+                                        if len(got) > max_bytes:
+                                            raise _CapExceeded(
+                                                "prefix exceeds max_bytes"
+                                            )
+                                    body = got[off:need]
+                            if len(body) != ln:
+                                row.update(
+                                    fetch_status=code,
+                                    error=f"short_range: got {len(body)} of {ln}",
+                                )
+                                break  # the file will not grow on retry
+                            row.update(content=bytes(body), fetch_status=code,
+                                       status="ok", error=None)
+                            break
+                        except Exception as exc:  # noqa: BLE001 — R5 contract
+                            cls = (
+                                "ValueError"
+                                if isinstance(exc, _CapExceeded)
+                                else type(exc).__name__
+                            )
+                            row["error"] = f"{cls}: {exc}"[:500]
+                            if isinstance(exc, _CapExceeded):
+                                break
+                            if attempt <= retries:
+                                time.sleep(backoff_s * (2 ** (attempt - 1)))
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return plan.select(url_col, offset_col, length_col).mapInPandas(
+        fetch_batch, schema=RANGE_FETCH_SCHEMA
+    )

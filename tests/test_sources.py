@@ -1000,3 +1000,70 @@ def test_warc_record_level_decode_error_isolation(spark):
     assert rows[1]["target_uri"] == "http://e/2"  # headers survive
     assert bytes(rows[2]["payload"]) == b"third page"
     assert rows[2]["_error"] is None
+
+
+def test_fetch_ranges_semantics(spark, tmp_path):
+    """Ranged fetch over file-backed loopback HTTP: exact 206 ranges, the
+    200 no-range-support fallback slices locally, a short range and an
+    over-cap range become structured error rows, a 404 exhausts retries."""
+    import http.server
+    import threading
+
+    from etl_lala_spark.sources.fetch import fetch_ranges
+
+    data = bytes(range(256)) * 4  # 1024 bytes
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/missing":
+                self.send_error(404)
+                return
+            rng = self.headers.get("Range")
+            if self.path == "/norange" or not rng:
+                body, code = data, 200
+            else:
+                import re
+                m = re.match(r"bytes=(\d+)-(\d+)$", rng)
+                lo, hi = int(m.group(1)), int(m.group(2))
+                body, code = data[lo : hi + 1], 206
+            self.send_response(code)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        plan = spark.createDataFrame(
+            [
+                (f"http://127.0.0.1:{port}/f", 10, 20),      # true 206
+                (f"http://127.0.0.1:{port}/norange", 5, 7),  # 200 fallback
+                (f"http://127.0.0.1:{port}/f", 1000, 100),   # short range
+                (f"http://127.0.0.1:{port}/f", 0, 10_000),   # over cap
+                (f"http://127.0.0.1:{port}/missing", 0, 4),  # 404
+            ],
+            "url string, offset long, length long",
+        )
+        rows = fetch_ranges(plan, max_bytes=2048, retries=1, backoff_s=0.01)
+        got = {(r["url"].rsplit("/", 1)[-1], r["offset"]): r
+               for r in rows.collect()}
+        r206 = got[("f", 10)]
+        assert r206["status"] == "ok" and r206["fetch_status"] == 206
+        assert bytes(r206["content"]) == data[10:30]
+        rfall = got[("norange", 5)]
+        assert rfall["status"] == "ok" and rfall["fetch_status"] == 200
+        assert bytes(rfall["content"]) == data[5:12]
+        assert got[("f", 1000)]["status"] == "error"
+        assert "short_range" in got[("f", 1000)]["error"]
+        over = got[("f", 0)]
+        assert over["status"] == "error" and over["attempts"] == 0
+        miss = got[("missing", 0)]
+        assert miss["status"] == "error" and miss["attempts"] == 2
+        assert "HTTPError" in miss["error"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
