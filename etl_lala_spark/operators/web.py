@@ -504,7 +504,10 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
         "surt", "ts", "url", "mime", "digest", "filename", "status",
         "length", "offset", "_error", "_surt", "_ts", "_j",
     }
-    clash = (reserved & set(df.columns)) - {line_col}
+    # line_col gets NO exemption: the input line column is carried through
+    # to the output, so naming it after a reserved output (line_col="url")
+    # would silently produce duplicate columns instead of raising
+    clash = reserved & set(df.columns)
     if clash:
         raise ValueError(
             f"parse_cdxj: input columns {sorted(clash)} collide with the "
@@ -651,7 +654,11 @@ def _sitemap_field(frag: Column, tag: str) -> Column:
     is taken verbatim (the XML rule — CDATA is never entity-decoded),
     plain content is entity-decoded; missing/empty → NULL."""
     raw = F.trim(
-        F.regexp_extract(frag, f"(?s)<{tag}(?:\\s[^>]*)?>(.*?)</{tag}\\s*>", 1)
+        F.regexp_extract(
+            frag,
+            f"(?s)<(?:\\w+:)?{tag}(?:\\s[^>]*)?>(.*?)</(?:\\w+:)?{tag}\\s*>",
+            1,
+        )
     )
     cdata = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
     val = F.when(cdata != "", cdata).otherwise(_xml_entity_decode(raw))
@@ -671,10 +678,11 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     (aborting the whole job) on the first malformed fragment, and
     web-scale sitemap corpora always contain bare ampersands, truncated
     files, and stray markup — one bad row must not kill a 100 TB pass.
-    The tolerant parse handles namespaced roots (fields match by local
-    tag), entity-encoded and CDATA locs (CDATA verbatim per the XML
-    rule, plain text entity-decoded), and yields NULL fields instead of
-    errors elsewhere. Pure codegen: one scan + one-to-many explode, no
+    The tolerant parse handles namespace prefixes on roots, entries, AND
+    fields (``<sm:url><sm:loc>…`` matches by local tag throughout),
+    entity-encoded and CDATA locs (CDATA verbatim per the XML rule,
+    plain text entity-decoded), and yields NULL fields instead of errors
+    elsewhere. Pure codegen: one scan + one-to-many explode, no
     shuffle, no Python."""
     kind = F.when(
         F.col(xml_col).rlike(r"(?s)<\s*(\w+:)?sitemapindex[\s>]"),
@@ -682,7 +690,10 @@ def parse_sitemap(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     ).otherwise(F.lit("urlset"))
     frags = F.regexp_extract_all(
         F.col(xml_col),
-        F.lit(r"(?s)<(?:url|sitemap)(?:\s[^>]*)?>.*?</(?:url|sitemap)\s*>"),
+        F.lit(
+            r"(?s)<(?:\w+:)?(?:url|sitemap)(?:\s[^>]*)?>"
+            r".*?</(?:\w+:)?(?:url|sitemap)\s*>"
+        ),
         F.lit(0),
     )
     out = df.select(
@@ -969,17 +980,19 @@ def detect_charset(
         F.col(content_type_col), r"(?i);\s*charset\s*=\s*\"?([^\";\s]+)\"?", 1
     )))
     # the bare form's charset is a direct ATTRIBUTE; the legacy form's sits
-    # inside content="…" — extract the first charset-bearing meta tag and
-    # accept it as bare only when it has no content= attribute
+    # inside content="…" — so the extraction itself must skip meta tags that
+    # carry a content= attribute (e.g. a description whose text merely
+    # contains "charset="), not just reject the first charset-bearing tag it
+    # happens to find: otherwise an early decoy shadows a later real
+    # <meta charset=…> forever
     meta_tag = F.regexp_extract(
-        F.col(html_col), r"(?is)<meta\s[^>]*\bcharset\s*=[^>]*>", 0
+        F.col(html_col),
+        r"(?is)<meta\s(?:(?!content\s*=)[^>])*\bcharset\s*=(?:(?!content\s*=)[^>])*>",
+        0,
     )
-    meta_raw = F.lower(F.trim(F.regexp_extract(
+    meta = F.lower(F.trim(F.regexp_extract(
         meta_tag, r"(?i)\bcharset\s*=\s*[\"']?([^\"'>\s/]+)", 1
     )))
-    meta = F.when(
-        ~F.lower(meta_tag).rlike(r"content\s*="), meta_raw
-    ).otherwise(F.lit(""))
     # the legacy form nests charset= inside the content attribute; require
     # the http-equiv tag so a stray charset= in body text can't win
     equiv_tag = F.regexp_extract(
@@ -1040,11 +1053,15 @@ def politeness_schedule(
 ) -> DataFrame:
     """Time-aware politeness schedule: :func:`politeness_waves` assignment
     joined with per-host :func:`robots_crawl_delays`, emitting
-    ``not_before_s`` = wave × the host's crawl delay (default when the
-    host declares none) — the earliest offset, from schedule start, at
-    which the fetcher may issue the request without violating the host's
-    declared rate. Delays are hosts-sized and broadcast; the frontier
-    still shuffles only on the per-host window."""
+    ``not_before_s`` — the earliest offset, from schedule start, at which
+    the fetcher may issue the request without violating the host's
+    declared rate. A host that DECLARED ``Crawl-delay`` is serialized at
+    exactly that interval (``host_rank × delay`` — wave-based offsets
+    would authorize ``per_host_per_wave`` same-host requests at the same
+    instant, violating the declaration); a host with no declaration takes
+    ``wave × default_delay_s``, so the undeclared default still permits
+    ``per_host_per_wave`` parallelism. Delays are hosts-sized and
+    broadcast; the frontier still shuffles only on the per-host window."""
     waved = politeness_waves(
         frontier, per_host_per_wave=per_host_per_wave, url_col=url_col
     )
@@ -1058,8 +1075,10 @@ def politeness_schedule(
         .withColumn(
             "not_before_s",
             F.round(
-                F.col("wave")
-                * F.coalesce(F.col("_delay"), F.lit(float(default_delay_s))),
+                F.when(
+                    F.col("_delay").isNotNull(),
+                    F.col("host_rank") * F.col("_delay"),
+                ).otherwise(F.col("wave") * F.lit(float(default_delay_s))),
                 6,
             ),
         )

@@ -2129,7 +2129,10 @@ def web_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hosts 0..4: host h declares Crawl-delay h*2 (host 0's directives are a
 # non-numeric value and a commented line — both ignored, default applies);
 # host 3 declares two values (3 and 6 — the conservative max wins). URL u
-# of host h lands in wave u // 2; not_before = wave * delay.
+# of host h lands in wave u // 2. A DECLARED delay serializes the host at
+# host_rank * delay (wave-based offsets would authorize per_host_per_wave
+# same-host hits at one instant, violating the declaration); only the
+# undeclared-default host keeps wave * default parallelism.
 _CRAWL_DELAY_ORACLE = """
 WITH hosts AS (SELECT unnest(range(0, 5)) AS h),
 urls AS (
@@ -2140,13 +2143,15 @@ sched AS (
          'host' || h || '.example.com' AS host,
          CAST(u AS INT) AS host_rank,
          CAST(u // 2 AS BIGINT) AS wave,
-         CASE WHEN h = 0 THEN 1.0
+         CASE WHEN h = 0 THEN NULL
               WHEN h = 3 THEN 6.0
               ELSE h * 2.0 END AS delay
   FROM urls
 )
 SELECT url, host, host_rank, wave,
-       CAST(round(wave * delay, 6) AS DOUBLE) AS not_before_s
+       CAST(round(CASE WHEN delay IS NULL THEN wave * 1.0
+                       ELSE host_rank * delay END, 6) AS DOUBLE)
+         AS not_before_s
 FROM sched
 ORDER BY url
 """
@@ -2157,10 +2162,11 @@ def web_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-aware crawl scheduling: ``robots_crawl_delays`` (non-numeric
     and commented directives ignored, duplicate directives resolve to the
     conservative max, absent hosts take the default) feeding
-    ``politeness_schedule`` (wave × per-host delay). Five hosts with six
-    URLs each, two fetches per wave; the oracle replays every
-    ``not_before_s`` offset. URLs use 0-padded-free single digits so
-    string rank order equals numeric order."""
+    ``politeness_schedule`` (declared delay → host_rank × delay strict
+    serialization; undeclared default → wave × default parallelism). Five
+    hosts with six URLs each, two fetches per wave; the oracle replays
+    every ``not_before_s`` offset. URLs use 0-padded-free single digits
+    so string rank order equals numeric order."""
     from etl_lala_spark.operators.web import (
         politeness_schedule,
         robots_crawl_delays,

@@ -156,8 +156,11 @@ def fetch_ranges(
 
     - a ``206 Partial Content`` body is the range, verbatim;
     - a ``200`` from a server without range support degrades correctly:
-      the prefix streams in under the cap and the range is sliced
-      locally (``fetch_status`` records which path served the bytes);
+      the bytes before ``offset`` are discarded while streaming (fixed
+      read buffer, nothing accumulated), then exactly ``length`` bytes
+      are kept — the cap governs the RANGE LENGTH only, so deep offsets
+      inside ~1 GB WARCs stay fetchable from range-less servers
+      (``fetch_status`` records which path served the bytes);
     - a range longer than ``max_bytes`` is a permanent error row (no
       request made); a body shorter than the requested range is
       ``short_range`` (a corrupt index must surface, not truncate
@@ -203,21 +206,25 @@ def fetch_ranges(
                                 if code == 206:
                                     body = resp.read(ln + 1)
                                 else:
-                                    # no range support: stream the prefix
-                                    # under the cap, slice locally
-                                    need, got = off + ln, b""
-                                    while len(got) < need:
+                                    # no range support: discard the bytes
+                                    # before offset while streaming (fixed
+                                    # read buffer, nothing accumulated) —
+                                    # the cap bounds the range length only,
+                                    # so a deep offset is not an error
+                                    to_skip = off
+                                    while to_skip > 0:
+                                        chunk = resp.read(min(1 << 20, to_skip))
+                                        if not chunk:
+                                            break
+                                        to_skip -= len(chunk)
+                                    body = b""
+                                    while to_skip == 0 and len(body) < ln:
                                         chunk = resp.read(
-                                            min(1 << 20, need - len(got))
+                                            min(1 << 20, ln - len(body))
                                         )
                                         if not chunk:
                                             break
-                                        got += chunk
-                                        if len(got) > max_bytes:
-                                            raise _CapExceeded(
-                                                "prefix exceeds max_bytes"
-                                            )
-                                    body = got[off:need]
+                                        body += chunk
                             if len(body) != ln:
                                 row.update(
                                     fetch_status=code,

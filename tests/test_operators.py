@@ -2903,6 +2903,10 @@ def test_round9_review_hardening(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         parse_cdxj(spark.createDataFrame([("x", "u")], "line string, url string"))
+    # line_col itself gets no exemption: naming the input line column after
+    # a reserved output ('url') must raise, not emit duplicate columns
+    with _pytest.raises(ValueError, match="collide"):
+        parse_cdxj(spark.createDataFrame([("x",)], "url string"), line_col="url")
     with _pytest.raises(ValueError, match="empty"):
         badword_stats(spark.createDataFrame([("t",)], "text string"), [])
 
@@ -2932,6 +2936,23 @@ def test_round9_review_hardening(spark):
         )
     ).collect()
     assert len(sm) == 1 and sm[0]["loc"] == "http://x.com/ok"
+
+    # namespace-PREFIXED entries and fields match by local tag (advice r9):
+    # <sm:url><sm:loc> yields a row just like the unprefixed form, and the
+    # prefixed '<sm:localized>' decoy still does not match '<loc>'
+    smns = parse_sitemap(
+        spark.createDataFrame(
+            [(0, '<sm:urlset xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                 "<sm:url><sm:localized>nope</sm:localized>"
+                 "<sm:loc>http://ns.com/a</sm:loc>"
+                 "<sm:lastmod>2024-01-02</sm:lastmod></sm:url>"
+                 "<sm:url><sm:loc>http://ns.com/b</sm:loc></sm:url></sm:urlset>")],
+            "i long, xml string",
+        )
+    ).collect()
+    assert sorted(r["loc"] for r in smns) == ["http://ns.com/a", "http://ns.com/b"]
+    assert {r["loc"]: r["lastmod"] for r in smns}["http://ns.com/a"] == "2024-01-02"
+    assert all(r["kind"] == "urlset" for r in smns)
 
 
 def test_cdx_snapshot_delta_labels(spark):
@@ -3088,6 +3109,11 @@ def test_detect_charset_precedence(spark):
          '<meta http-equiv="content-type" content="text/html; charset=big5">'),
         (3, "text/html", "body says charset=evil"),
         (4, None, None),
+        # an EARLY meta whose content= merely contains "charset=" must not
+        # shadow a later real <meta charset=...> (advice r9)
+        (5, "text/html",
+         '<meta name="description" content="docs about charset=utf-16">'
+         '<meta charset="shift_jis">'),
     ]
     df = spark.createDataFrame(rows, "i long, content_type string, html string")
     out = {r["i"]: (r["charset"], r["charset_source"])
@@ -3097,6 +3123,7 @@ def test_detect_charset_precedence(spark):
     assert out[2] == ("big5", "http_equiv")
     assert out[3] == ("utf-8", "default")
     assert out[4] == ("utf-8", "default")
+    assert out[5] == ("shift_jis", "meta")
 
 
 def test_normalize_punct_folds(spark):
@@ -3141,9 +3168,12 @@ def test_robots_crawl_delays_and_schedule(spark):
         + [(f"http://x.com/p{i}",) for i in range(2)],
         "url string",
     )
-    sched = {(r["host"], r["wave"]): r["not_before_s"]
+    sched = {(r["host"], r["host_rank"]): r["not_before_s"]
              for r in politeness_schedule(
                  frontier, robots_crawl_delays(robots),
                  per_host_per_wave=2, default_delay_s=0.5).collect()}
-    assert sched[("a.com", 0)] == 0.0 and sched[("a.com", 1)] == 5.0
-    assert sched[("x.com", 0)] == 0.0  # undeclared host, default applies
+    # declared delay -> strict host_rank serialization: two same-wave
+    # fetches may NOT share an offset (that would violate Crawl-delay)
+    assert [sched[("a.com", i)] for i in range(4)] == [0.0, 5.0, 10.0, 15.0]
+    # undeclared host keeps wave-based parallelism at the default delay
+    assert sched[("x.com", 0)] == 0.0 and sched[("x.com", 1)] == 0.0

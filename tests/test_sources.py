@@ -1064,6 +1064,19 @@ def test_fetch_ranges_semantics(spark, tmp_path):
         miss = got[("missing", 0)]
         assert miss["status"] == "error" and miss["attempts"] == 2
         assert "HTTPError" in miss["error"]
+
+        # deep offset on a range-less server: offset+length far exceeds the
+        # cap but the RANGE LENGTH is under it — the prefix is discarded
+        # while streaming, so the fetch succeeds (advice r9)
+        deep = fetch_ranges(
+            spark.createDataFrame(
+                [(f"http://127.0.0.1:{port}/norange", 900, 50)],
+                "url string, offset long, length long",
+            ),
+            max_bytes=100, retries=0, backoff_s=0.01,
+        ).collect()[0]
+        assert deep["status"] == "ok" and deep["fetch_status"] == 200
+        assert bytes(deep["content"]) == data[900:950]
     finally:
         srv.shutdown()
         srv.server_close()
