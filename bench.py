@@ -237,6 +237,23 @@ def _canary_sample(spark, li, F) -> float:
     return time.perf_counter() - t0
 
 
+def _canary_python_sample(spark, li, F) -> float:
+    """Python-worker-path canary: a fixed 256-row mapInPandas round trip
+    (identity-shaped arithmetic), measuring worker fork/reuse + Arrow
+    serialization cost — the component of the multimodal/mapInPandas gate
+    class that the JVM-only scan canary cannot see."""
+    import pandas as pd  # noqa: PLC0415
+
+    def _ident(it):
+        for pdf in it:
+            yield pd.DataFrame({"v": pdf["v"] * 2 + 1})
+
+    df = spark.range(256).selectExpr("id as v")
+    t0 = time.perf_counter()
+    df.mapInPandas(_ident, "v long").agg(F.sum("v")).collect()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -282,6 +299,19 @@ def main() -> None:
     canary = min(_canary_sample(spark, li, F) for _ in range(n_runs))
     print(
         f"# canary bare-scan+sum: min {canary:.3f}s over {n_runs}",
+        file=sys.stderr,
+    )
+    # Second canary, Python-worker path (r10 gif-resize adjudication): a
+    # fixed-size mapInPandas round trip. The bare-scan canary never leaves
+    # the JVM, so host drift in Python worker fork + Arrow transfer cost —
+    # which dominates the multimodal/mapInPandas gate class — was invisible
+    # and burned an r9→r10 adjudication. Plan has no data dependence; the
+    # figure is comparable across rounds like the scan canary.
+    canary_py = min(
+        _canary_python_sample(spark, li, F) for _ in range(n_runs)
+    )
+    print(
+        f"# canary python mapInPandas: min {canary_py:.3f}s over {n_runs}",
         file=sys.stderr,
     )
     timings: dict[str, float] = {}
@@ -361,6 +391,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "total_wall_s": round(total, 3),
                 "canary_scan_sum_s": round(canary, 3),
+                "canary_python_s": round(canary_py, 3),
                 "queries": timings,
                 "stddev": spreads,
                 "fixture_seconds_excluded": fixtures,
@@ -382,6 +413,7 @@ def main() -> None:
                 "runs_per_query": n_runs,
                 "fixture_seconds_excluded": fixtures,
                 "canary_scan_sum_s": round(canary, 3),
+                "canary_python_s": round(canary_py, 3),
             }
         ),
         file=sys.stderr,
