@@ -227,6 +227,13 @@ HEADLINE = [
     # I/O — CDX offsets -> ranged HTTP fetch (206 + 200-fallback) -> WARC
     # record decode, bytes moved = sum of selected member lengths
     "web_cdx_ranged_fetch",
+    # round 10: the crawl-to-training-shards chain end to end (CDX ->
+    # ranged fetch -> WARC -> charset -> main content -> MinHash dedup ->
+    # sentence/line dedup -> quality filters -> trained lang-ID -> shard
+    # export), and tokenizer-budgeted shard export (shards packed on
+    # byte-BPE token counts via a pinned vocab)
+    "web_corpus_build",
+    "curate_shard_export_bpe",
 ]
 
 

@@ -90,24 +90,18 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 9 window: r8 refactored the incremental-MinHash gates (full
-# append/compact/delete lifecycle, new oracle columns) AFTER their last
-# recorded driver run, so ADVICE r8 asks for recorded hash-match evidence
-# on the EXTENDED gates — their last-green staleness (r7) would otherwise
-# leave them behind the r3/r4 tail in tier 3. Everything else rides the
-# automatic tiers: tier 1 front-loads the 26 new r9 registrations (the
-# crawl chain: WARC, URL dedup, CDX select/fetch-plan/delta, SURT,
-# sitemap, robots, Bloom + URL-frontier and CDX-latest stream twins,
-# link graph, anchors, page meta, politeness waves, domain/badword
-# filter; text/curation: byte-BPE, trained lang-ID + audits, mojibake,
-# sentence split, Gopher rules, shard export, chat hygiene) and tier 3
-# drains the 8 queries last green in r3 (VERDICT r8 task 4) — all 34 fit
-# the 50-row window with 13 slots left for the r4 backlog.
-_DRIVER_WINDOW: list[str] = [
-    "audit_incremental_planted",
-    "dedup_incremental_minhash",
-    "contrastive_hard_negatives",
-]
+# Round 10 window: no pins needed — the automatic tiers do exactly what
+# the r9 verdict's task 1 asks. Tier 1 front-loads the 2 new r10
+# registrations (`web_corpus_build`, the end-to-end crawl-to-shards
+# composition; `curate_shard_export_bpe`, tokenizer-budgeted shard
+# export), and tier 3's least-recently-verified sort drains the ENTIRE
+# 25-query r4 staleness tail (incl. the dedup/codec paths whose modules
+# have since changed: dedup_exact_substrings, dedup_repeated_blocks,
+# multimodal_*, the ann audit family) with 23 slots left over for the
+# oldest r5 rows — the staleness floor rises r4 -> r5. The r9 pins
+# (incremental-MinHash lifecycle) all earned green r9 rows and ride
+# tier 3 staleness from here on.
+_DRIVER_WINDOW: list[str] = []
 
 
 def _correctness_records() -> tuple[dict[str, int], dict[str, int]]:

@@ -2398,3 +2398,458 @@ def web_cdx_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         server.shutdown()
         server.server_close()
     return spark.read.parquet(os.path.join(work, "out")).orderBy("surt")
+
+
+# --- end-to-end corpus build: the whole crawl-to-shards chain ----------------
+#
+# The integration seam a real user's first run hits (round-9 verdict task 3):
+# CDX index -> capture selection -> ranged fetch over live loopback HTTP ->
+# WARC record extraction -> charset resolution -> HTML main-content
+# extraction -> MinHash near-dup dedup (task 5: the FineWeb per-snapshot
+# stage) -> sentence split -> cross-doc line dedup -> Gopher quality rules ->
+# C4 badword filter -> TRAINED language-ID -> seeded shard export. Every
+# stage is the real operator; every count is closed-form from the planting
+# arithmetic.
+#
+# Planting: 32 docs in 8 content clusters of 4 EXACT-copy members (doc d's
+# cluster is d % 8; identical text makes MinHash recovery an invariant, the
+# audit_minhash_planted discipline), each page captured at TWO URLs that
+# differ only by www + a utm tracking param (distinct CDX SURTs, one
+# canonical URL), each URL with 3 captures (two 200s, newest-good wins, plus
+# a NEWER 404 decoy the selector must skip). Cluster languages cycle
+# en/de/es (c % 3) so the 6 final docs train a BALANCED 3-class model —
+# 4-language cycling left es/fr with one positive each and one-vs-rest
+# argmax collapsed them into the majority classes. Cluster 6 carries a
+# planted badword, cluster 7 is sub-threshold short; the boilerplate
+# sentence is shared by all 32 docs so cross-doc line dedup must remove
+# exactly one line per surviving doc.
+
+_CB_BOIL = (
+    "it is a good page and you should share it with all of the friends"
+    " today."
+)
+_CB_LANGS = ["en", "de", "es"]
+
+
+def _cb_t_sent(c: int) -> str:
+    return (
+        f"it is the c{c}a of the c{c}b and the c{c}c to the c{c}d"
+        f" in the c{c}e"
+    )
+
+
+def _cb_paras(c: int) -> list[str]:
+    from etl_lala_spark.plans.llm_text import _LANGID_BASE, _MC_PARA
+
+    b = _LANGID_BASE[_CB_LANGS[c % 3]]
+    if c == 7:
+        return [f"it is {b} and it is a c{c}b.", _CB_BOIL]
+    mark = "zonkword " if c == 6 else ""
+    return [
+        f"{_MC_PARA} {_cb_t_sent(c)}.",
+        f"it is {b} and it is a {mark}c{c}b.",
+        _CB_BOIL,
+    ]
+
+
+def _corpus_build_oracle() -> str:
+    from etl_lala_spark.plans.llm_text import _LANGID_BASE, _MC_PARA
+
+    # clean_text of a surviving doc c (0..5) = G1 "\n" G2: closed-form byte
+    # arithmetic from the shared literals (all ASCII), replayed by the
+    # oracle's shard-packing window below.
+    len_g1 = len(_MC_PARA) + 1 + len(_cb_t_sent(0)) + 1
+    per_lang = {lang: 6 + len(_LANGID_BASE[lang]) + 17 for lang in _CB_LANGS}
+    shard_bytes_total = sum(
+        len_g1 + 1 + per_lang[_CB_LANGS[c % 3]] for c in range(6)
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS nd FROM documents WHERE doc_id < 32),
+docs AS (
+  SELECT c,
+         {len_g1} + 1 + CASE c % 3 WHEN 0 THEN {per_lang['en']}
+                                   WHEN 1 THEN {per_lang['de']}
+                                   ELSE {per_lang['es']} END AS bytes
+  FROM range(0, 6) t(c)
+),
+keyed AS (SELECT c, bytes, md5('corpus:' || c) AS k FROM docs),
+cum AS (
+  SELECT bytes,
+         sum(bytes) OVER (ORDER BY k, c ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keyed
+),
+shards AS (
+  SELECT count(DISTINCT (cum - bytes) // 480) AS n_shards FROM cum
+)
+SELECT * FROM (
+  SELECT 0 AS stage_ord, 'cdx_lines' AS stage,
+         CAST(nd * 6 AS BIGINT) AS n FROM n
+  UNION ALL SELECT 1, 'cdx_selected', CAST(nd * 2 AS BIGINT) FROM n
+  UNION ALL SELECT 2, 'fetched_ok', CAST(nd * 2 AS BIGINT) FROM n
+  UNION ALL SELECT 3, 'warc_responses', CAST(nd * 2 AS BIGINT) FROM n
+  UNION ALL SELECT 4, 'charset_header', CAST(nd AS BIGINT) FROM n
+  UNION ALL SELECT 5, 'charset_meta', CAST(nd AS BIGINT) FROM n
+  UNION ALL SELECT 6, 'url_unique', CAST(nd AS BIGINT) FROM n
+  UNION ALL SELECT 7, 'neardup_pairs', CAST(48 AS BIGINT)
+  UNION ALL SELECT 8, 'dedup_survivors', CAST(8 AS BIGINT)
+  UNION ALL SELECT 9, 'sentences', CAST(23 AS BIGINT)
+  UNION ALL SELECT 10, 'boiler_lines_removed', CAST(8 AS BIGINT)
+  UNION ALL SELECT 11, 'gopher_keep', CAST(7 AS BIGINT)
+  UNION ALL SELECT 12, 'badword_keep', CAST(6 AS BIGINT)
+  UNION ALL SELECT 13, 'langid_diagonal', CAST(6 AS BIGINT)
+  UNION ALL SELECT 14, 'langid_offdiag', CAST(0 AS BIGINT)
+  UNION ALL SELECT 15, 'shard_docs', CAST(6 AS BIGINT)
+  UNION ALL SELECT 16, 'shard_bytes', CAST({shard_bytes_total} AS BIGINT)
+  UNION ALL SELECT 17, 'shards', CAST(n_shards AS BIGINT) FROM shards
+) ORDER BY stage_ord
+"""
+
+
+@register("web_corpus_build", oracle=_corpus_build_oracle())
+def web_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-to-training-shards chain END TO END, one stage-count row
+    per pipeline stage: real WARCs on disk + a CDXJ index with real byte
+    offsets -> ``parse_cdxj``/``select_captures`` (newest-good beats a
+    newer 404 decoy) -> ``fetch_ranges`` over live loopback HTTP ->
+    ``extract_warc_records`` -> ``detect_charset`` (header/meta split) ->
+    ``canonicalize_url`` URL dedup (www + utm variants collapse) ->
+    ``extract_main_content`` -> ``minhash_lsh_pairs`` +
+    ``canonical_components`` (8 planted 4-member exact-copy clusters: 48
+    pairs, 8 survivors — the FineWeb per-snapshot near-dup stage) ->
+    ``split_sentences`` -> cross-doc ``line_dedup`` (the shared boiler
+    sentence vanishes from every doc) -> ``gopher_quality_rules`` (the
+    short cluster fails) -> ``badword_stats`` (the zonkword cluster drops)
+    -> ``langid_train``/``langid_predict`` (balanced 3-language corpus,
+    all-diagonal confusion) -> ``shard_assignments`` (seeded md5 packing
+    the oracle replays with its own window). A bug in ANY seam — an
+    offset off by one, envelope bytes leaking into payload, a dedup
+    survivor miscounted, a training regression — lands on a different
+    stage count.
+
+    Scale: index-first access moves only selected byte ranges; dedup
+    shuffles at key/band grain; filters and splits are codegen scans;
+    training is the cached-block treeAggregate loop; export's prefix sum
+    is distributed. The stage counts collapse each frame to one integer,
+    so the gate's output is O(stages) regardless of corpus size."""
+    import gzip
+    import http.server
+    import re as _re
+    import threading
+
+    from etl_lala_spark.functions.scalars import canonicalize_url
+    from etl_lala_spark.operators import ml
+    from etl_lala_spark.operators.dedup import (
+        canonical_components,
+        line_dedup,
+        minhash_lsh_pairs,
+    )
+    from etl_lala_spark.operators.text import (
+        badword_stats,
+        extract_main_content,
+        gopher_quality_rules,
+        split_sentences,
+    )
+    from etl_lala_spark.operators.web import (
+        detect_charset,
+        parse_cdxj,
+        select_captures,
+    )
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+    from etl_lala_spark.sinks.writer import shard_assignments
+    from etl_lala_spark.sources.fetch import fetch_ranges
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        http_response_bytes,
+        warc_record_bytes,
+    )
+
+    def page_html(d: int) -> str:
+        meta = '<meta charset="utf-8">' if d % 2 else ""
+        body = "\n".join(f"<p>{p}</p>" for p in _cb_paras(d % 8))
+        return (
+            f"<html><head>{meta}</head><body>\n"
+            '<script>var a = "<p>not text</p>";</script>\n'
+            '<div class="nav"><a href="/">home</a>'
+            ' <a href="/about">about us now</a></div>\n'
+            f"{body}\n"
+            '<div class="footer"><a href="/t">t&amp;c</a>'
+            ' <a href="/p">privacy</a> <a href="/c">contact</a></div>\n'
+            "</body></html>"
+        )
+
+    with fixture_region("web_corpus_build"):
+        work = gate_workdir(spark, "web_corpus_build")
+        warcdir = os.path.join(work, "warcs")
+        os.makedirs(warcdir)
+        doc_ids = [
+            int(r["doc_id"])
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 32)
+            .select("doc_id")
+            .collect()
+        ]
+        cdx_lines = []
+        for d in sorted(doc_ids):
+            c = d % 8
+            html = page_html(d).encode()
+            ctype = (
+                "text/html; charset=UTF-8" if d % 2 == 0 else "text/html"
+            )
+            members = [
+                gzip.compress(
+                    warc_record_bytes("warcinfo", b"software: etl-lala-gate"),
+                    compresslevel=1,
+                )
+            ]
+            pos = len(members[0])
+            urls = [
+                (f"http://www.site{c}.example.com/doc{d}?utm_source=feed",
+                 f"com,example,site{c})/doc{d}?utm_source=feed"),
+                (f"http://site{c}.example.com/doc{d}",
+                 f"com,example,site{c})/doc{d}"),
+            ]
+            for uri, surt in urls:
+                for ts, status, body in (
+                    (20230101000000, 200, html),
+                    (20240101000000, 200, html),
+                    (20250101000000, 404, b"gone"),
+                ):
+                    resp = gzip.compress(
+                        warc_record_bytes(
+                            "response",
+                            http_response_bytes(
+                                status, body, content_type=ctype
+                            ),
+                            target_uri=uri,
+                        ),
+                        compresslevel=1,
+                    )
+                    cdx_lines.append(
+                        f'{surt} {ts} {{"url": "{uri}",'
+                        f' "mime": "text/html", "status": "{status}",'
+                        f' "digest": "sha1:D{d}", "length": "{len(resp)}",'
+                        f' "offset": "{pos}",'
+                        f' "filename": "crawl{d}.warc.gz"}}'
+                    )
+                    pos += len(resp)
+                    members.append(resp)
+            with open(
+                os.path.join(warcdir, f"crawl{d}.warc.gz"), "wb"
+            ) as fh:
+                fh.write(b"".join(members))
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            fn = os.path.join(warcdir, self.path.lstrip("/"))
+            try:
+                with open(fn, "rb") as fh:
+                    data = fh.read()
+            except OSError:
+                self.send_error(404)
+                return
+            m = _re.match(r"bytes=(\d+)-(\d+)$", self.headers.get("Range", ""))
+            lo, hi = int(m.group(1)), int(m.group(2))
+            body = data[lo : hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    stage_rows: list[tuple[int, str, int]] = []
+
+    def stage(name: str, count: int) -> None:
+        stage_rows.append((len(stage_rows), name, int(count)))
+
+    stage("cdx_lines", len(cdx_lines))
+    idx = spark.createDataFrame([(x,) for x in cdx_lines], "line string")
+    sel = select_captures(parse_cdxj(idx))
+    stage("cdx_selected", sel.count())
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        plan = sel.select(
+            F.concat(
+                F.lit(f"http://127.0.0.1:{port}/"), F.col("filename")
+            ).alias("url"),
+            "offset",
+            "length",
+        )
+        fetched = fetch_ranges(plan, max_bytes=1 << 20)
+        # materialize while the loopback server is alive (lazy plans would
+        # re-fetch after shutdown) — same pattern as web_cdx_ranged_fetch
+        fetched.filter(F.col("status") == "ok").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(work, "fetched"))
+    finally:
+        server.shutdown()
+        server.server_close()
+    ok = spark.read.parquet(os.path.join(work, "fetched"))
+    stage("fetched_ok", ok.count())
+
+    # From here every frame is bounded by the planting (<= 64 rows — the
+    # gate's own constant, not a data-dependent sniff): run the dedup /
+    # training stages at a matching shuffle width instead of paying a
+    # 200-task stage per tiny join in a default-conf session (the
+    # stream-twin gates' discipline, plans/stream_twins.py:538). Restored
+    # in the finally below; a production corpus keeps the session conf.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _corpus_build_tail(
+            spark, ok, stage, stage_rows, extract_warc_records,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _corpus_build_tail(spark, ok, stage, stage_rows, extract_warc_records):
+    from etl_lala_spark.functions.scalars import canonicalize_url
+    from etl_lala_spark.operators import ml
+    from etl_lala_spark.operators.dedup import (
+        canonical_components,
+        line_dedup,
+        minhash_lsh_pairs,
+    )
+    from etl_lala_spark.operators.text import (
+        badword_stats,
+        extract_main_content,
+        gopher_quality_rules,
+        split_sentences,
+    )
+    from etl_lala_spark.operators.web import detect_charset
+    from etl_lala_spark.sinks.writer import shard_assignments
+
+    recs = extract_warc_records(
+        ok.select(
+            F.concat(
+                "url", F.lit("#"), F.col("offset").cast("string")
+            ).alias("path"),
+            "content",
+        ),
+        types=("response",),
+    )
+    # 64 small rows from here on: collapse to a handful of partitions so the
+    # dedup/training stages don't pay a 200-task shuffle per tiny frame in a
+    # default-conf session, and pin the fetch fan-out with a checkpoint
+    pages = recs.select(
+        F.regexp_extract("target_uri", r"/doc(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("http_content_type").alias("content_type"),
+        F.col("payload").cast("string").alias("html"),
+    ).repartition(4).localCheckpoint(eager=True)
+    stage("warc_responses", pages.count())
+
+    cs = detect_charset(pages)
+    by_src = {
+        r["charset_source"]: r["n"]
+        for r in cs.groupBy("charset_source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stage("charset_header", by_src.get("header", 0))
+    stage("charset_meta", by_src.get("meta", 0))
+
+    uniq = (
+        cs.withColumn("canonical_url", canonicalize_url(F.col("target_uri")))
+        .groupBy("canonical_url")
+        .agg(F.min(F.struct("target_uri", "doc_id", "html")).alias("_p"))
+        .select(
+            F.col("_p.doc_id").alias("doc_id"), F.col("_p.html").alias("html")
+        )
+    )
+    stage("url_unique", uniq.count())
+
+    docs = extract_main_content(uniq).select(
+        "doc_id", F.col("content").alias("text")
+    ).localCheckpoint(eager=True)  # 32 rows; dedup probes it repeatedly
+    pairs = minhash_lsh_pairs(docs, threshold=0.8)
+    # checkpoint at every iterative/fan-in seam: canonical_components builds
+    # an O(rounds)-deep join lineage and each downstream stage-count action
+    # would re-execute it from scratch otherwise (measured 2x wall on the
+    # whole gate)
+    pairs = pairs.repartition(4).localCheckpoint(eager=True)
+    stage("neardup_pairs", pairs.count())
+    comp = canonical_components(pairs).withColumnRenamed("doc", "doc_id")
+    survivors = (
+        docs.join(comp, "doc_id", "left")
+        .filter(
+            F.col("canonical").isNull()
+            | (F.col("canonical") == F.col("doc_id"))
+        )
+        .select("doc_id", "text")
+        .repartition(4)
+        .localCheckpoint(eager=True)
+    )
+    stage("dedup_survivors", survivors.count())
+    spark.catalog.clearCache()  # release the LSH signature caches
+
+    sents = split_sentences(survivors, text_col="text")
+    stage("sentences", sents.count())
+    sent_text = sents.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sentence_id", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+            "\n",
+        ).alias("text")
+    )
+    ld = line_dedup(sent_text, text_col="text", id_col="doc_id")
+    ld = ld.repartition(4).localCheckpoint(eager=True)
+    stage(
+        "boiler_lines_removed",
+        ld.agg(F.sum("n_removed")).collect()[0][0] or 0,
+    )
+
+    gq = gopher_quality_rules(
+        ld.select("doc_id", F.col("clean_text").alias("text")), min_words=30
+    )
+    kept = gq.filter(F.col("keep")).select("doc_id", "text")
+    stage("gopher_keep", kept.count())
+
+    final = (
+        badword_stats(kept, ["zonkword"])
+        .filter(F.col("n_badwords") == 0)
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)  # 6 rows; feeds training + export
+    )
+    stage("badword_keep", final.count())
+
+    lang_arr = F.array(*[F.lit(x) for x in _CB_LANGS])
+    labeled = final.withColumn(
+        "lang_true",
+        F.element_at(lang_arr, (F.col("doc_id") % 3 + 1).cast("int")),
+    )
+    model = ml.langid_train(
+        labeled, _CB_LANGS, label_col="lang_true", n_buckets=16, iters=8
+    )
+    pred = ml.langid_predict(labeled, model)
+    diag = pred.agg(
+        F.sum((F.col("pred_lang") == F.col("lang_true")).cast("bigint")).alias("d"),
+        F.sum((F.col("pred_lang") != F.col("lang_true")).cast("bigint")).alias("o"),
+    ).collect()[0]
+    stage("langid_diagonal", diag["d"] or 0)
+    stage("langid_offdiag", diag["o"] or 0)
+
+    sa = shard_assignments(final, 480, seed="corpus")
+    agg = sa.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("doc_bytes").alias("bytes"),
+        F.countDistinct("shard").alias("shards"),
+    ).collect()[0]
+    stage("shard_docs", agg["docs"])
+    stage("shard_bytes", agg["bytes"])
+    stage("shards", agg["shards"])
+
+    return spark.createDataFrame(
+        stage_rows, "stage_ord int, stage string, n bigint"
+    ).orderBy("stage_ord")

@@ -1986,3 +1986,95 @@ def text_normalize_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm.alias("normalized"),
         F.octet_length(norm).cast("bigint").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+@register(
+    "curate_shard_export_bpe",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 1 AS BIGINT) + CAST(doc_id % 3 + 1 AS BIGINT)
+           + 2 + length(CAST(doc_id AS VARCHAR)) AS n_tokens
+  FROM documents WHERE doc_id < 400
+),
+k AS (
+  SELECT doc_id, n_tokens, md5('bpe:' || doc_id) AS shuffle_key FROM d
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM k
+)
+SELECT CAST(floor((cum_tokens - n_tokens) / 64) AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+       min(shuffle_key) AS min_key,
+       max(shuffle_key) AS max_key
+FROM c
+GROUP BY 1
+ORDER BY shard
+""",
+)
+def curate_shard_export_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-budgeted shard export (round-9 verdict task 6): real
+    training-data releases budget shards in TOKENS, not bytes —
+    ``curate_shard_export``'s byte variant under-fills shards of
+    compressible text. The chain: a PINNED 5-merge byte-BPE vocab
+    (rank-ordered: a+b, ab+c, d+e, de+de, x+y — hex byte tokens, the
+    ``byte_bpe_train`` output format) replays through the REAL
+    ``operators/text.py:byte_bpe_apply`` over constructed docs, and
+    ``sinks/writer.py:shard_assignments`` packs on the resulting
+    ``n_pieces`` via ``size_col`` — the distributed prefix sum now counts
+    tokens. The construction makes greedy-apply arithmetic provable: doc
+    d = (d%4+1) × 'abc' (3 bytes → 1 piece via merges 1+2), (d%3+1) ×
+    'dede' (4 bytes → 1 piece via merges 3+4), one 'xyz<d>' tail (2 +
+    digit-count pieces via merge 5 — digits never merge). The oracle
+    replays token counts from that arithmetic and the packing window from
+    its own md5 — a merge-order bug, a fallback-byte loss, or a
+    byte-vs-token budget mixup shifts shard boundaries and token sums.
+
+    Scale: apply is a narrow codegen map (no shuffle); packing shuffles
+    once on the range bucket; budget arithmetic is per-shard integers."""
+    from etl_lala_spark.operators.text import byte_bpe_apply
+    from etl_lala_spark.sinks.writer import shard_assignments
+
+    # merged tokens carry the \x01 joiner internally (byte_bpe_train's own
+    # pair format for second-order merges — _merge_rewrite joins a+sep+b)
+    merges = [
+        {"pair": "61 62"},                  # a+b        -> 'ab'
+        {"pair": "61\x0162 63"},            # 'ab'+c     -> 'abc'
+        {"pair": "64 65"},                  # d+e        -> 'de'
+        {"pair": "64\x0165 64\x0165"},      # 'de'+'de'  -> 'dede'
+        {"pair": "78 79"},                  # x+y        -> 'xy'
+    ]
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    text = F.concat(
+        F.array_join(
+            F.array_repeat(F.lit("abc"), (F.col("doc_id") % 4 + 1).cast("int")),
+            " ",
+        ),
+        F.lit(" "),
+        F.array_join(
+            F.array_repeat(F.lit("dede"), (F.col("doc_id") % 3 + 1).cast("int")),
+            " ",
+        ),
+        F.lit(" xyz"),
+        F.col("doc_id").cast("string"),
+    )
+    toks = byte_bpe_apply(d.select("doc_id", text.alias("text")), merges)
+    asg = shard_assignments(
+        toks.select("doc_id", "n_pieces"),
+        shard_bytes=64,
+        seed="bpe",
+        size_col="n_pieces",
+    )
+    return (
+        asg.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("doc_bytes").cast("bigint").alias("shard_tokens"),
+            F.min("shuffle_key").alias("min_key"),
+            F.max("shuffle_key").alias("max_key"),
+        )
+        .orderBy("shard")
+    )
