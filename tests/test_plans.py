@@ -565,3 +565,97 @@ def test_rotation_window_recheck_slots_go_to_stalest_cohort():
             "window re-check slots must be exclusively the oldest cohort "
             "when it overflows the cap"
         )
+
+
+def test_per_host_shuffle_skew_posture(spark):
+    """Mega-host skew posture of the per-host crawl operators (round-9
+    verdict task 7; measured at sf1.0 with a 50%-of-URLs host in
+    SCALE.md): (1) the host-edge aggregate must partial-aggregate BEFORE
+    its exchange — map-side combine is what absorbs a mega-host, the
+    skewed key shuffles as one combined row per map task; (2)
+    politeness_schedule's delay join must be a broadcast join — a
+    shuffled join on host would put 50% of rows in one task and is the
+    shape AQE skew-split exists to rescue, but the delays side is
+    hosts-sized by construction so the plan must never shuffle it; (3)
+    politeness_waves performs exactly one exchange (the per-host window
+    — semantically irreducible: the window IS the host's serialized
+    fetch queue) and zero Python evals."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators.web import (
+        politeness_schedule,
+        politeness_waves,
+        robots_crawl_delays,
+    )
+
+    fr = spark.range(4000).select(
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(F.lit("http://mega.example.com/p"), F.col("id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("http://host"), (F.col("id") % 50).cast("string"),
+                F.lit(".example.com/p"), F.col("id").cast("string"),
+            )
+        )
+        .alias("url")
+    )
+    robots = spark.createDataFrame(
+        [("mega.example.com", "Crawl-delay: 2")],
+        "host string, robots_txt string",
+    )
+
+    # (1) host-edge aggregate: partial agg before the exchange
+    agg = (
+        fr.select(
+            F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg.collect()
+    txt = agg._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in txt, "host agg lost its map-side combine"
+
+    # (2) schedule: broadcast join on the hosts-sized delay table
+    sched = politeness_schedule(
+        fr, robots_crawl_delays(robots), per_host_per_wave=4
+    )
+    sched.collect()
+    stxt = sched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in stxt or "BroadcastNestedLoopJoin" in stxt, (
+        "delay join must broadcast, never shuffle on the skewed host key"
+    )
+
+    # (3) waves: one exchange (the host window), no Python
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.dirname(_os.path.dirname(__file__)))
+    from plan_audit import executed_scan_counts
+
+    waves = politeness_waves(fr, per_host_per_wave=4)
+    waves.collect()
+    c = executed_scan_counts(waves)
+    assert c["python_eval"] == 0, c
+
+    # count shuffles by WALKING the finalized tree — toString reprints the
+    # AQE initial plan and doubles any grep (the executed_scan_counts
+    # docstring's warning)
+    def shuffles(node, seen=None):
+        seen = set() if seen is None else seen
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            return shuffles(node.executedPlan(), seen)
+        if cls.endswith("QueryStageExec"):
+            sid = node.id()
+            if sid in seen:
+                return 0
+            seen.add(sid)
+            return shuffles(node.plan(), seen)
+        n = 1 if cls.startswith("ShuffleExchange") else 0
+        for i in range(node.children().length()):
+            n += shuffles(node.children().apply(i), seen)
+        return n
+
+    n_exchanges = shuffles(waves._jdf.queryExecution().executedPlan())
+    assert n_exchanges == 1, f"waves must shuffle exactly once, saw {n_exchanges}"
