@@ -237,6 +237,11 @@ def langid_train(
         .rdd.mapPartitions(to_block)
         .cache()
     )
+    # MLlib's default tree depth is 2 — right when thousands of partitions
+    # would funnel into the driver, pure overhead (an extra stage per
+    # round) when the block count is small. Partition count is known
+    # before the loop, so the choice costs nothing.
+    depth = 2 if blocks.getNumPartitions() > 64 else 1
     w = {lang: [0.0] * (k + 1) for lang in langs}
     losses: dict[str, list[float]] = {lang: [] for lang in langs}
     try:
@@ -258,7 +263,7 @@ def langid_train(
                 return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
             zero = (0, np.zeros(nl), np.zeros((k + 1, nl)))
-            n, loss_sum, G = blocks.treeAggregate(zero, seq, comb, depth=2)
+            n, loss_sum, G = blocks.treeAggregate(zero, seq, comb, depth=depth)
             grads = {}
             for li, lang in enumerate(langs):
                 losses[lang].append(float(loss_sum[li]) / n)
