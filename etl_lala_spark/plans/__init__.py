@@ -90,18 +90,28 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 10 window: no pins needed — the automatic tiers do exactly what
-# the r9 verdict's task 1 asks. Tier 1 front-loads the 2 new r10
-# registrations (`web_corpus_build`, the end-to-end crawl-to-shards
-# composition; `curate_shard_export_bpe`, tokenizer-budgeted shard
-# export), and tier 3's least-recently-verified sort drains the ENTIRE
-# 25-query r4 staleness tail (incl. the dedup/codec paths whose modules
-# have since changed: dedup_exact_substrings, dedup_repeated_blocks,
-# multimodal_*, the ann audit family) with 23 slots left over for the
-# oldest r5 rows — the staleness floor rises r4 -> r5. The r9 pins
-# (incremental-MinHash lifecycle) all earned green r9 rows and ride
-# tier 3 staleness from here on.
-_DRIVER_WINDOW: list[str] = []
+# Round 10 window: pin the five r9-green queries whose operators/oracles
+# CHANGED this round (the r9 precedent: a query refactored after its last
+# driver green needs recorded evidence, not tier-3 staleness four rounds
+# out) — the ADVICE r9 fixes rewrote detect_charset's meta extraction
+# (web_charset_detect), politeness_schedule's declared-delay semantics
+# AND its oracle (web_politeness_schedule), parse_sitemap's namespace
+# handling (web_sitemap_parse), fetch_ranges' 200-fallback streaming
+# (web_cdx_ranged_fetch), and langid_train was rewritten onto cached-
+# block treeAggregate (audit_langid_trained pins it; langid_trained
+# itself is rows-only and rides the audit). Tier 1 then front-loads the
+# 2 new r10 registrations (web_corpus_build, curate_shard_export_bpe)
+# and tier 3's least-recently-verified sort drains the ENTIRE 25-query
+# r4 staleness tail (incl. the dedup/codec paths whose modules have
+# since changed) with 18 slots left for the oldest r5 rows — the
+# staleness floor rises r4 -> r5.
+_DRIVER_WINDOW: list[str] = [
+    "web_charset_detect",
+    "web_politeness_schedule",
+    "web_sitemap_parse",
+    "web_cdx_ranged_fetch",
+    "audit_langid_trained",
+]
 
 
 def _correctness_records() -> tuple[dict[str, int], dict[str, int]]:
