@@ -1613,17 +1613,29 @@ def _langid_corpus(d: DataFrame) -> DataFrame:
 
 @register(
     "langid_trained",
-    doc="rows-only: fastText-shaped trained language-ID (hashed char trigrams"
-        " + one-vs-rest logistic), confusion matrix on the planted corpus",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, ['en', 'de', 'es', 'fr'][doc_id % 4 + 1] AS lang_true
+  FROM documents WHERE doc_id < 400
+)
+SELECT lang_true,
+       lang_true AS pred_lang,
+       CAST(count(*) AS BIGINT) AS n
+FROM d GROUP BY lang_true ORDER BY lang_true
+""",
 )
 def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained language-ID (fastText family — Joulin et al. 2016): hashed
     char-trigram features + one-vs-rest logistic regression
     (`operators/ml.py:langid_train`), deployed as a fused codegen argmax
     (`langid_predict`). Emits the confusion matrix over the planted
-    4-language corpus. Iterative float training → rows-only;
-    `audit_langid_trained` pins the exact confusion counts (all mass on
-    the diagonal) and the planting arithmetic to the DuckDB oracle."""
+    4-language corpus. Oracle-backed since r10 (was rows-only): the
+    training is deterministic (fixed init, fixed lr/iters, no RNG) and
+    the planted languages are separated by their function words, so the
+    confusion matrix is EXACTLY the all-diagonal planting arithmetic —
+    the same contract ``audit_langid_trained`` has pinned green since
+    r9; carrying the oracle here upgrades the row from ran-rows to
+    hash-matched."""
     from etl_lala_spark.operators import ml
 
     corpus = _langid_corpus(load_table(spark, sf_dir, "documents"))
