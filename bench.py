@@ -234,6 +234,11 @@ HEADLINE = [
     # byte-BPE token counts via a pinned vocab)
     "web_corpus_build",
     "curate_shard_export_bpe",
+    # round 10 (cont.): the other two Common Crawl formats — WET extracted
+    # text (conversion records -> token counting) and WAT metadata (JSON
+    # envelopes -> link-graph edges), both on the shared WARC record kernel
+    "web_wet_extract",
+    "web_wat_extract",
 ]
 
 

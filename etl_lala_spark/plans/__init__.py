@@ -99,11 +99,12 @@ def _load_all() -> None:
 # handling (web_sitemap_parse), fetch_ranges' 200-fallback streaming
 # (web_cdx_ranged_fetch), and langid_train was rewritten onto cached-
 # block treeAggregate (audit_langid_trained pins it; langid_trained
-# itself is rows-only and rides the audit). Tier 1 then front-loads the
-# 2 new r10 registrations (web_corpus_build, curate_shard_export_bpe)
-# and tier 3's least-recently-verified sort drains the ENTIRE 25-query
-# r4 staleness tail (incl. the dedup/codec paths whose modules have
-# since changed) with 18 slots left for the oldest r5 rows — the
+# itself carries the same oracle since r10 and retries as tier 2).
+# Tier 1 then front-loads the 4 new r10 registrations (web_corpus_build,
+# curate_shard_export_bpe, web_wet_extract, web_wat_extract) and tier
+# 3's least-recently-verified sort drains the ENTIRE 25-query r4
+# staleness tail (incl. the dedup/codec paths whose modules have since
+# changed) with the remaining slots going to the oldest r5 rows — the
 # staleness floor rises r4 -> r5.
 _DRIVER_WINDOW: list[str] = [
     "web_charset_detect",

@@ -2859,3 +2859,227 @@ def _corpus_build_tail(spark, ok, stage, stage_rows, extract_warc_records):
     return spark.createDataFrame(
         stage_rows, "stage_ord int, stage string, n bigint"
     ).orderBy("stage_ord")
+
+
+# --- WET / WAT: the other two Common Crawl formats ---------------------------
+#
+# Most CC text pipelines never touch raw WARC: they read WET (extracted
+# plain text as `conversion` records) or WAT (per-page metadata as JSON
+# `metadata` records). Both ride the SAME gzip-member/record kernel as WARC
+# (`sources/warc.py:extract_warc_records` is generic over WARC-Type: a
+# non-response record carries its whole block as the payload) — these gates
+# prove the two formats end to end and chain them into the curation surface
+# (token counting for WET, link extraction for WAT).
+
+_WET_ORACLE = """
+WITH m AS (
+  SELECT d.doc_id, i.i
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d, range(0, 3) i(i)
+  WHERE i.i <= d.doc_id % 3
+),
+c AS (
+  SELECT doc_id, i,
+         rtrim(repeat('the wet text of doc ' || doc_id || ' record ' || i
+                || ' ', CAST(i + 1 AS INT))) AS body
+  FROM m
+)
+SELECT 'mem://seg' || doc_id || '.warc.wet.gz' AS file,
+       CAST(i + 1 AS INT) AS record_index,
+       'conversion' AS warc_type,
+       'http://example.com/doc' || doc_id || '/page' || i AS target_uri,
+       CAST(strlen(body) AS BIGINT) AS n_payload_bytes,
+       md5(body) AS digest,
+       CAST(8 * (i + 1) AS BIGINT) AS n_tokens
+FROM c
+ORDER BY file, record_index
+"""
+
+
+@register("web_wet_extract", oracle=_WET_ORACLE)
+def web_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET (Common Crawl extracted-text) ingestion under the gate: per doc
+    a real ``.warc.wet.gz`` in the WET layout — one warcinfo record, then
+    one ``conversion`` record per page whose block is the page's plain
+    text (no HTTP envelope; the defining difference from WARC response
+    records) — expanded by the same ``extract_warc_records`` kernel
+    filtered to conversions, then chained into the curation surface's
+    whitespace token count. The oracle replays the all-records ordinal
+    (warcinfo = 0, conversion i+1), the payload bytes and md5 (an HTTP
+    header-split applied to a conversion record would corrupt both), and
+    the token count per record. Scale: identical shape to WARC ingestion
+    — Arrow-batched member split, per-file parallelism, no shuffle before
+    the final order."""
+    import gzip
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_lala_spark.operators.text import token_count
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        warc_record_bytes,
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                members = [
+                    warc_record_bytes(
+                        "warcinfo", b"software: etl-lala-gate-wet"
+                    )
+                ]
+                for i in range(d % 3 + 1):
+                    body = " ".join(
+                        [f"the wet text of doc {d} record {i}"] * (i + 1)
+                    ).encode()
+                    members.append(
+                        warc_record_bytes(
+                            "conversion",
+                            body,
+                            target_uri=f"http://example.com/doc{d}/page{i}",
+                        )
+                    )
+                blob = b"".join(
+                    gzip.compress(m, compresslevel=1) for m in members
+                )
+                rows.append((f"mem://seg{d}.warc.wet.gz", blob))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    wets = docs.select("doc_id").mapInPandas(build, "path string, content binary")
+    recs = extract_warc_records(wets, types=("conversion",))
+    text = F.col("payload").cast("string")
+    return recs.select(
+        "file",
+        "record_index",
+        "warc_type",
+        "target_uri",
+        "n_payload_bytes",
+        F.md5("payload").alias("digest"),
+        token_count(text).cast("bigint").alias("n_tokens"),
+    ).orderBy("file", "record_index")
+
+
+_WAT_ORACLE = """
+WITH m AS (
+  SELECT d.doc_id, i.i
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d, range(0, 3) i(i)
+  WHERE i.i <= d.doc_id % 3
+),
+l AS (
+  SELECT doc_id, i, unnest(range(0, 2)) AS j FROM m
+)
+SELECT 'http://example.com/doc' || doc_id || '/page' || i AS page_url,
+       'Doc ' || doc_id || ' page ' || i AS title,
+       CAST(2 AS BIGINT) AS n_links,
+       'http://out' || ((doc_id + i + j) % 7) || '.example.com/t' || j
+         AS link
+FROM l
+ORDER BY page_url, link
+"""
+
+
+@register("web_wat_extract", oracle=_WAT_ORACLE)
+def web_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT (Common Crawl per-page metadata) ingestion: per doc a real
+    ``.warc.wat.gz`` — warcinfo, then one ``metadata`` record per page
+    whose block is the WAT JSON envelope (title + outgoing links, the
+    fields link-graph and seed-discovery jobs read) — expanded by the
+    shared record kernel, payload parsed with ``from_json`` (codegen, no
+    Python in the parse path), links exploded to edge grain. The oracle
+    replays page URL, title, link count, and every resolved link target.
+    A JSON-schema drift, a lost record, or link-array truncation lands on
+    different rows. Scale: member split + one from_json scan + one
+    explode — the WAT path to a 100 TB link graph never shuffles before
+    the edge aggregate."""
+    import gzip
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        warc_record_bytes,
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                members = [
+                    warc_record_bytes(
+                        "warcinfo", b"software: etl-lala-gate-wat"
+                    )
+                ]
+                for i in range(d % 3 + 1):
+                    uri = f"http://example.com/doc{d}/page{i}"
+                    envelope = {
+                        "Envelope": {
+                            "WARC-Header-Metadata": {"WARC-Target-URI": uri},
+                            "Payload-Metadata": {
+                                "HTTP-Response-Metadata": {
+                                    "HTML-Metadata": {
+                                        "Head": {
+                                            "Title": f"Doc {d} page {i}"
+                                        },
+                                        "Links": [
+                                            {
+                                                "url": (
+                                                    f"http://out{(d + i + j) % 7}"
+                                                    f".example.com/t{j}"
+                                                )
+                                            }
+                                            for j in range(2)
+                                        ],
+                                    }
+                                }
+                            },
+                        }
+                    }
+                    members.append(
+                        warc_record_bytes(
+                            "metadata",
+                            _json.dumps(envelope).encode(),
+                            target_uri=uri,
+                        )
+                    )
+                blob = b"".join(
+                    gzip.compress(m, compresslevel=1) for m in members
+                )
+                rows.append((f"mem://seg{d}.warc.wat.gz", blob))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    wats = docs.select("doc_id").mapInPandas(build, "path string, content binary")
+    recs = extract_warc_records(wats, types=("metadata",))
+    wat_schema = (
+        "Envelope struct<`WARC-Header-Metadata` struct<`WARC-Target-URI` string>,"
+        " `Payload-Metadata` struct<`HTTP-Response-Metadata`"
+        " struct<`HTML-Metadata` struct<Head struct<Title string>,"
+        " Links array<struct<url string>>>>>>"
+    )
+    parsed = recs.select(
+        F.from_json(F.col("payload").cast("string"), wat_schema).alias("w")
+    ).select(
+        F.col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").alias(
+            "page_url"
+        ),
+        F.col(
+            "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`"
+            ".`HTML-Metadata`.Head.Title"
+        ).alias("title"),
+        F.col(
+            "w.Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`"
+            ".`HTML-Metadata`.Links"
+        ).alias("links"),
+    )
+    return parsed.select(
+        "page_url",
+        "title",
+        F.size("links").cast("bigint").alias("n_links"),
+        F.explode(F.col("links.url")).alias("link"),
+    ).orderBy("page_url", "link")
