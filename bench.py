@@ -239,6 +239,9 @@ HEADLINE = [
     # envelopes -> link-graph edges), both on the shared WARC record kernel
     "web_wet_extract",
     "web_wat_extract",
+    # round 10 (cont.): CDX redirect-chain resolution — pointer-doubling
+    # over the 3xx edge slice, loops/dangling targets classified
+    "web_cdx_redirects",
 ]
 
 

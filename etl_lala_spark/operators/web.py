@@ -485,7 +485,7 @@ def _resolve_href(h: Column, base: Column) -> Column:
 #: arrive as JSON strings in the real index; cast after parse.
 _CDXJ_JSON_SCHEMA = (
     "url string, mime string, status string, digest string,"
-    " length string, offset string, filename string"
+    " length string, offset string, filename string, redirect string"
 )
 
 
@@ -497,12 +497,14 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
     so a corrupt index shard surfaces as data instead of killing the job.
 
     Output: (surt, ts, url, mime, status, digest, length, offset,
-    filename, _error). Pure codegen — regexp_extract for the three fields,
+    filename, redirect, _error) — ``redirect`` is the Location target a
+    3xx capture carries in the real index (NULL otherwise), the input to
+    :func:`cdx_redirect_resolve`. Pure codegen — regexp_extract for the three fields,
     ``from_json`` for the payload; parsing a multi-TB index is one scan,
     no shuffle, no Python."""
     reserved = {
         "surt", "ts", "url", "mime", "digest", "filename", "status",
-        "length", "offset", "_error", "_surt", "_ts", "_j",
+        "length", "offset", "redirect", "_error", "_surt", "_ts", "_j",
     }
     # line_col gets NO exemption: the input line column is carried through
     # to the output, so naming it after a reserved output (line_col="url")
@@ -534,7 +536,7 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
         F.when(err.isNull(), F.col("_ts")).alias("ts"),
         *[
             F.when(err.isNull(), j[f]).alias(f)
-            for f in ("url", "mime", "digest", "filename")
+            for f in ("url", "mime", "digest", "filename", "redirect")
         ],
         F.when(err.isNull(), j["status"].cast("int")).alias("status"),
         F.when(err.isNull(), j["length"].cast("bigint")).alias("length"),
@@ -1083,4 +1085,103 @@ def politeness_schedule(
             ),
         )
         .drop("_dhost", "_delay")
+    )
+
+
+def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Resolve CDX redirect chains to their final targets — the capture-
+    selection companion every real Common Crawl consumer needs: ~20% of a
+    crawl's captures are 3xx rows whose content lives at the END of a
+    Location chain, and an index-first pipeline must map each redirecting
+    key to the capture it should actually fetch WITHOUT issuing a single
+    HTTP request. Input: :func:`parse_cdxj` rows (the ``redirect`` field
+    carries the 3xx Location target). Output: one row per redirecting
+    SURT key — (surt, final_surt, hops, resolution) with resolution:
+
+    - ``ok``: the chain reaches a key holding a good (2xx) capture within
+      ``max_hops``; ``final_surt`` is that key, ``hops`` the chain length;
+    - ``dangling``: the chain leaves the index (target key has no good
+      capture and no onward redirect) — ``final_surt`` is the dangling
+      key, ``hops`` counts to it;
+    - ``too_deep``: the chain exceeds ``max_hops`` — including every
+      redirect LOOP (a cycle can never terminate, so its hop count grows
+      past any budget); ``final_surt``/``hops`` are NULL because no
+      stable endpoint exists.
+
+    A key holding BOTH a good capture and a redirect capture counts as
+    terminal (the content is already there; following further would be
+    wrong). Per key, the NEWEST redirect capture defines the out-edge —
+    the same newest-wins discipline as :func:`select_captures`.
+
+    Scale shape: POINTER DOUBLING, the :func:`~etl_lala_spark.operators
+    .dedup.canonical_components` discipline — each round substitutes
+    every label's target with that target's own label (one self-join +
+    localCheckpoint), so resolved distance doubles per round and
+    ``max_hops`` needs only ``ceil(log2(max_hops)) + 1`` rounds, not
+    ``max_hops`` sequential joins. All joins are key-grain on the
+    redirect EDGE SET (the 3xx slice, not the full index); the 100 TB
+    index contributes one filter + one aggregate."""
+    import math as _math
+
+    from etl_lala_spark.functions.scalars import surt_key
+
+    good = parsed.filter(F.col("_error").isNull()) if "_error" in parsed.columns else parsed
+    status = F.col("status")
+    terminals = (
+        good.filter((status >= 200) & (status < 300))
+        .select("surt")
+        .distinct()
+    )
+    redirects = good.filter(
+        (status >= 300) & (status < 400) & F.col("redirect").isNotNull()
+    )
+    # newest redirect per key defines the out-edge; terminal keys are not
+    # followed (their content already exists)
+    edges = (
+        redirects.groupBy("surt")
+        .agg(F.max(F.struct("ts", "redirect")).alias("_p"))
+        .select("surt", surt_key(F.col("_p.redirect")).alias("target"))
+        .join(terminals.withColumnRenamed("surt", "_t"),
+              F.col("surt") == F.col("_t"), "left_anti")
+    )
+    labels = edges.select(
+        "surt", F.col("target").alias("cur"), F.lit(1).cast("bigint").alias("hops")
+    ).localCheckpoint()
+    rounds = max(1, _math.ceil(_math.log2(max(2, max_hops))) + 1)
+    for _ in range(rounds):
+        hop = labels.select(
+            F.col("surt").alias("_s"),
+            F.col("cur").alias("_c"),
+            F.col("hops").alias("_h"),
+        )
+        labels = (
+            labels.join(hop, labels["cur"] == hop["_s"], "left")
+            .select(
+                "surt",
+                F.coalesce("_c", "cur").alias("cur"),
+                F.when(
+                    F.col("_c").isNotNull(), F.col("hops") + F.col("_h")
+                )
+                .otherwise(F.col("hops"))
+                .alias("hops"),
+            )
+            .localCheckpoint()
+        )
+    term = terminals.select(F.col("surt").alias("_term"))
+    out = labels.join(term, labels["cur"] == F.col("_term"), "left")
+    # a cur that still has an out-edge after 2^rounds>max_hops doubling
+    # rounds is on (or feeding) a cycle — classify with the hop budget
+    pending = edges.select(F.col("surt").alias("_pend"))
+    out = out.join(pending, out["cur"] == F.col("_pend"), "left")
+    resolution = (
+        F.when(F.col("_term").isNotNull() & (F.col("hops") <= max_hops), "ok")
+        .when(F.col("_pend").isNotNull() | (F.col("hops") > max_hops), "too_deep")
+        .otherwise("dangling")
+    )
+    keep = resolution.isin("ok", "dangling")
+    return out.select(
+        "surt",
+        F.when(keep, F.col("cur")).alias("final_surt"),
+        F.when(keep, F.col("hops")).alias("hops"),
+        resolution.alias("resolution"),
     )

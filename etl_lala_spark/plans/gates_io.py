@@ -3083,3 +3083,90 @@ def web_wat_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("links").cast("bigint").alias("n_links"),
         F.explode(F.col("links.url")).alias("link"),
     ).orderBy("page_url", "link")
+
+
+# Chains per doc d (< 120): length c = d % 4 of 302 captures r0 -> r1 -> ...
+# ending at a 200 '/final' capture; docs % 10 == 0 dangle (last hop targets
+# a key with no capture), else docs % 11 == 0 loop back to r0 (never
+# terminates -> too_deep, NULL endpoint); every intermediate hop resolves
+# with its own remaining-distance hop count.
+_CDX_REDIRECT_ORACLE = """
+WITH d AS (
+  SELECT doc_id, doc_id % 4 AS c,
+         CASE WHEN doc_id % 10 = 0 THEN 'dangling'
+              WHEN doc_id % 11 = 0 THEN 'too_deep'
+              ELSE 'ok' END AS kind
+  FROM documents WHERE doc_id < 120
+),
+hops AS (
+  SELECT doc_id, c, kind, unnest(range(0, 3)) AS j FROM d
+)
+SELECT 'com,example)/d' || doc_id || '/r' || j AS surt,
+       CASE kind WHEN 'ok' THEN 'com,example)/d' || doc_id || '/final'
+                 WHEN 'dangling' THEN 'com,example)/d' || doc_id || '/missing'
+                 ELSE NULL END AS final_surt,
+       CASE WHEN kind = 'too_deep' THEN NULL
+            ELSE CAST(c - j AS BIGINT) END AS hops,
+       kind AS resolution
+FROM hops
+WHERE j < c
+ORDER BY surt
+"""
+
+
+@register("web_cdx_redirects", oracle=_CDX_REDIRECT_ORACLE)
+def web_cdx_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX redirect-chain resolution (``operators/web.py:
+    cdx_redirect_resolve``): planted 302 chains of length 0–3 per doc
+    ending at a 200 capture, with every tenth doc's chain leaving the
+    index (dangling) and every eleventh looping back to its own head
+    (never terminates). The oracle states, for EVERY redirecting key —
+    including mid-chain hops — the final key, the remaining hop count,
+    and the resolution class; a pointer-doubling bug (missed jump, hop
+    miscount, loop classified as resolved, a terminal key followed
+    onward) lands on different rows. Scale: the resolver joins only the
+    3xx edge slice, O(log max_hops) rounds — the argument is in the
+    operator docstring."""
+    from etl_lala_spark.operators.web import cdx_redirect_resolve, parse_cdxj
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    rows = d.select("doc_id", (F.col("doc_id") % 4).cast("int").alias("c"))
+    ds = F.col("doc_id").cast("string")
+    base_url = F.concat(F.lit("http://example.com/d"), ds)
+    base_surt = F.concat(F.lit("com,example)/d"), ds)
+    j = F.col("j")
+    last_target = (
+        F.when(F.col("doc_id") % 10 == 0, F.concat(base_url, F.lit("/missing")))
+        .when(F.col("doc_id") % 11 == 0, F.concat(base_url, F.lit("/r0")))
+        .otherwise(F.concat(base_url, F.lit("/final")))
+    )
+    redirect_lines = (
+        rows.filter(F.col("c") > 0)
+        .select("doc_id", "c", F.explode(F.sequence(F.lit(0), F.col("c") - 1)).alias("j"))
+        .select(
+            F.concat(
+                base_surt, F.lit("/r"), j.cast("string"),
+                F.lit(" 20240101000000 "),
+                F.lit('{"url": "'), base_url, F.lit("/r"), j.cast("string"),
+                F.lit('", "mime": "text/html", "status": "302",'
+                      ' "digest": "sha1:R", "length": "10", "offset": "0",'
+                      ' "filename": "w.warc.gz", "redirect": "'),
+                F.when(
+                    j < F.col("c") - 1,
+                    F.concat(base_url, F.lit("/r"), (j + 1).cast("string")),
+                ).otherwise(last_target),
+                F.lit('"}'),
+            ).alias("line")
+        )
+    )
+    final_lines = rows.select(
+        F.concat(
+            base_surt, F.lit("/final 20240101000000 "),
+            F.lit('{"url": "'), base_url,
+            F.lit('/final", "mime": "text/html", "status": "200",'
+                  ' "digest": "sha1:F", "length": "10", "offset": "0",'
+                  ' "filename": "w.warc.gz"}'),
+        ).alias("line")
+    )
+    idx = parse_cdxj(redirect_lines.unionByName(final_lines))
+    return cdx_redirect_resolve(idx, max_hops=8).orderBy("surt")

@@ -3177,3 +3177,66 @@ def test_robots_crawl_delays_and_schedule(spark):
     assert [sched[("a.com", i)] for i in range(4)] == [0.0, 5.0, 10.0, 15.0]
     # undeclared host keeps wave-based parallelism at the default delay
     assert sched[("x.com", 0)] == 0.0 and sched[("x.com", 1)] == 0.0
+
+
+def test_cdx_redirect_resolve_semantics(spark):
+    """Redirect resolution: chains resolve with exact hop counts; a key
+    with both a 200 and a 302 capture is terminal (not followed); the
+    NEWEST redirect capture defines the out-edge; self-loops and cycles
+    classify too_deep with NULL endpoint; a target with no capture is
+    dangling; hops beyond max_hops are too_deep."""
+    from etl_lala_spark.operators.web import cdx_redirect_resolve, parse_cdxj
+
+    def line(surt, ts, status, url, redirect=None):
+        r = f', "redirect": "{redirect}"' if redirect else ""
+        return (
+            f'{surt} {ts} {{"url": "{url}", "mime": "text/html",'
+            f' "status": "{status}", "digest": "sha1:X", "length": "1",'
+            f' "offset": "0", "filename": "w.warc.gz"{r}}}'
+        )
+
+    lines = [
+        # a -> b -> final (hops: a=2, b=1)
+        line("com,ex)/a", 20240101000000, 302, "http://ex.com/a", "http://ex.com/b"),
+        line("com,ex)/b", 20240101000000, 302, "http://ex.com/b", "http://ex.com/final"),
+        line("com,ex)/final", 20240101000000, 200, "http://ex.com/final"),
+        # newest-wins: stale edge to /dead, newer edge to /final
+        line("com,ex)/n", 20240101000000, 301, "http://ex.com/n", "http://ex.com/dead"),
+        line("com,ex)/n", 20240102000000, 301, "http://ex.com/n", "http://ex.com/final"),
+        # terminal-and-redirect key: has a 200 -> NOT followed, no output row
+        line("com,ex)/t", 20240101000000, 200, "http://ex.com/t"),
+        line("com,ex)/t", 20240102000000, 302, "http://ex.com/t", "http://ex.com/b"),
+        # chain INTO the terminal key: resolves at /t in one hop
+        line("com,ex)/into", 20240101000000, 302, "http://ex.com/into", "http://ex.com/t"),
+        # self-loop
+        line("com,ex)/s", 20240101000000, 302, "http://ex.com/s", "http://ex.com/s"),
+        # 2-cycle
+        line("com,ex)/c1", 20240101000000, 302, "http://ex.com/c1", "http://ex.com/c2"),
+        line("com,ex)/c2", 20240101000000, 302, "http://ex.com/c2", "http://ex.com/c1"),
+        # dangling
+        line("com,ex)/d", 20240101000000, 302, "http://ex.com/d", "http://ex.com/nowhere"),
+    ]
+    parsed = parse_cdxj(spark.createDataFrame([(x,) for x in lines], "line string"))
+    got = {r["surt"]: (r["final_surt"], r["hops"], r["resolution"])
+           for r in cdx_redirect_resolve(parsed, max_hops=8).collect()}
+    assert got["com,ex)/a"] == ("com,ex)/final", 2, "ok")
+    assert got["com,ex)/b"] == ("com,ex)/final", 1, "ok")
+    assert got["com,ex)/n"] == ("com,ex)/final", 1, "ok")
+    assert "com,ex)/t" not in got  # terminal key is never followed
+    assert got["com,ex)/into"] == ("com,ex)/t", 1, "ok")
+    assert got["com,ex)/s"] == (None, None, "too_deep")
+    assert got["com,ex)/c1"] == (None, None, "too_deep")
+    assert got["com,ex)/c2"] == (None, None, "too_deep")
+    assert got["com,ex)/d"] == ("com,ex)/nowhere", 1, "dangling")
+    assert len(got) == 8
+
+    # a 10-hop chain under max_hops=4 exhausts the budget
+    deep = [line(f"com,ex)/h{i}", 20240101000000, 302, f"http://ex.com/h{i}",
+                 f"http://ex.com/h{i+1}") for i in range(10)]
+    deep.append(line("com,ex)/h10", 20240101000000, 200, "http://ex.com/h10"))
+    p2 = parse_cdxj(spark.createDataFrame([(x,) for x in deep], "line string"))
+    got2 = {r["surt"]: (r["hops"], r["resolution"])
+            for r in cdx_redirect_resolve(p2, max_hops=4).collect()}
+    assert got2["com,ex)/h9"] == (1, "ok")
+    assert got2["com,ex)/h6"] == (4, "ok")
+    assert got2["com,ex)/h0"] == (None, "too_deep")
