@@ -3169,4 +3169,17 @@ def web_cdx_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line")
     )
     idx = parse_cdxj(redirect_lines.unionByName(final_lines))
-    return cdx_redirect_resolve(idx, max_hops=8).orderBy("surt")
+    # the edge slice is gate-constant (240 rows): run the doubling loop at
+    # a matching shuffle width (the web_corpus_build discipline) instead of
+    # paying 4 wide-shuffle rounds on a default-conf session
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        # max_hops=4 covers the planted 3-hop chains and classifies the
+        # loops (doubling passes 4 after three rounds) with one fewer
+        # pointer-doubling round than the operator default
+        out = cdx_redirect_resolve(idx, max_hops=4)
+        out = out.localCheckpoint(eager=True)  # materialize under the override
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out.orderBy("surt")
