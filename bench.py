@@ -242,6 +242,9 @@ HEADLINE = [
     # round 10 (cont.): CDX redirect-chain resolution — pointer-doubling
     # over the 3xx edge slice, loops/dangling targets classified
     "web_cdx_redirects",
+    # round 10 (cont.): page-level robots directives (meta robots +
+    # X-Robots-Tag) — the keep/outlink governor next to robots.txt fetching
+    "web_robots_meta",
 ]
 
 

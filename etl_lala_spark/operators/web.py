@@ -1185,3 +1185,58 @@ def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
         F.when(keep, F.col("hops")).alias("hops"),
         resolution.alias("resolution"),
     )
+
+
+def robots_meta_directives(
+    df: DataFrame,
+    html_col: str = "html",
+    headers_col: str | None = "http_headers",
+) -> DataFrame:
+    """Page-level robots directives — the companion of robots.txt filtering
+    (:func:`robots_allowed` governs FETCHING; these govern what a pipeline
+    may KEEP and which outlinks may feed the frontier): the
+    ``<meta name="robots" content="…">`` tag and the ``X-Robots-Tag``
+    response header, per the Robots Exclusion Protocol's page-level
+    extension (Google/Bing documented semantics). Appends:
+
+    - ``noindex``: the page must not enter the corpus/index;
+    - ``nofollow``: its outlinks must not feed the frontier
+      (:func:`extract_links` consumers drop these edges).
+
+    Directive lists are comma-separated and case-insensitive; ``none``
+    means ``noindex, nofollow``; ``all`` (or no declaration) means
+    neither. Only ``name="robots"`` meta tags count (a
+    ``name="description"`` whose text merely contains 'noindex' must not
+    — same decoy discipline as :func:`detect_charset`), attribute order
+    is free, and either source (meta OR header) declaring a directive
+    sets it. Pure codegen — two regexp extracts and a boolean fold per
+    row, no shuffle, no Python; filtering 100 TB of fetched pages is one
+    scan."""
+    # the meta tag: name="robots" and content="..." in either order
+    meta_tag = F.regexp_extract(
+        F.col(html_col),
+        r'''(?is)<meta\s(?=[^>]*\bname\s*=\s*["']?robots["'\s>])[^>]*>''',
+        0,
+    )
+    meta_content = F.lower(F.regexp_extract(
+        meta_tag, r'''(?i)\bcontent\s*=\s*["']([^"']*)["']''', 1
+    ))
+    hdr = (
+        F.lower(F.regexp_extract(
+            F.col(headers_col), r"(?im)^x-robots-tag:\s*(.+?)\s*$", 1
+        ))
+        if headers_col is not None
+        else F.lit("")
+    )
+    def has(directive: str):
+        pat = rf"(^|[,\s]){directive}($|[,\s])"
+        return meta_content.rlike(pat) | hdr.rlike(pat)
+
+    none_d = has("none")
+    # NULL html/headers = no declaration = neither directive (a crawl row
+    # with a missing body must not poison downstream boolean filters)
+    return df.withColumn(
+        "noindex", F.coalesce(none_d | has("noindex"), F.lit(False))
+    ).withColumn(
+        "nofollow", F.coalesce(none_d | has("nofollow"), F.lit(False))
+    )

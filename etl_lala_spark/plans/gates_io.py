@@ -3183,3 +3183,53 @@ def web_cdx_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out.orderBy("surt")
+
+
+# k = doc_id % 6: 0 none declared; 1 meta noindex; 2 meta "nofollow,noindex"
+# (reversed attribute order); 3 header X-Robots-Tag: nofollow; 4 meta
+# content="none" (implies both); 5 a description DECOY containing 'noindex'
+# that must not count. Every doc also carries an unrelated viewport meta.
+_ROBOTS_META_ORACLE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 6 IN (1, 2, 4) THEN 1 ELSE 0 END AS noindex,
+       CASE WHEN doc_id % 6 IN (2, 3, 4) THEN 1 ELSE 0 END AS nofollow
+FROM documents WHERE doc_id < 200 ORDER BY doc_id
+"""
+
+
+@register("web_robots_meta", oracle=_ROBOTS_META_ORACLE)
+def web_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-level robots directives (``operators/web.py:
+    robots_meta_directives``): six planted shapes per doc class — no
+    declaration, meta noindex, a reversed-attribute meta declaring both,
+    a header-only ``X-Robots-Tag: nofollow``, ``content="none"``
+    (implies both), and a ``name="description"`` decoy whose text
+    contains 'noindex' and must NOT count. The oracle states both flags
+    per doc from the planting arithmetic; a matcher that keys on the
+    wrong attribute, misses the header source, or misreads ``none``
+    lands on different rows."""
+    from etl_lala_spark.operators.web import robots_meta_directives
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    k = F.col("doc_id") % 6
+    html = F.concat(
+        F.lit('<html><head><meta name="viewport" content="width=device-width">'),
+        F.when(k == 1, F.lit('<meta name="robots" content="noindex">'))
+        .when(k == 2, F.lit('<meta content="nofollow, noindex" name="ROBOTS">'))
+        .when(k == 4, F.lit("<meta name='robots' content='none'>"))
+        .when(k == 5, F.lit('<meta name="description"'
+                            ' content="how noindex works">'))
+        .otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    headers = F.when(
+        k == 3, F.lit("Content-Type: text/html\r\nX-Robots-Tag: nofollow")
+    ).otherwise(F.lit("Content-Type: text/html"))
+    out = robots_meta_directives(
+        d.select("doc_id", html.alias("html"), headers.alias("http_headers"))
+    )
+    return out.select(
+        "doc_id",
+        F.col("noindex").cast("int").alias("noindex"),
+        F.col("nofollow").cast("int").alias("nofollow"),
+    ).orderBy("doc_id")

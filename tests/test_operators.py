@@ -3240,3 +3240,27 @@ def test_cdx_redirect_resolve_semantics(spark):
     assert got2["com,ex)/h9"] == (1, "ok")
     assert got2["com,ex)/h6"] == (4, "ok")
     assert got2["com,ex)/h0"] == (None, "too_deep")
+
+
+def test_robots_meta_directives_matching(spark):
+    """Page-level robots directives: word-boundary matching ('noindexing'
+    is not 'noindex'), header+meta sources OR together, 'all' and absent
+    declarations mean neither, header-only works without an html match."""
+    from etl_lala_spark.operators.web import robots_meta_directives
+
+    rows = [
+        (0, '<meta name="robots" content="noindexing nofollowed">', ""),
+        (1, '<meta name="robots" content="all">', ""),
+        (2, '<meta name="robots" content="noindex">',
+         "X-Robots-Tag: nofollow"),
+        (3, "", "x-robots-tag: NOINDEX, nofollow"),
+        (4, None, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, html string, http_headers string")
+    got = {r["i"]: (r["noindex"], r["nofollow"])
+           for r in robots_meta_directives(df).collect()}
+    assert got[0] == (False, False)
+    assert got[1] == (False, False)
+    assert got[2] == (True, True)
+    assert got[3] == (True, True)
+    assert got[4] == (False, False)
