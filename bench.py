@@ -245,6 +245,9 @@ HEADLINE = [
     # round 10 (cont.): page-level robots directives (meta robots +
     # X-Robots-Tag) — the keep/outlink governor next to robots.txt fetching
     "web_robots_meta",
+    # round 10 (cont.): conditional-GET revalidation over live loopback —
+    # 304 zero-byte recrawl of unchanged pages, new validators captured
+    "web_fetch_revalidate",
 ]
 
 

@@ -3233,3 +3233,98 @@ def web_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("noindex").cast("int").alias("noindex"),
         F.col("nofollow").cast("int").alias("nofollow"),
     ).orderBy("doc_id")
+
+
+# k = doc_id % 4: 0 unconditional (200); 1 matching ETag (304, zero bytes);
+# 2 stale ETag (200, NEW validator captured); 3 matching If-Modified-Since
+# (304). Body 'body<d>'; server ETag '"v2-<d>"', Last-Modified a fixed date.
+_REVALIDATE_ORACLE = """
+SELECT 'doc' || doc_id AS page,
+       CASE WHEN doc_id % 4 IN (1, 3) THEN 'not_modified' ELSE 'ok' END
+         AS status,
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 304 ELSE 200 END AS INT)
+         AS fetch_status,
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 0
+                 ELSE 4 + length(CAST(doc_id AS VARCHAR)) END AS BIGINT)
+         AS n_bytes,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE '"v2-' || doc_id || '"' END AS etag
+FROM documents WHERE doc_id < 160 ORDER BY page
+"""
+
+
+@register("web_fetch_revalidate", oracle=_REVALIDATE_ORACLE)
+def web_fetch_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-GET revalidation over live loopback HTTP
+    (``sources/fetch.py:fetch_conditional``) — the origin-validator half
+    of incremental recrawl (``cdx_snapshot_delta`` prunes by index
+    digest; this prunes by ETag/Last-Modified): a matching
+    ``If-None-Match`` or ``If-Modified-Since`` earns a ``304`` with ZERO
+    body bytes and the prior validators carried forward (RFC 9110), a
+    stale or absent validator earns a full ``200`` whose NEW ETag is
+    captured for the next cycle. The oracle states status, code, byte
+    count, and the forward-carried validator per page; a fetcher that
+    treats 304 as an error, re-downloads on a match, or drops the new
+    validator lands on different rows."""
+    import http.server
+    import re as _re
+    import threading
+
+    from etl_lala_spark.plans._gates import gate_workdir
+    from etl_lala_spark.sources.fetch import fetch_conditional
+
+    work = gate_workdir(spark, "web_fetch_revalidate")
+    LM = "Wed, 01 Jan 2025 00:00:00 GMT"
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            m = _re.match(r"^/doc(\d+)$", self.path)
+            if not m:
+                self.send_error(404)
+                return
+            d = int(m.group(1))
+            etag = f'"v2-{d}"'
+            inm = self.headers.get("If-None-Match")
+            ims = self.headers.get("If-Modified-Since")
+            if inm == etag or (inm is None and ims == LM):
+                self.send_response(304)
+                self.end_headers()
+                return
+            body = f"body{d}".encode()
+            self.send_response(200)
+            self.send_header("ETag", etag)
+            self.send_header("Last-Modified", LM)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+        k = F.col("doc_id") % 4
+        ds = F.col("doc_id").cast("string")
+        plan = d.select(
+            F.concat(F.lit(f"http://127.0.0.1:{port}/doc"), ds).alias("url"),
+            F.when(k == 1, F.concat(F.lit('"v2-'), ds, F.lit('"')))
+            .when(k == 2, F.concat(F.lit('"v1-'), ds, F.lit('"')))
+            .alias("etag"),
+            F.when(k == 3, F.lit(LM)).alias("last_modified"),
+        )
+        got = fetch_conditional(plan, retries=1, backoff_s=0.05)
+        got.write.mode("overwrite").parquet(os.path.join(work, "out"))
+    finally:
+        server.shutdown()
+        server.server_close()
+    out = spark.read.parquet(os.path.join(work, "out"))
+    return out.select(
+        F.regexp_extract("url", r"/(doc\d+)$", 1).alias("page"),
+        "status",
+        "fetch_status",
+        "n_bytes",
+        "etag",
+    ).orderBy("page")

@@ -252,3 +252,124 @@ def fetch_ranges(
     return plan.select(url_col, offset_col, length_col).mapInPandas(
         fetch_batch, schema=RANGE_FETCH_SCHEMA
     )
+
+
+REVALIDATE_SCHEMA = (
+    "url string, status string, fetch_status int, content binary,"
+    " n_bytes long, etag string, last_modified string, attempts int,"
+    " error string"
+)
+
+
+def fetch_conditional(
+    plan: DataFrame,
+    url_col: str = "url",
+    etag_col: str = "etag",
+    last_modified_col: str = "last_modified",
+    max_bytes: int = 64 * 1024 * 1024,
+    retries: int = 2,
+    backoff_s: float = 0.5,
+) -> DataFrame:
+    """Conditional (revalidation) fetch — the HTTP half of an incremental
+    recrawl: each row carries the validators the LAST fetch recorded
+    (``etag`` → ``If-None-Match``, ``last_modified`` →
+    ``If-Modified-Since``; NULLs mean fetch unconditionally), and the
+    server answers ``304 Not Modified`` for unchanged resources — zero
+    body bytes moved. Paired with :func:`~etl_lala_spark.operators.web
+    .cdx_snapshot_delta` (which prunes by INDEX digests), this prunes by
+    ORIGIN validators: a monthly 100 TB recrawl pays full transfer only
+    for the changed slice; everything else costs one header round trip.
+
+    Output per row: ``status`` ``ok`` (200, fresh ``content`` + the
+    response's NEW validators) / ``not_modified`` (304, NULL content,
+    PRIOR validators carried forward — RFC 9110: a 304 leaves stored
+    validators in force) / ``error`` (R5 structured row; network failures
+    retry with backoff, over-cap bodies are permanent). Executor-side
+    ``mapInPandas``, the :func:`fetch_to_staging` discipline — no driver
+    byte ever moves."""
+
+    def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time
+        import urllib.error
+        import urllib.request
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "url", "status", "fetch_status", "content", "n_bytes",
+                    "etag", "last_modified", "attempts", "error",
+                )
+            }
+            for url, etag, lm in zip(
+                pdf[url_col], pdf[etag_col], pdf[last_modified_col]
+            ):
+                row = dict(url=url, status="error", fetch_status=None,
+                           content=None, n_bytes=0, etag=None,
+                           last_modified=None, attempts=0, error=None)
+                headers = {}
+                if etag is not None and not pd.isna(etag):
+                    headers["If-None-Match"] = str(etag)
+                if lm is not None and not pd.isna(lm):
+                    headers["If-Modified-Since"] = str(lm)
+                for attempt in range(1, retries + 2):
+                    row["attempts"] = attempt
+                    try:
+                        req = urllib.request.Request(url, headers=headers)
+                        try:
+                            resp = urllib.request.urlopen(req)
+                        except urllib.error.HTTPError as he:
+                            if he.code == 304:
+                                # RFC 9110 §15.4.5: stored validators stay
+                                # in force — carry the priors forward
+                                row.update(
+                                    status="not_modified", fetch_status=304,
+                                    etag=(None if etag is None or pd.isna(etag)
+                                          else str(etag)),
+                                    last_modified=(None if lm is None or pd.isna(lm)
+                                                   else str(lm)),
+                                    error=None,
+                                )
+                                break
+                            raise
+                        with resp:
+                            body = b""
+                            while len(body) <= max_bytes:
+                                chunk = resp.read(
+                                    min(1 << 20, max_bytes + 1 - len(body))
+                                )
+                                if not chunk:
+                                    break
+                                body += chunk
+                            if len(body) > max_bytes:
+                                raise _CapExceeded(
+                                    f"body exceeds max_bytes={max_bytes}"
+                                )
+                            row.update(
+                                status="ok",
+                                fetch_status=int(resp.status),
+                                content=bytes(body),
+                                n_bytes=len(body),
+                                etag=resp.headers.get("ETag"),
+                                last_modified=resp.headers.get("Last-Modified"),
+                                error=None,
+                            )
+                        break
+                    except Exception as exc:  # noqa: BLE001 — R5 contract
+                        cls = (
+                            "ValueError"
+                            if isinstance(exc, _CapExceeded)
+                            else type(exc).__name__
+                        )
+                        row["error"] = f"{cls}: {exc}"[:500]
+                        if isinstance(exc, _CapExceeded):
+                            break
+                        if attempt <= retries:
+                            time.sleep(backoff_s * (2 ** (attempt - 1)))
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return plan.select(url_col, etag_col, last_modified_col).mapInPandas(
+        fetch_batch, schema=REVALIDATE_SCHEMA
+    )

@@ -1080,3 +1080,64 @@ def test_fetch_ranges_semantics(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_fetch_conditional_error_paths(spark):
+    """Conditional fetch R5 semantics: a 404 exhausts retries into an
+    error row; an over-cap body is a permanent error on attempt 1; a 304
+    carries prior validators forward even when only one was sent."""
+    import http.server
+    import threading
+
+    from etl_lala_spark.sources.fetch import fetch_conditional
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            if self.path == "/missing":
+                self.send_error(404)
+                return
+            if self.path == "/big":
+                body = b"x" * 4096
+            elif self.headers.get("If-None-Match") == '"e1"':
+                self.send_response(304)
+                self.end_headers()
+                return
+            else:
+                body = b"ok"
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        plan = spark.createDataFrame(
+            [
+                (f"http://127.0.0.1:{port}/missing", None, None),
+                (f"http://127.0.0.1:{port}/big", None, None),
+                (f"http://127.0.0.1:{port}/page", '"e1"', None),
+            ],
+            "url string, etag string, last_modified string",
+        )
+        got = {r["url"].rsplit("/", 1)[-1]: r
+               for r in fetch_conditional(
+                   plan, max_bytes=1024, retries=1, backoff_s=0.01
+               ).collect()}
+        miss = got["missing"]
+        assert miss["status"] == "error" and miss["attempts"] == 2
+        assert "HTTPError" in miss["error"]
+        big = got["big"]
+        assert big["status"] == "error" and big["attempts"] == 1
+        assert "max_bytes" in big["error"]
+        nm = got["page"]
+        assert nm["status"] == "not_modified" and nm["fetch_status"] == 304
+        assert nm["etag"] == '"e1"' and nm["last_modified"] is None
+        assert nm["content"] is None and nm["n_bytes"] == 0
+    finally:
+        srv.shutdown()
+        srv.server_close()
