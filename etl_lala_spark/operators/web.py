@@ -1144,6 +1144,37 @@ def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
         .join(terminals.withColumnRenamed("surt", "_t"),
               F.col("surt") == F.col("_t"), "left_anti")
     )
+    # SURT-convention bridge: ``target`` above is THIS repo's surt_key()
+    # of the Location URL, but the graph's node identities are the
+    # INDEX-PROVIDED surt column, whose convention may differ (e.g.
+    # webarchive-commons keeps www/query forms surt_key() folds). Targets
+    # that miss the raw key space verbatim are remapped through the
+    # index's own url column — surt_key(url) is convention-free common
+    # ground — so a chain is followed whenever the index HAS the capture,
+    # whatever its surt dialect. One-time key-grain joins on the 3xx
+    # slice's distinct targets, not per doubling round.
+    nodes = (
+        good.filter(F.col("surt").isNotNull() & F.col("url").isNotNull())
+        .select("surt", surt_key(F.col("url")).alias("_nkey"))
+        .distinct()
+    )
+    targets = edges.select("target").distinct()
+    missing = targets.join(
+        nodes.select(F.col("surt").alias("_x")).distinct(),
+        targets["target"] == F.col("_x"),
+        "left_anti",
+    )
+    remap = (
+        missing.join(nodes, missing["target"] == nodes["_nkey"])
+        .groupBy("target")
+        .agg(F.min("surt").alias("_resolved"))
+    )
+    edges = (
+        edges.join(remap, "target", "left")
+        .select("surt", F.coalesce("_resolved", "target").alias("target"))
+        .localCheckpoint()
+    )
+    edge_src = edges.select(F.col("surt").alias("_es"))
     labels = edges.select(
         "surt", F.col("target").alias("cur"), F.lit(1).cast("bigint").alias("hops")
     ).localCheckpoint()
@@ -1154,19 +1185,34 @@ def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
             F.col("cur").alias("_c"),
             F.col("hops").alias("_h"),
         )
+        # freeze rows at hops >= max_hops: any further movement lands past
+        # the budget (they are already classifiable as too_deep/dangling),
+        # and freezing lets cycle rows stop churning so the early exit
+        # below can fire instead of running the worst-case round count
+        can_move = F.col("_c").isNotNull() & (F.col("hops") < max_hops)
         labels = (
             labels.join(hop, labels["cur"] == hop["_s"], "left")
             .select(
                 "surt",
-                F.coalesce("_c", "cur").alias("cur"),
-                F.when(
-                    F.col("_c").isNotNull(), F.col("hops") + F.col("_h")
-                )
+                F.when(can_move, F.col("_c")).otherwise(F.col("cur")).alias("cur"),
+                F.when(can_move, F.col("hops") + F.col("_h"))
                 .otherwise(F.col("hops"))
                 .alias("hops"),
             )
             .localCheckpoint()
         )
+        # early exit (the canonical_components discipline): when no
+        # unfrozen row still points at a key with an out-edge, every
+        # remaining round is an identity self-join — a real index whose
+        # chains resolve in 1 hop pays 1 round, not ceil(log2(max_hops))+1
+        movers = (
+            labels.filter(F.col("hops") < max_hops)
+            .join(edge_src, F.col("cur") == F.col("_es"), "left_semi")
+            .limit(1)
+            .count()
+        )
+        if movers == 0:
+            break
     term = terminals.select(F.col("surt").alias("_term"))
     out = labels.join(term, labels["cur"] == F.col("_term"), "left")
     # a cur that still has an out-edge after 2^rounds>max_hops doubling
@@ -1208,22 +1254,44 @@ def robots_meta_directives(
     neither. Only ``name="robots"`` meta tags count (a
     ``name="description"`` whose text merely contains 'noindex' must not
     — same decoy discipline as :func:`detect_charset`), attribute order
-    is free, and either source (meta OR header) declaring a directive
-    sets it. Pure codegen — two regexp extracts and a boolean fold per
-    row, no shuffle, no Python; filtering 100 TB of fetched pages is one
-    scan."""
-    # the meta tag: name="robots" and content="..." in either order
-    meta_tag = F.regexp_extract(
+    is free, content values may be double-quoted, single-quoted, or
+    HTML5-unquoted (``<meta name=robots content=noindex,nofollow>``),
+    and REP semantics UNION directives across every declaration — ALL
+    ``name="robots"`` meta tags and ALL ``X-Robots-Tag`` header lines
+    count, either source declaring a directive sets it. Pure codegen —
+    regexp extracts and a boolean fold per row, no shuffle, no Python;
+    filtering 100 TB of fetched pages is one scan."""
+    # every meta tag with name="robots" (any attribute order, any quoting)
+    meta_tags = F.regexp_extract_all(
         F.col(html_col),
-        r'''(?is)<meta\s(?=[^>]*\bname\s*=\s*["']?robots["'\s>])[^>]*>''',
+        F.lit(r'''(?is)<meta\s(?=[^>]*\bname\s*=\s*["']?robots["'\s>])[^>]*>'''),
         0,
     )
-    meta_content = F.lower(F.regexp_extract(
-        meta_tag, r'''(?i)\bcontent\s*=\s*["']([^"']*)["']''', 1
-    ))
+    content_pat = r'''(?i)\bcontent\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>"']+))'''
+
+    def _content_of(tag):
+        # quoted forms win; the unquoted form strips a trailing '/' so a
+        # self-closing <meta ... content=nofollow/> reads as 'nofollow'
+        g1 = F.regexp_extract(tag, content_pat, 1)
+        g2 = F.regexp_extract(tag, content_pat, 2)
+        g3 = F.regexp_replace(
+            F.regexp_extract(tag, content_pat, 3), "/+$", ""
+        )
+        return F.when(g1 != "", g1).when(g2 != "", g2).otherwise(g3)
+
+    # union across declarations: fold every tag's content value (and every
+    # header line) into one comma-joined directive list per source
+    meta_content = F.lower(
+        F.array_join(F.transform(meta_tags, _content_of), ",")
+    )
     hdr = (
-        F.lower(F.regexp_extract(
-            F.col(headers_col), r"(?im)^x-robots-tag:\s*(.+?)\s*$", 1
+        F.lower(F.array_join(
+            F.regexp_extract_all(
+                F.col(headers_col),
+                F.lit(r"(?im)^x-robots-tag:\s*(.+?)\s*$"),
+                1,
+            ),
+            ",",
         ))
         if headers_col is not None
         else F.lit("")

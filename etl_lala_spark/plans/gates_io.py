@@ -2536,29 +2536,10 @@ def web_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re as _re
     import threading
 
-    from etl_lala_spark.functions.scalars import canonicalize_url
-    from etl_lala_spark.operators import ml
-    from etl_lala_spark.operators.dedup import (
-        canonical_components,
-        line_dedup,
-        minhash_lsh_pairs,
-    )
-    from etl_lala_spark.operators.text import (
-        badword_stats,
-        extract_main_content,
-        gopher_quality_rules,
-        split_sentences,
-    )
-    from etl_lala_spark.operators.web import (
-        detect_charset,
-        parse_cdxj,
-        select_captures,
-    )
+    from etl_lala_spark.operators.web import parse_cdxj, select_captures
     from etl_lala_spark.plans._gates import fixture_region, gate_workdir
-    from etl_lala_spark.sinks.writer import shard_assignments
     from etl_lala_spark.sources.fetch import fetch_ranges
     from etl_lala_spark.sources.warc import (
-        extract_warc_records,
         http_response_bytes,
         warc_record_bytes,
     )
@@ -2702,14 +2683,12 @@ def web_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        return _corpus_build_tail(
-            spark, ok, stage, stage_rows, extract_warc_records,
-        )
+        return _corpus_build_tail(spark, ok, stage, stage_rows)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _corpus_build_tail(spark, ok, stage, stage_rows, extract_warc_records):
+def _corpus_build_tail(spark, ok, stage, stage_rows):
     from etl_lala_spark.functions.scalars import canonicalize_url
     from etl_lala_spark.operators import ml
     from etl_lala_spark.operators.dedup import (
@@ -2725,6 +2704,7 @@ def _corpus_build_tail(spark, ok, stage, stage_rows, extract_warc_records):
     )
     from etl_lala_spark.operators.web import detect_charset
     from etl_lala_spark.sinks.writer import shard_assignments
+    from etl_lala_spark.sources.warc import extract_warc_records
 
     recs = extract_warc_records(
         ok.select(
@@ -3185,10 +3165,12 @@ def web_cdx_redirects(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("surt")
 
 
-# k = doc_id % 6: 0 none declared; 1 meta noindex; 2 meta "nofollow,noindex"
-# (reversed attribute order); 3 header X-Robots-Tag: nofollow; 4 meta
-# content="none" (implies both); 5 a description DECOY containing 'noindex'
-# that must not count. Every doc also carries an unrelated viewport meta.
+# k = doc_id % 6: 0 none declared; 1 meta noindex (HTML5-unquoted value);
+# 2 TWO meta declarations — an unquoted self-closing nofollow plus a
+# reversed-attribute quoted noindex — that must UNION; 3 TWO X-Robots-Tag
+# header lines with nofollow on the SECOND; 4 meta content="none" (implies
+# both); 5 a description DECOY containing 'noindex' that must not count.
+# Every doc also carries an unrelated viewport meta.
 _ROBOTS_META_ORACLE = """
 SELECT doc_id,
        CASE WHEN doc_id % 6 IN (1, 2, 4) THEN 1 ELSE 0 END AS noindex,
@@ -3201,21 +3183,24 @@ FROM documents WHERE doc_id < 200 ORDER BY doc_id
 def web_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Page-level robots directives (``operators/web.py:
     robots_meta_directives``): six planted shapes per doc class — no
-    declaration, meta noindex, a reversed-attribute meta declaring both,
-    a header-only ``X-Robots-Tag: nofollow``, ``content="none"``
-    (implies both), and a ``name="description"`` decoy whose text
-    contains 'noindex' and must NOT count. The oracle states both flags
-    per doc from the planting arithmetic; a matcher that keys on the
-    wrong attribute, misses the header source, or misreads ``none``
-    lands on different rows."""
+    declaration, an HTML5-unquoted meta noindex, TWO meta declarations
+    (unquoted self-closing nofollow + reversed-attribute quoted noindex)
+    whose directives must union, TWO ``X-Robots-Tag`` header lines with
+    nofollow on the second, ``content="none"`` (implies both), and a
+    ``name="description"`` decoy whose text contains 'noindex' and must
+    NOT count. The oracle states both flags per doc from the planting
+    arithmetic; a matcher that keys on the wrong attribute, reads only
+    the first declaration, rejects unquoted values, misses the header
+    source, or misreads ``none`` lands on different rows."""
     from etl_lala_spark.operators.web import robots_meta_directives
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     k = F.col("doc_id") % 6
     html = F.concat(
         F.lit('<html><head><meta name="viewport" content="width=device-width">'),
-        F.when(k == 1, F.lit('<meta name="robots" content="noindex">'))
-        .when(k == 2, F.lit('<meta content="nofollow, noindex" name="ROBOTS">'))
+        F.when(k == 1, F.lit("<meta name=robots content=noindex>"))
+        .when(k == 2, F.lit("<meta name=robots content=nofollow/>"
+                            '<meta content="noindex" name="ROBOTS">'))
         .when(k == 4, F.lit("<meta name='robots' content='none'>"))
         .when(k == 5, F.lit('<meta name="description"'
                             ' content="how noindex works">'))
@@ -3223,7 +3208,8 @@ def web_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</head><body>x</body></html>"),
     )
     headers = F.when(
-        k == 3, F.lit("Content-Type: text/html\r\nX-Robots-Tag: nofollow")
+        k == 3, F.lit("Content-Type: text/html\r\nX-Robots-Tag: noarchive"
+                      "\r\nX-Robots-Tag: nofollow")
     ).otherwise(F.lit("Content-Type: text/html"))
     out = robots_meta_directives(
         d.select("doc_id", html.alias("html"), headers.alias("http_headers"))

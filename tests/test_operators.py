@@ -3255,6 +3255,18 @@ def test_robots_meta_directives_matching(spark):
          "X-Robots-Tag: nofollow"),
         (3, "", "x-robots-tag: NOINDEX, nofollow"),
         (4, None, None),
+        # HTML5-unquoted content values, incl. a self-closing tag whose
+        # trailing '/' must not glue onto the directive
+        (5, "<meta name=robots content=noindex,nofollow>", ""),
+        (6, "<meta name=robots content=noindex/>", ""),
+        # REP unions directives across EVERY declaration: second meta tag,
+        # second X-Robots-Tag header line
+        (7, '<meta name="robots" content="noindex">'
+            '<meta name="robots" content="nofollow">', ""),
+        (8, "", "X-Robots-Tag: noarchive\r\nX-Robots-Tag: nofollow"),
+        # the decoy discipline survives multi-tag extraction
+        (9, '<meta name="description" content="noindex">'
+            '<meta name=keywords content=nofollow>', ""),
     ]
     df = spark.createDataFrame(rows, "i long, html string, http_headers string")
     got = {r["i"]: (r["noindex"], r["nofollow"])
@@ -3264,3 +3276,8 @@ def test_robots_meta_directives_matching(spark):
     assert got[2] == (True, True)
     assert got[3] == (True, True)
     assert got[4] == (False, False)
+    assert got[5] == (True, True)
+    assert got[6] == (True, False)
+    assert got[7] == (True, True)
+    assert got[8] == (False, True)
+    assert got[9] == (False, False)
