@@ -1170,32 +1170,38 @@ def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
     every label's target with that target's own label (one self-join +
     localCheckpoint), so resolved distance doubles per round and
     ``max_hops`` needs only ``ceil(log2(max_hops)) + 1`` rounds, not
-    ``max_hops`` sequential joins. All joins are key-grain on the
-    redirect EDGE SET (the 3xx slice, not the full index); the 100 TB
-    index contributes one filter + one aggregate."""
+    ``max_hops`` sequential joins. The 100 TB index contributes ONE
+    key-grain aggregation pass, materialized once (localCheckpoint) and
+    reused by every downstream action — terminal lookup, edge set,
+    SURT-convention remap, final classification — so no action re-runs
+    the index scan; everything after is key-grain on the 3xx slice."""
     import math as _math
 
     from etl_lala_spark.functions.scalars import surt_key
 
     good = parsed.filter(F.col("_error").isNull()) if "_error" in parsed.columns else parsed
     status = F.col("status")
-    terminals = (
-        good.filter((status >= 200) & (status < 300))
-        .select("surt")
-        .distinct()
+    is_good = (status >= 200) & (status < 300)
+    is_redir = (status >= 300) & (status < 400) & F.col("redirect").isNotNull()
+    # ONE pass over the index: per key, whether a good capture exists, the
+    # newest redirect capture (its Location defines the out-edge; a key
+    # holding a good capture is terminal and never followed), and the
+    # surt_key-normalized forms of its captured urls (for the convention
+    # bridge below). Materialized once; every later action reads this.
+    per_key = (
+        good.filter(F.col("surt").isNotNull())
+        .groupBy("surt")
+        .agg(
+            F.max(is_good.cast("int")).alias("_good"),
+            F.max(F.when(is_redir, F.struct("ts", "redirect"))).alias("_p"),
+            F.collect_set(surt_key(F.col("url"))).alias("_nkeys"),
+        )
+        .localCheckpoint()
     )
-    redirects = good.filter(
-        (status >= 300) & (status < 400) & F.col("redirect").isNotNull()
-    )
-    # newest redirect per key defines the out-edge; terminal keys are not
-    # followed (their content already exists)
-    edges = (
-        redirects.groupBy("surt")
-        .agg(F.max(F.struct("ts", "redirect")).alias("_p"))
-        .select("surt", surt_key(F.col("_p.redirect")).alias("target"))
-        .join(terminals.withColumnRenamed("surt", "_t"),
-              F.col("surt") == F.col("_t"), "left_anti")
-    )
+    terminals = per_key.filter(F.col("_good") == 1).select("surt")
+    edges = per_key.filter(
+        (F.col("_good") == 0) & F.col("_p").isNotNull()
+    ).select("surt", surt_key(F.col("_p.redirect")).alias("target"))
     # SURT-convention bridge: ``target`` above is THIS repo's surt_key()
     # of the Location URL, but the graph's node identities are the
     # INDEX-PROVIDED surt column, whose convention may differ (e.g.
@@ -1203,30 +1209,25 @@ def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
     # that miss the raw key space verbatim are remapped through the
     # index's own url column — surt_key(url) is convention-free common
     # ground — so a chain is followed whenever the index HAS the capture,
-    # whatever its surt dialect. One-time key-grain joins on the 3xx
-    # slice's distinct targets, not per doubling round.
-    nodes = (
-        good.filter(F.col("surt").isNotNull() & F.col("url").isNotNull())
-        .select("surt", surt_key(F.col("url")).alias("_nkey"))
-        .distinct()
-    )
+    # whatever its surt dialect. Probed once; a self-consistent index
+    # (every target already a raw key) skips the remap joins entirely.
     targets = edges.select("target").distinct()
     missing = targets.join(
-        nodes.select(F.col("surt").alias("_x")).distinct(),
+        per_key.select(F.col("surt").alias("_x")),
         targets["target"] == F.col("_x"),
         "left_anti",
     )
-    remap = (
-        missing.join(nodes, missing["target"] == nodes["_nkey"])
-        .groupBy("target")
-        .agg(F.min("surt").alias("_resolved"))
-    )
-    edges = (
-        edges.join(remap, "target", "left")
-        .select("surt", F.coalesce("_resolved", "target").alias("target"))
-        .localCheckpoint()
-    )
-    edge_src = edges.select(F.col("surt").alias("_es"))
+    if missing.limit(1).count():
+        nodes = per_key.select("surt", F.explode("_nkeys").alias("_nkey"))
+        remap = (
+            missing.join(nodes, missing["target"] == nodes["_nkey"])
+            .groupBy("target")
+            .agg(F.min("surt").alias("_resolved"))
+        )
+        edges = (
+            edges.join(remap, "target", "left")
+            .select("surt", F.coalesce("_resolved", "target").alias("target"))
+        )
     labels = edges.select(
         "surt", F.col("target").alias("cur"), F.lit(1).cast("bigint").alias("hops")
     ).localCheckpoint()
@@ -1242,7 +1243,7 @@ def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
         # and freezing lets cycle rows stop churning so the early exit
         # below can fire instead of running the worst-case round count
         can_move = F.col("_c").isNotNull() & (F.col("hops") < max_hops)
-        labels = (
+        stepped = (
             labels.join(hop, labels["cur"] == hop["_s"], "left")
             .select(
                 "surt",
@@ -1250,20 +1251,18 @@ def cdx_redirect_resolve(parsed: DataFrame, max_hops: int = 8) -> DataFrame:
                 F.when(can_move, F.col("hops") + F.col("_h"))
                 .otherwise(F.col("hops"))
                 .alias("hops"),
+                can_move.alias("_moved"),
             )
             .localCheckpoint()
         )
-        # early exit (the canonical_components discipline): when no
-        # unfrozen row still points at a key with an out-edge, every
-        # remaining round is an identity self-join — a real index whose
-        # chains resolve in 1 hop pays 1 round, not ceil(log2(max_hops))+1
-        movers = (
-            labels.filter(F.col("hops") < max_hops)
-            .join(edge_src, F.col("cur") == F.col("_es"), "left_semi")
-            .limit(1)
-            .count()
-        )
-        if movers == 0:
+        labels = stepped.drop("_moved")
+        # early exit (the canonical_components discipline): a round that
+        # moved nothing means every chain already ends at a terminal,
+        # dangling, or frozen key, so every remaining round is an identity
+        # self-join — a real index whose chains resolve in 1 hop pays 1
+        # round, not ceil(log2(max_hops))+1. The probe is a filter over
+        # the row set this round just materialized, not a new join.
+        if stepped.filter("_moved").limit(1).count() == 0:
             break
     term = terminals.select(F.col("surt").alias("_term"))
     out = labels.join(term, labels["cur"] == F.col("_term"), "left")
