@@ -90,28 +90,32 @@ def _load_all() -> None:
 # advances over the backlog with no manual list maintenance; a query that
 # FAILED a driver round stays in the window for a retry.
 
-# Round 10 window: pin the five r9-green queries whose operators/oracles
-# CHANGED this round (the r9 precedent: a query refactored after its last
-# driver green needs recorded evidence, not tier-3 staleness four rounds
-# out) — the ADVICE r9 fixes rewrote detect_charset's meta extraction
-# (web_charset_detect), politeness_schedule's declared-delay semantics
-# AND its oracle (web_politeness_schedule), parse_sitemap's namespace
-# handling (web_sitemap_parse), fetch_ranges' 200-fallback streaming
-# (web_cdx_ranged_fetch), and langid_train was rewritten onto cached-
-# block treeAggregate (audit_langid_trained pins it; langid_trained
-# itself carries the same oracle since r10 and retries as tier 2).
-# Tier 1 then front-loads the 4 new r10 registrations (web_corpus_build,
-# curate_shard_export_bpe, web_wet_extract, web_wat_extract) and tier
-# 3's least-recently-verified sort drains the ENTIRE 25-query r4
-# staleness tail (incl. the dedup/codec paths whose modules have since
-# changed) with the remaining slots going to the oldest r5 rows — the
-# staleness floor rises r4 -> r5.
+# Since round 11 the "query changed after its last driver green" pinning
+# that rounds 9/10 did by hand is AUTOMATED (_change_tracking.py): every
+# query carries a static dependency fingerprint (its own decorated source
+# plus everything reachable through etl_lala_spark imports), and a query
+# whose fingerprint today differs from its fingerprint at the boundary
+# commit of its last green round is pinned into the window as its own
+# tier — after never-checked registrations and red retries, before the
+# least-recently-verified re-checks. _DRIVER_WINDOW stays for the rare
+# manual override (e.g. pinning a query for a driver-environment reason
+# no fingerprint can see); it is empty when automation suffices.
+#
+# Round 11: one-time courtesy re-checks of the five queries the round-10
+# verdict named at MODULE granularity ("multimodal.py changed r7",
+# "dedup.py changed r9") that the FUNCTION-grain fingerprints correctly
+# clear — the r7 multimodal fix touched sniff_media/resize/audio paths
+# but not the AVI frame walk, and the r9 dedup change added the
+# incremental-index family without touching minhash_lsh_pairs /
+# simhash_pairs / semdedup / canonical_components. The fingerprint
+# evidence says their greens still stand; this window records that as a
+# driver row once instead of arguing it. Drop after r11.
 _DRIVER_WINDOW: list[str] = [
-    "web_charset_detect",
-    "web_politeness_schedule",
-    "web_sitemap_parse",
-    "web_cdx_ranged_fetch",
-    "audit_langid_trained",
+    "multimodal_avi_frames",
+    "audit_minhash_planted",
+    "audit_simhash_planted",
+    "audit_semdedup_planted",
+    "audit_components_planted",
 ]
 
 
@@ -156,20 +160,52 @@ def _driver_green_names() -> set[str]:
     return set(_correctness_records()[1])
 
 
+def changed_since_green() -> set[str]:
+    """Verified queries whose dependency fingerprint differs from the tree
+    their last driver green actually tested (see _change_tracking.py).
+    Failure-safe: any git/AST problem degrades to 'no pins', never to a
+    broken registry."""
+    _load_all()
+    last_checked, last_green = _correctness_records()
+    relevant: dict[str, int] = {}
+    for name in _REGISTRY:
+        if name not in last_checked:
+            continue
+        oracle_backed = _REGISTRY[name].oracle is not None
+        if oracle_backed and name not in last_green:
+            continue  # red retry: already front-loaded by its own tier
+        relevant[name] = (
+            last_green[name] if oracle_backed else last_checked[name]
+        )
+    try:
+        from etl_lala_spark.plans import _change_tracking
+
+        return _change_tracking.stale_queries(relevant)
+    except Exception:
+        return set()
+
+
 def all_queries() -> dict[str, Query]:
     _load_all()
     last_checked, last_green = _correctness_records()
     pri = {n: i for i, n in enumerate(_DRIVER_WINDOW)}
     reg_pos = {n: i for i, n in enumerate(_REGISTRY)}
+    changed = changed_since_green()
 
     def key(name: str):
-        # Tier 0: the explicitly pinned window (may include re-checks).
+        # Tier 0: the explicitly pinned window (manual overrides; empty
+        #         when the automated pinning below suffices).
         # Tier 1: never driver-checked — a freshly registered query can
         #         NEVER silently fall outside the driver's 50-row cap as
         #         long as the pinned window leaves it a slot.
         # Tier 2: oracle-backed, checked, never hash-green — a red awaiting
         #         retry outranks every re-check.
-        # Tier 3: verified — greens AND rows-only approximates (which can
+        # Tier 3: CHANGED-SINCE-GREEN — verified queries whose implementing
+        #         code was edited after the round that produced their last
+        #         green (detected by dependency fingerprint, oldest green
+        #         first): their evidence is invalidated, so they outrank
+        #         mere staleness re-checks.
+        # Tier 4: verified — greens AND rows-only approximates (which can
         #         only ever earn ran-rows; each has a green oracle-backed
         #         audit twin) — sorted LEAST-RECENTLY-VERIFIED first, so
         #         the driver budget re-checks the stalest signal instead of
@@ -184,7 +220,9 @@ def all_queries() -> dict[str, Query]:
         if oracle_backed and name not in last_green:
             return (2, reg_pos[name], 0)
         staleness = last_green[name] if oracle_backed else last_checked[name]
-        return (3, staleness, reg_pos[name])
+        if name in changed:
+            return (3, staleness, reg_pos[name])
+        return (4, staleness, reg_pos[name])
 
     return {n: _REGISTRY[n] for n in sorted(_REGISTRY, key=key)}
 

@@ -264,6 +264,7 @@ def test_driver_rotation_window_is_valid():
         _DRIVER_WINDOW,
         _correctness_records,
         all_queries,
+        changed_since_green,
         oracle_sqls,
     )
 
@@ -297,33 +298,35 @@ def test_driver_rotation_window_is_valid():
     tail = order[w + len(queued):]
     red = [n for n in tail if qs[n].oracle is not None and n not in last_green]
     assert tail[: len(red)] == red, "red retries must precede verified re-checks"
-    # Guard (b): the verified remainder is sorted least-recently-verified
-    # first (greens by last green round; rows-only approximates by last ran
-    # round), so the stalest r1/r2-vintage greens re-enter the window.
+    # Guard (b): the verified remainder splits into the changed-since-green
+    # pins (tier 3 — evidence invalidated by a later code change, r10
+    # verdict task 1) followed by plain re-checks (tier 4), each sorted
+    # least-recently-verified first.
     verified = tail[len(red):]
-    staleness = [
-        last_green[n] if qs[n].oracle is not None else last_checked[n]
-        for n in verified
-    ]
-    assert staleness == sorted(staleness), (
-        "tier-3 must re-verify least-recently-verified queries first"
+    changed = changed_since_green()
+    ch = [n for n in verified if n in changed]
+    plain = [n for n in verified if n not in changed]
+    assert verified[: len(ch)] == ch, (
+        "changed-since-green pins must precede plain re-checks"
     )
-    # The concrete round-6 payoff: the driver's 50 rows reach the oldest
-    # vintage present in the records (no verified query older than the
-    # window's tail vintage is left outside the cap).
-    in_cap = set(order[:50])
-    oldest_outside = min(
-        (last_green.get(n, last_checked.get(n, 99)) for n in order[50:]),
-        default=99,
-    )
-    oldest_inside = min(
-        last_green.get(n, last_checked.get(n, 99))
-        for n in in_cap
-        if n in last_checked
-    ) if any(n in last_checked for n in in_cap) else 99
-    assert oldest_inside <= oldest_outside, (
-        "a staler verified query sits outside the 50-row cap"
-    )
+
+    def vintage(n: str) -> int:
+        return last_green[n] if qs[n].oracle is not None else last_checked[n]
+
+    for seq in (ch, plain):
+        st = [vintage(n) for n in seq]
+        assert st == sorted(st), (
+            "re-checks must be least-recently-verified first within a tier"
+        )
+    # The concrete round-6 payoff, now on the PLAIN remainder (pins occupy
+    # their slots by design and may fill the cap entirely): no plain
+    # verified query outside the cap is staler than the plain ones inside.
+    plain_in = [n for n in order[:50] if n in plain]
+    plain_out = [n for n in order[50:] if n in plain]
+    if plain_in and plain_out:
+        assert min(vintage(n) for n in plain_in) <= min(
+            vintage(n) for n in plain_out
+        ), "a staler plain verified query sits outside the 50-row cap"
 
 
 def test_new_curation_operators_plan_shapes(spark, sf_dir):
@@ -523,7 +526,12 @@ def test_rotation_window_recheck_slots_go_to_stalest_cohort():
     round 7 that is the 37 queries whose latest green is r2, so the
     staleness floor provably rises each round. Phrased vintage-relative so
     the assertion keeps holding in later rounds."""
-    from etl_lala_spark.plans import _correctness_records, all_queries
+    from etl_lala_spark.plans import (
+        _DRIVER_WINDOW,
+        _correctness_records,
+        all_queries,
+        changed_since_green,
+    )
 
     qs = all_queries()
     last_checked, last_green = _correctness_records()
@@ -541,8 +549,11 @@ def test_rotation_window_recheck_slots_go_to_stalest_cohort():
     # Tier-2 retries (oracle-backed, checked, NEVER hash-green — the
     # registry front-loads them ahead of every re-check) are excluded from
     # the re-check-slot assertions so one future red row on a new query
-    # doesn't fail this test for an unrelated reason. Rows-only queries
-    # are tier-3 like greens (mirrors plans/__init__.py key()).
+    # doesn't fail this test for an unrelated reason. Likewise tier-0
+    # manual pins and tier-3 changed-since-green pins (r10 verdict task 1:
+    # invalidated evidence outranks stale evidence) occupy window slots by
+    # design. Rows-only queries are tier-4 like greens (mirrors
+    # plans/__init__.py key()).
     retries = [
         n
         for n in order
@@ -550,10 +561,18 @@ def test_rotation_window_recheck_slots_go_to_stalest_cohort():
         and qs[n].oracle is not None
         and n not in last_green
     ]
-    greens = [n for n in order if n in last_checked and n not in retries]
+    pinned = set(_DRIVER_WINDOW) | changed_since_green()
+    greens = [
+        n
+        for n in order
+        if n in last_checked and n not in retries and n not in pinned
+    ]
     oldest = min(staleness(n) for n in greens)
     cohort = [n for n in greens if staleness(n) == oldest]
-    if len(never) + len(retries) + len(cohort) <= 50:
+    reserved = len(never) + len(retries) + len(
+        [p for p in pinned if p in qs and p in last_checked]
+    )
+    if reserved + len(cohort) <= 50:
         missing = [n for n in cohort if n not in window]
         assert not missing, (
             f"stalest (r{oldest}-vintage) cohort not fully inside the "
@@ -565,6 +584,57 @@ def test_rotation_window_recheck_slots_go_to_stalest_cohort():
             "window re-check slots must be exclusively the oldest cohort "
             "when it overflows the cap"
         )
+
+
+def test_change_aware_pins_precede_staleness_rechecks():
+    """Round-10 verdict task 1: a verified query whose dependency
+    fingerprint differs from the tree its last green tested must sort
+    ahead of every same-or-older plain staleness re-check, and the
+    machinery must be deterministic and total (every registered query
+    fingerprints)."""
+    from etl_lala_spark.plans import (
+        _DRIVER_WINDOW,
+        _correctness_records,
+        all_queries,
+        changed_since_green,
+    )
+    from etl_lala_spark.plans import _change_tracking as ct
+
+    qs = all_queries()
+    fps = ct.fingerprints(ct._working_reader())
+    assert set(fps) == set(qs), "every registered query must fingerprint"
+    assert ct.fingerprints(ct._working_reader()) == fps  # deterministic
+
+    changed = changed_since_green()
+    assert changed <= set(qs)
+    last_checked, last_green = _correctness_records()
+    order = list(qs)
+
+    def staleness(n):
+        return (
+            last_green[n]
+            if qs[n].oracle is not None and n in last_green
+            else last_checked.get(n, 99)
+        )
+
+    plain_greens = [
+        n
+        for n in order
+        if n in last_checked
+        and n not in changed
+        and n not in _DRIVER_WINDOW  # tier-0 manual pins sort first by design
+        and not (qs[n].oracle is not None and n not in last_green)
+    ]
+    if changed and plain_greens:
+        worst_changed = max(order.index(n) for n in changed)
+        # every plain re-check whose evidence is at least as old must sort
+        # AFTER every changed pin
+        for n in plain_greens:
+            if staleness(n) <= min(staleness(c) for c in changed):
+                assert order.index(n) > worst_changed, (
+                    n,
+                    "plain re-check sorted ahead of a changed-since-green pin",
+                )
 
 
 def test_per_host_shuffle_skew_posture(spark):
