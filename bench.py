@@ -248,6 +248,11 @@ HEADLINE = [
     # round 10 (cont.): conditional-GET revalidation over live loopback —
     # 304 zero-byte recrawl of unchanged pages, new validators captured
     "web_fetch_revalidate",
+    # round 11: the monthly re-crawl workflow end to end (validators ->
+    # conditional fetch -> snapshot delta -> changed-slice extraction ->
+    # incremental MinHash vs the persisted index -> delete/append with a
+    # replayed idempotent append -> shard update)
+    "web_recrawl_incremental",
 ]
 
 

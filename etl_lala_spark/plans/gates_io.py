@@ -3314,3 +3314,386 @@ def web_fetch_revalidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "etag",
     ).orderBy("page")
+
+
+# --- Incremental recrawl: the warm-path twin of web_corpus_build --------------
+#
+# doc classes k = doc_id % 4 over docs 0..47: 0 unchanged (matching ETag ->
+# 304, zero bytes), 1 changed (stale ETag -> 200 with new content), 2 added
+# (no stored validators -> unconditional 200), 3 vanished (origin 404s ->
+# structured error row, index entry deleted). Near-dup planting inside the
+# changed slice: changed docs {1,13,25,37} and added docs {6,18,30,42} carry
+# text that EXACTLY copies a still-indexed unchanged doc ((d+3)%48 resp.
+# (d+2)%48), so incremental MinHash against the persisted index must drop
+# them; everything else is word-disjoint.
+
+_RC_SEED = "7"
+_RC_SHARD_BYTES = 200
+_RC_CHANGED_COPY = {1, 13, 25, 37}
+_RC_ADDED_COPY = {6, 18, 30, 42}
+
+
+def _rc_text(prefix: str, d: int) -> str:
+    toks = " ".join(f"{prefix}{d}w{i}" for i in range(8))
+    return (
+        f"the record {d} is here and it was {prefix} with tokens {toks} in it."
+    )
+
+
+def _rc_new_text(d: int) -> str | None:
+    k = d % 4
+    if k == 0:
+        return _rc_text("o", d)
+    if k == 1:
+        return (
+            _rc_text("o", (d + 3) % 48) if d in _RC_CHANGED_COPY
+            else _rc_text("n", d)
+        )
+    if k == 2:
+        return (
+            _rc_text("o", (d + 2) % 48) if d in _RC_ADDED_COPY
+            else _rc_text("n", d)
+        )
+    return None  # vanished
+
+
+def _rc_page(text: str) -> str:
+    return (
+        "<html><head></head><body>\n"
+        '<script>var a = "<p>not text</p>";</script>\n'
+        '<div class="nav"><a href="/">home</a>'
+        ' <a href="/about">about us now</a></div>\n'
+        f"<p>{text}</p>\n"
+        '<div class="footer"><a href="/t">t&amp;c</a>'
+        ' <a href="/p">privacy</a> <a href="/c">contact</a></div>\n'
+        "</body></html>"
+    )
+
+
+def _recrawl_oracle() -> str:
+    """Pure-Python replay of the planting arithmetic, including the seeded
+    md5 shard packing (same greedy rule as sinks/writer.py:
+    shard_assignments — shard = floor(start_byte / shard_bytes) in
+    (shuffle_key, doc_id) order)."""
+    import hashlib
+
+    survivors = {d: _rc_text("o", d) for d in range(0, 48, 4)}  # unchanged
+    for d in range(1, 48, 4):
+        if d not in _RC_CHANGED_COPY:
+            survivors[d] = _rc_text("n", d)
+    for d in range(2, 48, 4):
+        if d not in _RC_ADDED_COPY:
+            survivors[d] = _rc_text("n", d)
+    keyed = sorted(
+        (hashlib.md5(f"{_RC_SEED}:{d}".encode()).hexdigest(), d)
+        for d in survivors
+    )
+    cum, n_shards = 0, 0
+    for _, d in keyed:
+        size = len(survivors[d].encode())
+        n_shards = max(n_shards, cum // _RC_SHARD_BYTES + 1)
+        cum += size
+    stages = [
+        ("frontier_urls", 48),
+        ("reval_not_modified", 12),
+        ("reval_fetched_ok", 24),
+        ("reval_errors", 12),
+        ("not_modified_bytes", 0),
+        ("new_snapshot_selected", 36),
+        ("delta_unchanged", 12),
+        ("delta_changed", 12),
+        ("delta_added", 12),
+        ("delta_vanished", 12),
+        ("extracted_changed_slice", 24),
+        ("neardup_pairs_vs_index", 8),
+        ("neardup_dropped", 8),
+        ("index_docs_before", 36),
+        ("index_docs_after_delete", 12),
+        ("index_appended", 16),
+        ("replay_appended", 0),
+        ("index_docs_after", 28),
+        ("shard_docs", len(survivors)),
+        ("shards", n_shards),
+        ("shard_bytes", cum),
+    ]
+    rows = "\nUNION ALL ".join(
+        f"SELECT {i} AS stage_ord, '{name}' AS stage,"
+        f" CAST({n} AS BIGINT) AS n"
+        for i, (name, n) in enumerate(stages)
+    )
+    return f"SELECT * FROM ({rows}) ORDER BY stage_ord"
+
+
+@register("web_recrawl_incremental", oracle=_recrawl_oracle())
+def web_recrawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MONTHLY RE-CRAWL workflow end to end — the warm-path twin of
+    ``web_corpus_build`` (which pins the cold crawl): stored origin
+    validators -> ``fetch_conditional`` over live loopback HTTP (304s move
+    ZERO bytes; vanished pages surface as R5 error rows) -> new snapshot
+    lines -> ``parse_cdxj``/``select_captures`` ->
+    ``cdx_snapshot_delta`` against last month's selection (unchanged /
+    changed / added / vanished all planted) -> ``extract_main_content``
+    over the changed slice only -> ``minhash_incremental_pairs`` against
+    the PERSISTED index (planted copies of still-indexed docs must drop;
+    the corpus is never re-shingled) -> ``minhash_index_delete`` of
+    changed+vanished old versions -> ``minhash_index_append`` of the
+    survivors, REPLAYED once to pin at-least-once idempotency (second
+    append lands 0 docs) -> ``shard_assignments`` over the updated
+    corpus. One closed-form stage-count row per seam; an unchanged doc
+    that moves bytes, a dropped validator, a survivor miscount, or a
+    non-idempotent append lands on a different stage integer.
+
+    Scale: the recrawl moves only the changed slice (here 24 of 48 pages;
+    the 12 unchanged cost one header round trip each — stage
+    ``not_modified_bytes`` pins the 0), dedup probes the index at
+    band-bucket grain without re-shingling the corpus, deletes rewrite
+    only hit partitions, and the shard prefix sum is distributed."""
+    import hashlib
+    import http.server
+    import re as _re
+    import threading
+
+    from etl_lala_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index_append,
+        minhash_index_delete,
+        minhash_index_write,
+    )
+    from etl_lala_spark.operators.text import extract_main_content
+    from etl_lala_spark.operators.web import (
+        cdx_snapshot_delta,
+        parse_cdxj,
+        select_captures,
+    )
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+    from etl_lala_spark.sinks.writer import shard_assignments
+    from etl_lala_spark.sources.fetch import fetch_conditional
+
+    def surt(d: int) -> str:
+        return f"com,example,site{d % 6})/page{d}"
+
+    def cdx_line(d: int, ts: int, digest: str, url: str) -> str:
+        return (
+            f'{surt(d)} {ts} {{"url": "{url}", "mime": "text/html",'
+            f' "status": "200", "digest": "sha1:{digest}",'
+            f' "length": "1", "offset": "0", "filename": "w.warc.gz"}}'
+        )
+
+    with fixture_region("web_recrawl_incremental"):
+        work = gate_workdir(spark, "web_recrawl_incremental")
+        doc_ids = sorted(
+            int(r["doc_id"])
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 48)
+            .select("doc_id")
+            .collect()
+        )
+        old_pages = {
+            d: _rc_page(_rc_text("o", d)).encode()
+            for d in doc_ids
+            if d % 4 != 2  # added docs did not exist last month
+        }
+        old_digest = {
+            d: hashlib.md5(b).hexdigest() for d, b in old_pages.items()
+        }
+        index_path = os.path.join(work, "minhash_index")
+        corpus_old = spark.createDataFrame(
+            [(d, _rc_text("o", d)) for d in sorted(old_pages)],
+            "doc_id long, text string",
+        )
+        minhash_index_write(corpus_old, index_path)
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            m = _re.match(r"^/page(\d+)$", self.path)
+            d = int(m.group(1)) if m else -1
+            text = _rc_new_text(d) if d >= 0 else None
+            if text is None:
+                self.send_error(404)
+                return
+            etag = f'"v{2 if d % 4 == 1 else 1}-{d}"'
+            if self.headers.get("If-None-Match") == etag:
+                self.send_response(304)
+                self.end_headers()
+                return
+            body = _rc_page(text).encode()
+            self.send_response(200)
+            self.send_header("ETag", etag)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    stage_rows: list[tuple[int, str, int]] = []
+
+    def stage(name: str, count: int) -> None:
+        stage_rows.append((len(stage_rows), name, int(count)))
+
+    # the frontier: every key seen last month (with its stored validators)
+    # plus this month's discoveries (no validators yet)
+    plan = spark.createDataFrame(
+        [
+            (
+                d,
+                f'"v1-{d}"' if d % 4 != 2 else None,
+                None,
+            )
+            for d in doc_ids
+        ],
+        "doc_id long, etag string, last_modified string",
+    )
+    stage("frontier_urls", plan.count())
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        got = fetch_conditional(
+            plan.select(
+                F.concat(
+                    F.lit(f"http://127.0.0.1:{port}/page"),
+                    F.col("doc_id").cast("string"),
+                ).alias("url"),
+                "etag",
+                "last_modified",
+            ),
+            retries=1,
+            backoff_s=0.05,
+        )
+        got.write.mode("overwrite").parquet(os.path.join(work, "fetched"))
+    finally:
+        server.shutdown()
+        server.server_close()
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _recrawl_tail(
+            spark, work, index_path, old_digest, surt, cdx_line,
+            parse_cdxj, select_captures, cdx_snapshot_delta,
+            extract_main_content, minhash_incremental_pairs,
+            minhash_index_delete, minhash_index_append, shard_assignments,
+            stage, stage_rows,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _recrawl_tail(
+    spark, work, index_path, old_digest, surt, cdx_line,
+    parse_cdxj, select_captures, cdx_snapshot_delta,
+    extract_main_content, minhash_incremental_pairs,
+    minhash_index_delete, minhash_index_append, shard_assignments,
+    stage, stage_rows,
+):
+    import hashlib
+    import os as _os
+
+    fetched = spark.read.parquet(_os.path.join(work, "fetched")).withColumn(
+        "doc_id",
+        F.regexp_extract("url", r"/page(\d+)$", 1).cast("long"),
+    )
+    by_status = {
+        r["status"]: r["n"]
+        for r in fetched.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stage("reval_not_modified", by_status.get("not_modified", 0))
+    stage("reval_fetched_ok", by_status.get("ok", 0))
+    stage("reval_errors", by_status.get("error", 0))
+    nm_bytes = (
+        fetched.filter(F.col("status") == "not_modified")
+        .agg(F.sum("n_bytes"))
+        .collect()[0][0]
+    )
+    stage("not_modified_bytes", nm_bytes or 0)
+
+    # this month's snapshot: fresh digests for 200s, carried-forward
+    # entries for 304s (RFC 9110: the stored response stays valid)
+    live = fetched.filter(F.col("status").isin("ok", "not_modified"))
+    new_lines = [
+        cdx_line(
+            int(r["doc_id"]),
+            20250201000000,
+            hashlib.md5(bytes(r["content"])).hexdigest()
+            if r["status"] == "ok"
+            else old_digest[int(r["doc_id"])],
+            r["url"],
+        )
+        for r in live.select("doc_id", "status", "content", "url").collect()
+    ]
+    old_lines = [
+        cdx_line(d, 20250101000000, dig, f"http://origin/page{d}")
+        for d, dig in sorted(old_digest.items())
+    ]
+    new_sel = select_captures(
+        parse_cdxj(spark.createDataFrame([(x,) for x in new_lines], "line string"))
+    ).localCheckpoint(eager=True)
+    stage("new_snapshot_selected", new_sel.count())
+    old_sel = select_captures(
+        parse_cdxj(spark.createDataFrame([(x,) for x in old_lines], "line string"))
+    )
+    delta = cdx_snapshot_delta(old_sel, new_sel)
+    by_change = {
+        r["change"]: r["n"]
+        for r in delta.groupBy("change").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for c in ("unchanged", "changed", "added", "vanished"):
+        stage(f"delta_{c}", by_change.get(c, 0))
+
+    batch = extract_main_content(
+        fetched.filter(F.col("status") == "ok").select(
+            "doc_id", F.col("content").cast("string").alias("html")
+        )
+    ).select("doc_id", F.col("content").alias("text")).localCheckpoint(
+        eager=True
+    )
+    stage("extracted_changed_slice", batch.count())
+
+    # near-dup the incoming slice against the PERSISTED index (the corpus
+    # is never re-shingled), then pin every frame before the store mutates
+    pairs = minhash_incremental_pairs(
+        batch, index_path, threshold=0.5
+    ).localCheckpoint(eager=True)
+    stage("neardup_pairs_vs_index", pairs.count())
+    dropped = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
+    survivors = batch.join(dropped, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    stage("neardup_dropped", batch.count() - survivors.count())
+    spark.catalog.clearCache()  # release the incremental probe caches
+
+    sigs_path = _os.path.join(index_path, "sigs")
+    stage("index_docs_before", spark.read.parquet(sigs_path).count())
+    # changed docs' old content is gone either way (their new version is
+    # appended fresh or dropped as a near-dup); vanished docs leave
+    gone = spark.createDataFrame(
+        [(d,) for d in sorted(old_digest) if d % 4 in (1, 3)], "doc long"
+    )
+    minhash_index_delete(spark, index_path, gone)
+    stage("index_docs_after_delete", spark.read.parquet(sigs_path).count())
+    stage("index_appended", minhash_index_append(survivors, index_path))
+    # at-least-once replay: re-appending the same batch must land nothing
+    stage("replay_appended", minhash_index_append(survivors, index_path))
+    stage("index_docs_after", spark.read.parquet(sigs_path).count())
+
+    # the updated corpus: unchanged docs keep last month's text, survivors
+    # contribute this month's — re-sharded for the release
+    unchanged = spark.createDataFrame(
+        [(d, _rc_text("o", d)) for d in sorted(old_digest) if d % 4 == 0],
+        "doc_id long, text string",
+    )
+    corpus = unchanged.unionByName(survivors)
+    shards = shard_assignments(
+        corpus, shard_bytes=_RC_SHARD_BYTES, seed=_RC_SEED
+    ).localCheckpoint(eager=True)
+    stage("shard_docs", shards.count())
+    stage("shards", shards.agg(F.max("shard")).collect()[0][0] + 1)
+    stage("shard_bytes", shards.agg(F.sum("doc_bytes")).collect()[0][0])
+
+    return spark.createDataFrame(
+        stage_rows, "stage_ord int, stage string, n bigint"
+    ).orderBy("stage_ord")

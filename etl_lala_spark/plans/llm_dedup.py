@@ -196,18 +196,63 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_canonical_clusters",
-    doc="rows-only: iterative connected-components canonicalization",
+    oracle="""
+SELECT doc_id AS canonical, CAST(2 AS BIGINT) AS n_members
+FROM documents WHERE doc_id % 25 = 0
+UNION ALL
+SELECT 1000000 + 10 * c AS canonical, CAST(4 AS BIGINT) AS n_members
+FROM range(0, 4) t(c)
+ORDER BY canonical
+""",
 )
 def dedup_canonical_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Transitive near-dup clusters over the documents table: MinHash pairs →
-    connected components → one canonical (minimum) id per cluster with the
-    member count. Iterative label propagation — genuinely non-SQL-expressible
-    (driver-side loop, bounded by cluster diameter), so rows-only at the
-    driver; transitive-closure correctness is pinned by pytest."""
+    """Transitive near-dup clusters: MinHash pairs → connected components →
+    one canonical (minimum) id per cluster with the member count. The
+    iterative label propagation itself is non-SQL-expressible, so the
+    oracle pins PLANTED cluster structure instead (the langid_trained
+    pattern): (a) an exact copy of every ``doc_id % 25 = 0`` document
+    under id+500000 — a 2-member cluster per planted doc, canonical = the
+    original id; (b) four literal 4-member CHAINS of sliding 60-word
+    windows stepped by 6 over a 78-word sequence (consecutive windows
+    share 52 of 64 distinct shingles, Jaccard 0.8125) — the whole chain
+    must land in ONE component with the minimum id canonical, which is
+    exactly the transitive closure a naive pairwise dedup misses. The
+    corpus text is SALTED with a per-(doc, position) token after every
+    word, so every 3-shingle of every doc carries a doc-unique token and
+    cross-doc Jaccard is exactly 0 outside the plants — the generator's
+    emergent ~0.95 near-dups (real, but not closed-form) stay the
+    province of ``dedup_minhash_lsh`` and its planted audit; THIS gate
+    pins the transitive component algebra exactly."""
     from etl_lala_spark.operators import dedup as dd
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = dd.minhash_lsh_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    raw = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = raw.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.split("text", r"\s+"),
+                lambda w, i: F.concat(
+                    w, F.lit(" u"), F.col("doc_id"), F.lit("z"), i
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    copies = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    chain_rows = []
+    for c in range(4):
+        words = [f"c{c}x{i}" for i in range(78)]
+        for j in range(4):
+            chain_rows.append(
+                (1000000 + 10 * c + j, " ".join(words[6 * j : 6 * j + 60]))
+            )
+    chains = spark.createDataFrame(chain_rows, "doc_id long, text string")
+    corpus = d.unionByName(copies).unionByName(chains)
+    pairs = dd.minhash_lsh_pairs(corpus, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
     comp = dd.canonical_components(pairs)
     return (
         comp.groupBy("canonical")

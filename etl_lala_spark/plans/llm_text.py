@@ -300,20 +300,46 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_stratified",
-    doc="rows-only: seeded per-stratum Bernoulli sampling",
+    oracle="""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(1 AS BOOLEAN) AS sampled_ok
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
 )
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified corpus rebalancing: per-language sampling fractions via
     ``sampleBy`` (Bernoulli per stratum, seeded — the downsample-the-
-    dominant-language step of corpus curation). Sampling is engine-specific
-    → rows-only; the fraction tolerances and determinism are pinned in
-    pytest."""
+    dominant-language step of corpus curation). The Bernoulli draw is
+    engine-specific, so the oracle pins the EXACT invariants instead of
+    the draw: per stratum, the table's exact row count, plus
+    ``sampled_ok`` — fraction-1.0 strata must keep every row (Bernoulli
+    with p=1.0 is deterministic), and the downsampled stratum must land
+    within 5 σ of p·n (binomial: σ = sqrt(n·p·(1−p))), a bound a correct
+    sampler fails with probability < 10⁻⁶ and a broken one (wrong
+    stratum, unseeded, fraction misread) crosses immediately. Exact
+    per-stratum determinism of the seed is pinned separately in pytest."""
     d = load_table(spark, sf_dir, "documents")
-    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0}
+    fractions = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
     sampled = d.sampleBy("lang", fractions, seed=42)
+    totals = d.groupBy("lang").agg(F.count("*").alias("n_total"))
+    counts = sampled.groupBy("lang").agg(F.count("*").alias("n_sampled"))
+    frac = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])[
+            F.col("lang")
+        ],
+        F.lit(0.0),  # uncovered strata must sample exactly nothing
+    )
+    n, p = F.col("n_total").cast("double"), frac
+    tol = F.lit(5.0) * F.sqrt(n * p * (F.lit(1.0) - p))
+    ok = (
+        F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - n * p) <= tol
+    )
     return (
-        sampled.groupBy("lang")
-        .agg(F.count("*").alias("n_docs"))
+        totals.join(counts, "lang", "left")
+        .select("lang", "n_total", ok.alias("sampled_ok"))
         .orderBy("lang")
     )
 

@@ -301,7 +301,15 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_distinct_rollup_hll",
-    doc="rows-only: mergeable DataSketches HLL rollup of daily distinct users",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BOOLEAN) AS approx_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
 )
 def events_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counting (DataSketches HLL): build one
@@ -312,20 +320,38 @@ def events_distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the 100 TB pattern plain ``countDistinct`` can't offer: daily
     sketches are small (~KB), persistable next to the partition, and any
     ad-hoc date range is answered by unioning sketches instead of
-    re-scanning the fact table. Sketch estimates are algorithm-specific,
-    so no cross-engine oracle; pytest bounds the error vs exact.
-    """
+    re-scanning the fact table. The sketch estimate itself is
+    algorithm-specific, so the oracle pins the exact side instead: per
+    type, the day count, the EXACT distinct-user count (computed
+    alongside, one extra aggregate), and ``approx_ok`` — the merged
+    sketch's estimate must land within 5% of exact (lgK=12 HLL carries
+    ~1.6% standard error; 5% is > 3 σ, so a drifting union or a sketch
+    built on the wrong column crosses immediately)."""
     from etl_lala_spark.io import load_events
 
     ev = load_events(spark, sf_dir)
     daily = ev.groupBy(
         F.to_date("ts").alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    # the exact side: its own partial-aggregated scan (never a collected
+    # key set — exactness must not cost per-group key hoarding)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("exact_users")
+    )
     return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count("*").alias("n_days"),
+        rolled.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                <= F.lit(0.05) * F.col("exact_users")
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )
