@@ -253,6 +253,10 @@ HEADLINE = [
     # incremental MinHash vs the persisted index -> delete/append with a
     # replayed idempotent append -> shard update)
     "web_recrawl_incremental",
+    # round 11 (cont.): the WET-first corpus build — entering the curation
+    # chain at conversion records (no fetch/WARC/charset/main-content),
+    # byte-identical survivor arithmetic to the cold-crawl gate
+    "web_corpus_wet_build",
 ]
 
 

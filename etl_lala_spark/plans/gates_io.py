@@ -3448,6 +3448,29 @@ def web_recrawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``not_modified_bytes`` pins the 0), dedup probes the index at
     band-bucket grain without re-shingling the corpus, deletes rewrite
     only hit partitions, and the shard prefix sum is distributed."""
+
+    def surt(d: int) -> str:
+        return f"com,example,site{d % 6})/page{d}"
+
+    def cdx_line(d: int, ts: int, digest: str, url: str) -> str:
+        return (
+            f'{surt(d)} {ts} {{"url": "{url}", "mime": "text/html",'
+            f' "status": "200", "digest": "sha1:{digest}",'
+            f' "length": "1", "offset": "0", "filename": "w.warc.gz"}}'
+        )
+
+    # every frame in this gate is bounded by the 48-doc planting: run the
+    # WHOLE chain — index write included — at a matching shuffle width
+    # instead of paying 200-task stages (the stream-twin discipline)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _recrawl_run(spark, sf_dir, surt, cdx_line)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _recrawl_run(spark, sf_dir, surt, cdx_line):
     import hashlib
     import http.server
     import re as _re
@@ -3468,16 +3491,6 @@ def web_recrawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lala_spark.plans._gates import fixture_region, gate_workdir
     from etl_lala_spark.sinks.writer import shard_assignments
     from etl_lala_spark.sources.fetch import fetch_conditional
-
-    def surt(d: int) -> str:
-        return f"com,example,site{d % 6})/page{d}"
-
-    def cdx_line(d: int, ts: int, digest: str, url: str) -> str:
-        return (
-            f'{surt(d)} {ts} {{"url": "{url}", "mime": "text/html",'
-            f' "status": "200", "digest": "sha1:{digest}",'
-            f' "length": "1", "offset": "0", "filename": "w.warc.gz"}}'
-        )
 
     with fixture_region("web_recrawl_incremental"):
         work = gate_workdir(spark, "web_recrawl_incremental")
@@ -3567,18 +3580,14 @@ def web_recrawl_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         server.shutdown()
         server.server_close()
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        return _recrawl_tail(
-            spark, work, index_path, old_digest, surt, cdx_line,
-            parse_cdxj, select_captures, cdx_snapshot_delta,
-            extract_main_content, minhash_incremental_pairs,
-            minhash_index_delete, minhash_index_append, shard_assignments,
-            stage, stage_rows,
-        )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # shuffle width already overridden for the whole gate by the caller
+    return _recrawl_tail(
+        spark, work, index_path, old_digest, surt, cdx_line,
+        parse_cdxj, select_captures, cdx_snapshot_delta,
+        extract_main_content, minhash_incremental_pairs,
+        minhash_index_delete, minhash_index_append, shard_assignments,
+        stage, stage_rows,
+    )
 
 
 def _recrawl_tail(
@@ -3693,6 +3702,220 @@ def _recrawl_tail(
     stage("shard_docs", shards.count())
     stage("shards", shards.agg(F.max("shard")).collect()[0][0] + 1)
     stage("shard_bytes", shards.agg(F.sum("doc_bytes")).collect()[0][0])
+
+    return spark.createDataFrame(
+        stage_rows, "stage_ord int, stage string, n bigint"
+    ).orderBy("stage_ord")
+
+
+def _wet_corpus_oracle() -> str:
+    from etl_lala_spark.plans.llm_text import _LANGID_BASE, _MC_PARA
+
+    # Identical survivor arithmetic to _corpus_build_oracle — the WET entry
+    # point changes WHERE text comes from, not what curation does to it.
+    len_g1 = len(_MC_PARA) + 1 + len(_cb_t_sent(0)) + 1
+    per_lang = {lang: 6 + len(_LANGID_BASE[lang]) + 17 for lang in _CB_LANGS}
+    shard_bytes_total = sum(
+        len_g1 + 1 + per_lang[_CB_LANGS[c % 3]] for c in range(6)
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS nd FROM documents WHERE doc_id < 32),
+docs AS (
+  SELECT c,
+         {len_g1} + 1 + CASE c % 3 WHEN 0 THEN {per_lang['en']}
+                                   WHEN 1 THEN {per_lang['de']}
+                                   ELSE {per_lang['es']} END AS bytes
+  FROM range(0, 6) t(c)
+),
+keyed AS (SELECT c, bytes, md5('corpus:' || c) AS k FROM docs),
+cum AS (
+  SELECT bytes,
+         sum(bytes) OVER (ORDER BY k, c ROWS UNBOUNDED PRECEDING) AS cum
+  FROM keyed
+),
+shards AS (
+  SELECT count(DISTINCT (cum - bytes) // 480) AS n_shards FROM cum
+)
+SELECT * FROM (
+  SELECT 0 AS stage_ord, 'wet_records' AS stage,
+         CAST(nd * 2 AS BIGINT) AS n FROM n
+  UNION ALL SELECT 1, 'url_unique', CAST(nd AS BIGINT) FROM n
+  UNION ALL SELECT 2, 'neardup_pairs', CAST(48 AS BIGINT)
+  UNION ALL SELECT 3, 'dedup_survivors', CAST(8 AS BIGINT)
+  UNION ALL SELECT 4, 'sentences', CAST(23 AS BIGINT)
+  UNION ALL SELECT 5, 'boiler_lines_removed', CAST(8 AS BIGINT)
+  UNION ALL SELECT 6, 'gopher_keep', CAST(7 AS BIGINT)
+  UNION ALL SELECT 7, 'badword_keep', CAST(6 AS BIGINT)
+  UNION ALL SELECT 8, 'shard_docs', CAST(6 AS BIGINT)
+  UNION ALL SELECT 9, 'shard_bytes', CAST({shard_bytes_total} AS BIGINT)
+  UNION ALL SELECT 10, 'shards', CAST(n_shards AS BIGINT) FROM shards
+) ORDER BY stage_ord
+"""
+
+
+@register("web_corpus_wet_build", oracle=_wet_corpus_oracle())
+def web_corpus_wet_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET-FIRST corpus build — how most Common Crawl consumers
+    actually start (r10 verdict task 7): no fetch, no WARC response
+    envelopes, no charset or main-content stage; the pipeline enters at
+    ``conversion`` records whose payload IS the extracted page text, and
+    runs the same curation tail as ``web_corpus_build`` — URL-variant
+    dedup (www+utm twins collapse) -> MinHash near-dup (8 planted
+    4-member exact clusters: 48 pairs, 8 survivors) -> sentence split ->
+    cross-doc line dedup (the shared boiler sentence vanishes) -> Gopher
+    (the short cluster fails) -> badwords (the zonkword cluster drops) ->
+    seeded shard packing. The oracle's survivor/byte arithmetic is
+    BYTE-IDENTICAL to the cold-crawl gate's: a WET entry seam that
+    corrupts payload bytes, splits an HTTP envelope that isn't there, or
+    double-counts the URL twins lands on a different stage integer.
+
+    Scale: the WET member split is Arrow-batched per-file parallelism
+    (same kernel as WARC), and every curation stage inherits its own
+    operator's documented 100 TB argument."""
+    import gzip
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from etl_lala_spark.functions.scalars import canonicalize_url
+    from etl_lala_spark.operators.dedup import (
+        canonical_components,
+        line_dedup,
+        minhash_lsh_pairs,
+    )
+    from etl_lala_spark.operators.text import (
+        badword_stats,
+        gopher_quality_rules,
+        split_sentences,
+    )
+    from etl_lala_spark.sinks.writer import shard_assignments
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        warc_record_bytes,
+    )
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                c = d % 8
+                text = " ".join(_cb_paras(c)).encode()
+                members = [
+                    warc_record_bytes(
+                        "warcinfo", b"software: etl-lala-gate-wet-corpus"
+                    )
+                ]
+                for uri in (
+                    f"http://www.site{c}.example.com/doc{d}?utm_source=feed",
+                    f"http://site{c}.example.com/doc{d}",
+                ):
+                    members.append(
+                        warc_record_bytes("conversion", text, target_uri=uri)
+                    )
+                blob = b"".join(
+                    gzip.compress(m, compresslevel=1) for m in members
+                )
+                rows.append((f"mem://wetseg{d}.warc.wet.gz", blob))
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    docs32 = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 32)
+    wets = docs32.select("doc_id").mapInPandas(
+        build, "path string, content binary"
+    )
+    recs = extract_warc_records(wets, types=("conversion",))
+
+    stage_rows: list[tuple[int, str, int]] = []
+
+    def stage(name: str, count: int) -> None:
+        stage_rows.append((len(stage_rows), name, int(count)))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pages = recs.select(
+            F.regexp_extract("target_uri", r"/doc(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            canonicalize_url(F.col("target_uri")).alias("canonical_url"),
+            F.col("payload").cast("string").alias("text"),
+        ).repartition(4).localCheckpoint(eager=True)
+        stage("wet_records", pages.count())
+
+        uniq = (
+            pages.groupBy("canonical_url")
+            .agg(F.min(F.struct("doc_id", "text")).alias("_p"))
+            .select(
+                F.col("_p.doc_id").alias("doc_id"),
+                F.col("_p.text").alias("text"),
+            )
+        )
+        docs = uniq.repartition(4).localCheckpoint(eager=True)
+        stage("url_unique", docs.count())
+
+        pairs = minhash_lsh_pairs(docs, threshold=0.8)
+        pairs = pairs.repartition(4).localCheckpoint(eager=True)
+        stage("neardup_pairs", pairs.count())
+        comp = canonical_components(pairs).withColumnRenamed("doc", "doc_id")
+        survivors = (
+            docs.join(comp, "doc_id", "left")
+            .filter(
+                F.col("canonical").isNull()
+                | (F.col("canonical") == F.col("doc_id"))
+            )
+            .select("doc_id", "text")
+            .repartition(4)
+            .localCheckpoint(eager=True)
+        )
+        stage("dedup_survivors", survivors.count())
+        spark.catalog.clearCache()  # release the LSH signature caches
+
+        sents = split_sentences(survivors, text_col="text")
+        stage("sentences", sents.count())
+        sent_text = sents.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("sentence_id", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+        ld = line_dedup(sent_text, text_col="text", id_col="doc_id")
+        ld = ld.repartition(4).localCheckpoint(eager=True)
+        stage(
+            "boiler_lines_removed",
+            ld.agg(F.sum("n_removed")).collect()[0][0] or 0,
+        )
+
+        gq = gopher_quality_rules(
+            ld.select("doc_id", F.col("clean_text").alias("text")),
+            min_words=30,
+        )
+        kept = gq.filter(F.col("keep")).select("doc_id", "text")
+        stage("gopher_keep", kept.count())
+
+        final = (
+            badword_stats(kept, ["zonkword"])
+            .filter(F.col("n_badwords") == 0)
+            .select("doc_id", "text")
+            .localCheckpoint(eager=True)
+        )
+        stage("badword_keep", final.count())
+
+        sa = shard_assignments(final, 480, seed="corpus")
+        agg = sa.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("doc_bytes").alias("bytes"),
+            F.countDistinct("shard").alias("shards"),
+        ).collect()[0]
+        stage("shard_docs", agg["docs"])
+        stage("shard_bytes", agg["bytes"])
+        stage("shards", agg["shards"])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     return spark.createDataFrame(
         stage_rows, "stage_ord int, stage string, n bigint"
