@@ -257,6 +257,11 @@ HEADLINE = [
     # chain at conversion records (no fetch/WARC/charset/main-content),
     # byte-identical survivor arithmetic to the cold-crawl gate
     "web_corpus_wet_build",
+    # round 11 (cont.): CDX index GENERATION round trip — binaryFile scan
+    # -> record extraction (offsets discovered, not planted) -> index
+    # lines -> parse/select of the generated index -> ranged fetch on the
+    # generated offsets -> payload sha1 equals the declared digest
+    "web_cdx_index_roundtrip",
 ]
 
 

@@ -597,6 +597,69 @@ def parse_cdxj(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
+def cdx_index_lines(records: DataFrame, file_col: str = "file") -> DataFrame:
+    """Generate CDXJ index lines FROM crawl records — the WRITER half of
+    the index-first pipeline (:func:`parse_cdxj` is the reader; with this
+    the loop closes: crawl → index → select → ranged fetch, never
+    re-scanning a WARC). One line per HTTP response record of
+    :func:`~etl_lala_spark.sources.warc.extract_warc_records` output:
+    ``<surt> <ts14> <json>`` where
+
+    - ``surt`` is :func:`~etl_lala_spark.functions.scalars.surt_key` of
+      the target URI (the same canonicalization
+      :func:`cdx_redirect_resolve`'s convention bridge normalizes
+      through, so produced and consumed keys always join);
+    - ``ts`` is the 14-digit digit-fold of ``WARC-Date``;
+    - the json carries url, parameter-stripped lowercase mime, status,
+      a ``sha1:<hex>`` digest of the DECODED payload (hex, not Common
+      Crawl's base32 — the convention is declared here and both halves
+      of this repo's loop share it), the record's own gzip member extent
+      as offset/length (exactly the bytes
+      :func:`~etl_lala_spark.sources.fetch.fetch_ranges` moves), the
+      basename filename, and — for 3xx captures — the Location target
+      (:func:`cdx_redirect_resolve`'s input; omitted otherwise).
+
+    Pure codegen over the record frame: a 100 TB crawl emits its index in
+    the same scan that extracted it, no shuffle; writing it surt-sorted
+    (the CDX file convention) is the caller's one orderBy."""
+    from etl_lala_spark.functions.scalars import surt_key
+
+    resp = records.filter(
+        (F.col("warc_type") == "response") & F.col("http_status").isNotNull()
+    )
+    ts14 = F.regexp_replace(F.col("warc_date"), r"[^0-9]", "").substr(1, 14)
+    mime = F.lower(
+        F.trim(F.regexp_extract(F.col("http_content_type"), r"^[^;]*", 0))
+    )
+    redirect = F.when(
+        (F.col("http_status") >= 300) & (F.col("http_status") < 400),
+        F.nullif(
+            F.regexp_extract(
+                F.col("http_headers"), r"(?im)^location:\s*(.+?)\s*$", 1
+            ),
+            F.lit(""),
+        ),
+    )
+    j = F.to_json(
+        F.struct(
+            F.col("target_uri").alias("url"),
+            mime.alias("mime"),
+            F.col("http_status").cast("string").alias("status"),
+            F.concat(F.lit("sha1:"), F.sha1(F.col("payload"))).alias("digest"),
+            F.col("member_bytes").cast("string").alias("length"),
+            F.col("member_offset").cast("string").alias("offset"),
+            F.element_at(F.split(F.col(file_col), "/"), -1).alias("filename"),
+            redirect.alias("redirect"),
+        )
+    )
+    key = surt_key(F.col("target_uri"))
+    return resp.select(
+        key.alias("surt"),
+        ts14.cast("bigint").alias("ts"),
+        F.concat(key, F.lit(" "), ts14, F.lit(" "), j).alias("line"),
+    )
+
+
 def select_captures(
     parsed: DataFrame,
     statuses: tuple[int, ...] = (200,),

@@ -3920,3 +3920,208 @@ def web_corpus_wet_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stage_rows, "stage_ord int, stage string, n bigint"
     ).orderBy("stage_ord")
+
+
+# Per doc d (0..23): url http://site{d%5}.example.com/idx{d}; an OLD 200
+# (ts 2023), a NEW 200 (ts 2024), a NEWER 404 decoy (ts 2025) for d%4==0
+# that newest-good selection must skip, and a 301 with a Location header
+# (ts 2022) for d%6==0 whose index line must carry the redirect field.
+_CDX_RT_ORACLE = """
+WITH n AS (SELECT count(*) AS nd FROM documents WHERE doc_id < 24)
+SELECT * FROM (
+  SELECT 0 AS stage_ord, 'warc_files' AS stage, CAST(nd AS BIGINT) AS n FROM n
+  UNION ALL SELECT 1, 'warc_records',
+    CAST(nd * 3 + nd // 4 + (nd + 5) // 6 AS BIGINT) FROM n
+  UNION ALL SELECT 2, 'index_lines',
+    CAST(nd * 2 + nd // 4 + (nd + 5) // 6 AS BIGINT) FROM n
+  UNION ALL SELECT 3, 'index_redirect_lines', CAST((nd + 5) // 6 AS BIGINT) FROM n
+  UNION ALL SELECT 4, 'parse_errors', CAST(0 AS BIGINT)
+  UNION ALL SELECT 5, 'selected_newest_good', CAST(nd AS BIGINT) FROM n
+  UNION ALL SELECT 6, 'fetched_ok', CAST(nd AS BIGINT) FROM n
+  UNION ALL SELECT 7, 'digest_roundtrip_match', CAST(nd AS BIGINT) FROM n
+) ORDER BY stage_ord
+"""
+
+
+@register("web_cdx_index_roundtrip", oracle=_CDX_RT_ORACLE)
+def web_cdx_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX GENERATION round trip — the writer half of the index-first
+    pipeline (`operators/web.py:cdx_index_lines`) proven against its own
+    reader: real ``.warc.gz`` files on disk → ``binaryFile`` scan →
+    ``extract_warc_records`` (offsets discovered from the gzip member
+    split, not planted) → ``cdx_index_lines`` → ``parse_cdxj`` of the
+    GENERATED lines (zero error rows) → ``select_captures`` (the newest
+    404 decoy must lose to the newest 200) → ``fetch_ranges`` over live
+    loopback using the GENERATED offsets → re-extraction of the fetched
+    members, whose payload sha1 must equal the digest the index line
+    declared. An offset off by one, a member extent mis-measured, a
+    digest over the raw block instead of the decoded payload, a
+    swallowed Location header, or a ts fold that loses a digit lands on
+    a different stage count."""
+    import gzip
+    import http.server
+    import re as _re
+    import threading
+
+    from etl_lala_spark.operators.web import (
+        cdx_index_lines,
+        parse_cdxj,
+        select_captures,
+    )
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+    from etl_lala_spark.sources.fetch import fetch_ranges
+    from etl_lala_spark.sources.warc import (
+        extract_warc_records,
+        http_response_bytes,
+        warc_record_bytes,
+    )
+
+    with fixture_region("web_cdx_index_roundtrip"):
+        work = gate_workdir(spark, "web_cdx_index_roundtrip")
+        warcdir = os.path.join(work, "warcs")
+        os.makedirs(warcdir)
+        doc_ids = sorted(
+            int(r["doc_id"])
+            for r in load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 24)
+            .select("doc_id")
+            .collect()
+        )
+        for d in doc_ids:
+            uri = f"http://site{d % 5}.example.com/idx{d}"
+            members = [
+                gzip.compress(
+                    warc_record_bytes("warcinfo", b"software: etl-lala-gate"),
+                    compresslevel=1,
+                )
+            ]
+            captures = [
+                ("2023-06-01T00:00:00Z", 200,
+                 f"<html><body>old page {d}</body></html>".encode(), None),
+                ("2024-06-01T00:00:00Z", 200,
+                 f"<html><body>new page {d}</body></html>".encode(), None),
+            ]
+            if d % 4 == 0:
+                captures.append(("2025-06-01T00:00:00Z", 404, b"gone", None))
+            if d % 6 == 0:
+                captures.append(
+                    ("2022-06-01T00:00:00Z", 301, b"",
+                     f"http://site{d % 5}.example.com/idx{d}v2")
+                )
+            for ts, status, body, loc in captures:
+                extra = {"Location": loc} if loc else {}
+                members.append(
+                    gzip.compress(
+                        warc_record_bytes(
+                            "response",
+                            http_response_bytes(
+                                status, body, content_type="text/html",
+                                extra_headers=extra,
+                            ),
+                            target_uri=uri,
+                            warc_date=ts,
+                        ),
+                        compresslevel=1,
+                    )
+                )
+            with open(os.path.join(warcdir, f"idx{d}.warc.gz"), "wb") as fh:
+                fh.write(b"".join(members))
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            fn = os.path.join(warcdir, self.path.lstrip("/"))
+            try:
+                with open(fn, "rb") as fh:
+                    data = fh.read()
+            except OSError:
+                self.send_error(404)
+                return
+            m = _re.match(r"bytes=(\d+)-(\d+)$", self.headers.get("Range", ""))
+            lo, hi = int(m.group(1)), int(m.group(2))
+            body = data[lo : hi + 1]
+            self.send_response(206)
+            self.send_header("Content-Range", f"bytes {lo}-{hi}/{len(data)}")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    stage_rows: list[tuple[int, str, int]] = []
+
+    def stage(name: str, count: int) -> None:
+        stage_rows.append((len(stage_rows), name, int(count)))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stage("warc_files", len(doc_ids))
+        blobs = (
+            spark.read.format("binaryFile")
+            .load(warcdir)
+            .select(F.col("path"), F.col("content"))
+        )
+        recs = (
+            extract_warc_records(blobs, types=None)  # warcinfo rows too
+            .repartition(4)
+            .localCheckpoint(eager=True)
+        )
+        stage("warc_records", recs.count())
+        lines = cdx_index_lines(recs, file_col="file").localCheckpoint(
+            eager=True
+        )
+        stage("index_lines", lines.count())
+        stage(
+            "index_redirect_lines",
+            lines.filter(F.col("line").contains('"redirect"')).count(),
+        )
+        parsed = parse_cdxj(lines.select("line"))
+        stage("parse_errors", parsed.filter(F.col("_error").isNotNull()).count())
+        sel = select_captures(parsed).localCheckpoint(eager=True)
+        stage("selected_newest_good", sel.count())
+
+        server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            plan = sel.select(
+                F.concat(
+                    F.lit(f"http://127.0.0.1:{port}/"), F.col("filename")
+                ).alias("url"),
+                "offset",
+                "length",
+            )
+            fetched = fetch_ranges(plan, max_bytes=1 << 20)
+            fetched.filter(F.col("status") == "ok").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(work, "fetched"))
+        finally:
+            server.shutdown()
+            server.server_close()
+        ok = spark.read.parquet(os.path.join(work, "fetched"))
+        stage("fetched_ok", ok.count())
+        # re-extract the fetched members and compare payload sha1 against
+        # the digest THE GENERATED INDEX declared — the full round trip
+        refetched = extract_warc_records(
+            ok.select(
+                F.concat("url", F.lit("#"), F.col("offset").cast("string"))
+                .alias("path"),
+                "content",
+            ),
+            types=("response",),
+        ).select(
+            "target_uri",
+            F.concat(F.lit("sha1:"), F.sha1(F.col("payload"))).alias("rt_digest"),
+        )
+        match = refetched.join(
+            sel.select(F.col("url").alias("_u"), F.col("digest")),
+            refetched["target_uri"] == F.col("_u"),
+        ).filter(F.col("rt_digest") == F.col("digest"))
+        stage("digest_roundtrip_match", match.count())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    return spark.createDataFrame(
+        stage_rows, "stage_ord int, stage string, n bigint"
+    ).orderBy("stage_ord")

@@ -243,14 +243,19 @@ def http_response_bytes(
     body: bytes,
     content_type: str = "text/html",
     reason: str | None = None,
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
     """Serialize an HTTP/1.1 response block (status line, Content-Type /
-    Content-Length headers, body) for a WARC *response* record fixture."""
+    Content-Length headers, optional extra headers such as Location,
+    body) for a WARC *response* record fixture."""
     reasons = {200: "OK", 404: "Not Found", 503: "Service Unavailable"}
     line = f"HTTP/1.1 {status} {reason or reasons.get(status, 'X')}"
+    extras = "".join(
+        f"{k}: {v}\r\n" for k, v in (extra_headers or {}).items()
+    )
     head = (
         f"{line}\r\nContent-Type: {content_type}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
+        f"{extras}Content-Length: {len(body)}\r\n\r\n"
     )
     return head.encode() + body
 

@@ -3312,3 +3312,55 @@ def test_robots_meta_directives_matching(spark):
     assert got[7] == (True, True)
     assert got[8] == (False, True)
     assert got[9] == (False, False)
+
+
+def test_cdx_index_lines_fields(spark):
+    """Index generation: 14-digit ts fold, parameter-stripped lowercase
+    mime, sha1-hex payload digest, basename filename, member extents,
+    Location only on 3xx, non-response records excluded — and the
+    generated line parses back through parse_cdxj losslessly."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators.web import cdx_index_lines, parse_cdxj
+
+    rows = [
+        ("file:/crawl/seg/a.warc.gz", "response", "http://ex.com/p", 
+         "2024-03-05T06:07:08Z", 200, "Text/HTML; charset=utf-8",
+         "Content-Type: text/html", bytearray(b"hello"), 17, 123),
+        ("file:/crawl/seg/a.warc.gz", "response", "http://ex.com/r",
+         "2024-03-05T06:07:09Z", 301, "text/html",
+         "Content-Type: text/html\r\nLocation: http://ex.com/p2",
+         bytearray(b""), 140, 9),
+        ("file:/crawl/seg/a.warc.gz", "warcinfo", None,
+         "2024-03-05T06:07:08Z", None, None, None,
+         bytearray(b"software: x"), 0, 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "file string, warc_type string, target_uri string, warc_date string,"
+        " http_status int, http_content_type string, http_headers string,"
+        " payload binary, member_offset long, member_bytes long",
+    )
+    out = {r["surt"]: r for r in cdx_index_lines(df).collect()}
+    assert len(out) == 2  # warcinfo never indexed
+    a = out["com,ex)/p"]
+    assert a["ts"] == 20240305060708
+    import hashlib
+
+    parsed = {
+        r["surt"]: r
+        for r in parse_cdxj(
+            cdx_index_lines(df).select("line")
+        ).collect()
+    }
+    pa = parsed["com,ex)/p"]
+    assert pa["_error"] is None
+    assert pa["mime"] == "text/html"
+    assert pa["status"] == 200
+    assert pa["offset"] == 17 and pa["length"] == 123
+    assert pa["filename"] == "a.warc.gz"
+    assert pa["digest"] == "sha1:" + hashlib.sha1(b"hello").hexdigest()
+    assert pa["redirect"] is None
+    pr = parsed["com,ex)/r"]
+    assert pr["redirect"] == "http://ex.com/p2"
+    assert pr["status"] == 301
