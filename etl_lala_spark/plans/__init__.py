@@ -101,21 +101,29 @@ def _load_all() -> None:
 # manual override (e.g. pinning a query for a driver-environment reason
 # no fingerprint can see); it is empty when automation suffices.
 #
-# Round 11: one-time courtesy re-checks of the five queries the round-10
-# verdict named at MODULE granularity ("multimodal.py changed r7",
-# "dedup.py changed r9") that the FUNCTION-grain fingerprints correctly
-# clear — the r7 multimodal fix touched sniff_media/resize/audio paths
-# but not the AVI frame walk, and the r9 dedup change added the
-# incremental-index family without touching minhash_lsh_pairs /
-# simhash_pairs / semdedup / canonical_components. The fingerprint
-# evidence says their greens still stand; this window records that as a
-# driver row once instead of arguing it. Drop after r11.
+# Round 11 (drop after): (a) one-time courtesy re-checks of the five
+# queries the round-10 verdict named at MODULE granularity
+# ("multimodal.py changed r7", "dedup.py changed r9") that the
+# FUNCTION-grain fingerprints correctly clear — the r7 multimodal fix
+# touched sniff_media/resize/audio paths but not the AVI frame walk, and
+# the r9 dedup change added the incremental-index family without touching
+# minhash_lsh_pairs / simhash_pairs / semdedup / canonical_components;
+# the fingerprint evidence says their greens still stand, this window
+# records that as a driver row once instead of arguing it. (b) The three
+# r11-ADVICE/verdict-task queries edited THIS round: with 47 changed
+# pins competing for the cap, the oldest-vintage-first tier-3 sort would
+# push these newest-vintage rows to r12, but the round-10 precedent
+# (fixes re-green in the same round's window) wants them recorded now.
 _DRIVER_WINDOW: list[str] = [
     "multimodal_avi_frames",
     "audit_minhash_planted",
     "audit_simhash_planted",
     "audit_semdedup_planted",
     "audit_components_planted",
+    "web_cdx_redirects",
+    "web_robots_meta",
+    "web_corpus_build",
+    "web_bloom_frontier",
 ]
 
 
