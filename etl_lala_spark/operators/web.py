@@ -21,6 +21,8 @@ Semantics implemented (RFC 9309, the Robots Exclusion Protocol):
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -187,22 +189,30 @@ def robots_allowed(
 # DuckDB oracle replays build AND probe bit-exactly.
 
 
+# Bump when the position-hash layout changes: persisted bitmap caches
+# (stream_url_frontier's meta JSON) built under another format must be
+# rebuilt, never probed — a stale-format probe could emit a false negative,
+# the one error class the filter's contract forbids.
+_BLOOM_FMT = 2
+
+
 def _bloom_positions(key, n_bits: int, k: int):
-    """k bit positions for a key: independent 31-bit integers from disjoint
-    md5 hex windows (8 hex chars each, k ≤ 3 with one md5; salted md5s
-    beyond), each mod n_bits. conv()'s 64-bit parse of 8 hex chars cannot
-    overflow, and the salt keeps window reuse independent."""
+    """k bit positions for a key: independent 48-bit BIGINTs from disjoint
+    md5 hex windows (12 hex chars each, k ≤ 2 per salted md5), each mod
+    n_bits. 48-bit positions keep the sketch addressable far past the
+    2^31 cliff a 32-bit cast would hit at frontier scale (10^9–10^10
+    bits), stay exactly representable through conv()'s 64-bit parse, and
+    survive ANSI mode (no narrowing cast anywhere); the salt keeps window
+    reuse independent."""
     pos = []
     for i in range(k):
-        salt, win = divmod(i, 3)
+        salt, win = divmod(i, 2)
         h = F.md5(
             F.concat(F.lit(f"s{salt}:"), F.col(key) if isinstance(key, str) else key)
         )
         pos.append(
-            (
-                F.conv(F.substring(h, 1 + 8 * win, 8), 16, 10).cast("bigint")
-                % n_bits
-            ).cast("int")
+            F.conv(F.substring(h, 1 + 12 * win, 12), 16, 10).cast("bigint")
+            % n_bits
         )
     return pos
 
@@ -222,7 +232,11 @@ def bloom_build(
     words = (
         df.select(pos)
         .select(
-            (F.col("p") / 64).cast("int").alias("w"),
+            # word index stays BIGINT: a 10^10-bit frontier sketch has
+            # ~1.5e8 words, fine, but the POSITION space is 48-bit and a
+            # 32-bit cast here is exactly the overflow _bloom_positions
+            # exists to avoid
+            F.floor(F.col("p") / F.lit(64)).cast("bigint").alias("w"),
             # shiftleft's bit count must be an expression here (the Python
             # helper only takes literals), hence expr()
             F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
@@ -246,6 +260,9 @@ def bloom_build(
 # even 2048 words burn ~5 s before a row moves; the broadcast path probes a
 # 2^27-bit / 16 MB sketch over 4M rows in under 4 s total).
 _BLOOM_LITERAL_MAX_BITS = 1 << 15
+
+# Content-keyed LRU of live sketch broadcasts (see bloom_probe).
+_BLOOM_BCASTS: "OrderedDict[tuple, object]" = OrderedDict()
 
 
 def bloom_probe(
@@ -289,6 +306,8 @@ def bloom_probe(
             "_bm", *[f"_bp{i}" for i in range(k)]
         )
 
+    import hashlib
+
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -296,16 +315,44 @@ def bloom_probe(
 
     bm = np.asarray(bitmap, dtype=np.int64)
     sc = (df.sparkSession or SparkSession.getActiveSession()).sparkContext
-    bcast = sc.broadcast(bm)
+    # broadcast CACHE: re-probing the same sketch (a frontier probes its
+    # bitmap every micro-batch) must not ship another copy per call —
+    # content-keyed reuse plus LRU eviction of older sketches bounds
+    # executor memory at a few sketches instead of one per invocation.
+    # Contract: consume a probe's results before 4 newer DISTINCT sketches
+    # are probed (eviction unpersists; a still-lazy plan over an evicted
+    # sketch would re-ship it... by failing, not silently).
+    key = (sc.applicationId, bm.size, hashlib.md5(bm.tobytes()).hexdigest())
+    bcast = _BLOOM_BCASTS.get(key)
+    if bcast is None:
+        bcast = sc.broadcast(bm)
+        _BLOOM_BCASTS[key] = bcast
+        while len(_BLOOM_BCASTS) > 4:
+            _, old = _BLOOM_BCASTS.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # context already stopped
+    else:
+        _BLOOM_BCASTS.move_to_end(key)
 
     def _probe_batches(cols):
         arr = bcast.value
-        hit = np.ones(len(cols[0]), dtype=bool)
+        n = len(cols[0])
+        valid = np.ones(n, dtype=bool)
+        hit = np.ones(n, dtype=bool)
         for c in cols:
-            p = c.to_numpy(dtype=np.int64)
+            # NULL key -> NULL verdict, bit-identical to the literal
+            # transport (one malformed frontier row must not kill the scan)
+            f = c.to_numpy(dtype="float64", na_value=np.nan)
+            v = ~np.isnan(f)
+            valid &= v
+            p = np.where(v, f, 0).astype(np.int64)
             # arithmetic >> keeps bit (p % 64) of the signed word intact
             hit &= ((arr[p >> 6] >> (p & 63)) & 1).astype(bool)
-        return pd.Series(hit)
+        out = pd.Series(hit, dtype="object")
+        out[~valid] = None
+        return out
 
     # k is dynamic, so the scalar pandas_udf gets an explicitly k-ary
     # wrapper (varargs type hints aren't accepted by the hint inference)
@@ -377,7 +424,13 @@ def stream_url_frontier(
         if store_exists and _os.path.exists(bloom_meta):
             with open(bloom_meta) as fh:
                 meta = _json.load(fh)
-            if meta["store_rows"] == store_rows:
+            # a bitmap persisted under another position-hash format must
+            # rebuild, never probe: the false negative a stale-format probe
+            # could emit would APPEND a seen URL again
+            if (
+                meta["store_rows"] == store_rows
+                and meta.get("fmt") == _BLOOM_FMT
+            ):
                 bitmap = meta["bitmap"]  # cache valid: store-count matches
         if bitmap is not None:
             probed = bloom_probe(
@@ -431,7 +484,11 @@ def stream_url_frontier(
         tmp = bloom_meta + ".tmp"
         with open(tmp, "w") as fh:
             _json.dump(
-                {"store_rows": store_rows + n_novel, "bitmap": new_bitmap},
+                {
+                    "store_rows": store_rows + n_novel,
+                    "fmt": _BLOOM_FMT,
+                    "bitmap": new_bitmap,
+                },
                 fh,
             )
         _os.replace(tmp, bloom_meta)

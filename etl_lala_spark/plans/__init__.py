@@ -168,11 +168,19 @@ def _driver_green_names() -> set[str]:
     return set(_correctness_records()[1])
 
 
+_CHANGED_MEMO: set[str] | None = None
+
+
 def changed_since_green() -> set[str]:
     """Verified queries whose dependency fingerprint differs from the tree
     their last driver green actually tested (see _change_tracking.py).
     Failure-safe: any git/AST problem degrades to 'no pins', never to a
-    broken registry."""
+    broken registry. Memoized per process — the set is immutable for a
+    fixed working tree, and all_queries() is called repeatedly (driver,
+    tests), so the git-log subprocess and cache parse run once."""
+    global _CHANGED_MEMO
+    if _CHANGED_MEMO is not None:
+        return _CHANGED_MEMO
     _load_all()
     last_checked, last_green = _correctness_records()
     relevant: dict[str, int] = {}

@@ -73,14 +73,23 @@ class _FileInfo:
             self.ok = False
             return
         self.lines = src.splitlines()
-        pkg_parts = rel[: -len(".py")].split("/")
-        if pkg_parts[-1] == "__init__":
-            pkg_parts = pkg_parts[:-1]
+        pkg_parts = _pkg_parts(rel)
         for node in self.tree.body:
             for name, bound in _import_bindings(node, pkg_parts):
                 self.imports[name] = bound
             for name in _defined_names(node):
                 self.top[name] = node
+
+
+def _pkg_parts(rel: str) -> list[str]:
+    """The PACKAGE path a module's relative imports resolve against: the
+    dotted path minus the module's own name (``operators/web.py`` lives in
+    package ``etl_lala_spark.operators``); a package's ``__init__.py`` IS
+    its package. ``from . import x`` at level=1 then resolves to
+    ``pkg_parts`` itself, level=2 to its parent, etc. Both cases drop the
+    final path segment (a module sheds its own name; ``__init__`` sheds
+    the marker)."""
+    return rel[: -len(".py")].split("/")[:-1]
 
 
 def _defined_names(node: ast.AST):
@@ -120,10 +129,6 @@ def _segment(info: _FileInfo, node: ast.AST) -> str:
     for d in getattr(node, "decorator_list", []) or []:
         start = min(start, d.lineno)
     return "\n".join(info.lines[start - 1 : node.end_lineno])
-
-
-def _refs(node: ast.AST) -> set[str]:
-    return {n.id for n in ast.walk(node) if isinstance(n, ast.Name)}
 
 
 def _uses(node: ast.AST) -> tuple[dict[str, set[str]], set[str]]:
@@ -213,9 +218,7 @@ def _closure_items(tree: _Tree, rel: str, node: ast.AST) -> list[tuple]:
         if not info.ok:
             items.append((frel, fname or "<module>", "<missing>"))
             continue
-        pkg_parts = frel[: -len(".py")].split("/")
-        if pkg_parts[-1] == "__init__":
-            pkg_parts = pkg_parts[:-1]
+        pkg_parts = _pkg_parts(frel)
         if fname is None:
             # whole-module dependency: file content + its package imports
             items.append((frel, "<module>", info.src))

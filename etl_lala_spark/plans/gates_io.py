@@ -1143,8 +1143,12 @@ _BLOOM_M = 4096  # bits; with n=400 seen keys and k=3, FP ≈ 1.6%
 
 
 def _bloom_oracle() -> str:
-    pos = "(('0x' || substr(md5('s0:' || url), {o}, 8))::BIGINT) % {m}"
-    p = [pos.format(o=1 + 8 * i, m=_BLOOM_M) for i in range(3)]
+    # replays _bloom_positions' 48-bit layout: 12-hex-char md5 windows,
+    # two per salted digest (i -> salt i//2, window i%2)
+    pos = "(('0x' || substr(md5('s{s}:' || url), {o}, 12))::BIGINT) % {m}"
+    p = [
+        pos.format(s=i // 2, o=1 + 12 * (i % 2), m=_BLOOM_M) for i in range(3)
+    ]
     return f"""
 WITH seen AS (
   SELECT 'http://example.com/page' || doc_id AS url
@@ -2452,20 +2456,21 @@ def _cb_paras(c: int) -> list[str]:
     ]
 
 
-def _corpus_build_oracle() -> str:
+def _cb_survivor_shard_cte() -> tuple[int, str]:
+    """(total survivor bytes, shard-packing CTE block) shared by BOTH
+    corpus-build oracles — the cold-crawl chain and the WET-first variant
+    deliberately produce BYTE-IDENTICAL survivors (clean_text of doc c =
+    G1 "\\n" G2 from the shared literals, all ASCII), so one source of
+    truth keeps the two gates provably in lockstep: a planting or
+    packing-rule change updates both or fails both."""
     from etl_lala_spark.plans.llm_text import _LANGID_BASE, _MC_PARA
 
-    # clean_text of a surviving doc c (0..5) = G1 "\n" G2: closed-form byte
-    # arithmetic from the shared literals (all ASCII), replayed by the
-    # oracle's shard-packing window below.
     len_g1 = len(_MC_PARA) + 1 + len(_cb_t_sent(0)) + 1
     per_lang = {lang: 6 + len(_LANGID_BASE[lang]) + 17 for lang in _CB_LANGS}
     shard_bytes_total = sum(
         len_g1 + 1 + per_lang[_CB_LANGS[c % 3]] for c in range(6)
     )
-    return f"""
-WITH n AS (SELECT count(*) AS nd FROM documents WHERE doc_id < 32),
-docs AS (
+    cte = f"""docs AS (
   SELECT c,
          {len_g1} + 1 + CASE c % 3 WHEN 0 THEN {per_lang['en']}
                                    WHEN 1 THEN {per_lang['de']}
@@ -2480,7 +2485,15 @@ cum AS (
 ),
 shards AS (
   SELECT count(DISTINCT (cum - bytes) // 480) AS n_shards FROM cum
-)
+)"""
+    return shard_bytes_total, cte
+
+
+def _corpus_build_oracle() -> str:
+    shard_bytes_total, shard_cte = _cb_survivor_shard_cte()
+    return f"""
+WITH n AS (SELECT count(*) AS nd FROM documents WHERE doc_id < 32),
+{shard_cte}
 SELECT * FROM (
   SELECT 0 AS stage_ord, 'cdx_lines' AS stage,
          CAST(nd * 6 AS BIGINT) AS n FROM n
@@ -3709,33 +3722,13 @@ def _recrawl_tail(
 
 
 def _wet_corpus_oracle() -> str:
-    from etl_lala_spark.plans.llm_text import _LANGID_BASE, _MC_PARA
-
     # Identical survivor arithmetic to _corpus_build_oracle — the WET entry
-    # point changes WHERE text comes from, not what curation does to it.
-    len_g1 = len(_MC_PARA) + 1 + len(_cb_t_sent(0)) + 1
-    per_lang = {lang: 6 + len(_LANGID_BASE[lang]) + 17 for lang in _CB_LANGS}
-    shard_bytes_total = sum(
-        len_g1 + 1 + per_lang[_CB_LANGS[c % 3]] for c in range(6)
-    )
+    # point changes WHERE text comes from, not what curation does to it —
+    # shared via _cb_survivor_shard_cte so the two can never drift apart.
+    shard_bytes_total, shard_cte = _cb_survivor_shard_cte()
     return f"""
 WITH n AS (SELECT count(*) AS nd FROM documents WHERE doc_id < 32),
-docs AS (
-  SELECT c,
-         {len_g1} + 1 + CASE c % 3 WHEN 0 THEN {per_lang['en']}
-                                   WHEN 1 THEN {per_lang['de']}
-                                   ELSE {per_lang['es']} END AS bytes
-  FROM range(0, 6) t(c)
-),
-keyed AS (SELECT c, bytes, md5('corpus:' || c) AS k FROM docs),
-cum AS (
-  SELECT bytes,
-         sum(bytes) OVER (ORDER BY k, c ROWS UNBOUNDED PRECEDING) AS cum
-  FROM keyed
-),
-shards AS (
-  SELECT count(DISTINCT (cum - bytes) // 480) AS n_shards FROM cum
-)
+{shard_cte}
 SELECT * FROM (
   SELECT 0 AS stage_ord, 'wet_records' AS stage,
          CAST(nd * 2 AS BIGINT) AS n FROM n

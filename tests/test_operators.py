@@ -2578,6 +2578,48 @@ def test_bloom_probe_broadcast_transport_bit_identical(spark):
     assert big == lit
 
 
+def test_bloom_positions_survive_frontier_scale_and_null_keys(spark):
+    """The 48-bit position space must stay exact past the 2^31 cliff a
+    32-bit cast would hit (a real frontier sketch is 10^9-10^10 bits, and
+    Spark 4's ANSI mode turns an overflow into a job-killing exception),
+    and a NULL key must yield a NULL verdict on BOTH transports instead
+    of crashing the Python worker."""
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators import web
+
+    n_bits = 1 << 40  # far beyond int32; bitmap itself never materialized
+    df = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(50)], "url string"
+    )
+    stats = df.select(
+        F.array(*web._bloom_positions("url", n_bits, 3)).alias("p")
+    ).select(
+        F.aggregate("p", F.lit(0).cast("bigint"),
+                    lambda a, x: F.greatest(a, x)).alias("mx"),
+        F.aggregate("p", F.lit(n_bits).cast("bigint"),
+                    lambda a, x: F.least(a, x)).alias("mn"),
+    ).agg(F.max("mx").alias("mx"), F.min("mn").alias("mn")).collect()[0]
+    assert 0 <= stats["mn"] and stats["mx"] < n_bits
+    assert stats["mx"] > (1 << 31)  # the position space actually exceeds int32
+
+    # NULL-key verdicts: NULL on the broadcast path (not a worker crash),
+    # NULL on the literal path — bit-identical contracts
+    m = web._BLOOM_LITERAL_MAX_BITS * 2
+    seen = spark.createDataFrame([("http://x/1",)], "url string")
+    bitmap = web.bloom_build(seen, n_bits=m)
+    probe = spark.createDataFrame(
+        [("http://x/1",), (None,)], "url string"
+    )
+    big = {r["url"]: r["maybe_seen"]
+           for r in web.bloom_probe(probe, bitmap, n_bits=m).collect()}
+    assert big["http://x/1"] is True and big[None] is None
+    small = web.bloom_build(seen, n_bits=4096)
+    lit = {r["url"]: r["maybe_seen"]
+           for r in web.bloom_probe(probe, small, n_bits=4096).collect()}
+    assert lit["http://x/1"] is True and lit[None] is None
+
+
 def test_extract_links_resolution_cases(spark):
     """RFC 3986 reference resolution: absolute kept, non-http schemes and
     fragment-only dropped, protocol/root/query-relative joins, directory
