@@ -600,9 +600,60 @@ def er_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pagerank_oracle(iters: int = 5) -> str:
+    """DuckDB replay of the fixed-iteration PageRank: the iteration count
+    is a compile-time constant, so the loop UNROLLS into chained CTEs —
+    no recursion needed, and each CTE is exactly one scatter-join +
+    gather-agg, the same relational algebra the Spark plan runs. Float
+    discipline: the damping constants are written as DOUBLE arithmetic
+    ((1.0 - 0.85) computed in IEEE double, matching Python's
+    ``F.lit(1.0 - 0.85)`` bit-for-bit — DuckDB's bare 0.15 literal is a
+    DECIMAL whose nearest double is one ulp off), and the 6-dp output
+    rounding absorbs the engines' differing partial-sum orders."""
+    parts = [
+        """
+WITH trade AS (
+  SELECT DISTINCT 'c' || o_custkey AS cust, 's' || l_suppkey AS supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT cust AS src, supp AS dst FROM trade
+  UNION ALL
+  SELECT supp AS src, cust AS dst FROM trade
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+r{i} AS (
+  SELECT n.id,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         + CAST(0.85 AS DOUBLE) * coalesce(g.s, CAST(0.0 AS DOUBLE)) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS id, sum(r.pr / d.out_deg) AS s
+    FROM edges e
+    JOIN r{i - 1} r ON e.src = r.id
+    JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) g ON n.id = g.id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT id, round(pr, 6) AS pagerank
+FROM r{iters} WHERE id LIKE 's%'
+ORDER BY pagerank DESC, id LIMIT 20"""
+    )
+    return "".join(parts)
+
+
 @register(
     "graph_supplier_pagerank",
-    doc="rows-only: iterative PageRank over the customer-supplier trade graph",
+    oracle=_pagerank_oracle(),
+    doc="iterative PageRank over the customer-supplier trade graph",
 )
 def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Supplier importance via PageRank on the bipartite customer↔supplier
@@ -612,10 +663,12 @@ def graph_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree counts miss.
 
     Iterative (join-scatter + agg-gather per round with lineage
-    truncation, `operators/graph.py:pagerank`) → not SQL-expressible, so
-    rows-only at the driver; pytest pins the invariants (mass
-    conservation Σrank = #nodes, run-to-run agreement within float-sum
-    tolerance — distributed partial-agg merge order is not bit-stable). Scale: each
+    truncation, `operators/graph.py:pagerank`), but the iteration count
+    is FIXED, so the DuckDB oracle replays it exactly by unrolling the
+    five rounds into chained CTEs (`_pagerank_oracle`) — the 6-dp output
+    rounding absorbs float-sum order differences between the engines
+    (distributed partial-agg merge order is not bit-stable); pytest
+    additionally pins mass conservation Σrank = #nodes. Scale: each
     round is two shuffles on uniform keys moving one double per
     edge/node; at 100 TB the edge list is the co-purchase projection kept
     pre-bucketed on src so the scatter join is exchange-free."""
