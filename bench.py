@@ -163,6 +163,10 @@ HEADLINE = [
     # build, pure-codegen bitmask probe, oracle replays bits AND the
     # deterministic false positives
     "web_bloom_frontier",
+    # round 11 (late): the frontier-SCALE Bloom form — distributed
+    # set-words sketch (no collect, no dense bitmap anywhere), probed by
+    # k JVM-side word-index joins; same bit-exact oracle replay
+    "web_bloom_frontier_words",
     # round 9 (cont.): the crawl-scheduler composition as a streaming twin —
     # canonicalize -> Bloom probe -> exact anti-join on the maybe-seen
     # slice -> novel-only append, store-count-validated bitmap refresh

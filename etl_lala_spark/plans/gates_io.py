@@ -1142,13 +1142,11 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_M = 4096  # bits; with n=400 seen keys and k=3, FP ≈ 1.6%
 
 
-def _bloom_oracle() -> str:
+def _bloom_oracle(m: int = _BLOOM_M) -> str:
     # replays _bloom_positions' 48-bit layout: 12-hex-char md5 windows,
     # two per salted digest (i -> salt i//2, window i%2)
     pos = "(('0x' || substr(md5('s{s}:' || url), {o}, 12))::BIGINT) % {m}"
-    p = [
-        pos.format(s=i // 2, o=1 + 12 * (i % 2), m=_BLOOM_M) for i in range(3)
-    ]
+    p = [pos.format(s=i // 2, o=1 + 12 * (i % 2), m=m) for i in range(3)]
     return f"""
 WITH seen AS (
   SELECT 'http://example.com/page' || doc_id AS url
@@ -1201,6 +1199,44 @@ def web_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", url)
     return (
         web.bloom_probe(probe, bitmap, n_bits=_BLOOM_M, k=3)
+        .select("doc_id", "maybe_seen")
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_WORDS_M = 1 << 20  # big enough that a dense bitmap would be silly
+
+
+@register("web_bloom_frontier_words", oracle=_bloom_oracle(_BLOOM_WORDS_M))
+def web_bloom_frontier_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRONTIER-SCALE Bloom form (`operators/web.py:bloom_build_words`
+    + the join transport in `bloom_probe`): the sketch is a distributed
+    set-words DataFrame — O(set bits) state, never collected, never dense
+    anywhere — and the probe is k JVM-side left joins on the word index
+    plus a codegen bit test, zero Python. Same oracle discipline as
+    `web_bloom_frontier`: DuckDB replays the md5 bit positions and the
+    3-way conjunction bit-exactly, so every verdict row (including any
+    deterministic false positives) must match; a false negative is
+    impossible by construction and would land as a seen-half mismatch.
+
+    Scale: this is the 10^9–10^10-bit path (SCALE.md "Set-words join
+    transport": 2^33-bit build+probe measured 8+12 s where the dense
+    python-broadcast form took 36+324 s). The sketch side broadcasts
+    under 32M words and degrades to a plain AQE-planned join beyond —
+    the correct shape once the sketch itself is shuffle-scale."""
+    from etl_lala_spark.operators import web
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://example.com/page"), F.col("doc_id")).alias(
+        "url"
+    )
+    seen = d.filter(F.col("doc_id") < 400).select(url)
+    words = web.bloom_build_words(seen, n_bits=_BLOOM_WORDS_M, k=3)
+    probe = d.filter(
+        (F.col("doc_id") >= 200) & (F.col("doc_id") < 600)
+    ).select("doc_id", url)
+    return (
+        web.bloom_probe(probe, words, n_bits=_BLOOM_WORDS_M, k=3)
         .select("doc_id", "maybe_seen")
         .orderBy("doc_id")
     )

@@ -2620,6 +2620,46 @@ def test_bloom_positions_survive_frontier_scale_and_null_keys(spark):
     assert lit["http://x/1"] is True and lit[None] is None
 
 
+def test_bloom_words_transport_bit_identical(spark):
+    """The frontier-scale set-words sketch (bloom_build_words → k JVM
+    joins) must agree row-for-row with the dense-array transports at the
+    same n_bits — same positions, same verdicts, same NULL semantics —
+    and a dense array past _BLOOM_BCAST_MAX_BITS must route through the
+    join transport rather than a per-worker Python broadcast."""
+    from etl_lala_spark.operators import web
+
+    n, k = 300, 3
+    m = web._BLOOM_LITERAL_MAX_BITS * 2
+    seen = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(n)], "url string"
+    )
+    probe = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(2 * n)] + [(None,)], "url string"
+    )
+    dense = web.bloom_build(seen, n_bits=m, k=k)
+    words = web.bloom_build_words(seen, n_bits=m, k=k)
+    via_bcast = {r["url"]: r["maybe_seen"]
+                 for r in web.bloom_probe(probe, dense, n_bits=m, k=k).collect()}
+    via_words = {r["url"]: r["maybe_seen"]
+                 for r in web.bloom_probe(probe, words, n_bits=m, k=k).collect()}
+    assert via_words == via_bcast
+    assert via_words[None] is None
+    assert all(via_words[f"http://x/{i}"] for i in range(n))
+
+    # dense-array input past the broadcast ceiling: converted to set
+    # words, probed by joins, still bit-identical
+    old = web._BLOOM_BCAST_MAX_BITS
+    web._BLOOM_BCAST_MAX_BITS = web._BLOOM_LITERAL_MAX_BITS
+    try:
+        via_conv = {
+            r["url"]: r["maybe_seen"]
+            for r in web.bloom_probe(probe, dense, n_bits=m, k=k).collect()
+        }
+    finally:
+        web._BLOOM_BCAST_MAX_BITS = old
+    assert via_conv == via_bcast
+
+
 def test_extract_links_resolution_cases(spark):
     """RFC 3986 reference resolution: absolute kept, non-http schemes and
     fragment-only dropped, protocol/root/query-relative joins, directory
