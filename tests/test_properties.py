@@ -486,3 +486,41 @@ def test_wordpiece_greedy_reconstruction_property(spark, words, vocab):
         assert "[UNK]" not in g  # never mixed within a word
         recon = g[0] + "".join(p[2:] for p in g[1:])
         assert recon == w
+
+
+_bloom_key = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(_bloom_key, min_size=1, max_size=60, unique=True),
+    st.lists(_bloom_key, min_size=1, max_size=40, unique=True),
+    st.sampled_from([1 << 12, 1 << 17]),  # literal tier / broadcast tier
+    st.integers(min_value=1, max_value=4),
+)
+def test_bloom_no_false_negative_property(spark, seen, novel, n_bits, k):
+    """For ANY key set (unicode included), any k, and BOTH dense tiers:
+    every seen key probes true (the contract that makes the filter safe
+    as a frontier pre-filter), and the set-words join transport returns
+    the identical verdict map — false positives and all."""
+    from etl_lala_spark.operators import web
+
+    seen_df = spark.createDataFrame([(u,) for u in seen], "url string")
+    probe_keys = sorted(set(seen) | set(novel))
+    probe = spark.createDataFrame([(u,) for u in probe_keys], "url string")
+    dense = web.bloom_build(seen_df, n_bits=n_bits, k=k)
+    got = {
+        r["url"]: r["maybe_seen"]
+        for r in web.bloom_probe(probe, dense, n_bits=n_bits, k=k).collect()
+    }
+    assert all(got[u] for u in seen)  # zero false negatives, any input
+    words = web.bloom_build_words(seen_df, n_bits=n_bits, k=k)
+    via_words = {
+        r["url"]: r["maybe_seen"]
+        for r in web.bloom_probe(probe, words, n_bits=n_bits, k=k).collect()
+    }
+    assert via_words == got
