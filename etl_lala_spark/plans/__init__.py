@@ -124,6 +124,11 @@ _DRIVER_WINDOW: list[str] = [
     "web_robots_meta",
     "web_corpus_build",
     "web_bloom_frontier",
+    # (c) late-r11 direct edit: the frontier streaming twin's bitmap cache
+    # changed format (48-bit positions + fmt stamp + broadcast LRU); the
+    # tier-3 sort parks it at 51, one past the cap — record the re-green
+    # in the same round per the (b) precedent.
+    "stream_twin_url_frontier",
 ]
 
 
