@@ -167,6 +167,10 @@ HEADLINE = [
     # set-words sketch (no collect, no dense bitmap anywhere), probed by
     # k JVM-side word-index joins; same bit-exact oracle replay
     "web_bloom_frontier_words",
+    # round 11 (late): the DURABLE sketch lifecycle — partitioned parquet
+    # words store, hit-partition-only bit_or merge, idempotent replay
+    # pinned at 0, probe under the store's pinned params
+    "web_bloom_sketch_lifecycle",
     # round 9 (cont.): the crawl-scheduler composition as a streaming twin —
     # canonicalize -> Bloom probe -> exact anti-join on the maybe-seen
     # slice -> novel-only append, store-count-validated bitmap refresh

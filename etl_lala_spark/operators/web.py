@@ -335,6 +335,152 @@ def _bloom_probe_words(
     )
 
 
+# --- Durable words sketch (the frontier's persisted seen-set) -----------------
+#
+# A monthly recrawl needs the seen-set sketch to SURVIVE between runs and
+# grow incrementally; at 10^9-10^10 bits a dense bitmap can't be JSON'd or
+# driver-held, so the durable form is the set-words table itself: parquet
+# partitioned by pmod(w, n_parts), merged by bit_or. Two properties carry
+# the lifecycle: the merge rewrites ONLY the partitions its delta touches
+# (same blast-radius bound as sinks/writer.py:delete_rows), and bit_or is
+# IDEMPOTENT — an at-least-once replay of a batch changes zero words, and
+# a crash mid-swap heals on re-merge instead of needing staged backups.
+
+_BLOOM_SKETCH_META = "_bloom_sketch.json"
+
+
+def _bloom_sketch_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _BLOOM_SKETCH_META)) as fh:
+        meta = json.load(fh)
+    if meta.get("fmt") != _BLOOM_FMT:
+        # a sketch is lossy — it cannot be re-keyed under a new position
+        # layout; probing it with mismatched positions could emit a false
+        # negative, the one forbidden error class. Refuse loudly.
+        raise ValueError(
+            f"bloom sketch at {path} was written under position format "
+            f"{meta.get('fmt')}, this code is format {_BLOOM_FMT}: rebuild "
+            "the sketch from its source keys"
+        )
+    return meta
+
+
+def bloom_sketch_write(
+    df: DataFrame,
+    path: str,
+    key_col: str = "url",
+    n_bits: int = 4096,
+    k: int = 3,
+    n_parts: int = 16,
+) -> dict:
+    """Create the durable words sketch from a key batch: one aggregation,
+    one partitioned write, one meta file pinning (n_bits, k, fmt,
+    n_parts) — parameters under which positions are comparable; every
+    later merge/probe validates them before touching the table. Returns
+    ``{"words": n}``."""
+    import json
+    import os
+
+    words = bloom_build_words(df, key_col, n_bits, k).withColumn(
+        "wpart", F.pmod(F.col("w"), F.lit(n_parts)).cast("int")
+    )
+    words.write.mode("overwrite").partitionBy("wpart").parquet(
+        os.path.join(path, "words")
+    )
+    with open(os.path.join(path, _BLOOM_SKETCH_META), "w") as fh:
+        json.dump(
+            {"n_bits": n_bits, "k": k, "fmt": _BLOOM_FMT, "n_parts": n_parts},
+            fh,
+        )
+    return {"words": words.count()}
+
+
+def bloom_sketch_merge(
+    spark: SparkSession, path: str, df: DataFrame, key_col: str = "url"
+) -> dict:
+    """OR a key batch into the durable sketch, rewriting only the hit
+    partitions. Returns ``{"new_words", "changed_words",
+    "partitions_rewritten"}`` where changed_words counts words the delta
+    contributes at least one NEW bit to (new words included) — 0 on an
+    exact replay, the idempotency pin. A crash between partition swaps
+    leaves some partitions merged and some not; re-running the same merge
+    converges (bit_or), which is why no backup staging is needed."""
+    import os
+    import shutil
+
+    meta = _bloom_sketch_meta(path)
+    n_parts = meta["n_parts"]
+    store_dir = os.path.join(path, "words")
+    delta = (
+        bloom_build_words(df, key_col, meta["n_bits"], meta["k"])
+        .withColumn("wpart", F.pmod(F.col("w"), F.lit(n_parts)).cast("int"))
+        .localCheckpoint()
+    )
+    existing = spark.read.parquet(store_dir)
+    j = delta.alias("d").join(
+        existing.select(
+            F.col("w").alias("ew"), F.col("bits").alias("ebits")
+        ),
+        F.col("d.w") == F.col("ew"),
+        "left",
+    )
+    stats = j.agg(
+        F.count_if(F.col("ew").isNull()).alias("new_words"),
+        F.count_if(
+            F.col("ew").isNull()
+            | (F.col("ebits").bitwiseOR(F.col("d.bits")) != F.col("ebits"))
+        ).alias("changed_words"),
+    ).collect()[0]
+    if stats["changed_words"] == 0:
+        return {"new_words": 0, "changed_words": 0, "partitions_rewritten": []}
+
+    affected = sorted(r[0] for r in delta.select("wpart").distinct().collect())
+    merged = (
+        existing.where(F.col("wpart").isin(affected))
+        .unionByName(delta)
+        .groupBy("w", "wpart")  # wpart is functionally dependent on w
+        .agg(F.bit_or("bits").alias("bits"))
+        .select("w", "bits", "wpart")
+    )
+    tmp = store_dir + "._merge_tmp"
+    merged.write.mode("overwrite").partitionBy("wpart").parquet(tmp)
+    for p in affected:
+        sub = f"wpart={p}"
+        dst = os.path.join(store_dir, sub)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        src = os.path.join(tmp, sub)
+        if os.path.isdir(src):  # a part can be delta-only or vanish-empty
+            os.replace(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "new_words": stats["new_words"],
+        "changed_words": stats["changed_words"],
+        "partitions_rewritten": affected,
+    }
+
+
+def bloom_sketch_probe(
+    df: DataFrame,
+    spark: SparkSession,
+    path: str,
+    key_col: str = "url",
+    out_col: str = "maybe_seen",
+) -> DataFrame:
+    """Probe keys against the durable sketch: reads the words table and
+    runs the join transport under the META's (n_bits, k) — the caller
+    cannot pass mismatched parameters, the store pins them."""
+    import os
+
+    meta = _bloom_sketch_meta(path)
+    words = spark.read.parquet(os.path.join(path, "words")).select("w", "bits")
+    return _bloom_probe_words(
+        df, words, key_col, meta["n_bits"], meta["k"], out_col
+    )
+
+
 # Above this size the bitmap stops riding the plan as an array literal and
 # ships as an executor broadcast instead: a plan with millions of Literal
 # children is a construction/analysis scale-killer long before the data is

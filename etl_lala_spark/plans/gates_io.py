@@ -1207,6 +1207,118 @@ def web_bloom_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_WORDS_M = 1 << 20  # big enough that a dense bitmap would be silly
 
 
+def _bloom_sketch_oracle(m: int) -> str:
+    """Closed-form replay of the durable-sketch lifecycle: DuckDB derives
+    both batches' bit positions from the same md5 layout, so initial word
+    count, merge-touched words, merge-new words, the replay's zero, and
+    every probe verdict (false positives included) are all exact."""
+    pos = "(('0x' || substr(md5('s{s}:' || url), {o}, 12))::BIGINT) % {m}"
+    p = [pos.format(s=i // 2, o=1 + 12 * (i % 2), m=m) for i in range(3)]
+    return f"""
+WITH b1 AS (
+  SELECT 'http://example.com/page' || doc_id AS url
+  FROM documents WHERE doc_id < 200
+),
+b2 AS (
+  SELECT 'http://example.com/page' || doc_id AS url
+  FROM documents WHERE doc_id >= 100 AND doc_id < 300
+),
+p1 AS (SELECT DISTINCT unnest([{p[0]}, {p[1]}, {p[2]}]) AS p FROM b1),
+p2 AS (SELECT DISTINCT unnest([{p[0]}, {p[1]}, {p[2]}]) AS p FROM b2),
+w1 AS (SELECT DISTINCT p // 64 AS w FROM p1),
+delta_bits AS (SELECT p FROM p2 EXCEPT SELECT p FROM p1),
+touched AS (SELECT DISTINCT p // 64 AS w FROM delta_bits),
+neww AS (SELECT w FROM touched EXCEPT SELECT w FROM w1),
+pall AS (SELECT p FROM p1 UNION SELECT p FROM p2),
+probe AS (
+  SELECT doc_id, 'http://example.com/page' || doc_id AS url
+  FROM documents WHERE doc_id < 400
+),
+verdicts AS (
+  SELECT doc_id,
+         ({p[0]}) IN (SELECT p FROM pall)
+         AND ({p[1]}) IN (SELECT p FROM pall)
+         AND ({p[2]}) IN (SELECT p FROM pall) AS hit
+  FROM probe
+)
+SELECT * FROM (
+  SELECT 0 AS stage_ord, 'initial_words' AS stage,
+         CAST(count(*) AS BIGINT) AS n FROM w1
+  UNION ALL
+  SELECT 1, 'merge_changed_words', CAST(count(*) AS BIGINT) FROM touched
+  UNION ALL
+  SELECT 2, 'merge_new_words', CAST(count(*) AS BIGINT) FROM neww
+  UNION ALL
+  SELECT 3, 'replay_changed_words', CAST(0 AS BIGINT)
+  UNION ALL
+  SELECT 4, 'probe_maybe_seen', CAST(count(*) FILTER (hit) AS BIGINT)
+  FROM verdicts
+  UNION ALL
+  SELECT 5, 'probe_rows', CAST(count(*) AS BIGINT) FROM verdicts
+) ORDER BY stage_ord
+"""
+
+
+@register(
+    "web_bloom_sketch_lifecycle", oracle=_bloom_sketch_oracle(_BLOOM_WORDS_M)
+)
+def web_bloom_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DURABLE frontier sketch lifecycle
+    (`operators/web.py:bloom_sketch_write/merge/probe`) — what a monthly
+    recrawl actually keeps between runs: the set-words sketch persists as
+    parquet partitioned by pmod(w, n_parts); a new batch ORs in via a
+    hit-partition-only rewrite (same blast-radius bound as the GDPR
+    delete path); and bit_or idempotency makes at-least-once replays
+    free — the gate REPLAYS the merge and pins changed_words == 0. The
+    probe then runs the join transport under the store's pinned
+    (n_bits, k). Every stage integer and every probe verdict is replayed
+    closed-form by the DuckDB oracle from the md5 position layout.
+
+    Scale: write is one aggregation + one partitioned write; merge reads
+    ONLY hit partitions and moves O(delta words); probe is k word-index
+    joins. Nothing anywhere is O(n_bits) or driver-resident."""
+    import os
+
+    from etl_lala_spark.io import tiny_df
+    from etl_lala_spark.operators import web
+    from etl_lala_spark.plans._gates import fixture_region, gate_workdir
+
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(F.lit("http://example.com/page"), F.col("doc_id")).alias(
+        "url"
+    )
+    with fixture_region("web_bloom_sketch_lifecycle"):
+        work = gate_workdir(spark, "web_bloom_sketch_lifecycle")
+        store = os.path.join(work, "bloom_sketch")
+    b1 = d.filter(F.col("doc_id") < 200).select(url)
+    b2 = d.filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 300)
+    ).select(url)
+    wrote = web.bloom_sketch_write(
+        b1, store, n_bits=_BLOOM_WORDS_M, k=3, n_parts=8
+    )
+    merged = web.bloom_sketch_merge(spark, store, b2)
+    replayed = web.bloom_sketch_merge(spark, store, b2)
+    probe = d.filter(F.col("doc_id") < 400).select("doc_id", url)
+    verdicts = web.bloom_sketch_probe(probe, spark, store)
+    counts = verdicts.agg(
+        F.count_if(F.col("maybe_seen")).alias("hits"),
+        F.count(F.lit(1)).alias("rows"),
+    ).collect()[0]
+    return tiny_df(
+        spark,
+        [
+            (0, "initial_words", wrote["words"]),
+            (1, "merge_changed_words", merged["changed_words"]),
+            (2, "merge_new_words", merged["new_words"]),
+            (3, "replay_changed_words", replayed["changed_words"]),
+            (4, "probe_maybe_seen", counts["hits"]),
+            (5, "probe_rows", counts["rows"]),
+        ],
+        "stage_ord int, stage string, n bigint",
+    ).orderBy("stage_ord")
+
+
 @register("web_bloom_frontier_words", oracle=_bloom_oracle(_BLOOM_WORDS_M))
 def web_bloom_frontier_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FRONTIER-SCALE Bloom form (`operators/web.py:bloom_build_words`

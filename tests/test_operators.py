@@ -2660,6 +2660,36 @@ def test_bloom_words_transport_bit_identical(spark):
     assert via_conv == via_bcast
 
 
+def test_bloom_sketch_refuses_foreign_position_format(spark, tmp_path):
+    """A durable sketch is LOSSY — it cannot be re-keyed under a new
+    position layout, and probing it with mismatched positions could emit
+    a false negative (the one forbidden error class). A store written
+    under another fmt must refuse merge AND probe loudly, never degrade."""
+    import json
+    import os
+
+    import pytest
+
+    from etl_lala_spark.operators import web
+
+    keys = spark.createDataFrame(
+        [(f"http://x/{i}",) for i in range(20)], "url string"
+    )
+    store = str(tmp_path / "sketch")
+    stats = web.bloom_sketch_write(keys, store, n_bits=1 << 16, k=3)
+    assert stats["words"] > 0
+    meta_path = os.path.join(store, web._BLOOM_SKETCH_META)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    meta["fmt"] = web._BLOOM_FMT - 1
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    with pytest.raises(ValueError, match="position format"):
+        web.bloom_sketch_merge(spark, store, keys)
+    with pytest.raises(ValueError, match="position format"):
+        web.bloom_sketch_probe(keys, spark, store)
+
+
 def test_extract_links_resolution_cases(spark):
     """RFC 3986 reference resolution: absolute kept, non-http schemes and
     fragment-only dropped, protocol/root/query-relative joins, directory
