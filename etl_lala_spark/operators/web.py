@@ -258,7 +258,11 @@ def bloom_build(
 
 
 def bloom_build_words(
-    df: DataFrame, key_col: str = "url", n_bits: int = 4096, k: int = 3
+    df: DataFrame,
+    key_col: str = "url",
+    n_bits: int = 4096,
+    k: int = 3,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Build the Bloom sketch as a DISTRIBUTED set-words DataFrame
     ``(w BIGINT, bits BIGINT)`` — the frontier-scale form. Same single
@@ -270,9 +274,11 @@ def bloom_build_words(
     (8+8) bytes living where Spark state belongs, probed JVM-side
     (:func:`bloom_probe` joins on the word index). localCheckpointed so
     re-probes don't recompute the aggregation (on a cluster,
-    ``checkpoint()`` or a parquet write drops in)."""
+    ``checkpoint()`` or a parquet write drops in). ``n_parts`` adds the
+    durable store's ``wpart`` partition key BEFORE the checkpoint so
+    store writers don't re-materialize just to tag it."""
     pos = F.explode(F.array(*_bloom_positions(key_col, n_bits, k))).alias("p")
-    return (
+    words = (
         df.select(pos)
         .select(
             F.floor(F.col("p") / F.lit(64)).cast("bigint").alias("w"),
@@ -282,15 +288,20 @@ def bloom_build_words(
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
-        .localCheckpoint()
     )
+    if n_parts is not None:
+        words = words.withColumn(
+            "wpart", F.pmod(F.col("w"), F.lit(n_parts)).cast("int")
+        )
+    return words.localCheckpoint()
 
 
 # A set-words sketch at or under this row count gets an explicit broadcast
-# hint on the probe joins (6M words ≈ 100 MB in-JVM — well inside executor
+# hint on the probe joins (8M words ≈ 128 MB in-JVM, and Catalyst reuses
+# the one BroadcastExchange across the k joins — well inside executor
 # budgets); beyond it the hint is omitted and Spark plans a regular join,
 # which is the correct shape once the sketch itself is shuffle-scale.
-_BLOOM_WORDS_BCAST_MAX_ROWS = 32_000_000
+_BLOOM_WORDS_BCAST_MAX_ROWS = 8_000_000
 
 
 def _bloom_probe_words(
@@ -300,12 +311,16 @@ def _bloom_probe_words(
     n_bits: int,
     k: int,
     out_col: str,
+    n_words_hint: int | None = None,
 ) -> DataFrame:
     """Join-transport probe: k left joins on the word index + a JVM bit
     test — zero Python, zero driver state. A missing word means the bit
     was never set (definitely-new); a NULL key yields a NULL verdict,
-    bit-identical to the other transports."""
-    n_words_rows = words.count()  # cheap on a checkpointed sketch
+    bit-identical to the other transports. ``words`` must carry ONE row
+    per w (bloom_build_words guarantees it; aggregate first if merging
+    sketches) and should be materialized — the broadcast-or-not decision
+    counts it unless the caller passes ``n_words_hint``."""
+    n_words_rows = words.count() if n_words_hint is None else n_words_hint
     out = df
     tests = []
     for i, p in enumerate(_bloom_positions(key_col, n_bits, k)):
@@ -340,11 +355,14 @@ def _bloom_probe_words(
 # A monthly recrawl needs the seen-set sketch to SURVIVE between runs and
 # grow incrementally; at 10^9-10^10 bits a dense bitmap can't be JSON'd or
 # driver-held, so the durable form is the set-words table itself: parquet
-# partitioned by pmod(w, n_parts), merged by bit_or. Two properties carry
-# the lifecycle: the merge rewrites ONLY the partitions its delta touches
-# (same blast-radius bound as sinks/writer.py:delete_rows), and bit_or is
-# IDEMPOTENT — an at-least-once replay of a batch changes zero words, and
-# a crash mid-swap heals on re-merge instead of needing staged backups.
+# partitioned by pmod(w, n_parts). Crash-safety comes from never mutating
+# committed files: a merge APPENDS its delta rows (Spark's commit protocol
+# makes a torn append invisible — uncommitted files stay under _temporary,
+# which readers skip), readers bit_or-aggregate per word, and compaction
+# writes a fresh words-v{N} directory then atomically FLIPS the meta
+# pointer (json tmp + os.replace) — at every instant the pointer names a
+# complete directory, so no crash window can lose a set bit, the one
+# failure (false negatives) the filter's contract forbids.
 
 _BLOOM_SKETCH_META = "_bloom_sketch.json"
 
@@ -367,6 +385,33 @@ def _bloom_sketch_meta(path: str) -> dict:
     return meta
 
 
+def _bloom_sketch_meta_write(path: str, meta: dict) -> None:
+    import json
+    import os
+
+    target = os.path.join(path, _BLOOM_SKETCH_META)
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, target)  # the atomic pointer flip
+
+
+def _bloom_sketch_words(spark: SparkSession, path: str, meta: dict):
+    """(aggregated one-row-per-w words frame, store row count). The store
+    may hold several rows per w (append-only merges); readers fold them
+    with the same bit_or the build uses."""
+    import os
+
+    raw = spark.read.parquet(os.path.join(path, meta["words_dir"]))
+    n_rows = raw.count()
+    # checkpointed: the consumer joins against it k times (probe) or
+    # feeds a stats join + a rewrite (merge/compact) — fold once
+    words = (
+        raw.groupBy("w").agg(F.bit_or("bits").alias("bits")).localCheckpoint()
+    )
+    return words, n_rows
+
+
 def bloom_sketch_write(
     df: DataFrame,
     path: str,
@@ -378,51 +423,50 @@ def bloom_sketch_write(
     """Create the durable words sketch from a key batch: one aggregation,
     one partitioned write, one meta file pinning (n_bits, k, fmt,
     n_parts) — parameters under which positions are comparable; every
-    later merge/probe validates them before touching the table. Returns
-    ``{"words": n}``."""
-    import json
+    later merge/probe validates them before touching the table — plus the
+    ``words_dir`` pointer compaction flips. Returns ``{"words": n}``."""
     import os
 
-    words = bloom_build_words(df, key_col, n_bits, k).withColumn(
-        "wpart", F.pmod(F.col("w"), F.lit(n_parts)).cast("int")
-    )
+    words = bloom_build_words(df, key_col, n_bits, k, n_parts=n_parts)
+    words_dir = "words-v0"
     words.write.mode("overwrite").partitionBy("wpart").parquet(
-        os.path.join(path, "words")
+        os.path.join(path, words_dir)
     )
-    with open(os.path.join(path, _BLOOM_SKETCH_META), "w") as fh:
-        json.dump(
-            {"n_bits": n_bits, "k": k, "fmt": _BLOOM_FMT, "n_parts": n_parts},
-            fh,
-        )
+    _bloom_sketch_meta_write(
+        path,
+        {
+            "n_bits": n_bits,
+            "k": k,
+            "fmt": _BLOOM_FMT,
+            "n_parts": n_parts,
+            "words_dir": words_dir,
+        },
+    )
     return {"words": words.count()}
 
 
 def bloom_sketch_merge(
     spark: SparkSession, path: str, df: DataFrame, key_col: str = "url"
 ) -> dict:
-    """OR a key batch into the durable sketch, rewriting only the hit
-    partitions. Returns ``{"new_words", "changed_words",
-    "partitions_rewritten"}`` where changed_words counts words the delta
-    contributes at least one NEW bit to (new words included) — 0 on an
-    exact replay, the idempotency pin. A crash between partition swaps
-    leaves some partitions merged and some not; re-running the same merge
-    converges (bit_or), which is why no backup staging is needed."""
+    """OR a key batch into the durable sketch by APPENDING its delta
+    words — committed files are never touched, so there is no crash
+    window that can drop a set bit (a torn append is invisible behind
+    Spark's commit protocol, and re-running it is free because bit_or is
+    idempotent). Returns ``{"new_words", "changed_words"}`` where
+    changed_words counts words the delta contributes at least one NEW
+    bit to (new words included) — 0 on an exact replay, the idempotency
+    pin, which also skips the append entirely. Appended duplicates fold
+    at read time; run :func:`bloom_sketch_compact` periodically to keep
+    the store at one row per word."""
     import os
-    import shutil
 
     meta = _bloom_sketch_meta(path)
-    n_parts = meta["n_parts"]
-    store_dir = os.path.join(path, "words")
-    delta = (
-        bloom_build_words(df, key_col, meta["n_bits"], meta["k"])
-        .withColumn("wpart", F.pmod(F.col("w"), F.lit(n_parts)).cast("int"))
-        .localCheckpoint()
+    delta = bloom_build_words(
+        df, key_col, meta["n_bits"], meta["k"], n_parts=meta["n_parts"]
     )
-    existing = spark.read.parquet(store_dir)
+    existing, _ = _bloom_sketch_words(spark, path, meta)
     j = delta.alias("d").join(
-        existing.select(
-            F.col("w").alias("ew"), F.col("bits").alias("ebits")
-        ),
+        existing.select(F.col("w").alias("ew"), F.col("bits").alias("ebits")),
         F.col("d.w") == F.col("ew"),
         "left",
     )
@@ -434,32 +478,42 @@ def bloom_sketch_merge(
         ).alias("changed_words"),
     ).collect()[0]
     if stats["changed_words"] == 0:
-        return {"new_words": 0, "changed_words": 0, "partitions_rewritten": []}
-
-    affected = sorted(r[0] for r in delta.select("wpart").distinct().collect())
-    merged = (
-        existing.where(F.col("wpart").isin(affected))
-        .unionByName(delta)
-        .groupBy("w", "wpart")  # wpart is functionally dependent on w
-        .agg(F.bit_or("bits").alias("bits"))
-        .select("w", "bits", "wpart")
+        return {"new_words": 0, "changed_words": 0}
+    delta.write.mode("append").partitionBy("wpart").parquet(
+        os.path.join(path, meta["words_dir"])
     )
-    tmp = store_dir + "._merge_tmp"
-    merged.write.mode("overwrite").partitionBy("wpart").parquet(tmp)
-    for p in affected:
-        sub = f"wpart={p}"
-        dst = os.path.join(store_dir, sub)
-        if os.path.isdir(dst):
-            shutil.rmtree(dst)
-        src = os.path.join(tmp, sub)
-        if os.path.isdir(src):  # a part can be delta-only or vanish-empty
-            os.replace(src, dst)
-    shutil.rmtree(tmp, ignore_errors=True)
     return {
         "new_words": stats["new_words"],
         "changed_words": stats["changed_words"],
-        "partitions_rewritten": affected,
     }
+
+
+def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
+    """Fold appended merge deltas back to one row per word: write the
+    aggregated words to a fresh ``words-v{N+1}`` directory, flip the meta
+    pointer atomically, then drop the old directory. A crash before the
+    flip leaves the pointer on the old (complete) directory; after it, on
+    the new one — no intermediate is ever visible. Returns
+    ``{"words", "rows_folded"}``."""
+    import os
+    import re
+    import shutil
+
+    meta = _bloom_sketch_meta(path)
+    words, n_rows = _bloom_sketch_words(spark, path, meta)
+    v = int(re.search(r"-v(\d+)$", meta["words_dir"]).group(1))
+    new_dir = f"words-v{v + 1}"
+    compacted = words.withColumn(
+        "wpart", F.pmod(F.col("w"), F.lit(meta["n_parts"])).cast("int")
+    )
+    compacted.write.mode("overwrite").partitionBy("wpart").parquet(
+        os.path.join(path, new_dir)
+    )
+    n_words = compacted.count()
+    old_dir = meta["words_dir"]
+    _bloom_sketch_meta_write(path, {**meta, "words_dir": new_dir})
+    shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+    return {"words": n_words, "rows_folded": n_rows - n_words}
 
 
 def bloom_sketch_probe(
@@ -469,15 +523,22 @@ def bloom_sketch_probe(
     key_col: str = "url",
     out_col: str = "maybe_seen",
 ) -> DataFrame:
-    """Probe keys against the durable sketch: reads the words table and
-    runs the join transport under the META's (n_bits, k) — the caller
-    cannot pass mismatched parameters, the store pins them."""
-    import os
-
+    """Probe keys against the durable sketch: reads the words table,
+    folds any appended duplicates, and runs the join transport under the
+    META's (n_bits, k) — the caller cannot pass mismatched parameters,
+    the store pins them."""
     meta = _bloom_sketch_meta(path)
-    words = spark.read.parquet(os.path.join(path, "words")).select("w", "bits")
+    words, n_rows = _bloom_sketch_words(spark, path, meta)
     return _bloom_probe_words(
-        df, words, key_col, meta["n_bits"], meta["k"], out_col
+        df,
+        words,
+        key_col,
+        meta["n_bits"],
+        meta["k"],
+        out_col,
+        # distinct words <= store rows: an overestimate can only skip the
+        # broadcast hint, never force an oversized one
+        n_words_hint=n_rows,
     )
 
 
@@ -573,9 +634,15 @@ def bloom_probe(
         nz = np.flatnonzero(bm)
         spark = df.sparkSession or SparkSession.getActiveSession()
         words = spark.createDataFrame(
-            pd.DataFrame({"w": nz.astype(np.int64), "bits": bm[nz]})
+            pd.DataFrame({"w": nz.astype(np.int64), "bits": bm[nz]}),
+            # explicit schema: an ALL-ZERO bitmap yields an empty frame,
+            # which schema inference rejects (verdicts must be all-false,
+            # not a crash)
+            schema="w bigint, bits bigint",
         ).localCheckpoint()
-        return _bloom_probe_words(df, words, key_col, n_bits, k, out_col)
+        return _bloom_probe_words(
+            df, words, key_col, n_bits, k, out_col, n_words_hint=nz.size
+        )
 
     sc = (df.sparkSession or SparkSession.getActiveSession()).sparkContext
     digest = hashlib.md5(bm.tobytes()).hexdigest()

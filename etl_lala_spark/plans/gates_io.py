@@ -1226,10 +1226,12 @@ b2 AS (
 p1 AS (SELECT DISTINCT unnest([{p[0]}, {p[1]}, {p[2]}]) AS p FROM b1),
 p2 AS (SELECT DISTINCT unnest([{p[0]}, {p[1]}, {p[2]}]) AS p FROM b2),
 w1 AS (SELECT DISTINCT p // 64 AS w FROM p1),
+w2 AS (SELECT DISTINCT p // 64 AS w FROM p2),
 delta_bits AS (SELECT p FROM p2 EXCEPT SELECT p FROM p1),
 touched AS (SELECT DISTINCT p // 64 AS w FROM delta_bits),
 neww AS (SELECT w FROM touched EXCEPT SELECT w FROM w1),
 pall AS (SELECT p FROM p1 UNION SELECT p FROM p2),
+wall AS (SELECT DISTINCT p // 64 AS w FROM pall),
 probe AS (
   SELECT doc_id, 'http://example.com/page' || doc_id AS url
   FROM documents WHERE doc_id < 400
@@ -1251,10 +1253,18 @@ SELECT * FROM (
   UNION ALL
   SELECT 3, 'replay_changed_words', CAST(0 AS BIGINT)
   UNION ALL
-  SELECT 4, 'probe_maybe_seen', CAST(count(*) FILTER (hit) AS BIGINT)
+  SELECT 4, 'compact_words', CAST(count(*) AS BIGINT) FROM wall
+  UNION ALL
+  -- store rows before compaction = initial write (one row per b1 word)
+  -- + the appended delta (one row per b2 word); folding leaves |wall|
+  SELECT 5, 'compact_rows_folded',
+         CAST((SELECT count(*) FROM w1) + (SELECT count(*) FROM w2)
+              - (SELECT count(*) FROM wall) AS BIGINT)
+  UNION ALL
+  SELECT 6, 'probe_maybe_seen', CAST(count(*) FILTER (hit) AS BIGINT)
   FROM verdicts
   UNION ALL
-  SELECT 5, 'probe_rows', CAST(count(*) AS BIGINT) FROM verdicts
+  SELECT 7, 'probe_rows', CAST(count(*) AS BIGINT) FROM verdicts
 ) ORDER BY stage_ord
 """
 
@@ -1264,19 +1274,25 @@ SELECT * FROM (
 )
 def web_bloom_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The DURABLE frontier sketch lifecycle
-    (`operators/web.py:bloom_sketch_write/merge/probe`) — what a monthly
-    recrawl actually keeps between runs: the set-words sketch persists as
-    parquet partitioned by pmod(w, n_parts); a new batch ORs in via a
-    hit-partition-only rewrite (same blast-radius bound as the GDPR
-    delete path); and bit_or idempotency makes at-least-once replays
-    free — the gate REPLAYS the merge and pins changed_words == 0. The
-    probe then runs the join transport under the store's pinned
-    (n_bits, k). Every stage integer and every probe verdict is replayed
-    closed-form by the DuckDB oracle from the md5 position layout.
+    (`operators/web.py:bloom_sketch_write/merge/compact/probe`) — what a
+    monthly recrawl actually keeps between runs: the set-words sketch
+    persists as parquet partitioned by pmod(w, n_parts); a new batch ORs
+    in by APPEND-ONLY delta (committed files are never mutated, so no
+    crash window can drop a set bit — the false-negative class the
+    filter forbids); bit_or idempotency makes at-least-once replays
+    free — the gate REPLAYS the merge and pins changed_words == 0;
+    compaction folds appended duplicates into a fresh versioned
+    directory and atomically flips the meta pointer — the gate pins both
+    the folded word count and exactly how many duplicate rows folding
+    removed. The probe then runs the join transport under the store's
+    pinned (n_bits, k). Every stage integer and every probe verdict is
+    replayed closed-form by the DuckDB oracle from the md5 position
+    layout.
 
-    Scale: write is one aggregation + one partitioned write; merge reads
-    ONLY hit partitions and moves O(delta words); probe is k word-index
-    joins. Nothing anywhere is O(n_bits) or driver-resident."""
+    Scale: write is one aggregation + one partitioned write; merge
+    appends O(delta words) and reads the store once for its stats;
+    probe is k word-index joins. Nothing anywhere is O(n_bits) or
+    driver-resident."""
     import os
 
     from etl_lala_spark.io import tiny_df
@@ -1299,6 +1315,7 @@ def web_bloom_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = web.bloom_sketch_merge(spark, store, b2)
     replayed = web.bloom_sketch_merge(spark, store, b2)
+    compacted = web.bloom_sketch_compact(spark, store)
     probe = d.filter(F.col("doc_id") < 400).select("doc_id", url)
     verdicts = web.bloom_sketch_probe(probe, spark, store)
     counts = verdicts.agg(
@@ -1312,8 +1329,10 @@ def web_bloom_sketch_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1, "merge_changed_words", merged["changed_words"]),
             (2, "merge_new_words", merged["new_words"]),
             (3, "replay_changed_words", replayed["changed_words"]),
-            (4, "probe_maybe_seen", counts["hits"]),
-            (5, "probe_rows", counts["rows"]),
+            (4, "compact_words", compacted["words"]),
+            (5, "compact_rows_folded", compacted["rows_folded"]),
+            (6, "probe_maybe_seen", counts["hits"]),
+            (7, "probe_rows", counts["rows"]),
         ],
         "stage_ord int, stage string, n bigint",
     ).orderBy("stage_ord")
