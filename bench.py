@@ -175,6 +175,10 @@ HEADLINE = [
     # canonicalize -> Bloom probe -> exact anti-join on the maybe-seen
     # slice -> novel-only append, store-count-validated bitmap refresh
     "stream_twin_url_frontier",
+    # round 11 (late): the same twin on the durable-sketch cache backend
+    # (join-transport probe, append-only merge refresh) — one shared
+    # oracle pins that the cache transport is invisible in store content
+    "stream_twin_url_frontier_sketch",
     # round 9 (cont.): outlink extraction + RFC 3986 resolution (crawl URL
     # discovery) and ftfy-family encoding repair (mojibake), both codegen
     "web_link_graph",

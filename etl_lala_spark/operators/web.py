@@ -706,6 +706,7 @@ def stream_url_frontier(
     n_bits: int = 4096,
     k: int = 3,
     checkpoint: str | None = None,
+    sketch_store: str | None = None,
 ):
     """Streaming URL-frontier maintenance — the crawl-scheduler composition
     of this module's pieces: each micro-batch of discovered URLs is
@@ -732,7 +733,15 @@ def stream_url_frontier(
 
     Scale: per batch one codegen canonicalization + one bitmap probe
     (no-join scan) + an anti-join only for the maybe-seen slice; the store
-    append is novel-rows-sized. The bitmap is O(n_bits) driver state.
+    append is novel-rows-sized. The default JSON-cached bitmap is O(n_bits)
+    driver state — right for small/medium frontiers; pass ``sketch_store``
+    to back the cache with the DURABLE words sketch instead
+    (:func:`bloom_sketch_write`/``merge``/``probe``): the seen-set sketch
+    then never exists as one dense object anywhere, refreshes by
+    append-only O(novel) merge, and carries the same store-count validity
+    check (a crash between store append and sketch merge invalidates the
+    count and forces exact-path + rebuild — never a dropped or duplicated
+    URL). That is the 10^9–10^10-bit frontier shape.
     Returns the started StreamingQuery."""
     import json as _json
     import os as _os
@@ -753,7 +762,17 @@ def stream_url_frontier(
             spark.read.parquet(store_path).count() if store_exists else 0
         )
         bitmap = None
-        if store_exists and _os.path.exists(bloom_meta):
+        cache_valid = False
+        if store_exists and sketch_store is not None:
+            try:
+                smeta = _bloom_sketch_meta(sketch_store)
+                # same self-heal contract as the JSON cache: a count
+                # mismatch (crash between store append and sketch merge)
+                # or a foreign position format forces exact-path + rebuild
+                cache_valid = smeta.get("store_rows") == store_rows
+            except (OSError, ValueError):
+                cache_valid = False
+        elif store_exists and _os.path.exists(bloom_meta):
             with open(bloom_meta) as fh:
                 meta = _json.load(fh)
             # a bitmap persisted under another position-hash format must
@@ -764,9 +783,12 @@ def stream_url_frontier(
                 and meta.get("fmt") == _BLOOM_FMT
             ):
                 bitmap = meta["bitmap"]  # cache valid: store-count matches
-        if bitmap is not None:
-            probed = bloom_probe(
-                canon, bitmap, key_col="url", n_bits=n_bits, k=k
+                cache_valid = True
+        if cache_valid:
+            probed = (
+                bloom_sketch_probe(canon, spark, sketch_store, key_col="url")
+                if sketch_store is not None
+                else bloom_probe(canon, bitmap, key_col="url", n_bits=n_bits, k=k)
             ).localCheckpoint()  # pin: the plan below reads AND writes store
             definite_new = probed.filter(~F.col("maybe_seen")).drop(
                 "maybe_seen"
@@ -795,14 +817,31 @@ def stream_url_frontier(
             ).parquet(store_path)
         elif not _os.path.isdir(store_path):
             return  # first batch had no valid URLs: nothing to describe
-        if bitmap is not None and n_novel == 0:
+        if cache_valid and n_novel == 0:
             return  # cache valid, store unchanged: nothing to refresh
-        # store-first ordering: refresh the bitmap only AFTER the append
+        # store-first ordering: refresh the cache only AFTER the append
         # lands (a lost meta write then only costs a validity-check
-        # rebuild; an over-eager bitmap can't exist). With a valid cache
-        # the refresh is INCREMENTAL — OR the novel keys' bits into the
-        # cached words, no store scan; only an invalidated cache pays the
-        # full rebuild.
+        # rebuild; an over-eager cache can't exist). With a valid cache
+        # the refresh is INCREMENTAL — OR the novel keys' bits in, no
+        # store scan; only an invalidated cache pays the full rebuild.
+        if sketch_store is not None:
+            if cache_valid:
+                bloom_sketch_merge(spark, sketch_store, novel, key_col="url")
+            else:
+                bloom_sketch_write(
+                    spark.read.parquet(store_path).select("url"),
+                    sketch_store,
+                    key_col="url",
+                    n_bits=n_bits,
+                    k=k,
+                )
+            # count stamp LAST: a crash anywhere above leaves a count
+            # mismatch, which the next batch heals by exact-path + rebuild
+            smeta = _bloom_sketch_meta(sketch_store)
+            _bloom_sketch_meta_write(
+                sketch_store, {**smeta, "store_rows": store_rows + n_novel}
+            )
+            return
         if bitmap is not None:
             import numpy as _np
 

@@ -878,6 +878,77 @@ def test_stream_url_frontier_self_heals_stale_bloom(spark, tmp_path):
     assert json.load(open(meta_path))["store_rows"] == 4  # rebuilt
 
 
+def test_stream_url_frontier_sketch_self_heals(spark, tmp_path):
+    """Same self-heal contract on the DURABLE-sketch cache backend
+    (sketch_store=): a URL landing in the store behind the sketch's back
+    (crash between append and merge) makes the count stamp stale, so the
+    next batch takes the exact path — nothing re-appended, novel rows
+    land once, and the sketch is rebuilt to the new store count."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators import web
+
+    src = os.path.join(str(tmp_path), "src")
+    store = os.path.join(str(tmp_path), "store")
+    sketch = os.path.join(str(tmp_path), "sketch")
+    os.makedirs(src)
+    os.makedirs(sketch)
+
+    def run_batch(name, urls):
+        spark.createDataFrame([(u,) for u in urls], "url string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(src, name))
+        stream = (
+            spark.readStream.schema("url string")
+            .option("maxFilesPerTrigger", 16)
+            .parquet(os.path.join(src, name))
+        )
+        q = web.stream_url_frontier(
+            stream, store, n_bits=1 << 18, sketch_store=sketch
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run_batch("b0", ["http://a/x", "HTTP://A/y", "not a url"])
+    assert {r["url"] for r in spark.read.parquet(store).collect()} == {
+        "http://a/x",
+        "http://a/y",
+    }
+    meta_path = os.path.join(sketch, web._BLOOM_SKETCH_META)
+    assert json.load(open(meta_path))["store_rows"] == 2
+
+    spark.createDataFrame(
+        [("http://a/ghost", 99)], "url string, batch_id int"
+    ).write.mode("append").parquet(store)  # behind the sketch's back
+
+    run_batch("b1", ["http://a/ghost", "http://a/x", "http://a/new"])
+    by_url = {
+        r["url"]: r["cnt"]
+        for r in spark.read.parquet(store)
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert by_url == {
+        "http://a/x": 1,
+        "http://a/y": 1,
+        "http://a/ghost": 1,
+        "http://a/new": 1,
+    }
+    assert json.load(open(meta_path))["store_rows"] == 4  # rebuilt
+
+    # valid-cache incremental leg: merge path, count stamp advances
+    run_batch("b2", ["http://a/x", "http://a/z"])
+    assert json.load(open(meta_path))["store_rows"] == 5
+    assert (
+        spark.read.parquet(store).filter(F.col("url") == "http://a/z").count()
+        == 1
+    )
+
+
 def test_stream_url_frontier_empty_first_batch(spark, tmp_path):
     """A first micro-batch with no valid URLs must not crash the query (no
     store to describe yet); the next batch then seeds the store."""
