@@ -412,6 +412,24 @@ def _bloom_sketch_words(spark: SparkSession, path: str, meta: dict):
     return words, n_rows
 
 
+def _bloom_fresh_words_dir(path: str) -> tuple[str, list[str]]:
+    """(next unused ``words-v{N}`` name, existing words-v* dir names).
+    Writers must NEVER reuse a directory that exists on disk — the meta
+    pointer may name it, and overwriting a live directory in place breaks
+    the 'pointer always names a complete directory' invariant."""
+    import glob
+    import os
+    import re
+
+    existing = [
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(path, "words-v*"))
+        if re.fullmatch(r"words-v\d+", os.path.basename(d))
+    ]
+    nxt = 1 + max((int(d[len("words-v"):]) for d in existing), default=-1)
+    return f"words-v{nxt}", existing
+
+
 def bloom_sketch_write(
     df: DataFrame,
     path: str,
@@ -420,15 +438,21 @@ def bloom_sketch_write(
     k: int = 3,
     n_parts: int = 16,
 ) -> dict:
-    """Create the durable words sketch from a key batch: one aggregation,
-    one partitioned write, one meta file pinning (n_bits, k, fmt,
-    n_parts) — parameters under which positions are comparable; every
-    later merge/probe validates them before touching the table — plus the
-    ``words_dir`` pointer compaction flips. Returns ``{"words": n}``."""
+    """Create (or atomically REPLACE) the durable words sketch from a key
+    batch: one aggregation, one partitioned write into a FRESH versioned
+    directory, then the meta pointer flips — a rebuild over a live sketch
+    never touches the directory the current pointer names, so a crash
+    mid-write leaves the old sketch fully readable. Old ``words-v*``
+    directories (the flipped-away target plus any orphans from earlier
+    crashes) are removed after the flip. The meta pins (n_bits, k, fmt,
+    n_parts) — the parameters under which positions are comparable; every
+    later merge/probe validates them before touching the table. Returns
+    ``{"words": n}``."""
     import os
+    import shutil
 
     words = bloom_build_words(df, key_col, n_bits, k, n_parts=n_parts)
-    words_dir = "words-v0"
+    words_dir, old_dirs = _bloom_fresh_words_dir(path)
     words.write.mode("overwrite").partitionBy("wpart").parquet(
         os.path.join(path, words_dir)
     )
@@ -442,11 +466,17 @@ def bloom_sketch_write(
             "words_dir": words_dir,
         },
     )
+    for d in old_dirs:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return {"words": words.count()}
 
 
 def bloom_sketch_merge(
-    spark: SparkSession, path: str, df: DataFrame, key_col: str = "url"
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key_col: str = "url",
+    compute_stats: bool = True,
 ) -> dict:
     """OR a key batch into the durable sketch by APPENDING its delta
     words — committed files are never touched, so there is no crash
@@ -455,15 +485,26 @@ def bloom_sketch_merge(
     idempotent). Returns ``{"new_words", "changed_words"}`` where
     changed_words counts words the delta contributes at least one NEW
     bit to (new words included) — 0 on an exact replay, the idempotency
-    pin, which also skips the append entirely. Appended duplicates fold
-    at read time; run :func:`bloom_sketch_compact` periodically to keep
-    the store at one row per word."""
+    pin, which also skips the append entirely. Computing those stats
+    costs a fold of the whole words table; callers that only need the
+    OR-in (a streaming frontier appending rows it already knows are
+    novel) pass ``compute_stats=False`` for a true O(delta) merge that
+    never reads the store — it returns ``{"appended_words": n}`` and
+    relies on bit_or folding to absorb any replayed duplicates.
+    Appended duplicates fold at read time either way; run
+    :func:`bloom_sketch_compact` periodically to keep the store at one
+    row per word."""
     import os
 
     meta = _bloom_sketch_meta(path)
     delta = bloom_build_words(
         df, key_col, meta["n_bits"], meta["k"], n_parts=meta["n_parts"]
     )
+    if not compute_stats:
+        delta.write.mode("append").partitionBy("wpart").parquet(
+            os.path.join(path, meta["words_dir"])
+        )
+        return {"appended_words": delta.count()}
     existing, _ = _bloom_sketch_words(spark, path, meta)
     j = delta.alias("d").join(
         existing.select(F.col("w").alias("ew"), F.col("bits").alias("ebits")),
@@ -496,13 +537,11 @@ def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
     the new one — no intermediate is ever visible. Returns
     ``{"words", "rows_folded"}``."""
     import os
-    import re
     import shutil
 
     meta = _bloom_sketch_meta(path)
     words, n_rows = _bloom_sketch_words(spark, path, meta)
-    v = int(re.search(r"-v(\d+)$", meta["words_dir"]).group(1))
-    new_dir = f"words-v{v + 1}"
+    new_dir, old_dirs = _bloom_fresh_words_dir(path)
     compacted = words.withColumn(
         "wpart", F.pmod(F.col("w"), F.lit(meta["n_parts"])).cast("int")
     )
@@ -510,9 +549,9 @@ def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
         os.path.join(path, new_dir)
     )
     n_words = compacted.count()
-    old_dir = meta["words_dir"]
     _bloom_sketch_meta_write(path, {**meta, "words_dir": new_dir})
-    shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+    for d in old_dirs:  # the flipped-away dir + any crash orphans
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return {"words": n_words, "rows_folded": n_rows - n_words}
 
 
@@ -826,14 +865,33 @@ def stream_url_frontier(
         # store scan; only an invalidated cache pays the full rebuild.
         if sketch_store is not None:
             if cache_valid:
-                bloom_sketch_merge(spark, sketch_store, novel, key_col="url")
+                # rows reaching here are PROVEN novel (exact anti-join),
+                # so the stats fold is pure cost: a no-stats merge is a
+                # true O(novel) append that never reads the store
+                bloom_sketch_merge(
+                    spark,
+                    sketch_store,
+                    novel,
+                    key_col="url",
+                    compute_stats=False,
+                )
             else:
+                # rebuild under the sketch's own PINNED parameters when a
+                # fmt-valid meta survives (only its count stamp is stale);
+                # re-keying a 2^33-bit sketch at this function's default
+                # n_bits would silently saturate it. Args apply only to a
+                # brand-new or foreign-format store.
+                try:
+                    pinned = _bloom_sketch_meta(sketch_store)
+                except (OSError, ValueError):
+                    pinned = {"n_bits": n_bits, "k": k, "n_parts": 16}
                 bloom_sketch_write(
                     spark.read.parquet(store_path).select("url"),
                     sketch_store,
                     key_col="url",
-                    n_bits=n_bits,
-                    k=k,
+                    n_bits=pinned["n_bits"],
+                    k=pinned["k"],
+                    n_parts=pinned["n_parts"],
                 )
             # count stamp LAST: a crash anywhere above leaves a count
             # mismatch, which the next batch heals by exact-path + rebuild

@@ -663,6 +663,90 @@ FROM novel GROUP BY batch_id ORDER BY batch_id
 """
 
 
+def _url_frontier_twin(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    n_bits: int,
+    use_sketch: bool,
+) -> DataFrame:
+    """The ONE frontier-twin body both gates run (same sharing contract
+    as the corpus-build survivor CTE): identical batches and URL-variant
+    expression feed identical plumbing, so the two gates sharing ONE
+    oracle is structural, not copy-paste — the cache transport must be
+    invisible in the store's content, and an edit here changes both
+    twins or neither."""
+    import glob as globmod
+
+    work = gate_workdir(spark, name)
+    src = os.path.join(work, "src")
+    store = os.path.join(work, "store")
+    ckpt = os.path.join(work, "ckpt")
+    os.makedirs(src)
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    p = (F.col("doc_id") % 250).cast("string")
+    v = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://example.com/page"), p))
+        .when(v == 1, F.concat(F.lit("HTTP://WWW.EXAMPLE.COM:80/page"), p))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://example.com/page"), p, F.lit("/?utm_source=x")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("http://example.com/page"), p, F.lit("#frag"))
+        )
+    )
+    t0 = 1_700_000_000
+    with fixture_region(name):
+        for b in range(4):
+            tmp = os.path.join(work, f"tmp{b}")
+            (
+                d.filter(
+                    (F.col("doc_id") >= b * 100)
+                    & (F.col("doc_id") < (b + 1) * 100)
+                )
+                .select(url.alias("url"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+            dest = os.path.join(src, f"f{b}.parquet")
+            os.rename(part, dest)
+            os.utime(dest, (t0 + b, t0 + b))
+
+    from etl_lala_spark.operators.web import stream_url_frontier
+
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sketch = None
+    if use_sketch:
+        sketch = os.path.join(work, "sketch")
+        os.makedirs(sketch)
+    q = stream_url_frontier(
+        stream, store, n_bits=n_bits, checkpoint=ckpt, sketch_store=sketch
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return (
+        spark.read.parquet(store)
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_novel"),
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list("url")))
+            ).alias("urls_md5"),
+        )
+        .orderBy("batch_id")
+    )
+
+
 @register("stream_twin_url_frontier", oracle=_URL_FRONTIER_ORACLE)
 def stream_twin_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming URL-frontier twin — the round-9 crawl composition end to
@@ -678,68 +762,8 @@ def stream_twin_url_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends nothing and so has no row) and the md5 of each batch's sorted
     URL list — a canonicalization miss, a Bloom false NEGATIVE, a replay
     leak, or a stale-bitmap drop all land on different rows."""
-    import glob as globmod
-
-    work = gate_workdir(spark, "stream_twin_url_frontier")
-    src = os.path.join(work, "src")
-    store = os.path.join(work, "store")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(src)
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    p = (F.col("doc_id") % 250).cast("string")
-    v = (F.col("doc_id") % 4).cast("int")
-    url = (
-        F.when(v == 0, F.concat(F.lit("http://example.com/page"), p))
-        .when(v == 1, F.concat(F.lit("HTTP://WWW.EXAMPLE.COM:80/page"), p))
-        .when(
-            v == 2,
-            F.concat(
-                F.lit("http://example.com/page"), p, F.lit("/?utm_source=x")
-            ),
-        )
-        .otherwise(
-            F.concat(F.lit("http://example.com/page"), p, F.lit("#frag"))
-        )
-    )
-    t0 = 1_700_000_000
-    with fixture_region("stream_twin_url_frontier"):
-        for b in range(4):
-            tmp = os.path.join(work, f"tmp{b}")
-            (
-                d.filter(
-                    (F.col("doc_id") >= b * 100)
-                    & (F.col("doc_id") < (b + 1) * 100)
-                )
-                .select(url.alias("url"))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
-            dest = os.path.join(src, f"f{b}.parquet")
-            os.rename(part, dest)
-            os.utime(dest, (t0 + b, t0 + b))
-
-    from etl_lala_spark.operators.web import stream_url_frontier
-
-    stream = (
-        spark.readStream.schema("url string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = stream_url_frontier(stream, store, checkpoint=ckpt)
-    q.awaitTermination(300)
-    q.stop()
-    return (
-        spark.read.parquet(store)
-        .groupBy("batch_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_novel"),
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list("url")))
-            ).alias("urls_md5"),
-        )
-        .orderBy("batch_id")
+    return _url_frontier_twin(
+        spark, sf_dir, "stream_twin_url_frontier", 4096, use_sketch=False
     )
 
 
@@ -749,84 +773,22 @@ def stream_twin_url_frontier_sketch(
 ) -> DataFrame:
     """The frontier streaming twin at its SCALE configuration: identical
     batches, canonicalization variants, and oracle as
-    ``stream_twin_url_frontier``, but the seen-set cache is the DURABLE
-    words sketch (``sketch_store=``, 2^20 bits → the join transport) —
-    the 10^9–10^10-bit frontier shape where the sketch never exists as
-    one dense object: probe is k word-index joins against the persisted
-    store, refresh is an append-only O(novel) merge, and the same
-    store-count validity stamp self-heals a crash between store append
-    and sketch merge. The two twins sharing ONE oracle is the point:
-    the cache transport must be invisible in the store's content."""
-    import glob as globmod
-
-    work = gate_workdir(spark, "stream_twin_url_frontier_sketch")
-    src = os.path.join(work, "src")
-    store = os.path.join(work, "store")
-    sketch = os.path.join(work, "sketch")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(src)
-    os.makedirs(sketch)
-    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    p = (F.col("doc_id") % 250).cast("string")
-    v = (F.col("doc_id") % 4).cast("int")
-    url = (
-        F.when(v == 0, F.concat(F.lit("http://example.com/page"), p))
-        .when(v == 1, F.concat(F.lit("HTTP://WWW.EXAMPLE.COM:80/page"), p))
-        .when(
-            v == 2,
-            F.concat(
-                F.lit("http://example.com/page"), p, F.lit("/?utm_source=x")
-            ),
-        )
-        .otherwise(
-            F.concat(F.lit("http://example.com/page"), p, F.lit("#frag"))
-        )
-    )
-    t0 = 1_700_000_000
-    with fixture_region("stream_twin_url_frontier_sketch"):
-        for b in range(4):
-            tmp = os.path.join(work, f"tmp{b}")
-            (
-                d.filter(
-                    (F.col("doc_id") >= b * 100)
-                    & (F.col("doc_id") < (b + 1) * 100)
-                )
-                .select(url.alias("url"))
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
-            dest = os.path.join(src, f"f{b}.parquet")
-            os.rename(part, dest)
-            os.utime(dest, (t0 + b, t0 + b))
-
-    from etl_lala_spark.operators.web import stream_url_frontier
-
-    stream = (
-        spark.readStream.schema("url string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = stream_url_frontier(
-        stream,
-        store,
-        n_bits=1 << 20,
-        checkpoint=ckpt,
-        sketch_store=sketch,
-    )
-    q.awaitTermination(300)
-    q.stop()
-    return (
-        spark.read.parquet(store)
-        .groupBy("batch_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_novel"),
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list("url")))
-            ).alias("urls_md5"),
-        )
-        .orderBy("batch_id")
+    ``stream_twin_url_frontier`` (enforced structurally — both gates run
+    ``_url_frontier_twin``), but the seen-set cache is the DURABLE words
+    sketch (``sketch_store=``, 2^20 bits → the join transport) — the
+    10^9–10^10-bit frontier shape where the sketch never exists as one
+    dense object: probe is k word-index joins against the persisted
+    store, refresh is a no-stats append-only O(novel) merge, and the
+    same store-count validity stamp self-heals a crash between store
+    append and sketch merge. The two twins sharing ONE oracle is the
+    point: the cache transport must be invisible in the store's
+    content."""
+    return _url_frontier_twin(
+        spark,
+        sf_dir,
+        "stream_twin_url_frontier_sketch",
+        1 << 20,
+        use_sketch=True,
     )
 
 

@@ -897,7 +897,7 @@ def test_stream_url_frontier_sketch_self_heals(spark, tmp_path):
     os.makedirs(src)
     os.makedirs(sketch)
 
-    def run_batch(name, urls):
+    def run_batch(name, urls, n_bits=1 << 18):
         spark.createDataFrame([(u,) for u in urls], "url string").coalesce(
             1
         ).write.mode("overwrite").parquet(os.path.join(src, name))
@@ -907,7 +907,7 @@ def test_stream_url_frontier_sketch_self_heals(spark, tmp_path):
             .parquet(os.path.join(src, name))
         )
         q = web.stream_url_frontier(
-            stream, store, n_bits=1 << 18, sketch_store=sketch
+            stream, store, n_bits=n_bits, sketch_store=sketch
         )
         q.awaitTermination(120)
         q.stop()
@@ -924,7 +924,13 @@ def test_stream_url_frontier_sketch_self_heals(spark, tmp_path):
         [("http://a/ghost", 99)], "url string, batch_id int"
     ).write.mode("append").parquet(store)  # behind the sketch's back
 
-    run_batch("b1", ["http://a/ghost", "http://a/x", "http://a/new"])
+    # the rebuild must honor the sketch's PINNED n_bits even when the
+    # stream is (mis)started with a different one — re-keying an existing
+    # sketch at a smaller size would silently saturate it
+    run_batch(
+        "b1", ["http://a/ghost", "http://a/x", "http://a/new"], n_bits=4096
+    )
+    assert json.load(open(meta_path))["n_bits"] == 1 << 18
     by_url = {
         r["url"]: r["cnt"]
         for r in spark.read.parquet(store)
