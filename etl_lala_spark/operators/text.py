@@ -189,6 +189,7 @@ def bpe_train(
     text_col: str = "text",
     n_merges: int = 8,
     sep: str = "\x01",
+    weight_col: str | None = None,
 ) -> list[dict]:
     """Train a word-level BPE merge table ON the corpus — tokenizer
     construction as a distributed job (the step that precedes token
@@ -216,21 +217,45 @@ def bpe_train(
     The cache is released round-over-round and on exit (each round's live
     footprint is one corpus copy), so at production scale memory-and-disk
     persistence per merge IS the checkpoint discipline.
+
+    ``weight_col``: when the input is a pre-aggregated frequency table
+    (one row per DISTINCT text with its occurrence count — the form
+    Sennrich et al. 2016 train on), pair counts and applied counts are
+    weighted by it. Every returned number is identical to training on the
+    exploded rows (both are linear sums over occurrences); only the work
+    per round shrinks from O(corpus) to O(vocabulary).
     Returns [{rank, pair, pair_count, applied}, ...].
     """
-    # Seed-time repartition: the source is often a handful of files (ONE at
-    # small SF), and every narrow rewrite round inherits that layout — the
-    # one up-front corpus shuffle is what lets all n_merges regexp passes
-    # run cluster-wide instead of on len(files) cores.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    cur = df.select(F.col(text_col).alias("t")).repartition(par).persist()
+    if weight_col is None:
+        # Seed-time repartition: the source is often a handful of files
+        # (ONE at small SF), and every narrow rewrite round inherits that
+        # layout — the one up-front corpus shuffle is what lets all
+        # n_merges regexp passes run cluster-wide instead of on
+        # len(files) cores.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        cur = (
+            df.select(
+                F.col(text_col).alias("t"), F.lit(1).cast("long").alias("w")
+            )
+            .repartition(par)
+            .persist()
+        )
+    else:
+        # Pre-aggregated input already paid its shuffle in the groupBy
+        # that built it — its hash layout spreads the types cluster-wide.
+        cur = df.select(
+            F.col(text_col).alias("t"),
+            F.col(weight_col).cast("long").alias("w"),
+        ).persist()
     merges: list[dict] = []
     try:
         for r in range(n_merges):
             top = (
-                cur.select(F.explode(word_bigrams(F.col("t"))).alias("g"))
+                cur.select(
+                    F.explode(word_bigrams(F.col("t"))).alias("g"), "w"
+                )
                 .groupBy("g")
-                .agg(F.count("*").alias("c"))
+                .agg(F.sum("w").alias("c"))
                 .orderBy(F.col("c").desc(), "g")
                 .limit(1)
                 .collect()
@@ -244,8 +269,11 @@ def bpe_train(
             # rewritten corpus; persisting it makes this round's regexp the
             # last one ever evaluated over these rows.
             nxt = cur.select(
-                F.regexp_count("t", F.lit(pat)).alias("_applied"),
+                (F.regexp_count("t", F.lit(pat)) * F.col("w")).alias(
+                    "_applied"
+                ),
                 F.regexp_replace("t", pat, repl).alias("t"),
+                "w",
             ).persist()
             applied = int(nxt.agg(F.sum("_applied")).first()[0])
             cur.unpersist()  # after nxt materialized — never re-derive the chain
@@ -314,8 +342,21 @@ def byte_bpe_train(
     same conservation law) over the pre-token rows. ``pair`` entries are
     hex byte tokens ('74 68' = b'th'). Zero UNK by construction: the seed
     alphabet is all 256 byte values, so application can always fall back
-    to single bytes for unseen input."""
-    return bpe_train(byte_pretokens(df, text_col), "t", n_merges, sep)
+    to single bytes for unseen input.
+
+    Training runs on the distinct-pretoken FREQUENCY table (one row per
+    word type, weighted by occurrence count — the dictionary Sennrich et
+    al. 2016 train on): elections and applied counts are linear in
+    occurrences, so every returned number is bit-identical to training on
+    the exploded rows, but each merge round rewrites O(vocabulary) type
+    strings instead of O(corpus) word occurrences — at 100 TB the type
+    table is MBs while the corpus is the 100 TB."""
+    pre = (
+        byte_pretokens(df, text_col)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return bpe_train(pre, "t", n_merges, sep, weight_col="w")
 
 
 def byte_bpe_apply(

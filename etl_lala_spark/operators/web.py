@@ -402,8 +402,12 @@ def _bloom_sketch_words(spark: SparkSession, path: str, meta: dict):
     with the same bit_or the build uses."""
     import os
 
-    raw = spark.read.parquet(os.path.join(path, meta["words_dir"]))
-    n_rows = raw.count()
+    words_path = os.path.join(path, meta["words_dir"])
+    raw = spark.read.parquet(words_path)
+    # driver-side footer walk — same number as a metadata-only Spark
+    # count, without scheduling a job for it (this runs on every probe
+    # and stats-merge, i.e. per micro-batch on a streaming frontier)
+    n_rows = _parquet_dir_rows(words_path)
     # checkpointed: the consumer joins against it k times (probe) or
     # feeds a stats join + a rewrite (merge/compact) — fold once
     words = (
@@ -468,7 +472,10 @@ def bloom_sketch_write(
     )
     for d in old_dirs:
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    return {"words": words.count()}
+    # count the COMMITTED files' footers instead of re-running the whole
+    # words aggregation (words was never cached — a .count() here would
+    # recompute the build from df)
+    return {"words": _parquet_dir_rows(os.path.join(path, words_dir))}
 
 
 def bloom_sketch_merge(
@@ -501,10 +508,16 @@ def bloom_sketch_merge(
         df, key_col, meta["n_bits"], meta["k"], n_parts=meta["n_parts"]
     )
     if not compute_stats:
-        delta.write.mode("append").partitionBy("wpart").parquet(
-            os.path.join(path, meta["words_dir"])
-        )
-        return {"appended_words": delta.count()}
+        # persist so the append and the returned count are ONE delta
+        # computation, not two (delta is an aggregation over the batch)
+        delta = delta.persist()
+        try:
+            delta.write.mode("append").partitionBy("wpart").parquet(
+                os.path.join(path, meta["words_dir"])
+            )
+            return {"appended_words": delta.count()}
+        finally:
+            delta.unpersist()
     existing, _ = _bloom_sketch_words(spark, path, meta)
     j = delta.alias("d").join(
         existing.select(F.col("w").alias("ew"), F.col("bits").alias("ebits")),
@@ -548,7 +561,7 @@ def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
     compacted.write.mode("overwrite").partitionBy("wpart").parquet(
         os.path.join(path, new_dir)
     )
-    n_words = compacted.count()
+    n_words = _parquet_dir_rows(os.path.join(path, new_dir))
     _bloom_sketch_meta_write(path, {**meta, "words_dir": new_dir})
     for d in old_dirs:  # the flipped-away dir + any crash orphans
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
@@ -635,7 +648,15 @@ def bloom_probe(
 
     The contract (zero false negatives) is what makes the filter safe as
     a frontier pre-filter: 'new' rows are exactly right, 'seen' rows go
-    to the exact path only if a re-check matters."""
+    to the exact path only if a re-check matters.
+
+    Broadcast-tier lifetime contract: probed bitmaps are cached as Spark
+    broadcasts in a 4-entry LRU keyed on content; probing a 5th DISTINCT
+    sketch unpersists the oldest broadcast, so a still-unconsumed LAZY
+    plan returned by an earlier probe of that sketch will fail at action
+    time with an executor "broadcast not found" error. Consume (or
+    checkpoint) each probe's result before probing 4 newer distinct
+    sketches."""
     if isinstance(bitmap, DataFrame):
         return _bloom_probe_words(df, bitmap, key_col, n_bits, k, out_col)
     pos = _bloom_positions(key_col, n_bits, k)
@@ -738,6 +759,30 @@ def bloom_probe(
     return out.withColumn(out_col, _probe(*[F.col(t) for t in tmp])).drop(*tmp)
 
 
+def _parquet_dir_rows(path: str) -> int:
+    """Exact row count of an on-disk parquet directory, read from the file
+    footers on the DRIVER. ``spark.read.parquet(path).count()`` resolves to
+    the same footer-metadata walk, but schedules a job for it — per-batch
+    launch overhead the frontier loop pays on EVERY trigger. Hidden dirs
+    (``_temporary``, ``.``-prefixed) are skipped like Spark's reader skips
+    them, so a torn concurrent write is invisible here too. O(#files)
+    either way — periodic store compaction is what bounds the walk on a
+    long-horizon frontier."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for root, dirs, files in _os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                total += _pq.ParquetFile(
+                    _os.path.join(root, fn)
+                ).metadata.num_rows
+    return total
+
+
 def stream_url_frontier(
     stream_urls: DataFrame,
     store_path: str,
@@ -797,9 +842,10 @@ def stream_url_frontier(
             .dropDuplicates(["url"])
         )
         store_exists = _os.path.isdir(store_path)
-        store_rows = (
-            spark.read.parquet(store_path).count() if store_exists else 0
-        )
+        # driver-side footer walk — same number as a Spark metadata count,
+        # minus one job launch per micro-batch (r11 verdict: the per-batch
+        # count was a slowly degrading driver cost on long frontiers)
+        store_rows = _parquet_dir_rows(store_path) if store_exists else 0
         bitmap = None
         cache_valid = False
         if store_exists and sketch_store is not None:

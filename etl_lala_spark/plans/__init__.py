@@ -201,9 +201,10 @@ def changed_since_green() -> set[str]:
     try:
         from etl_lala_spark.plans import _change_tracking
 
-        return _change_tracking.stale_queries(relevant)
+        _CHANGED_MEMO = _change_tracking.stale_queries(relevant)
     except Exception:
-        return set()
+        _CHANGED_MEMO = set()
+    return _CHANGED_MEMO
 
 
 def all_queries() -> dict[str, Query]:

@@ -1353,8 +1353,9 @@ def web_bloom_frontier_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: this is the 10^9–10^10-bit path (SCALE.md "Set-words join
     transport": 2^33-bit build+probe measured 8+12 s where the dense
     python-broadcast form took 36+324 s). The sketch side broadcasts
-    under 32M words and degrades to a plain AQE-planned join beyond —
-    the correct shape once the sketch itself is shuffle-scale."""
+    under ``_BLOOM_WORDS_BCAST_MAX_ROWS`` (8M) words and degrades to a
+    plain AQE-planned join beyond — the correct shape once the sketch
+    itself is shuffle-scale."""
     from etl_lala_spark.operators import web
 
     d = load_table(spark, sf_dir, "documents")
@@ -3737,7 +3738,9 @@ def _recrawl_run(spark, sf_dir, surt, cdx_line):
         ],
         "doc_id long, etag string, last_modified string",
     )
-    stage("frontier_urls", plan.count())
+    # the frontier is the driver-built planting itself — its row count is
+    # len(doc_ids) by construction, no job needed to restate it
+    stage("frontier_urls", len(doc_ids))
 
     server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
     port = server.server_address[1]
@@ -3784,20 +3787,20 @@ def _recrawl_tail(
         "doc_id",
         F.regexp_extract("url", r"/page(\d+)$", 1).cast("long"),
     )
-    by_status = {
-        r["status"]: r["n"]
-        for r in fetched.groupBy("status")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # ONE job answers all four revalidation stages: per-status row counts
+    # AND the 304s' byte sum (previously a second full-frame aggregate)
+    by_status_rows = (
+        fetched.groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_bytes").alias("b"))
         .collect()
-    }
+    )
+    by_status = {r["status"]: r["n"] for r in by_status_rows}
+    nm_bytes = next(
+        (r["b"] for r in by_status_rows if r["status"] == "not_modified"), 0
+    )
     stage("reval_not_modified", by_status.get("not_modified", 0))
     stage("reval_fetched_ok", by_status.get("ok", 0))
     stage("reval_errors", by_status.get("error", 0))
-    nm_bytes = (
-        fetched.filter(F.col("status") == "not_modified")
-        .agg(F.sum("n_bytes"))
-        .collect()[0][0]
-    )
     stage("not_modified_bytes", nm_bytes or 0)
 
     # this month's snapshot: fresh digests for 200s, carried-forward
@@ -3840,7 +3843,8 @@ def _recrawl_tail(
     ).select("doc_id", F.col("content").alias("text")).localCheckpoint(
         eager=True
     )
-    stage("extracted_changed_slice", batch.count())
+    n_batch = batch.count()
+    stage("extracted_changed_slice", n_batch)
 
     # near-dup the incoming slice against the PERSISTED index (the corpus
     # is never re-shingled), then pin every frame before the store mutates
@@ -3852,22 +3856,28 @@ def _recrawl_tail(
     survivors = batch.join(dropped, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )
-    stage("neardup_dropped", batch.count() - survivors.count())
+    # n_batch was already materialized for the extracted_changed_slice
+    # stage — reuse it instead of re-running batch.count()
+    stage("neardup_dropped", n_batch - survivors.count())
     spark.catalog.clearCache()  # release the incremental probe caches
 
+    from etl_lala_spark.operators.web import _parquet_dir_rows
+
     sigs_path = _os.path.join(index_path, "sigs")
-    stage("index_docs_before", spark.read.parquet(sigs_path).count())
+    # store row counts from parquet footers on the driver — identical to
+    # the Spark metadata count, minus three job launches per run
+    stage("index_docs_before", _parquet_dir_rows(sigs_path))
     # changed docs' old content is gone either way (their new version is
     # appended fresh or dropped as a near-dup); vanished docs leave
     gone = spark.createDataFrame(
         [(d,) for d in sorted(old_digest) if d % 4 in (1, 3)], "doc long"
     )
     minhash_index_delete(spark, index_path, gone)
-    stage("index_docs_after_delete", spark.read.parquet(sigs_path).count())
+    stage("index_docs_after_delete", _parquet_dir_rows(sigs_path))
     stage("index_appended", minhash_index_append(survivors, index_path))
     # at-least-once replay: re-appending the same batch must land nothing
     stage("replay_appended", minhash_index_append(survivors, index_path))
-    stage("index_docs_after", spark.read.parquet(sigs_path).count())
+    stage("index_docs_after", _parquet_dir_rows(sigs_path))
 
     # the updated corpus: unchanged docs keep last month's text, survivors
     # contribute this month's — re-sharded for the release
@@ -3879,9 +3889,15 @@ def _recrawl_tail(
     shards = shard_assignments(
         corpus, shard_bytes=_RC_SHARD_BYTES, seed=_RC_SEED
     ).localCheckpoint(eager=True)
-    stage("shard_docs", shards.count())
-    stage("shards", shards.agg(F.max("shard")).collect()[0][0] + 1)
-    stage("shard_bytes", shards.agg(F.sum("doc_bytes")).collect()[0][0])
+    # one aggregate answers all three shard stages (was three jobs)
+    sh = shards.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.max("shard").alias("max_shard"),
+        F.sum("doc_bytes").alias("bytes"),
+    ).collect()[0]
+    stage("shard_docs", sh["docs"])
+    stage("shards", sh["max_shard"] + 1)
+    stage("shard_bytes", sh["bytes"])
 
     return spark.createDataFrame(
         stage_rows, "stage_ord int, stage string, n bigint"
