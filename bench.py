@@ -365,6 +365,28 @@ def main() -> None:
     spreads: dict[str, float] = {}
     fixtures: dict[str, float] = {}
     builds: dict[str, dict[str, float]] = {}
+    reruns: dict[str, int] = {}
+    # Interleaved canary series (r11 verdict task 1): host load during the
+    # r11 driver window inflated Python-worker rows up to 8x with nothing
+    # but the host changing, and end-of-window canaries could not show
+    # WHEN the load arrived. One scan + one Python-worker canary sample
+    # every _CANARY_STRIDE queries timestamps host speed THROUGH the
+    # window; per-query nearest-canary values land in BENCH_DETAIL so a
+    # round-over-round delta can be read relative to host speed at the
+    # moment the query ran, not at the window's edges.
+    canary_series: list[dict[str, float | int | str]] = []
+    canary_at: dict[str, dict[str, float]] = {}
+    _CANARY_STRIDE = 15
+
+    def _canary_point(qi: int, name: str) -> dict[str, float | int | str]:
+        entry: dict[str, float | int | str] = {
+            "at_query_index": qi,
+            "at_query": name,
+            "scan_s": round(_canary_sample(spark, li, F), 3),
+            "python_s": round(_canary_python_sample(spark, li, F), 3),
+        }
+        canary_series.append(entry)
+        return entry
     total = 0.0
     # Gate queries build on-disk fixtures before exercising the operator
     # under test; they account that wall time via plans._gates.fixture_region
@@ -373,21 +395,47 @@ def main() -> None:
     # share is reported on stderr per query.
     from etl_lala_spark.plans import _gates
 
-    for name in HEADLINE:
+    def _one_sample(name, samples, fix_samples, build_samples):
+        spark.catalog.clearCache()
+        _gates.reset_fixture(name)
+        _gates.reset_build(name)
+        t0 = time.perf_counter()
+        fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        wall = time.perf_counter() - t0
+        fix = _gates.FIXTURE_SECONDS.get(name, 0.0)
+        samples.append(wall - fix)
+        fix_samples.append(fix)
+        build_samples.append(_gates.BUILD_SECONDS.get(name, 0.0))
+
+    last_canary: dict[str, float | int | str] | None = None
+    for qi, name in enumerate(HEADLINE):
+        if qi % _CANARY_STRIDE == 0:
+            last_canary = _canary_point(qi, name)
+        if last_canary is not None:
+            canary_at[name] = {
+                "scan_s": float(last_canary["scan_s"]),
+                "python_s": float(last_canary["python_s"]),
+            }
         samples: list[float] = []
         fix_samples: list[float] = []
         build_samples: list[float] = []
         for _ in range(n_runs):
-            spark.catalog.clearCache()
-            _gates.reset_fixture(name)
-            _gates.reset_build(name)
-            t0 = time.perf_counter()
-            fns[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            wall = time.perf_counter() - t0
-            fix = _gates.FIXTURE_SECONDS.get(name, 0.0)
-            samples.append(wall - fix)
-            fix_samples.append(fix)
-            build_samples.append(_gates.BUILD_SECONDS.get(name, 0.0))
+            _one_sample(name, samples, fix_samples, build_samples)
+        # Noise defence (r11 verdict task 1): a spread above 30% of the
+        # median means host load contaminated the window — take up to
+        # n_runs extra samples hunting a quiet one. min-of-N stays the
+        # figure; the reruns count is recorded so the record says which
+        # rows needed the extra hunt.
+        extra = 0
+        while (
+            extra < n_runs
+            and statistics.pstdev(samples)
+            > 0.30 * statistics.median(samples)
+        ):
+            _one_sample(name, samples, fix_samples, build_samples)
+            extra += 1
+        if extra:
+            reruns[name] = extra
         dt = round(min(samples), 3)
         timings[name] = dt
         spreads[name] = round(statistics.pstdev(samples), 3)
@@ -417,11 +465,17 @@ def main() -> None:
             if name in builds
             else ""
         )
+        rerun_note = f", {extra} noise reruns" if extra else ""
         print(
-            f"# {name}: min {dt:.3f}s over {n_runs} (±{spreads[name]:.3f}"
-            f"{fix_note}{build_note})",
+            f"# {name}: min {dt:.3f}s over {len(samples)} (±{spreads[name]:.3f}"
+            f"{fix_note}{build_note}{rerun_note})",
             file=sys.stderr,
         )
+
+    # Trailing canary sample closes the series: without it, load arriving
+    # during the window's last stretch is indistinguishable from a real
+    # regression in the final queries.
+    _canary_point(len(HEADLINE), "(end)")
 
     # Full per-query detail ALSO lands in a repo file: with 70+ headline
     # queries the stdout metric line exceeds the driver's 2000-byte tail
@@ -443,6 +497,13 @@ def main() -> None:
                 "stddev": spreads,
                 "fixture_seconds_excluded": fixtures,
                 "build_probe_split": builds,
+                # r11 verdict task 1 — noise defence record: host-speed
+                # samples THROUGH the window, the canary values current
+                # when each query ran, and which rows needed extra
+                # samples to find a quiet window.
+                "canary_series": canary_series,
+                "canary_at": canary_at,
+                "noise_reruns": reruns,
             },
             fh,
             indent=1,
