@@ -1083,10 +1083,20 @@ def minhash_index_append(
     # signature is deterministic in the text, so sig != _stored_sig ⇒ the
     # text differs (a silent no-op here would keep the stale signature
     # forever with no error or update path — the replay guard must only
-    # swallow byte-identical redeliveries).
-    changed = joined.where(
-        F.col("_stored_sig").isNotNull() & (F.col("sig") != F.col("_stored_sig"))
-    ).count()
+    # swallow byte-identical redeliveries). One aggregate answers both the
+    # changed-content guard and the fresh-doc count — the two questions
+    # partition the same checkpointed frame, so a second count job would
+    # re-walk it for nothing (a replay append is then exactly one job).
+    guard = joined.agg(
+        F.sum(
+            (
+                F.col("_stored_sig").isNotNull()
+                & (F.col("sig") != F.col("_stored_sig"))
+            ).cast("long")
+        ).alias("changed"),
+        F.sum(F.col("_stored_sig").isNull().cast("long")).alias("fresh"),
+    ).first()
+    changed = int(guard["changed"] or 0)
     if changed:
         joined.unpersist()
         raise ValueError(
@@ -1095,7 +1105,7 @@ def minhash_index_append(
             "append, not a re-append under the same id"
         )
     sig = joined.where(F.col("_stored_sig").isNull()).drop("_stored_sig")
-    n = sig.count()
+    n = int(guard["fresh"] or 0)
     if n:
         # Bands first, sigs second: the replay guard keys on sigs, so a
         # crash between the two writes is self-healing — the re-run

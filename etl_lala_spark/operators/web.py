@@ -263,6 +263,7 @@ def bloom_build_words(
     n_bits: int = 4096,
     k: int = 3,
     n_parts: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Build the Bloom sketch as a DISTRIBUTED set-words DataFrame
     ``(w BIGINT, bits BIGINT)`` — the frontier-scale form. Same single
@@ -276,7 +277,12 @@ def bloom_build_words(
     re-probes don't recompute the aggregation (on a cluster,
     ``checkpoint()`` or a parquet write drops in). ``n_parts`` adds the
     durable store's ``wpart`` partition key BEFORE the checkpoint so
-    store writers don't re-materialize just to tag it."""
+    store writers don't re-materialize just to tag it.
+
+    ``materialize=False`` returns the lazy aggregation plan instead:
+    right when the caller consumes the words EXACTLY ONCE (a store
+    write/append) — a checkpoint there is a full extra materialization
+    of the aggregation before the write re-reads it."""
     pos = F.explode(F.array(*_bloom_positions(key_col, n_bits, k))).alias("p")
     words = (
         df.select(pos)
@@ -396,10 +402,15 @@ def _bloom_sketch_meta_write(path: str, meta: dict) -> None:
     os.replace(tmp, target)  # the atomic pointer flip
 
 
-def _bloom_sketch_words(spark: SparkSession, path: str, meta: dict):
+def _bloom_sketch_words(
+    spark: SparkSession, path: str, meta: dict, materialize: bool = True
+):
     """(aggregated one-row-per-w words frame, store row count). The store
     may hold several rows per w (append-only merges); readers fold them
-    with the same bit_or the build uses."""
+    with the same bit_or the build uses. ``materialize=False`` skips the
+    checkpoint for callers that consume the fold exactly once (compact's
+    rewrite) — checkpointing there materializes the whole fold a second
+    time before the single consumer re-reads it."""
     import os
 
     words_path = os.path.join(path, meta["words_dir"])
@@ -408,11 +419,11 @@ def _bloom_sketch_words(spark: SparkSession, path: str, meta: dict):
     # count, without scheduling a job for it (this runs on every probe
     # and stats-merge, i.e. per micro-batch on a streaming frontier)
     n_rows = _parquet_dir_rows(words_path)
-    # checkpointed: the consumer joins against it k times (probe) or
-    # feeds a stats join + a rewrite (merge/compact) — fold once
-    words = (
-        raw.groupBy("w").agg(F.bit_or("bits").alias("bits")).localCheckpoint()
-    )
+    # checkpointed by default: the consumer joins against it k times
+    # (probe) or feeds a stats join + a rewrite (merge) — fold once
+    words = raw.groupBy("w").agg(F.bit_or("bits").alias("bits"))
+    if materialize:
+        words = words.localCheckpoint()
     return words, n_rows
 
 
@@ -455,7 +466,13 @@ def bloom_sketch_write(
     import os
     import shutil
 
-    words = bloom_build_words(df, key_col, n_bits, k, n_parts=n_parts)
+    # materialize=False: the ONLY consumer is the parquet write below
+    # (the returned count reads the committed footers) — the build's
+    # checkpoint would compute the whole aggregation once into block
+    # storage just for the write to re-read it
+    words = bloom_build_words(
+        df, key_col, n_bits, k, n_parts=n_parts, materialize=False
+    )
     words_dir, old_dirs = _bloom_fresh_words_dir(path)
     words.write.mode("overwrite").partitionBy("wpart").parquet(
         os.path.join(path, words_dir)
@@ -504,8 +521,16 @@ def bloom_sketch_merge(
     import os
 
     meta = _bloom_sketch_meta(path)
+    # lazy build: each branch below materializes the delta exactly once
+    # for its own consumption pattern (the build's default checkpoint
+    # would be a full extra computation of the aggregation up front)
     delta = bloom_build_words(
-        df, key_col, meta["n_bits"], meta["k"], n_parts=meta["n_parts"]
+        df,
+        key_col,
+        meta["n_bits"],
+        meta["k"],
+        n_parts=meta["n_parts"],
+        materialize=False,
     )
     if not compute_stats:
         # persist so the append and the returned count are ONE delta
@@ -518,28 +543,39 @@ def bloom_sketch_merge(
             return {"appended_words": delta.count()}
         finally:
             delta.unpersist()
-    existing, _ = _bloom_sketch_words(spark, path, meta)
-    j = delta.alias("d").join(
-        existing.select(F.col("w").alias("ew"), F.col("bits").alias("ebits")),
-        F.col("d.w") == F.col("ew"),
-        "left",
-    )
-    stats = j.agg(
-        F.count_if(F.col("ew").isNull()).alias("new_words"),
-        F.count_if(
-            F.col("ew").isNull()
-            | (F.col("ebits").bitwiseOR(F.col("d.bits")) != F.col("ebits"))
-        ).alias("changed_words"),
-    ).collect()[0]
-    if stats["changed_words"] == 0:
-        return {"new_words": 0, "changed_words": 0}
-    delta.write.mode("append").partitionBy("wpart").parquet(
-        os.path.join(path, meta["words_dir"])
-    )
-    return {
-        "new_words": stats["new_words"],
-        "changed_words": stats["changed_words"],
-    }
+    # stats path consumes the delta twice (stats fold + append): persist,
+    # not checkpoint — the stats job is the ONE computation (it populates
+    # the cache as it runs) and the append re-reads the cached blocks,
+    # where an eager checkpoint would be a separate materialization job
+    # before either consumer
+    delta = delta.persist()
+    try:
+        existing, _ = _bloom_sketch_words(spark, path, meta)
+        j = delta.alias("d").join(
+            existing.select(
+                F.col("w").alias("ew"), F.col("bits").alias("ebits")
+            ),
+            F.col("d.w") == F.col("ew"),
+            "left",
+        )
+        stats = j.agg(
+            F.count_if(F.col("ew").isNull()).alias("new_words"),
+            F.count_if(
+                F.col("ew").isNull()
+                | (F.col("ebits").bitwiseOR(F.col("d.bits")) != F.col("ebits"))
+            ).alias("changed_words"),
+        ).collect()[0]
+        if stats["changed_words"] == 0:
+            return {"new_words": 0, "changed_words": 0}
+        delta.write.mode("append").partitionBy("wpart").parquet(
+            os.path.join(path, meta["words_dir"])
+        )
+        return {
+            "new_words": stats["new_words"],
+            "changed_words": stats["changed_words"],
+        }
+    finally:
+        delta.unpersist()
 
 
 def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
@@ -553,7 +589,9 @@ def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
     import shutil
 
     meta = _bloom_sketch_meta(path)
-    words, n_rows = _bloom_sketch_words(spark, path, meta)
+    # materialize=False: the fold's only consumer is the rewrite below
+    # (word/row stats come from parquet footers, not jobs)
+    words, n_rows = _bloom_sketch_words(spark, path, meta, materialize=False)
     new_dir, old_dirs = _bloom_fresh_words_dir(path)
     compacted = words.withColumn(
         "wpart", F.pmod(F.col("w"), F.lit(meta["n_parts"])).cast("int")

@@ -2519,6 +2519,12 @@ def web_cdx_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     port = server.server_address[1]
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
+    # ≤80-capture planting end to end: run selection, fetch and the digest
+    # join at a matching shuffle width (the whole-gate override discipline
+    # of web_corpus_build) — this also sizes the fetch leg, whose task
+    # count is select_captures' shuffle output width.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
         idx = spark.createDataFrame([(x,) for x in cdx_lines], "line string")
         sel = select_captures(parse_cdxj(idx)).withColumn(
@@ -2567,6 +2573,7 @@ def web_cdx_ranged_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DataFrame is lazy); same pattern as fetch_http_loopback
         out.write.mode("overwrite").parquet(os.path.join(work, "out"))
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         server.shutdown()
         server.server_close()
     return spark.read.parquet(os.path.join(work, "out")).orderBy("surt")
@@ -2826,44 +2833,48 @@ def web_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stage(name: str, count: int) -> None:
         stage_rows.append((len(stage_rows), name, int(count)))
 
-    stage("cdx_lines", len(cdx_lines))
-    idx = spark.createDataFrame([(x,) for x in cdx_lines], "line string")
-    sel = select_captures(parse_cdxj(idx))
-    stage("cdx_selected", sel.count())
-
-    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-    port = server.server_address[1]
-    threading.Thread(target=server.serve_forever, daemon=True).start()
-    try:
-        plan = sel.select(
-            F.concat(
-                F.lit(f"http://127.0.0.1:{port}/"), F.col("filename")
-            ).alias("url"),
-            "offset",
-            "length",
-        )
-        fetched = fetch_ranges(plan, max_bytes=1 << 20)
-        # materialize while the loopback server is alive (lazy plans would
-        # re-fetch after shutdown) — same pattern as web_cdx_ranged_fetch
-        fetched.filter(F.col("status") == "ok").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(work, "fetched"))
-    finally:
-        server.shutdown()
-        server.server_close()
-    ok = spark.read.parquet(os.path.join(work, "fetched"))
-    stage("fetched_ok", ok.count())
-
-    # From here every frame is bounded by the planting (<= 64 rows — the
-    # gate's own constant, not a data-dependent sniff): run the dedup /
-    # training stages at a matching shuffle width instead of paying a
-    # 200-task stage per tiny join in a default-conf session (the
-    # stream-twin gates' discipline, plans/stream_twins.py:538). Restored
-    # in the finally below; a production corpus keeps the session conf.
+    # EVERY frame in this gate is bounded by the 64-capture planting (the
+    # gate's own constant, not a data-dependent sniff): run the WHOLE
+    # chain — CDX selection and the fetch leg included, not just the tail —
+    # at a matching shuffle width instead of paying session-width stages
+    # per tiny frame (the stream-twin gates' discipline,
+    # plans/stream_twins.py:538). The override also sizes the fetch plan:
+    # select_captures' shuffle output is what fetch_ranges maps over, so 64
+    # one-row HTTP gets ride 8 Python-worker tasks instead of 32 task
+    # launches with 2 rows each. Restored in the finally; a production
+    # corpus keeps the session conf.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        stage("cdx_lines", len(cdx_lines))
+        idx = spark.createDataFrame([(x,) for x in cdx_lines], "line string")
+        sel = select_captures(parse_cdxj(idx))
+        stage("cdx_selected", sel.count())
+
+        server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        port = server.server_address[1]
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        try:
+            plan = sel.select(
+                F.concat(
+                    F.lit(f"http://127.0.0.1:{port}/"), F.col("filename")
+                ).alias("url"),
+                "offset",
+                "length",
+            )
+            fetched = fetch_ranges(plan, max_bytes=1 << 20)
+            # materialize while the loopback server is alive (lazy plans
+            # would re-fetch after shutdown) — same pattern as
+            # web_cdx_ranged_fetch
+            fetched.filter(F.col("status") == "ok").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(work, "fetched"))
+        finally:
+            server.shutdown()
+            server.server_close()
+        ok = spark.read.parquet(os.path.join(work, "fetched"))
+        stage("fetched_ok", ok.count())
+
         return _corpus_build_tail(spark, ok, stage, stage_rows)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -3754,7 +3765,13 @@ def _recrawl_run(spark, sf_dir, surt, cdx_line):
                 ).alias("url"),
                 "etag",
                 "last_modified",
-            ),
+            # fetch-concurrency sizing: the driver-built 48-row plan
+            # parallelizes across defaultParallelism partitions, so the
+            # conditional-GET leg paid 32 Python-worker task launches for
+            # ~1.5 rows each; 8 tasks of 6 loopback gets amortize the
+            # worker round trip and still saturate the loopback server
+            # (production fetch waves bound per-host concurrency anyway)
+            ).coalesce(8),
             retries=1,
             backoff_s=0.05,
         )

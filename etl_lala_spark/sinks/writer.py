@@ -850,7 +850,18 @@ def delete_rows(
 
     sub = table.where(F.col(part_col).isin(affected))
     kept = sub.join(k, key_col, "left_anti")
-    deleted = sub.count() - kept.count()
+    # Row accounting from parquet FOOTERS, not count jobs: the affected
+    # partitions' pre-delete rows are already on disk under
+    # ``{part_col}={part}`` (the same names phase 1 renames), and the
+    # post-delete rows land in tmp below — both exact driver-side
+    # metadata walks, where ``sub.count() - kept.count()`` paid two full
+    # scans of every affected partition (the anti-join twice over).
+    from etl_lala_spark.operators.web import _parquet_dir_rows
+
+    sub_rows = sum(
+        _parquet_dir_rows(os.path.join(table_path, f"{part_col}={part}"))
+        for part in affected
+    )
     tmp = table_path.rstrip("/") + "._delete_tmp"
     backup = table_path.rstrip("/") + "._delete_backup"
     shutil.rmtree(tmp, ignore_errors=True)
@@ -860,6 +871,7 @@ def delete_rows(
         # row-group stats), same contract as compact_partitions.
         kept = kept.sortWithinPartitions(part_col, *sort_cols)
     kept.write.partitionBy(part_col).parquet(tmp)
+    deleted = sub_rows - _parquet_dir_rows(tmp)
     os.makedirs(backup, exist_ok=True)
     # Phase 1: move every original out of the table root first. After this
     # loop the table no longer contains any to-be-deleted row, and nothing
