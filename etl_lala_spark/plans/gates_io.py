@@ -2917,10 +2917,14 @@ def _corpus_build_tail(spark, ok, stage, stage_rows):
         "target_uri",
         F.col("http_content_type").alias("content_type"),
         F.col("payload").cast("string").alias("html"),
-    ).repartition(4).localCheckpoint(eager=True)
-    stage("warc_responses", pages.count())
-
-    cs = detect_charset(pages)
+    ).repartition(4)
+    # checkpoint AFTER the charset pass, not before it: detect_charset is
+    # 1:1 (it appends charset/charset_source), and three consumers read it
+    # (the source histogram, the URL dedup count, the main-content chain) —
+    # checkpointing `pages` instead re-ran the triple-regex charset scan
+    # for each of them
+    cs = detect_charset(pages).localCheckpoint(eager=True)
+    stage("warc_responses", cs.count())
     by_src = {
         r["charset_source"]: r["n"]
         for r in cs.groupBy("charset_source")

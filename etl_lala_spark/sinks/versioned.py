@@ -292,9 +292,10 @@ def _stage(
     staging = f"{table_path.rstrip('/')}.staging.{_private_suffix()}"
     shutil.rmtree(staging, ignore_errors=True)
     df.write.mode("overwrite").parquet(staging)
-    staged = df.sparkSession.read.parquet(staging)
     if partition_col:
         from pyspark.sql import functions as F
+
+        staged = df.sparkSession.read.parquet(staging)
 
         # one scan for both facts (count + distinct partition values) —
         # collect_set drops nulls, sort_array fixes the order
@@ -304,7 +305,13 @@ def _stage(
         ).first()
         n_new, vals = int(row[0]), list(row[1])
     else:
-        n_new, vals = staged.count(), None
+        # row count from the staged files' parquet FOOTERS — the same
+        # number a metadata-only Spark count resolves to, without
+        # scheduling a job for it (this runs once per commit, i.e. per
+        # micro-batch on a streaming versioned append)
+        from etl_lala_spark.operators.web import _parquet_dir_rows
+
+        n_new, vals = _parquet_dir_rows(staging), None
     return staging, n_new, vals
 
 
