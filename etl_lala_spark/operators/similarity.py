@@ -794,19 +794,23 @@ def power_iteration_pc(
     eigval = 0.0
     rel_residual = float("inf")
     mu_lit = F.array(*[F.lit(m) for m in mu])
+    # Project the centered vector ONCE as an array attribute (c[i] on the
+    # materialized attribute is a plain GetArrayItem; element access on
+    # the *computed* zip_with would re-run it per element). mu is fixed
+    # before the loop, so the projection is iteration-invariant; only
+    # v_lit changes per round. (Persisting it across iterations was tried
+    # and reverted: at 2–4 rounds the cache materialization costs more
+    # than re-running the narrow scan it saves.)
+    centered = F.zip_with(x, mu_lit, lambda a, b: a.cast("double") - b)
+    cent = corpus.select(centered.alias("c"))
     for _ in range(iters):
         v_lit = F.array(*[F.lit(c) for c in v])
-        centered = F.zip_with(x, mu_lit, lambda a, b: a.cast("double") - b)
-        s = dot(centered, v_lit)
-        # Project the centered vector ONCE as an array attribute, then sum
-        # s·c[i] via parsed exprs: c[i] on the materialized attribute is a
-        # plain GetArrayItem (an element access on the *computed* zip_with
-        # would re-run it per element), each term is the same
-        # double-subtraction product as the per-column form, and the
-        # driver stops paying ~9 py4j round trips per dimension per
-        # iteration building scalar projection columns.
+        s = dot(F.col("c"), v_lit)
+        # sum s·c[i] via single-parse exprs — the driver stops paying ~9
+        # py4j round trips per dimension per iteration building scalar
+        # projection columns.
         row = (
-            corpus.select(s.alias("s"), centered.alias("c"))
+            cent.select(s.alias("s"), "c")
             .agg(*[F.expr(f"sum(s * c[{i}]) AS w{i}") for i in range(dim)])
             .first()
         )

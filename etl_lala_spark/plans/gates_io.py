@@ -4268,13 +4268,19 @@ def web_cdx_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines = cdx_index_lines(recs, file_col="file").localCheckpoint(
             eager=True
         )
-        stage("index_lines", lines.count())
-        stage(
-            "index_redirect_lines",
-            lines.filter(F.col("line").contains('"redirect"')).count(),
-        )
         parsed = parse_cdxj(lines.select("line"))
-        stage("parse_errors", parsed.filter(F.col("_error").isNotNull()).count())
+        # ONE aggregate answers all three stage integers — parse_cdxj is
+        # row-preserving and carries the input line through, so the line
+        # count, the redirect-line count and the parse-error count are
+        # three measures of the same frame (was three count jobs)
+        counts = parsed.agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count_if(F.col("line").contains('"redirect"')).alias("n_redir"),
+            F.count_if(F.col("_error").isNotNull()).alias("n_err"),
+        ).collect()[0]
+        stage("index_lines", counts["n_lines"])
+        stage("index_redirect_lines", counts["n_redir"])
+        stage("parse_errors", counts["n_err"])
         sel = select_captures(parsed).localCheckpoint(eager=True)
         stage("selected_newest_good", sel.count())
 
