@@ -2690,6 +2690,53 @@ def test_bloom_sketch_refuses_foreign_position_format(spark, tmp_path):
         web.bloom_sketch_probe(keys, spark, store)
 
 
+def test_bloom_build_words_lazy_matches_materialized(spark, tmp_path):
+    """The r12 single-materialization paths (`bloom_build_words(
+    materialize=False)` feeding `bloom_sketch_write`, and the lazy fold in
+    `bloom_sketch_compact`) must produce the SAME words table as the
+    checkpointed default — the flag changes when the aggregation runs,
+    never what it computes. A store written through the lazy path must
+    also probe bit-identically to an in-memory materialized sketch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_lala_spark.operators import web
+
+    keys = spark.createDataFrame(
+        [(f"http://lazy/{i}",) for i in range(500)], "url string"
+    )
+    lazy = web.bloom_build_words(
+        keys, n_bits=1 << 14, k=3, n_parts=4, materialize=False
+    )
+    eager = web.bloom_build_words(keys, n_bits=1 << 14, k=3, n_parts=4)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, eager.collect())
+    )
+
+    store = str(tmp_path / "sketch")
+    web.bloom_sketch_write(keys, store, n_bits=1 << 14, k=3, n_parts=4)
+    web.bloom_sketch_merge(spark, store, keys, compute_stats=False)
+    folded_before = web.bloom_sketch_compact(spark, store)
+    meta = web._bloom_sketch_meta(store)
+    on_disk = spark.read.parquet(os.path.join(store, meta["words_dir"]))
+    assert folded_before["words"] == on_disk.count()
+    assert sorted(
+        map(tuple, on_disk.select("w", "bits").collect())
+    ) == sorted(map(tuple, eager.select("w", "bits").collect()))
+
+    probe = spark.createDataFrame(
+        [(f"http://lazy/{i}",) for i in range(1000)], "url string"
+    )
+    via_store = web.bloom_sketch_probe(probe, spark, store)
+    via_mem = web._bloom_probe_words(
+        probe, eager, "url", 1 << 14, 3, "maybe_seen"
+    )
+    assert sorted(map(tuple, via_store.select("url", "maybe_seen").collect())) == sorted(
+        map(tuple, via_mem.select("url", "maybe_seen").collect())
+    )
+
+
 def test_extract_links_resolution_cases(spark):
     """RFC 3986 reference resolution: absolute kept, non-http schemes and
     fragment-only dropped, protocol/root/query-relative joins, directory
