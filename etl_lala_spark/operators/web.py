@@ -303,10 +303,12 @@ def bloom_build_words(
 
 
 # A set-words sketch at or under this row count gets an explicit broadcast
-# hint on the probe joins (8M words ≈ 128 MB in-JVM, and Catalyst reuses
-# the one BroadcastExchange across the k joins — well inside executor
-# budgets); beyond it the hint is omitted and Spark plans a regular join,
-# which is the correct shape once the sketch itself is shuffle-scale.
+# hint on the probe joins (8M words ≈ 128 MB in-JVM; note Catalyst builds
+# a SEPARATE BroadcastExchange per probe join — the k aliased projections
+# don't canonicalize to one exchange — so the executor cost is k builds,
+# still well inside budgets at this cap); beyond it the hint is omitted
+# and Spark plans a regular join, which is the correct shape once the
+# sketch itself is shuffle-scale.
 _BLOOM_WORDS_BCAST_MAX_ROWS = 8_000_000
 
 
