@@ -277,6 +277,41 @@ HEADLINE = [
 ]
 
 
+# The stdout metric line must fit the driver's 2000-byte tail capture, and
+# 124 queries never do — r10-r12 therefore printed "queries":{} and the
+# driver's per-query/geomean/scaling tables came up empty (r12 verdict
+# task 2). This FIXED list of the heaviest headline queries (ranked by the
+# r12 record, ~74% of suite wall, worst-case line ~1.7 KB) rides the
+# stdout line instead, so cross-round and cross-cpu per-query comparison
+# works driver-side. Fixed, not dynamic top-N: entry names must never
+# disappear between rounds or between the cpus=32 and cpus=8 runs. The
+# FULL dict still lands in BENCH_DETAIL.json and on stderr, unchanged.
+_STDOUT_TOP = [
+    "web_corpus_build", "web_recrawl_incremental",
+    "stream_twin_url_frontier_sketch", "langid_trained",
+    "web_corpus_wet_build", "dedup_lines_crossdoc",
+    "stream_twin_url_frontier", "tokenizer_byte_bpe",
+    "stream_twin_bounded_state", "ann_cosine_pq", "ann_cosine_ivfpq",
+    "web_bloom_sketch_lifecycle", "text_dup_ngram_coverage",
+    "ann_cosine_ivfpq_residual", "curate_kcenter_coreset",
+    "web_cdx_index_roundtrip", "semantic_kmeans_clusters",
+    "stream_twin_versioned_ingest", "web_warc_pipeline",
+    "web_cdx_redirects", "text_bigram_lm_perplexity",
+    "graph_triangle_count", "embedding_random_projection",
+    "web_cdx_ranged_fetch", "stream_twin_running_summary",
+    "dedup_incremental_minhash", "stream_twin_scd2_final",
+    "stream_twin_progress", "hybrid_retrieval_rerank",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "web_link_graph",
+    "web_robots_filter", "stream_twin_trigger_chunks",
+    "corpus_source_overlap", "fetch_http_loopback",
+    "dedup_repeated_blocks", "text_bm25_retrieval",
+    "dedup_substring_runs_docs", "behavior_similarity_topk",
+    "web_crawl_schedule", "text_extract_main_content", "ann_cosine_lsh",
+    "versioned_table_lifecycle", "web_fetch_revalidate",
+    "web_warc_extract", "stream_twin_checkpoint_restart", "web_cdx_delta",
+]
+
+
 def _canary_sample(spark, li, F) -> float:
     spark.catalog.clearCache()
     t0 = time.perf_counter()
@@ -538,18 +573,28 @@ def main() -> None:
         separators=(",", ":"),
     )
     if len(line) > 1900:  # never let per-query detail overflow the capture
-        line = json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": {},
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            },
-            separators=(",", ":"),
-        )
-        print("# queries dict dropped from stdout line (2000-byte budget); "
-              "full detail on stderr", file=sys.stderr)
+        # Keep the FIXED heavy-query subset on the stdout line (r12
+        # verdict task 2: the driver's per-query/scaling adjudication
+        # needs SOME per-query data inside its tail capture); worst-case
+        # ~1.7 KB. Degrade to {} only if even the subset overflows.
+        sub = {n: timings[n] for n in _STDOUT_TOP if n in timings}
+        for queries in (sub, {}):
+            line = json.dumps(
+                {
+                    "metric": "headline_queries_total_wall",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                },
+                separators=(",", ":"),
+            )
+            if len(line) <= 1900:
+                break
+        print("# full queries dict exceeds the stdout 2000-byte budget; "
+              f"stdout line carries {len(line)} bytes / "
+              f"{len(sub)} fixed heavy rows, full detail on stderr",
+              file=sys.stderr)
         print(json.dumps({"queries": timings}), file=sys.stderr, flush=True)
     print(line, flush=True)
 

@@ -1347,12 +1347,13 @@ def line_dedup(
     boilerplate survives with clean_text = ''.
 
     Scale shape: one explode + hash agg keyed on the line (map-side
-    combined, vocabulary-bounded by distinct lines), one anti-join back,
-    one per-doc re-group. Everything is SQL-expressible (the oracle
-    replays it exactly); at 100 TB key the agg and join on
-    ``xxhash64(line)`` (8-byte shuffle rows instead of full strings) and
-    verify survivors against the string only on the collision-checked
-    join back — same trick as the shingle tables.
+    combined, vocabulary-bounded by distinct lines), one ban-flag join
+    back (left join; anti-join semantics via the flag), one per-doc
+    re-group that computes counts AND reassembly together. Everything is
+    SQL-expressible (the oracle replays it exactly); at 100 TB key the
+    agg and join on ``xxhash64(line)`` (8-byte shuffle rows instead of
+    full strings) and verify survivors against the string only on the
+    collision-checked join back — same trick as the shingle tables.
     """
     # One row per doc id (redelivery guard, same as _sig_frame): duplicate
     # id rows would interleave doubled lines into clean_text while the
@@ -1367,41 +1368,37 @@ def line_dedup(
         nonempty.groupBy("line")
         .agg(F.countDistinct(id_col).alias("docs"))
         .filter(F.col("docs") >= min_docs)
-        .select("line")
+        .select("line", F.lit(True).alias("_banned"))
     )
-    kept = nonempty.join(banned, "line", "left_anti")
-    ordered = F.array_sort(F.collect_list(F.struct("line_no", "line")))
-    # Anchor on the INPUT ids (same row-survival contract as
-    # extract_main_content): a doc with no non-empty line at all — empty
-    # text, whitespace-only — must still land as an empty output row, not
-    # silently vanish from a downstream corpus join.
-    per_doc = (
-        df.select(id_col)
-        .join(
-            nonempty.groupBy(id_col).agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_lines")
-            ),
-            id_col,
-            "left",
-        )
-        .join(
-            kept.groupBy(id_col).agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-                F.array_join(
-                    F.transform(ordered, lambda s: s["line"]), "\n"
-                ).alias("clean_text"),
-            ),
-            id_col,
-            "left",
-        )
+    # ONE per-doc aggregation over the ban-FLAGGED lines (left join keeps
+    # every exploded row; the anti-join semantics live in the _banned-NULL
+    # predicates) instead of the previous two groupBys + anchor join:
+    # split() yields >= 1 element for EVERY input text — empty and
+    # whitespace-only docs included — so grouping the raw `lines` frame
+    # already lands one output row per input doc, the same row-survival
+    # contract the explicit id anchor used to enforce (a doc whose every
+    # line is empty aggregates to n_lines = 0, clean_text = ''). The ban
+    # set never contains '' (it is built from `nonempty`), so empty lines
+    # can't be double-counted as removed.
+    is_line = F.col("line") != ""
+    is_kept = is_line & F.col("_banned").isNull()
+    n_lines = F.count_if(is_line).cast("bigint")
+    n_kept = F.count_if(is_kept).cast("bigint")
+    # collect_list skips NULLs, so when(is_kept, ...) collects exactly the
+    # surviving lines; array_sort on (line_no, line) structs restores the
+    # original order (line_no is unique per doc).
+    ordered = F.array_sort(
+        F.collect_list(F.when(is_kept, F.struct("line_no", "line")))
     )
-    n_lines = F.coalesce("n_lines", F.lit(0).cast("bigint"))
-    return per_doc.select(
-        id_col,
-        n_lines.alias("n_lines"),
-        (n_lines - F.coalesce("n_kept", F.lit(0).cast("bigint")))
-        .cast("bigint")
-        .alias("n_removed"),
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    return (
+        lines.join(banned, "line", "left")
+        .groupBy(id_col)
+        .agg(
+            n_lines.alias("n_lines"),
+            (n_lines - n_kept).cast("bigint").alias("n_removed"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["line"]), "\n"
+            ).alias("clean_text"),
+        )
     )
 

@@ -180,6 +180,7 @@ def langid_train(
     n_buckets: int = 32,
     iters: int = 12,
     lr: float = 4.0,
+    feats: DataFrame | None = None,
 ) -> dict:
     """fastText-shaped language-ID training: hashed char-trigram features,
     one-vs-rest :func:`logistic_train` per language (linear student over
@@ -211,9 +212,18 @@ def langid_train(
     the cached blocks, reduced tree-wise exactly like MLlib."""
     import numpy as np
 
-    feats = hashed_char_ngram_features(
-        docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
-    ).join(docs.select(id_col, label_col), id_col)
+    # ``feats``: a precomputed (ideally localCheckpointed)
+    # hashed_char_ngram_features(docs, text_col, id_col, n_buckets) frame.
+    # Training and serving both need the identical feature map; a caller
+    # that does train-then-predict on the SAME corpus passes one
+    # materialized frame so the explode + pivot feature build runs once,
+    # not once per phase. The values are deterministic, so reuse is
+    # bit-identical to recomputation.
+    if feats is None:
+        feats = hashed_char_ngram_features(
+            docs, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
+    feats = feats.join(docs.select(id_col, label_col), id_col)
     k = n_buckets
     nl = len(langs)
     lang_idx = {lang: i for i, lang in enumerate(langs)}
@@ -291,6 +301,7 @@ def langid_predict(
     model: dict,
     text_col: str = "text",
     id_col: str = "doc_id",
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Serving-time language-ID: the one-vs-rest scores as ONE fused
     codegen projection (logits compare monotonically with sigmoids, so
@@ -298,9 +309,14 @@ def langid_predict(
     Appends ``pred_lang``. At 100 TB inference is a scan — the same
     deployment property as :func:`logistic_predict`."""
     b = model["n_buckets"]
-    feats = hashed_char_ngram_features(
-        docs, text_col=text_col, id_col=id_col, n_buckets=b
-    )
+    # Same reuse contract as langid_train's ``feats``: pass the one
+    # materialized feature frame when serving the corpus that was just
+    # trained on — the feature map is deterministic, so this is
+    # bit-identical to rebuilding it.
+    if feats is None:
+        feats = hashed_char_ngram_features(
+            docs, text_col=text_col, id_col=id_col, n_buckets=b
+        )
     scored = docs.join(feats, id_col, "left")
     score_cols = []
     for lang in model["langs"]:

@@ -299,6 +299,13 @@ def bloom_build_words(
         words = words.withColumn(
             "wpart", F.pmod(F.col("w"), F.lit(n_parts)).cast("int")
         )
+    if not materialize:
+        # r13 fix: this branch was documented (and bit-identity tested)
+        # in r12 but the flag was silently ignored — every "lazy" caller
+        # (sketch write, no-stats merge delta) still paid a checkpoint
+        # job before its single consumption. The job census caught it:
+        # one extra localCheckpoint per sketch write / merge append.
+        return words
     return words.localCheckpoint()
 
 
@@ -404,6 +411,28 @@ def _bloom_sketch_meta_write(path: str, meta: dict) -> None:
     os.replace(tmp, target)  # the atomic pointer flip
 
 
+def _parquet_dir_stats(path: str) -> tuple[list[str], int]:
+    """(sorted relative parquet file names, exact footer row count) of an
+    on-disk parquet directory — one driver walk serving both the
+    metadata-count use and the clean-store file-set comparison. Hidden
+    dirs/files are skipped like Spark's reader skips them."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files: list[str] = []
+    total = 0
+    for root, dirs, fns in _os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in fns:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                full = _os.path.join(root, fn)
+                files.append(_os.path.relpath(full, path))
+                total += _pq.ParquetFile(full).metadata.num_rows
+    files.sort()
+    return files, total
+
+
 def _bloom_sketch_words(
     spark: SparkSession, path: str, meta: dict, materialize: bool = True
 ):
@@ -412,7 +441,18 @@ def _bloom_sketch_words(
     with the same bit_or the build uses. ``materialize=False`` skips the
     checkpoint for callers that consume the fold exactly once (compact's
     rewrite) — checkpointing there materializes the whole fold a second
-    time before the single consumer re-reads it."""
+    time before the single consumer re-reads it.
+
+    CLEAN-STORE fast path (r12 verdict task 1): ``bloom_sketch_write`` /
+    ``compact`` stamp the committed file listing into the meta as
+    ``clean_files``; when the store's CURRENT listing still equals that
+    stamp, the store provably holds one row per word (committed parquet
+    files are immutable, merges only APPEND files — any append breaks the
+    equality), so the bit_or fold — and the per-probe job its
+    localCheckpoint scheduled — is skipped outright and readers consume
+    the raw store. Cleanliness is derived from what is already durable,
+    never tracked as separate mutable state: a stale/missing stamp can
+    only cost a redundant fold, never skip a needed one."""
     import os
 
     words_path = os.path.join(path, meta["words_dir"])
@@ -420,7 +460,9 @@ def _bloom_sketch_words(
     # driver-side footer walk — same number as a metadata-only Spark
     # count, without scheduling a job for it (this runs on every probe
     # and stats-merge, i.e. per micro-batch on a streaming frontier)
-    n_rows = _parquet_dir_rows(words_path)
+    files, n_rows = _parquet_dir_stats(words_path)
+    if meta.get("clean_files") == files:
+        return raw.select("w", "bits"), n_rows
     # checkpointed by default: the consumer joins against it k times
     # (probe) or feeds a stats join + a rewrite (merge) — fold once
     words = raw.groupBy("w").agg(F.bit_or("bits").alias("bits"))
@@ -479,6 +521,12 @@ def bloom_sketch_write(
     words.write.mode("overwrite").partitionBy("wpart").parquet(
         os.path.join(path, words_dir)
     )
+    # count the COMMITTED files' footers instead of re-running the whole
+    # words aggregation (words was never cached — a .count() here would
+    # recompute the build from df); the same walk yields the file listing
+    # stamped below as clean_files (one row per w by construction — the
+    # clean-store fast path in _bloom_sketch_words)
+    files, n_words = _parquet_dir_stats(os.path.join(path, words_dir))
     _bloom_sketch_meta_write(
         path,
         {
@@ -487,14 +535,12 @@ def bloom_sketch_write(
             "fmt": _BLOOM_FMT,
             "n_parts": n_parts,
             "words_dir": words_dir,
+            "clean_files": files,
         },
     )
     for d in old_dirs:
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-    # count the COMMITTED files' footers instead of re-running the whole
-    # words aggregation (words was never cached — a .count() here would
-    # recompute the build from df)
-    return {"words": _parquet_dir_rows(os.path.join(path, words_dir))}
+    return {"words": n_words}
 
 
 def bloom_sketch_merge(
@@ -601,8 +647,12 @@ def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
     compacted.write.mode("overwrite").partitionBy("wpart").parquet(
         os.path.join(path, new_dir)
     )
-    n_words = _parquet_dir_rows(os.path.join(path, new_dir))
-    _bloom_sketch_meta_write(path, {**meta, "words_dir": new_dir})
+    files, n_words = _parquet_dir_stats(os.path.join(path, new_dir))
+    # a freshly compacted store is clean by construction — stamp its
+    # listing so probes skip the fold until the next merge appends
+    _bloom_sketch_meta_write(
+        path, {**meta, "words_dir": new_dir, "clean_files": files}
+    )
     for d in old_dirs:  # the flipped-away dir + any crash orphans
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return {"words": n_words, "rows_folded": n_rows - n_words}
@@ -799,28 +849,48 @@ def bloom_probe(
     return out.withColumn(out_col, _probe(*[F.col(t) for t in tmp])).drop(*tmp)
 
 
+# _parquet_dir_rows: above this many files the single-threaded driver
+# footer walk stops beating one distributed metadata-count job — Spark
+# spreads the footer reads across executors and the per-job launch cost
+# (~0.1 s locally) amortizes over thousands of footer opens. The gate
+# stores stay 1-2 orders of magnitude below this, so the driver walk (no
+# job per micro-batch) remains the frontier/delete hot path.
+_DIR_ROWS_MAX_FILES = 4096
+
+
 def _parquet_dir_rows(path: str) -> int:
     """Exact row count of an on-disk parquet directory, read from the file
     footers on the DRIVER. ``spark.read.parquet(path).count()`` resolves to
     the same footer-metadata walk, but schedules a job for it — per-batch
     launch overhead the frontier loop pays on EVERY trigger. Hidden dirs
     (``_temporary``, ``.``-prefixed) are skipped like Spark's reader skips
-    them, so a torn concurrent write is invisible here too. O(#files)
-    either way — periodic store compaction is what bounds the walk on a
-    long-horizon frontier."""
+    them, so a torn concurrent write is invisible here too.
+
+    The walk is O(#files) on ONE driver thread, so past
+    ``_DIR_ROWS_MAX_FILES`` files (a delete over a large partitioned
+    table — r12 verdict) it falls back to the distributed metadata count,
+    which reads the same footers executor-side: one job, identical
+    number. Below the threshold the driver walk wins by exactly that
+    job's launch cost."""
     import os as _os
 
     import pyarrow.parquet as _pq
 
-    total = 0
+    paths: list[str] = []
     for root, dirs, files in _os.walk(path):
         dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for fn in files:
             if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
-                total += _pq.ParquetFile(
-                    _os.path.join(root, fn)
-                ).metadata.num_rows
-    return total
+                paths.append(_os.path.join(root, fn))
+    if len(paths) > _DIR_ROWS_MAX_FILES:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            # metadata-only count: parquet scans with no required columns
+            # resolve from footer row counts, never data pages
+            return spark.read.parquet(path).count()
+    return sum(_pq.ParquetFile(p).metadata.num_rows for p in paths)
 
 
 def stream_url_frontier(
@@ -914,17 +984,25 @@ def stream_url_frontier(
                 bloom_sketch_probe(canon, spark, sketch_store, key_col="url")
                 if sketch_store is not None
                 else bloom_probe(canon, bitmap, key_col="url", n_bits=n_bits, k=k)
-            ).localCheckpoint()  # pin: the plan below reads AND writes store
-            definite_new = probed.filter(~F.col("maybe_seen")).drop(
-                "maybe_seen"
             )
-            maybe = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
-            exact_new = maybe.join(
-                spark.read.parquet(store_path).select("url"),
-                "url",
+            # ONE conditional anti-join replaces the old filter-split +
+            # union (r13): a row survives unless the store holds its url
+            # AND the filter said maybe-seen — definitely-new rows pass
+            # without a store comparison, maybe-seen rows take the exact
+            # path, the same pruning contract as the split. The probe
+            # subtree now appears ONCE in the plan, so the per-batch
+            # localCheckpoint that pinned it against double evaluation
+            # (and cost a scheduled job per trigger) is gone; the
+            # read-store-then-write-store pin is novel's own checkpoint
+            # below.
+            store = spark.read.parquet(store_path).select(
+                F.col("url").alias("_seen_url")
+            )
+            novel = probed.join(
+                store,
+                (F.col("url") == F.col("_seen_url")) & F.col("maybe_seen"),
                 "left_anti",
-            )
-            novel = definite_new.unionByName(exact_new)
+            ).drop("maybe_seen")
         elif store_exists:
             # no (valid) bitmap: exact path for every row, then rebuild
             novel = canon.localCheckpoint().join(

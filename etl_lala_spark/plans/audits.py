@@ -1192,10 +1192,16 @@ def audit_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lala_spark.plans.llm_text import _LANGID_LANGS, _langid_corpus
 
     corpus = _langid_corpus(load_table(spark, sf_dir, "documents"))
+    # Shared materialized feature frame (see langid_trained): the audit
+    # mirrors the headline query's structure exactly.
+    feats = ml.hashed_char_ngram_features(
+        corpus, n_buckets=16
+    ).localCheckpoint()
     model = ml.langid_train(
-        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16, iters=6
+        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16, iters=6,
+        feats=feats,
     )
-    pred = ml.langid_predict(corpus, model)
+    pred = ml.langid_predict(corpus, model, feats=feats)
     return (
         pred.groupBy("lang_true", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -3010,11 +3010,16 @@ def _corpus_build_tail(spark, ok, stage, stage_rows):
     # docs is 0.050 vs 0.019 at the lr=4/iters=8 default — 2.6x the
     # robustness headroom against future numeric-path changes, and three
     # fewer training rounds. Deterministic either way (no RNG).
+    # One materialized feature frame for train + serve (deterministic map,
+    # bit-identical to per-phase rebuilds — same reuse as langid_trained)
+    feats = ml.hashed_char_ngram_features(
+        labeled, n_buckets=16
+    ).localCheckpoint()
     model = ml.langid_train(
         labeled, _CB_LANGS, label_col="lang_true", n_buckets=16, iters=6,
-        lr=16.0,
+        lr=16.0, feats=feats,
     )
-    pred = ml.langid_predict(labeled, model)
+    pred = ml.langid_predict(labeled, model, feats=feats)
     diag = pred.agg(
         F.sum((F.col("pred_lang") == F.col("lang_true")).cast("bigint")).alias("d"),
         F.sum((F.col("pred_lang") != F.col("lang_true")).cast("bigint")).alias("o"),

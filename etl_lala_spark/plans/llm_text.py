@@ -1665,10 +1665,17 @@ def langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_lala_spark.operators import ml
 
     corpus = _langid_corpus(load_table(spark, sf_dir, "documents"))
+    # One materialized feature frame feeds BOTH training and serving
+    # (deterministic map — bit-identical to rebuilding it per phase);
+    # without this the explode + pivot feature build ran twice.
+    feats = ml.hashed_char_ngram_features(
+        corpus, n_buckets=16
+    ).localCheckpoint()
     model = ml.langid_train(
-        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16, iters=6
+        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16, iters=6,
+        feats=feats,
     )
-    pred = ml.langid_predict(corpus, model)
+    pred = ml.langid_predict(corpus, model, feats=feats)
     return (
         pred.groupBy("lang_true", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))

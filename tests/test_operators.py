@@ -2660,6 +2660,29 @@ def test_bloom_words_transport_bit_identical(spark):
     assert via_conv == via_bcast
 
 
+def test_parquet_dir_rows_both_branches(spark, tmp_path):
+    """The driver footer walk and the distributed metadata-count fallback
+    (taken above _DIR_ROWS_MAX_FILES files) must return the SAME exact
+    count — the fallback exists so a huge partitioned table never pins one
+    driver thread, not to change any number."""
+    from etl_lala_spark.operators import web
+
+    path = str(tmp_path / "t")
+    df = spark.range(137).selectExpr("id", "cast(id % 3 as int) as p")
+    df.write.partitionBy("p").parquet(path)
+    # hidden/temporary content must be invisible to BOTH branches
+    (tmp_path / "t" / "_temporary").mkdir()
+    (tmp_path / "t" / "_temporary" / "junk.parquet").write_bytes(b"x")
+
+    assert web._parquet_dir_rows(path) == 137
+    old = web._DIR_ROWS_MAX_FILES
+    web._DIR_ROWS_MAX_FILES = 0  # force the distributed branch
+    try:
+        assert web._parquet_dir_rows(path) == 137
+    finally:
+        web._DIR_ROWS_MAX_FILES = old
+
+
 def test_bloom_sketch_refuses_foreign_position_format(spark, tmp_path):
     """A durable sketch is LOSSY — it cannot be re-keyed under a new
     position layout, and probing it with mismatched positions could emit
@@ -2728,6 +2751,12 @@ def test_bloom_build_words_lazy_matches_materialized(spark, tmp_path):
     probe = spark.createDataFrame(
         [(f"http://lazy/{i}",) for i in range(1000)], "url string"
     )
+    # freshly compacted store: the clean-files stamp matches the listing,
+    # so this probe takes the r13 fold-skip fast path — its verdicts must
+    # be bit-identical to the in-memory materialized sketch
+    meta = web._bloom_sketch_meta(store)
+    files, _ = web._parquet_dir_stats(os.path.join(store, meta["words_dir"]))
+    assert meta["clean_files"] == files  # fast path is actually armed
     via_store = web.bloom_sketch_probe(probe, spark, store)
     via_mem = web._bloom_probe_words(
         probe, eager, "url", 1 << 14, 3, "maybe_seen"
@@ -2735,6 +2764,21 @@ def test_bloom_build_words_lazy_matches_materialized(spark, tmp_path):
     assert sorted(map(tuple, via_store.select("url", "maybe_seen").collect())) == sorted(
         map(tuple, via_mem.select("url", "maybe_seen").collect())
     )
+
+    # a merge APPEND breaks the listing equality (cleanliness is derived,
+    # never tracked): the next probe must fold — and still agree bit-
+    # for-bit with the clean-path verdicts, since the appended delta
+    # re-asserts already-set bits only
+    web.bloom_sketch_merge(spark, store, keys, compute_stats=False)
+    meta2 = web._bloom_sketch_meta(store)
+    files2, _ = web._parquet_dir_stats(
+        os.path.join(store, meta2["words_dir"])
+    )
+    assert meta2["clean_files"] != files2  # fold path re-armed
+    via_dirty = web.bloom_sketch_probe(probe, spark, store)
+    assert sorted(
+        map(tuple, via_dirty.select("url", "maybe_seen").collect())
+    ) == sorted(map(tuple, via_mem.select("url", "maybe_seen").collect()))
 
 
 def test_extract_links_resolution_cases(spark):
