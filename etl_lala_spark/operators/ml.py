@@ -209,7 +209,11 @@ def langid_train(
     this replaces recompiled a |langs|·(B+2)-column plan every round,
     and that compile dominated wall time — 400 docs spent ~13 s at
     iters=12). At 100 TB the round cost is still one scan-equivalent of
-    the cached blocks, reduced tree-wise exactly like MLlib."""
+    the cached blocks, reduced tree-wise exactly like MLlib. When the
+    feature frame lands in ONE partition (AQE coalesces any small
+    corpus to one), the whole loop instead runs inside a single task —
+    one job total, bit-identical math (r13): per-round jobs only exist
+    to combine across partitions, and there is nothing to combine."""
     import numpy as np
 
     # ``feats``: a precomputed (ideally localCheckpointed)
@@ -242,45 +246,90 @@ def langid_train(
                 Y[r_i, li] = 1.0
         yield Y, X
 
-    blocks = (
-        feats.select(label_col, *[f"f{j}" for j in range(k)])
-        .rdd.mapPartitions(to_block)
-        .cache()
-    )
+    rows = feats.select(label_col, *[f"f{j}" for j in range(k)]).rdd
+
+    def seq(acc, blk, W):
+        Y, X = blk
+        Z = X @ W
+        # same saturation-safe log-loss as logistic_train:
+        # logaddexp(0, ∓z) == log1p(exp(∓z)) without overflow
+        L = np.where(Y >= 0.5, np.logaddexp(0.0, -Z),
+                     np.logaddexp(0.0, Z))
+        E = 1.0 / (1.0 + np.exp(-Z)) - Y
+        return (acc[0] + X.shape[0], acc[1] + L.sum(axis=0),
+                acc[2] + X.T @ E)
+
+    def update(w, losses, n, loss_sum, G):
+        """One GD step from the aggregated (n, loss_sum, G) — shared by
+        the per-round treeAggregate path and the single-partition
+        all-rounds-in-one-task path so the scalar float math can never
+        diverge between them."""
+        grads = {}
+        for li, lang in enumerate(langs):
+            losses[lang].append(float(loss_sum[li]) / n)
+            grads[lang] = [float(G[j, li]) / n for j in range(k + 1)]
+            w[lang] = [
+                wj - lr * gj for wj, gj in zip(w[lang], grads[lang])
+            ]
+        return grads
+
+    w = {lang: [0.0] * (k + 1) for lang in langs}
+    losses: dict[str, list[float]] = {lang: [] for lang in langs}
+    if rows.getNumPartitions() == 1:
+        # Single-partition feature frame (AQE coalesces any small corpus
+        # to one) — per-round treeAggregate has nothing to tree-combine,
+        # so iters+1 jobs + a cache materialization collapse into ONE job
+        # that runs the whole loop over the local block list (r13). The
+        # float math is bit-identical: same blocks in the same order,
+        # `seq` folded sequentially exactly as the one-partition
+        # treeAggregate would, then `comb(zero, acc)` — additions with
+        # the zero accumulator — elided as exact no-ops.
+        def train_local(it):
+            blks = list(to_block(it))
+            lw = {lang: [0.0] * (k + 1) for lang in langs}
+            llosses: dict[str, list[float]] = {lang: [] for lang in langs}
+            grads = {}
+            for _ in range(iters + 1):
+                W = np.array([lw[lang] for lang in langs]).T  # (k+1, nl)
+                acc = (0, np.zeros(nl), np.zeros((k + 1, nl)))
+                for blk in blks:
+                    acc = seq(acc, blk, W)
+                grads = update(lw, llosses, acc[0], acc[1], acc[2])
+            for lang in langs:
+                lw[lang] = [
+                    wj + lr * gj for wj, gj in zip(lw[lang], grads[lang])
+                ]
+            yield lw, llosses
+
+        w, losses = rows.mapPartitions(train_local).collect()[0]
+        return {
+            "langs": list(langs),
+            "weights": w,
+            "losses": losses,
+            "n_buckets": n_buckets,
+        }
+
+    blocks = rows.mapPartitions(to_block).cache()
     # MLlib's default tree depth is 2 — right when thousands of partitions
     # would funnel into the driver, pure overhead (an extra stage per
     # round) when the block count is small. Partition count is known
     # before the loop, so the choice costs nothing.
     depth = 2 if blocks.getNumPartitions() > 64 else 1
-    w = {lang: [0.0] * (k + 1) for lang in langs}
-    losses: dict[str, list[float]] = {lang: [] for lang in langs}
     try:
         for _ in range(iters + 1):
             W = np.array([w[lang] for lang in langs]).T  # (k+1, nl)
 
-            def seq(acc, blk, W=W):
-                Y, X = blk
-                Z = X @ W
-                # same saturation-safe log-loss as logistic_train:
-                # logaddexp(0, ∓z) == log1p(exp(∓z)) without overflow
-                L = np.where(Y >= 0.5, np.logaddexp(0.0, -Z),
-                             np.logaddexp(0.0, Z))
-                E = 1.0 / (1.0 + np.exp(-Z)) - Y
-                return (acc[0] + X.shape[0], acc[1] + L.sum(axis=0),
-                        acc[2] + X.T @ E)
+            def seq_w(acc, blk, W=W):
+                return seq(acc, blk, W)
 
             def comb(a, b):
                 return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
 
             zero = (0, np.zeros(nl), np.zeros((k + 1, nl)))
-            n, loss_sum, G = blocks.treeAggregate(zero, seq, comb, depth=depth)
-            grads = {}
-            for li, lang in enumerate(langs):
-                losses[lang].append(float(loss_sum[li]) / n)
-                grads[lang] = [float(G[j, li]) / n for j in range(k + 1)]
-                w[lang] = [
-                    wj - lr * gj for wj, gj in zip(w[lang], grads[lang])
-                ]
+            n, loss_sum, G = blocks.treeAggregate(
+                zero, seq_w, comb, depth=depth
+            )
+            grads = update(w, losses, n, loss_sum, G)
         # Same convention as logistic_train: the loop ran iters+1 times to
         # measure the final model's loss; roll back the last update so the
         # returned weights are the model losses[-1] describes.

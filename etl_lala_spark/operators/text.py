@@ -136,28 +136,24 @@ def word_bigrams(text: Column) -> Column:
     )
 
 
-def dup_gram_fraction(grams: Column) -> Column:
-    """Fraction of n-gram occurrences that repeat an earlier occurrence in
-    the same document (Gopher-style `duplicate n-gram fraction` repetition
-    signal). Within-row only — no shuffle, runs in codegen at scan speed.
-    NULL for an empty gram array (a sub-2-token doc has no bigrams, so the
-    fraction is undefined) — the unguarded division is a DIVIDE_BY_ZERO
-    job abort under Spark 4's default ANSI mode."""
-    return F.when(
-        F.size(grams) > 0,
-        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
-    )
-
-
-def top_gram_fraction(grams: Column) -> Column:
-    """Occurrences of the single most frequent n-gram over total n-grams
-    (Gopher's `top n-gram coverage`). Computed within-row as the longest
-    equal run of the sorted gram array — O(d log d) per doc, no per-gram
-    groupBy, no shuffle; the fold lambda never re-touches the gram array."""
-    best = F.aggregate(
+def _gram_run_stats(grams: Column) -> Column:
+    """struct(best = longest equal run, dist = distinct count) of a gram
+    array, via ONE fold over its sorted form — both Gopher repetition
+    signals from a single O(d log d) pass (the sort), where computing
+    them separately paid the sort AND an `array_distinct` hash pass over
+    the same array (r13; measured ~0.6 s of the sf0.1 coverage row).
+    Sharing this subtree also lets codegen's common-subexpression
+    elimination fold the two public fractions below into one evaluation.
+    Contract: gram ELEMENTS must be non-null (word n-grams are — concat_ws
+    never yields NULL); the NULL `prev` seed makes the first element open
+    a run without a sentinel value colliding with a real gram."""
+    return F.aggregate(
         F.array_sort(grams),
         F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(0).alias("dist"),
         ),
         lambda a, x: F.struct(
             x.alias("prev"),
@@ -165,11 +161,42 @@ def top_gram_fraction(grams: Column) -> Column:
             F.greatest(
                 a.best, F.when(x == a.prev, a.run + 1).otherwise(F.lit(1))
             ).alias("best"),
+            (
+                a.dist + F.when(x == a.prev, F.lit(0)).otherwise(F.lit(1))
+            ).alias("dist"),
         ),
-        lambda a: a.best,
+        lambda a: F.struct(a.best.alias("best"), a.dist.alias("dist")),
     )
+
+
+def dup_gram_fraction(grams: Column) -> Column:
+    """Fraction of n-gram occurrences that repeat an earlier occurrence in
+    the same document (Gopher-style `duplicate n-gram fraction` repetition
+    signal). Within-row only — no shuffle, runs in codegen at scan speed.
+    The distinct count comes from the shared sorted-array fold
+    (:func:`_gram_run_stats` — boundary count of the sorted array equals
+    `size(array_distinct(...))` exactly for non-null elements).
+    NULL for an empty gram array (a sub-2-token doc has no bigrams, so the
+    fraction is undefined) — the unguarded division is a DIVIDE_BY_ZERO
+    job abort under Spark 4's default ANSI mode."""
+    return F.when(
+        F.size(grams) > 0,
+        F.lit(1.0)
+        - _gram_run_stats(grams)["dist"].cast("double") / F.size(grams),
+    )
+
+
+def top_gram_fraction(grams: Column) -> Column:
+    """Occurrences of the single most frequent n-gram over total n-grams
+    (Gopher's `top n-gram coverage`). Computed within-row as the longest
+    equal run of the sorted gram array (shared fold, see
+    :func:`_gram_run_stats`) — O(d log d) per doc, no per-gram groupBy,
+    no shuffle; the fold lambda never re-touches the gram array."""
     # Same empty-array guard as dup_gram_fraction: NULL, not a crash.
-    return F.when(F.size(grams) > 0, best.cast("double") / F.size(grams))
+    return F.when(
+        F.size(grams) > 0,
+        _gram_run_stats(grams)["best"].cast("double") / F.size(grams),
+    )
 
 
 def _merge_rewrite(a: str, b: str, sep: str) -> tuple[str, str]:

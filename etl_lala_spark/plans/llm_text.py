@@ -1108,10 +1108,31 @@ def text_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     real_toks = F.size(
         F.filter(F.split("text", r"\s+"), lambda t: t != F.lit(""))
     )
-    per_doc = d.filter(real_toks >= 2).select(
-        "source",
-        tx.dup_gram_fraction(grams).alias("dup_frac"),
-        tx.top_gram_fraction(grams).alias("top_frac"),
+    # Both repetition signals from ONE sorted-array fold, shared via an
+    # explicit intermediate projection (r13): the two public fraction
+    # helpers each build their own fold and codegen does NOT merge the
+    # twin aggregate subtrees (measured 1.88 s vs 0.97 s on this row) —
+    # materializing struct + size once per row halves the per-row work.
+    # Same arithmetic bit-for-bit: boundary count of the sorted array ==
+    # size(array_distinct(...)), identical guards and divisions.
+    per_doc = (
+        d.filter(real_toks >= 2)
+        .select(
+            "source",
+            F.size(grams).alias("ng"),
+            tx._gram_run_stats(grams).alias("st"),
+        )
+        .select(
+            "source",
+            F.when(
+                F.col("ng") > 0,
+                F.lit(1.0) - F.col("st.dist").cast("double") / F.col("ng"),
+            ).alias("dup_frac"),
+            F.when(
+                F.col("ng") > 0,
+                F.col("st.best").cast("double") / F.col("ng"),
+            ).alias("top_frac"),
+        )
     )
     return (
         per_doc.groupBy("source")

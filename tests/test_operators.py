@@ -2425,6 +2425,48 @@ def test_langid_trained_agrees_with_heuristic(spark, sf_dir):
         assert all(b <= a + 1e-9 for a, b in zip(ls, ls[1:]))
 
 
+def test_langid_train_single_partition_path_matches_treeagg(spark, sf_dir):
+    """langid_train's r13 single-partition fast path (the whole GD loop in
+    ONE task) must produce the same model as the per-round treeAggregate
+    path. The paths share `seq`/`update`, so at one partition the math is
+    bit-identical by construction; forcing a multi-partition feature frame
+    exercises the treeAggregate branch, whose weights may differ only by
+    float summation order — and every prediction must agree."""
+    import numpy as np
+
+    from etl_lala_spark.io import load_table
+    from etl_lala_spark.operators import ml
+    from etl_lala_spark.plans.llm_text import _LANGID_LANGS, _langid_corpus
+
+    corpus = _langid_corpus(load_table(spark, sf_dir, "documents"))
+    feats1 = ml.hashed_char_ngram_features(
+        corpus, n_buckets=16
+    ).localCheckpoint()
+    assert feats1.rdd.getNumPartitions() == 1  # fast path actually armed
+    m1 = ml.langid_train(
+        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16,
+        iters=6, feats=feats1,
+    )
+    featsN = feats1.repartition(3).localCheckpoint()
+    mN = ml.langid_train(
+        corpus, _LANGID_LANGS, label_col="lang_true", n_buckets=16,
+        iters=6, feats=featsN,
+    )
+    for lang in _LANGID_LANGS:
+        assert np.allclose(
+            m1["weights"][lang], mN["weights"][lang], rtol=0, atol=1e-9
+        )
+    p1 = {
+        r["doc_id"]: r["pred_lang"]
+        for r in ml.langid_predict(corpus, m1, feats=feats1).collect()
+    }
+    pN = {
+        r["doc_id"]: r["pred_lang"]
+        for r in ml.langid_predict(corpus, mN, feats=feats1).collect()
+    }
+    assert p1 == pN
+
+
 def test_decontaminate_plants_and_containment(spark):
     """Eval-set decontamination at the GPT-3 13-gram grain: a doc sharing
     ONE 13-gram with the benchmark is flagged; n-grams are containment,
