@@ -569,61 +569,52 @@ def bloom_sketch_merge(
     import os
 
     meta = _bloom_sketch_meta(path)
-    # lazy build: each branch below materializes the delta exactly once
-    # for its own consumption pattern (the build's default checkpoint
-    # would be a full extra computation of the aggregation up front)
+    # CHECKPOINTED delta (r13, measured): a lazy delta consumed by the
+    # partitioned APPEND + a second action (count / stats join) ran ~2x
+    # slower than checkpoint-first on BOTH merge paths (interleaved
+    # in-session A/B, 3k-row batches vs a 2^20-bit/16-part store:
+    # no-stats 1.51 s lazy+persist vs 0.67 s ckpt; stats 1.53 vs 0.82) —
+    # unlike sketch write/compact, whose single overwrite-write consumer
+    # IS faster fed lazily (0.63 vs 0.69 / 0.82 vs 0.82). The r12 code
+    # intended lazy here but shipped an ignored flag, so its measured
+    # numbers were always the checkpoint's; this pins the faster shape
+    # deliberately and drops the now-redundant persist().
     delta = bloom_build_words(
         df,
         key_col,
         meta["n_bits"],
         meta["k"],
         n_parts=meta["n_parts"],
-        materialize=False,
     )
     if not compute_stats:
-        # persist so the append and the returned count are ONE delta
-        # computation, not two (delta is an aggregation over the batch)
-        delta = delta.persist()
-        try:
-            delta.write.mode("append").partitionBy("wpart").parquet(
-                os.path.join(path, meta["words_dir"])
-            )
-            return {"appended_words": delta.count()}
-        finally:
-            delta.unpersist()
-    # stats path consumes the delta twice (stats fold + append): persist,
-    # not checkpoint — the stats job is the ONE computation (it populates
-    # the cache as it runs) and the append re-reads the cached blocks,
-    # where an eager checkpoint would be a separate materialization job
-    # before either consumer
-    delta = delta.persist()
-    try:
-        existing, _ = _bloom_sketch_words(spark, path, meta)
-        j = delta.alias("d").join(
-            existing.select(
-                F.col("w").alias("ew"), F.col("bits").alias("ebits")
-            ),
-            F.col("d.w") == F.col("ew"),
-            "left",
-        )
-        stats = j.agg(
-            F.count_if(F.col("ew").isNull()).alias("new_words"),
-            F.count_if(
-                F.col("ew").isNull()
-                | (F.col("ebits").bitwiseOR(F.col("d.bits")) != F.col("ebits"))
-            ).alias("changed_words"),
-        ).collect()[0]
-        if stats["changed_words"] == 0:
-            return {"new_words": 0, "changed_words": 0}
         delta.write.mode("append").partitionBy("wpart").parquet(
             os.path.join(path, meta["words_dir"])
         )
-        return {
-            "new_words": stats["new_words"],
-            "changed_words": stats["changed_words"],
-        }
-    finally:
-        delta.unpersist()
+        return {"appended_words": delta.count()}
+    existing, _ = _bloom_sketch_words(spark, path, meta)
+    j = delta.alias("d").join(
+        existing.select(
+            F.col("w").alias("ew"), F.col("bits").alias("ebits")
+        ),
+        F.col("d.w") == F.col("ew"),
+        "left",
+    )
+    stats = j.agg(
+        F.count_if(F.col("ew").isNull()).alias("new_words"),
+        F.count_if(
+            F.col("ew").isNull()
+            | (F.col("ebits").bitwiseOR(F.col("d.bits")) != F.col("ebits"))
+        ).alias("changed_words"),
+    ).collect()[0]
+    if stats["changed_words"] == 0:
+        return {"new_words": 0, "changed_words": 0}
+    delta.write.mode("append").partitionBy("wpart").parquet(
+        os.path.join(path, meta["words_dir"])
+    )
+    return {
+        "new_words": stats["new_words"],
+        "changed_words": stats["changed_words"],
+    }
 
 
 def bloom_sketch_compact(spark: SparkSession, path: str) -> dict:
